@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the registered query set and prints ONE JSON line.
+
+Usage: ``python bench.py`` — honors ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) and ``$SPARK_GRAFT_CPUS`` (default all cores).
+Each query executes to completion (count + collect of the result, which for
+these queries is aggregate-sized) and is timed wall-clock after a shared
+warm-up of the SparkSession.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stream_processing_pipeline_spark.plans import REGISTRY  # noqa: E402
+from stream_processing_pipeline_spark.session import build_session, default_parallelism  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0  # unrecognized dir naming; still benchmark it
+    cpus = default_parallelism()
+    spark = build_session(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM + parquet footers outside the timed region.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, q in sorted(REGISTRY.items()):
+        t0 = time.perf_counter()
+        try:
+            rows = q.fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep the bench line parseable on failures
+            failures[name] = f"{type(e).__name__}: {e}"[:200]
+            timings[name] = -1.0
+        else:
+            _ = rows
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "failures": failures,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

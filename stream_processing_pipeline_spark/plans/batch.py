@@ -1,0 +1,294 @@
+"""Batch analytics suite — widens the operator surface beyond the reference.
+
+The reference has no sorts/limits/set-ops/analytic-window functions
+(SURVEY.md §2.5-2.6); a complete engine needs them, so this module registers
+TPC-H-style aggregation/join/top-k queries plus analytic windows, rollup, and
+set operations over the fixture star schema. Every money aggregate goes
+through exact integer cents (functions.money) so distributed sums are
+deterministic; every top-k has a unique total order (tie-broken by key).
+
+Scale notes: the join trees below put the small side in a ``broadcast()``
+(dimensions: region/nation/customer at catalog scale) so the fact tables
+(orders/lineitem) are joined without shuffling; the final groupBy is the only
+shuffle. Top-k uses ``orderBy().limit(k)`` which Spark executes as
+TakeOrderedAndProject — per-partition heaps + driver merge of k rows, no
+global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import avg_money, avg_money_sql, cents, cents_sql, sum_money, sum_money_sql
+from ..operators.joins import dim_join
+from .common import catalog
+from .registry import register
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sum_money_sql('l_quantity')} AS sum_qty,
+           {sum_money_sql('l_extendedprice')} AS sum_base_price,
+           {sum_money_sql(_DISC_PRICE, 4)} AS sum_disc_price,
+           {sum_money_sql(_CHARGE, 6)} AS sum_charge,
+           {avg_money_sql('l_quantity')} AS avg_qty,
+           {avg_money_sql('l_extendedprice')} AS avg_price,
+           {avg_money_sql('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("batch", "aggregation"),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filtered scan -> hash aggregation with
+    derived-expression sums. Runs as partial+final agg; the shuffle carries
+    6 groups regardless of input size. (At 100 TB the long-cents sums stay
+    within int64 up to ~9e16 scaled units; beyond that switch to
+    ``decimal(38,scale)`` — same operator shape.)"""
+    li = catalog(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_money("l_quantity").alias("sum_qty"),
+            sum_money("l_extendedprice").alias("sum_base_price"),
+            sum_money(disc_price, 4).alias("sum_disc_price"),
+            sum_money(charge, 6).alias("sum_charge"),
+            avg_money("l_quantity").alias("avg_qty"),
+            avg_money("l_extendedprice").alias("avg_price"),
+            avg_money("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, {sum_money_sql(_DISC_PRICE, 4)} AS revenue, o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("batch", "join", "topk"),
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dimension broadcast-joined to facts, then
+    top-k by aggregated revenue. Tie-break on the unique orderkey makes the
+    k-set deterministic. Plan: BroadcastHashJoin (customer) -> shuffle join
+    on orderkey -> agg -> TakeOrderedAndProject."""
+    cat = catalog(spark, sf_dir)
+    cust = cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    orders = cat.orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = cat.lineitem.filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = dim_join(orders, cust, on=F.col("c_custkey") == F.col("o_custkey"), how="inner",
+                      dim_cols=["c_custkey"]).join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(sum_money(disc_price, 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle=f"""
+    SELECT n_name, {sum_money_sql(_DISC_PRICE, 4)} AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("batch", "join", "star-schema"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: region->nation->customer broadcast onto the
+    orders/lineitem facts. All dimension joins broadcast (zero fact shuffle);
+    the only shuffles are the orders⋈lineitem key join and the tiny final
+    aggregation."""
+    cat = catalog(spark, sf_dir)
+    dims = (
+        cat.region.filter(F.col("r_name") == "ASIA")
+        .join(cat.nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cat.customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = dim_join(
+        orders, dims, on=F.col("o_custkey") == F.col("c_custkey"), how="inner"
+    ).join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy("n_name").agg(sum_money(disc_price, 4).alias("revenue"))
+
+
+@register(
+    "top_events_per_user",
+    oracle="""
+    SELECT user_id, event_id, value, rn FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+    tags=("batch", "window-function"),
+)
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window function (absent from the reference, SURVEY.md §2.5):
+    per-user top-3 events by value via row_number with a unique tie-break.
+    Single shuffle on user_id; rank computed within sorted partitions."""
+    ev = catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "user_running_value",
+    oracle=f"""
+    SELECT user_id, event_id, ts,
+           sum({cents_sql('value')}) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / 100.0 AS running_value
+    FROM events
+    """,
+    tags=("batch", "window-function"),
+)
+def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user revenue: frame-bounded analytic sum. Summed in exact
+    cents inside the frame so the prefix sums are order-stable and
+    engine-portable."""
+    ev = catalog(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.sum(cents("value")).over(w) / 100.0).alias("running_value"),
+    )
+
+
+@register(
+    "engaged_users_set_ops",
+    oracle="""
+    SELECT user_id FROM (
+      (SELECT DISTINCT user_id FROM events WHERE event_type IN ('signup', 'view')
+       INTERSECT
+       SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    """,
+    tags=("batch", "set-ops"),
+)
+def engaged_users_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent from the reference, SURVEY.md §2.6):
+    (signup∪view users ∩ purchasers) − erroring users, all DISTINCT
+    semantics."""
+    ev = catalog(spark, sf_dir).events
+
+    def users(pred):
+        return ev.filter(pred).select("user_id").distinct()
+
+    engaged = users(F.col("event_type").isin("signup", "view"))
+    return engaged.intersect(users(F.col("event_type") == "purchase")).exceptAll(
+        users(F.col("event_type") == "error")
+    )
+
+
+@register(
+    "daily_distinct_users",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS date,
+           count(DISTINCT user_id) AS distinct_users,
+           count(*) AS total_events
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+    tags=("batch", "distinct-agg"),
+)
+def daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase in Spark). The approximate
+    scale path is ``approx_distinct_users`` (HLL, no exact oracle)."""
+    ev = catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("date"))
+        .agg(
+            F.count_distinct("user_id").alias("distinct_users"),
+            F.count(F.lit(1)).alias("total_events"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check.
+    tags=("batch", "approx"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count — the 100 TB path where exact distinct's
+    per-key expansion is too expensive. No oracle: sketch estimates are
+    engine-specific by nature (exact twin: ``daily_distinct_users``)."""
+    ev = catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("date"))
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {sum_money_sql(_DISC_PRICE, 4)} AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("batch", "rollup"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup (absent from the reference, SURVEY.md §2.4):
+    subtotals + grand total in one pass via Expand."""
+    li = catalog(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        sum_money(disc_price, 4).alias("revenue")
+    )

@@ -1,0 +1,213 @@
+"""The six reference queries (SURVEY.md §2.10), re-expressed on ``events``.
+
+The reference computes over NYC-taxi trips; the driver fixtures provide the
+``events`` stream-table analog (FIXTURES.md §B): ``ts`` -> pickup_datetime,
+``value`` -> total_amount, ``event_type`` -> payment_type-style category
+('purchase' ~ credit_card, 'click' ~ cash), ``user_id`` -> location id,
+``props`` JSON -> the raw wire payload, ``customer`` -> the zone-lookup
+dimension. Semantics per query mirror
+``/root/reference/src/spark_streaming.py`` (cites inline); each also runs in
+streaming mode via :mod:`..streaming` (these registered forms are the batch
+equivalents the oracle can verify — for a finite input, watermark + append
+finalization yields exactly this grouping, a property pinned by the
+stream/batch equivalence tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import avg_money, avg_money_sql
+from ..functions.rounding import pround, pround_sql
+from ..operators.aggregates import windowed_agg
+from ..operators.filters import discrepancy_filter, not_null, outside_range
+from ..operators.joins import dim_join
+from ..operators.project import minutes_since_midnight, parse_json_column, prune
+from .common import HOUR, WINDOW_FLATTEN_SQL, catalog
+from .registry import register
+
+_K_SQL = "CAST(json_extract_string(props, '$.k') AS INTEGER)"
+# Portable seconds-since-epoch (truncating, like Spark's cast to long).
+_EPOCH = "CAST(floor(epoch({0})) AS BIGINT)"
+_TS_SEC = _EPOCH.format("ts")
+_DAY_SEC = _EPOCH.format("date_trunc('day', ts)")
+_MINS = f"({_TS_SEC} - {_DAY_SEC}) / 60"
+
+
+@register(
+    "q1_typed_events",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value, {_K_SQL} AS prop_k
+    FROM events
+    """,
+    tags=("parity", "P1", "P2", "P3"),
+)
+def q1_typed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 raw persistence: parse the JSON payload and emit the typed record
+    (reference ``spark_streaming.py:127-138`` with the P2/P3 parse+cast)."""
+    ev = catalog(spark, sf_dir).events
+    typed = parse_json_column(ev, "props", "k INT")
+    return typed.select(
+        "event_id", "ts", "user_id", "event_type", "value", F.col("k").alias("prop_k")
+    )
+
+
+@register(
+    "q2_abnormal_minutes",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, ts, user_id, event_type, {_MINS} AS mins FROM events
+    )
+    SELECT event_id, ts, user_id, event_type,
+           {pround_sql('mins', 2)} AS minutes_since_midnight
+    FROM base WHERE mins < 60 OR mins > 1380
+    """,
+    tags=("parity", "P6", "P7", "P11"),
+)
+def q2_abnormal_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 abnormal duration: epoch-arithmetic derivation + disjunctive range
+    filter + rounding (reference ``spark_streaming.py:155-193``; the fixture
+    analog of trip-duration is minutes-since-midnight of the event time)."""
+    ev = catalog(spark, sf_dir).events
+    mins = minutes_since_midnight("ts")
+    return (
+        ev.withColumn("__mins", mins)
+        .filter(outside_range(F.col("__mins"), 60, 1380))
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            pround(F.col("__mins"), 2).alias("minutes_since_midnight"),
+        )
+    )
+
+
+@register(
+    "q3_value_discrepancy",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, ts, user_id, value,
+             abs(value - {_K_SQL}) AS d
+      FROM events
+    )
+    SELECT event_id, ts, user_id, value, {pround_sql('d', 2)} AS amount_discrepancy
+    FROM base WHERE d > 50 OR value IS NULL
+    """,
+    tags=("parity", "P8", "P9"),
+)
+def q3_value_discrepancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 abnormal fee: |observed - expected| > tolerance OR observed NULL,
+    with reference-exact NULL propagation (``spark_streaming.py:196-239``).
+    The JSON prop ``k`` plays the recomputed-components role."""
+    ev = catalog(spark, sf_dir).events
+    typed = parse_json_column(ev, "props", "k INT")
+    flagged = discrepancy_filter(
+        typed, observed="value", components=["k"], tolerance=50.0,
+        out="amount_discrepancy",
+    )
+    return flagged.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "value",
+        pround(F.col("amount_discrepancy"), 2).alias("amount_discrepancy"),
+    )
+
+
+_PURCHASE = "CASE WHEN event_type = 'purchase' THEN value END"
+_CLICK = "CASE WHEN event_type = 'click' THEN value END"
+
+
+@register(
+    "q4_avg_value_per_hour",
+    oracle=f"""
+    SELECT {WINDOW_FLATTEN_SQL},
+           {avg_money_sql('value')} AS avg_value,
+           {avg_money_sql(_PURCHASE)} AS purchase_avg,
+           {avg_money_sql(_CLICK)} AS click_avg
+    FROM events WHERE value IS NOT NULL
+    GROUP BY {HOUR}
+    """,
+    tags=("parity", "A1", "W1", "W2", "P13"),
+)
+def q4_avg_value_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 hourly avg revenue + conditional (pivot-style) averages per
+    category (reference ``spark_streaming.py:242-269``). Money aggregated via
+    exact integer cents (see functions.money) so results are deterministic on
+    a distributed cluster."""
+    ev = not_null(catalog(spark, sf_dir).events, "value")
+    is_p = F.col("event_type") == "purchase"
+    is_c = F.col("event_type") == "click"
+    return windowed_agg(
+        ev,
+        "ts",
+        aggs={
+            "avg_value": avg_money("value"),
+            "purchase_avg": avg_money(F.when(is_p, F.col("value"))),
+            "click_avg": avg_money(F.when(is_c, F.col("value"))),
+        },
+    )
+
+
+@register(
+    "q5_event_counts_per_hour",
+    oracle=f"""
+    SELECT {WINDOW_FLATTEN_SQL},
+           count(*) AS total_events,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_events,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click_events
+    FROM events
+    GROUP BY {HOUR}
+    """,
+    tags=("parity", "A2", "W1", "W2"),
+)
+def q5_event_counts_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 hourly trip counts + conditional counts — ``count(CASE ...)``
+    counts non-NULLs, intentionally distinct from ``count(*)`` (reference
+    ``spark_streaming.py:272-298``)."""
+    ev = catalog(spark, sf_dir).events
+    return windowed_agg(
+        ev,
+        "ts",
+        aggs={
+            "total_events": F.count(F.lit(1)),
+            "purchase_events": F.count(F.when(F.col("event_type") == "purchase", 1)),
+            "click_events": F.count(F.when(F.col("event_type") == "click", 1)),
+        },
+    )
+
+
+@register(
+    "q6_counts_by_segment",
+    oracle=f"""
+    SELECT {WINDOW_FLATTEN_SQL},
+           c_mktsegment AS segment,
+           count(user_id) AS total_events
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    GROUP BY {HOUR}, c_mktsegment
+    """,
+    tags=("parity", "J1", "A3"),
+)
+def q6_counts_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 hourly counts per borough: prune -> broadcast left-join the
+    dimension -> two-key windowed count (reference
+    ``spark_streaming.py:301-337``). The fact side never shuffles for the
+    join — only for the aggregation — which is the 100 TB-safe plan."""
+    cat = catalog(spark, sf_dir)
+    ev = prune(cat.events, "ts", "user_id")
+    joined = dim_join(
+        ev,
+        cat.customer,
+        on=F.col("user_id") == F.col("c_custkey"),
+        how="left",
+        dim_cols=["c_custkey", "c_mktsegment"],
+    )
+    agg = windowed_agg(
+        joined,
+        "ts",
+        aggs={"total_events": F.count("user_id")},
+        extra_keys=["c_mktsegment"],
+    )
+    return agg.withColumnRenamed("c_mktsegment", "segment")

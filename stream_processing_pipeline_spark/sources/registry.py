@@ -1,0 +1,83 @@
+"""Named-table catalog over a directory of parquet files.
+
+Loads the driver's synthetic star schema (TESTDATA.md: ``region nation
+customer supplier part orders lineitem events documents embeddings``) and
+registers each table as a temp view so both the DataFrame API and
+``spark.sql`` can reach them — the engine analog of the reference registering
+its static lookup table (``/root/reference/src/spark_streaming.py:302-304``).
+
+Type normalization: the ``events`` fixture stores ``ts`` as parquet
+nanosecond timestamps, which Spark reads as int64 nanos under
+``spark.sql.legacy.parquet.nanosAsLong`` (Spark's TimestampType is
+microseconds). The catalog converts ns-longs to timestamps by integer
+division — truncation toward minus infinity for positive values, exactly what
+DuckDB does when narrowing ns -> us — so event-time semantics agree with the
+oracle engine bit-for-bit.
+
+Scale: parquet scans here keep column pruning and predicate pushdown intact
+(the conversion is a Project on top of the scan, and Catalyst pushes filters
+on other columns beneath it). At 100 TB these tables would be
+partition-pruned by directory layout; the catalog accepts any directory, so a
+partitioned lake path drops in unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampType
+
+from .. import TABLES
+
+__all__ = ["TableCatalog"]
+
+
+class TableCatalog:
+    """Lazily-loaded named tables over ``<root>/<name>.parquet``."""
+
+    def __init__(self, spark: SparkSession, root: str, register_views: bool = True):
+        self.spark = spark
+        self.root = root
+        self.register_views = register_views
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            df = self.spark.read.parquet(self.path(name))
+            df = self._normalize(name, df)
+            if self.register_views:
+                df.createOrReplaceTempView(name)
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_all(self) -> None:
+        for name in TABLES:
+            if os.path.exists(self.path(name)):
+                self.table(name)
+
+    @staticmethod
+    def _normalize(name: str, df: DataFrame) -> DataFrame:
+        # ns-timestamp columns surface as LongType under nanosAsLong; convert
+        # to microsecond timestamps with DuckDB-identical truncation.
+        ts_cols = {"events": ["ts"]}.get(name, [])
+        for c in ts_cols:
+            if isinstance(df.schema[c].dataType, LongType):
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        # Normalize every timestamp column to TIMESTAMP_NTZ: fixture data is
+        # wall-clock (naive), the session tz is pinned UTC, and NTZ round-trips
+        # through Arrow as naive timestamps — exactly how the oracle engine
+        # (DuckDB TIMESTAMP) represents them.
+        for f in df.schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
+        return df
