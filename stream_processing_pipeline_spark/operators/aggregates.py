@@ -52,6 +52,9 @@ def windowed_agg(
     mode the same grouping runs as an ordinary hash aggregation.
     """
     if watermark:
+        # Watermarks require TIMESTAMP (LTZ); under the UTC session the cast
+        # from TIMESTAMP_NTZ is a wall-clock identity.
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         df = df.withWatermark(ts_col, watermark)
     keys = [tumbling_window(ts_col, duration).alias("window")] + [
         F.col(k) for k in (extra_keys or [])

@@ -18,12 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import avg_money, avg_money_sql
-from ..functions.rounding import pround, pround_sql
-from ..operators.aggregates import windowed_agg
-from ..operators.filters import discrepancy_filter, not_null, outside_range
-from ..operators.joins import dim_join
-from ..operators.project import minutes_since_midnight, parse_json_column, prune
+from ..functions.money import avg_money_sql
+from ..functions.rounding import pround_sql
+from . import transforms
 from .common import HOUR, WINDOW_FLATTEN_SQL, catalog
 from .registry import register
 
@@ -46,11 +43,7 @@ _MINS = f"({_TS_SEC} - {_DAY_SEC}) / 60"
 def q1_typed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 raw persistence: parse the JSON payload and emit the typed record
     (reference ``spark_streaming.py:127-138`` with the P2/P3 parse+cast)."""
-    ev = catalog(spark, sf_dir).events
-    typed = parse_json_column(ev, "props", "k INT")
-    return typed.select(
-        "event_id", "ts", "user_id", "event_type", "value", F.col("k").alias("prop_k")
-    )
+    return transforms.typed_events(catalog(spark, sf_dir).events)
 
 
 @register(
@@ -69,19 +62,7 @@ def q2_abnormal_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 abnormal duration: epoch-arithmetic derivation + disjunctive range
     filter + rounding (reference ``spark_streaming.py:155-193``; the fixture
     analog of trip-duration is minutes-since-midnight of the event time)."""
-    ev = catalog(spark, sf_dir).events
-    mins = minutes_since_midnight("ts")
-    return (
-        ev.withColumn("__mins", mins)
-        .filter(outside_range(F.col("__mins"), 60, 1380))
-        .select(
-            "event_id",
-            "ts",
-            "user_id",
-            "event_type",
-            pround(F.col("__mins"), 2).alias("minutes_since_midnight"),
-        )
-    )
+    return transforms.abnormal_minutes(catalog(spark, sf_dir).events)
 
 
 @register(
@@ -101,19 +82,7 @@ def q3_value_discrepancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 abnormal fee: |observed - expected| > tolerance OR observed NULL,
     with reference-exact NULL propagation (``spark_streaming.py:196-239``).
     The JSON prop ``k`` plays the recomputed-components role."""
-    ev = catalog(spark, sf_dir).events
-    typed = parse_json_column(ev, "props", "k INT")
-    flagged = discrepancy_filter(
-        typed, observed="value", components=["k"], tolerance=50.0,
-        out="amount_discrepancy",
-    )
-    return flagged.select(
-        "event_id",
-        "ts",
-        "user_id",
-        "value",
-        pround(F.col("amount_discrepancy"), 2).alias("amount_discrepancy"),
-    )
+    return transforms.value_discrepancy(catalog(spark, sf_dir).events)
 
 
 _PURCHASE = "CASE WHEN event_type = 'purchase' THEN value END"
@@ -137,18 +106,7 @@ def q4_avg_value_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     category (reference ``spark_streaming.py:242-269``). Money aggregated via
     exact integer cents (see functions.money) so results are deterministic on
     a distributed cluster."""
-    ev = not_null(catalog(spark, sf_dir).events, "value")
-    is_p = F.col("event_type") == "purchase"
-    is_c = F.col("event_type") == "click"
-    return windowed_agg(
-        ev,
-        "ts",
-        aggs={
-            "avg_value": avg_money("value"),
-            "purchase_avg": avg_money(F.when(is_p, F.col("value"))),
-            "click_avg": avg_money(F.when(is_c, F.col("value"))),
-        },
-    )
+    return transforms.avg_value_per_hour(catalog(spark, sf_dir).events)
 
 
 @register(
@@ -167,16 +125,7 @@ def q5_event_counts_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 hourly trip counts + conditional counts — ``count(CASE ...)``
     counts non-NULLs, intentionally distinct from ``count(*)`` (reference
     ``spark_streaming.py:272-298``)."""
-    ev = catalog(spark, sf_dir).events
-    return windowed_agg(
-        ev,
-        "ts",
-        aggs={
-            "total_events": F.count(F.lit(1)),
-            "purchase_events": F.count(F.when(F.col("event_type") == "purchase", 1)),
-            "click_events": F.count(F.when(F.col("event_type") == "click", 1)),
-        },
-    )
+    return transforms.event_counts_per_hour(catalog(spark, sf_dir).events)
 
 
 @register(
@@ -196,18 +145,4 @@ def q6_counts_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark_streaming.py:301-337``). The fact side never shuffles for the
     join — only for the aggregation — which is the 100 TB-safe plan."""
     cat = catalog(spark, sf_dir)
-    ev = prune(cat.events, "ts", "user_id")
-    joined = dim_join(
-        ev,
-        cat.customer,
-        on=F.col("user_id") == F.col("c_custkey"),
-        how="left",
-        dim_cols=["c_custkey", "c_mktsegment"],
-    )
-    agg = windowed_agg(
-        joined,
-        "ts",
-        aggs={"total_events": F.count("user_id")},
-        extra_keys=["c_mktsegment"],
-    )
-    return agg.withColumnRenamed("c_mktsegment", "segment")
+    return transforms.counts_by_segment(cat.events, cat.customer)

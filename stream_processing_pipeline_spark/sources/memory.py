@@ -31,14 +31,13 @@ def chunked_stream(
 ) -> DataFrame:
     """Materialize ``df`` as ``n_chunks`` files and replay them as a stream."""
     os.makedirs(workdir, exist_ok=True)
-    n = df.count()
-    per = max(1, math.ceil(n / n_chunks))
     pdf = df.toPandas()
+    per = max(1, math.ceil(len(pdf) / n_chunks))
     for i in range(n_chunks):
         chunk = pdf.iloc[i * per : (i + 1) * per]
         if len(chunk):
             spark.createDataFrame(chunk, schema=df.schema).coalesce(1).write.mode(
-                "overwrite" if False else "append"
+                "overwrite"
             ).parquet(os.path.join(workdir, f"chunk={i}"))
     return read_stream(
         spark,

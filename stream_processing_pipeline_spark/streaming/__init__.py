@@ -1,0 +1,38 @@
+"""Managed Structured Streaming: sinks, alerts, topology.
+
+The reference runs six concurrent streaming queries off one parsed Kafka
+lineage, each with its own checkpoint and a foreachBatch JDBC sink, with
+email alerts fired from inside micro-batch processing
+(``/root/reference/src/spark_streaming.py:340-360,116-124,156-229``). This
+package generalizes that into:
+
+- :mod:`.sinks`  — pluggable foreachBatch sinks (JDBC, parquet, memory/test)
+  with optional epoch-keyed idempotence (the reference ignores ``epoch_id``
+  and is at-least-once; we preserve that default and offer exactly-once-per-
+  epoch as an opt-in)
+- :mod:`.alerts` — injectable alert hooks (log / callback / SMTP email parity
+  with ``/root/reference/src/utils.py:11-30``) driven by count predicates
+- :mod:`.runner` — named-query topology: start all, await, stop; plus an
+  ``availableNow`` one-shot runner used by tests and backfills
+- :mod:`.topology` — the six reference queries as one managed streaming
+  topology over an events stream
+"""
+
+from .alerts import Alerter, CallbackAlerter, EmailAlerter, LogAlerter
+from .runner import StreamQuerySpec, Topology, run_available_now
+from .sinks import ForeachBatchSink, JdbcSink, MemoryRowsSink, ParquetSink, with_alert
+
+__all__ = [
+    "Alerter",
+    "LogAlerter",
+    "CallbackAlerter",
+    "EmailAlerter",
+    "ForeachBatchSink",
+    "JdbcSink",
+    "ParquetSink",
+    "MemoryRowsSink",
+    "with_alert",
+    "StreamQuerySpec",
+    "Topology",
+    "run_available_now",
+]

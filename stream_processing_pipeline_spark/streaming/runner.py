@@ -1,0 +1,105 @@
+"""Named-query topology management.
+
+The reference starts six queries and serially ``awaitTermination``s each
+(``/root/reference/src/spark_streaming.py:340-360``); the engine manages
+them as a named collection with per-query checkpoints (reference W5/W6
+semantics) and ``spark.streams.awaitAnyTermination`` so one failure
+surfaces immediately instead of being masked behind an earlier await.
+
+``run_available_now`` is the one-shot runner: process everything currently
+available and stop (Spark's ``trigger(availableNow=True)``) — the mechanism
+behind the stream/batch equivalence tests and operational backfills.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from .sinks import ForeachBatchSink
+
+__all__ = ["StreamQuerySpec", "Topology", "run_available_now"]
+
+
+@dataclass
+class StreamQuerySpec:
+    """One named streaming query: transformed DF + sink + mode."""
+
+    name: str
+    df: DataFrame
+    sink: ForeachBatchSink | Callable[[DataFrame, int], None]
+    output_mode: str = "append"
+    trigger: dict | None = None  # e.g. {"processingTime": "10 seconds"}
+
+
+@dataclass
+class Topology:
+    """A set of streaming queries sharing a checkpoint root.
+
+    Each query gets ``<checkpoint_root>/<name>`` (reference W5: one
+    checkpoint dir per query, ``spark_streaming.py:135,190,...``).
+    """
+
+    spark: SparkSession
+    checkpoint_root: str
+    specs: list[StreamQuerySpec] = field(default_factory=list)
+    _queries: dict[str, StreamingQuery] = field(default_factory=dict)
+
+    def add(self, spec: StreamQuerySpec) -> "Topology":
+        self.specs.append(spec)
+        return self
+
+    def start_all(self, available_now: bool = False) -> dict[str, StreamingQuery]:
+        for spec in self.specs:
+            writer = (
+                spec.df.writeStream.outputMode(spec.output_mode)
+                .queryName(spec.name)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(self.checkpoint_root, spec.name),
+                )
+                .foreachBatch(spec.sink)
+            )
+            if available_now:
+                writer = writer.trigger(availableNow=True)
+            elif spec.trigger:
+                writer = writer.trigger(**spec.trigger)
+            self._queries[spec.name] = writer.start()
+        return dict(self._queries)
+
+    def await_all(self, timeout: float | None = None) -> None:
+        for q in self._queries.values():
+            q.awaitTermination(timeout)
+
+    def await_any(self, timeout: float | None = None) -> None:
+        self.spark.streams.awaitAnyTermination(timeout)
+
+    def stop_all(self) -> None:
+        for q in self._queries.values():
+            if q.isActive:
+                q.stop()
+
+
+def run_available_now(
+    df: DataFrame,
+    sink: ForeachBatchSink | Callable[[DataFrame, int], None],
+    checkpoint: str,
+    output_mode: str = "append",
+    timeout_sec: float = 300.0,
+) -> None:
+    """Process all currently-available input through ``sink`` and stop."""
+    query = (
+        df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .foreachBatch(sink)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    if query.isActive:  # pragma: no cover - defensive stop on timeout
+        query.stop()
+        raise TimeoutError(f"streaming query did not finish in {timeout_sec}s")

@@ -1,0 +1,119 @@
+"""foreachBatch sinks.
+
+The reference's sink is ``df.write.jdbc(..., mode="append")`` invoked from
+``foreachBatch`` with the ``epoch_id`` ignored — at-least-once delivery,
+duplicates possible on micro-batch retry
+(``/root/reference/src/spark_streaming.py:116-124``; SURVEY.md §2.7 W4).
+:class:`JdbcSink` preserves that default for parity and offers an
+epoch-keyed idempotent mode: an ``__epoch_id`` column + delete-before-write
+per epoch makes retries overwrite instead of duplicate.
+
+:func:`with_alert` reproduces the reference's alert-then-write micro-batch
+shape (``spark_streaming.py:156-184``: count() action -> maybe email ->
+JDBC write) with one fix the survey calls out: the batch is cached so the
+lineage computes once, not twice — same semantics, half the work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from .alerts import Alerter
+
+__all__ = ["ForeachBatchSink", "JdbcSink", "ParquetSink", "MemoryRowsSink", "with_alert"]
+
+
+class ForeachBatchSink:
+    """Interface: a callable usable as ``writeStream.foreachBatch(sink)``."""
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+@dataclass
+class JdbcSink(ForeachBatchSink):
+    """JDBC append sink (Postgres-compatible).
+
+    ``epoch_idempotent=False`` (default) is reference parity: plain append,
+    at-least-once. ``True`` stamps each row with ``__epoch_id`` and calls the
+    injected ``delete_epoch_fn(epoch_id)`` before writing, so a retried
+    micro-batch replaces rather than duplicates its rows. The deletion needs
+    a direct DB statement (Spark's JDBC writer cannot DELETE), hence the
+    injectable — e.g. a psycopg2 ``DELETE FROM t WHERE __epoch_id = %s``.
+    """
+
+    url: str
+    table: str
+    properties: dict[str, str] = field(default_factory=dict)
+    mode: str = "append"
+    epoch_idempotent: bool = False
+    delete_epoch_fn: Callable[[int], None] | None = None
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:  # pragma: no cover - needs a DB
+        df = batch_df
+        if self.epoch_idempotent:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("__epoch_id", F.lit(epoch_id))
+            if self.delete_epoch_fn is not None:
+                self.delete_epoch_fn(epoch_id)
+        df.write.jdbc(self.url, self.table, mode=self.mode, properties=self.properties)
+
+
+@dataclass
+class ParquetSink(ForeachBatchSink):
+    """Append micro-batches to a parquet directory, partitioned if asked."""
+
+    path: str
+    partition_by: tuple[str, ...] = ()
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        writer = batch_df.write.mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
+
+
+class MemoryRowsSink(ForeachBatchSink):
+    """Collect micro-batch rows on the driver — tests only."""
+
+    def __init__(self) -> None:
+        self.batches: list[tuple[int, list]] = []
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self.batches.append((epoch_id, batch_df.collect()))
+
+    @property
+    def rows(self) -> list:
+        return [r for _, batch in self.batches for r in batch]
+
+
+def with_alert(
+    sink: ForeachBatchSink,
+    alerter: Alerter,
+    subject: str,
+    body_fn: Callable[[int], str] | None = None,
+    min_count: int = 1,
+) -> ForeachBatchSink:
+    """Wrap a sink with a count-predicate alert (reference Q2/Q3 shape).
+
+    The micro-batch is cached so the count action and the sink write share
+    one computation of the filtered lineage (the reference recomputes it,
+    ``spark_streaming.py:172,184`` — semantics preserved, cost halved).
+    """
+
+    def wrapped(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n >= min_count:
+                body = body_fn(n) if body_fn else f"{n} matching rows in epoch {epoch_id}"
+                alerter.send(subject, body)
+            sink(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    return wrapped

@@ -1,0 +1,144 @@
+"""Operator unit tests (SURVEY.md §5.2 item 1).
+
+Pin the semantics that are easy to get silently wrong: empty-string->NULL
+contract casting, NULL-propagating component sums, count(CASE) vs count(*),
+window flattening formats, and the portable hash/round primitives against
+their DuckDB twins.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import duckdb
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from stream_processing_pipeline_spark.functions.hashing import h60, h60_sql
+from stream_processing_pipeline_spark.functions.money import avg_money, cents
+from stream_processing_pipeline_spark.functions.rounding import pround, pround_sql
+from stream_processing_pipeline_spark.functions.windows import flatten_window
+from stream_processing_pipeline_spark.operators.filters import discrepancy_filter
+from stream_processing_pipeline_spark.schema import ColumnRule, SchemaContract
+
+TRIP_CONTRACT = SchemaContract(
+    rules=[
+        ColumnRule("VendorID", "int", name="vendor_id"),
+        ColumnRule("tpep_pickup_datetime", "timestamp", name="pickup_datetime"),
+        ColumnRule("passenger_count", "int"),
+        ColumnRule("fare_amount", "double"),
+    ],
+    drop=("store_and_fwd_flag",),
+)
+
+
+def test_contract_empty_string_becomes_null(spark):
+    """Reference P3 (`spark_streaming.py:92-111`): '' -> NULL before cast."""
+    df = spark.createDataFrame(
+        [
+            ("1", "2024-01-01 10:00:00", "", "12.50"),
+            ("", "", "3", ""),
+        ],
+        ["VendorID", "tpep_pickup_datetime", "passenger_count", "fare_amount"],
+    )
+    out = TRIP_CONTRACT.apply(df).collect()
+    assert out[0].vendor_id == 1
+    assert out[0].passenger_count is None
+    assert out[0].fare_amount == 12.50
+    assert out[0].pickup_datetime == dt.datetime(2024, 1, 1, 10, 0)
+    assert out[1].vendor_id is None
+    assert out[1].pickup_datetime is None
+    assert out[1].passenger_count == 3
+    assert out[1].fare_amount is None
+
+
+def test_contract_json_wire_parse(spark):
+    """Kafka-style: binary JSON payload -> wire schema -> typed columns,
+    dropped columns excluded (reference `spark_streaming.py:82-111`)."""
+    payloads = [
+        ('{"VendorID":"2","tpep_pickup_datetime":"2024-01-01 09:30:00",'
+         '"passenger_count":"1","fare_amount":"","store_and_fwd_flag":"Y"}',),
+    ]
+    df = spark.createDataFrame(payloads, ["value"])
+    out = TRIP_CONTRACT.parse_json(df).collect()[0]
+    assert out.vendor_id == 2
+    assert out.fare_amount is None
+    assert "store_and_fwd_flag" not in out.asDict()
+
+
+def test_discrepancy_null_propagation(spark):
+    """Reference P8/P9 (`spark_streaming.py:199-207`): a NULL component
+    nullifies the sum -> row NOT flagged unless observed total is NULL."""
+    rows = [
+        Row(total=10.0, a=1.0, b=2.0),     # |10-3|=7 > 1 -> flagged
+        Row(total=3.05, a=1.0, b=2.0),     # 0.05 <= 1 -> not flagged
+        Row(total=10.0, a=None, b=2.0),    # NULL component -> NOT flagged
+        Row(total=None, a=1.0, b=2.0),     # NULL observed -> flagged
+    ]
+    df = spark.createDataFrame(rows)
+    out = discrepancy_filter(df, "total", ["a", "b"], tolerance=1.0).collect()
+    flagged = {(r.total, r.a) for r in out}
+    assert (10.0, 1.0) in flagged
+    assert (None, 1.0) in flagged
+    assert len(out) == 2
+
+
+def test_count_case_vs_count_star(spark):
+    """Reference A2: count(CASE WHEN...) counts non-NULLs only."""
+    df = spark.createDataFrame(
+        [Row(t="a"), Row(t="b"), Row(t="a"), Row(t=None)]
+    )
+    out = df.agg(
+        F.count(F.lit(1)).alias("star"),
+        F.count(F.when(F.col("t") == "a", 1)).alias("only_a"),
+        F.count("t").alias("non_null"),
+    ).collect()[0]
+    assert (out.star, out.only_a, out.non_null) == (4, 2, 3)
+
+
+def test_flatten_window_format(spark):
+    """Window struct -> date + HH:mm:ss strings (reference P13 sink shape)."""
+    df = spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 3, 5, 13, 45), v=1.0)]
+    )
+    agg = df.groupBy(F.window("ts", "60 minutes").alias("window")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = flatten_window(agg).collect()[0]
+    assert out.date == dt.date(2024, 3, 5)
+    assert out.start_time == "13:00:00"
+    assert out.end_time == "14:00:00"
+    assert out.n == 1
+
+
+def test_h60_matches_python_and_duckdb(spark):
+    words = ["", "abc", "hello world", "Ünïcode ✓"]
+    df = spark.createDataFrame([(w,) for w in words], ["s"])
+    got = {r.s: r.h for r in df.select("s", h60("s").alias("h")).collect()}
+    con = duckdb.connect()
+    for w in words:
+        expected = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        assert got[w] == expected, w
+        duck = con.execute(f"SELECT {h60_sql('$w')}", {"w": w}).fetchone()[0]
+        assert duck == expected, w
+
+
+def test_pround_matches_duckdb(spark):
+    vals = [0.005, 2.675, 123.4567, -1.005, 0.0, 99.999999]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = {r.x: r.p for r in df.select("x", pround(F.col("x"), 2).alias("p")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        duck = con.execute(f"SELECT {pround_sql('$v', 2)}", {"v": v}).fetchone()[0]
+        assert got[v] == duck, v
+
+
+def test_cents_exactness(spark):
+    # 0.1 + 0.2 style float traps must not leak into money sums.
+    vals = [(0.1,), (0.2,), (0.3,), (9.64,), (106.03,)]
+    df = spark.createDataFrame(vals, ["v"])
+    total = df.agg((F.sum(cents("v")) / 100.0).alias("s")).collect()[0].s
+    assert total == 116.27  # exact, despite 0.1+0.2 != 0.3 in binary
+    avg = df.agg(avg_money("v").alias("a")).collect()[0].a
+    assert avg == 23.25
