@@ -1,0 +1,349 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families, each a different cost/recall point, all expressed with
+built-in DataFrame ops (no UDFs — codegen end to end) and deterministic
+md5-backed hashing so results verify against an independent SQL oracle:
+
+- **exact** (:func:`exact_groups`): hash-groupBy on normalized text. One
+  shuffle keyed by a 60-bit hash; at 100 TB this is the cheapest pass and
+  removes the bulk of crawl duplicates.
+- **MinHash + LSH** (:func:`minhash_signature`, :func:`lsh_candidate_pairs`):
+  word-shingle MinHash signatures banded into LSH buckets; candidate pairs
+  come from a self-join on (band, band_hash) — the shuffle carries only
+  (band_hash -> doc_id) pairs, never document text, and the join explodes
+  only within buckets (skew-bounded by band width).
+- **SimHash** (:func:`simhash`, :func:`simhash_pairs`): 16-bit near-dup
+  signatures with pigeonhole blocking (two 8-bit halves: any pair at Hamming
+  distance <=1 shares a half) — one narrow self-join on the half keys.
+- **n-gram Jaccard** (:func:`jaccard_pairs`): exact set similarity over
+  3-gram shingles for candidate pairs under a cheap blocking key; the
+  verification stage after LSH, or standalone on small blocks.
+- **embedding cosine** near-dup lives in :mod:`.similarity` (same vector
+  kernels as search).
+
+Scale notes: every family is a groupBy/self-join on a *derived compact key*
+(hash, band hash, simhash half, block id) — document text never shuffles.
+Blocking keys bound the quadratic pair explosion; band/bucket skew is handled
+by AQE skew-join in batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60, h60_sql
+from .text import normalize_text, tokens
+
+__all__ = [
+    "exact_groups",
+    "shingles",
+    "shingles_sql",
+    "minhash_table",
+    "minhash_sql_exprs",
+    "lsh_bands",
+    "lsh_candidate_pairs",
+    "simhash_table",
+    "simhash_sql",
+    "simhash_pairs",
+    "jaccard_pairs",
+]
+
+
+# ------------------------------------------------------------------- exact
+
+def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups over normalized text.
+
+    Returns one row per distinct content hash: ``text_hash``, ``n_docs``,
+    ``keeper`` (smallest id — the canonical survivor).
+    """
+    return (
+        df.select(F.col(id_col), h60(normalize_text(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper"))
+    )
+
+
+# --------------------------------------------------------------- shingles
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of normalized text; short docs (<n words) fall
+    back to a single whole-text shingle.
+
+    Built as ``zip_with`` over shifted slices of the token array, NOT as a
+    ``transform(sequence, i -> element_at(toks, i+j))`` — in the latter the
+    lambda re-evaluates the whole normalize+tokenize subtree per element
+    (O(len^2) per document; observed 30s for 5000 docs vs <2s this way).
+    zip_with pads the shorter side with nulls; the final slice trims those
+    padded tail entries.
+    """
+    toks = tokens(normalize_text(col))
+    sz = F.size(toks)
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(sz - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.slice(grams, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    return F.when(sz >= n, grams).otherwise(F.array(normalize_text(col)))
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    from .text import normalize_text_sql, tokens_sql
+
+    norm = normalize_text_sql(expr)
+    toks = tokens_sql(norm)
+    joined = " || ' ' || ".join(f"__t[i + {j}]" for j in range(n))
+    grams = (
+        f"list_transform(range(1, len(__t) - {n - 2}), i -> {joined})"
+    )
+    return (
+        f"(SELECT CASE WHEN len(__t) >= {n} THEN {grams} ELSE [{norm}] END "
+        f"FROM (SELECT {toks} AS __t))"
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+_MERSENNE_P = 2147483647  # 2^31 - 1
+
+
+def _minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_j != 0, b_j) mod p,
+    derived from the portable md5 hash so both engines share them."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        (h(f"a:{j}") % (_MERSENNE_P - 1) + 1, h(f"b:{j}") % _MERSENNE_P)
+        for j in range(n_hashes)
+    ]
+
+
+def minhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+) -> DataFrame:
+    """Per-document MinHash signature as columns ``mh0..mh{n-1}``.
+
+    Shape: explode shingles -> ONE md5 per shingle -> ``n_hashes`` affine
+    universal hashes ``(a_j*h + b_j) mod p`` (p = 2^31-1; products stay
+    within int64) -> per-seed ``min`` aggregation. Spark runs the mins
+    map-side, so the shuffle carries one signature row per document.
+
+    Two shapes deliberately avoided: packing n array-folds into one Project
+    duplicates the tokenize subtree n times and blows up Catalyst
+    analysis/codegen (observed: minutes for 500 docs); hashing each shingle
+    n times with md5 made the hash the bottleneck (observed: 16x md5 cost
+    dominated the sf0.1 run). The affine family needs one strong hash per
+    shingle and pennies per extra signature dimension.
+    """
+    ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s"))
+    base = ex.select(F.col(id_col), (h60("s") % _MERSENNE_P).alias("h"))
+    aggs = [
+        F.min((F.col("h") * a + b) % _MERSENNE_P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_minhash_coeffs(n_hashes))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def minhash_sql_exprs(shingles_expr: str, n_hashes: int = 16) -> list[str]:
+    """DuckDB twins of :func:`minhash_table`'s per-seed min-hashes over a
+    shingle-list column."""
+    base = f"({h60_sql('s')} % {_MERSENNE_P})"
+    out = []
+    for j, (a, b) in enumerate(_minhash_coeffs(n_hashes)):
+        out.append(
+            f"list_min(list_transform({shingles_expr}, "
+            f"s -> ({base} * {a} + {b}) % {_MERSENNE_P}))"
+        )
+    return out
+
+
+def lsh_bands(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band a :func:`minhash_table` result: one (id, band_idx, band_hash) row
+    per band, via a stack (unpivot) of per-band hashes."""
+    band_cols = []
+    for b in range(n_bands):
+        concat = F.concat_ws(
+            ",",
+            *[
+                F.col(f"mh{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        band_cols.append(h60(concat).alias(f"band{b}"))
+    wide = sig_df.select(F.col(id_col), *band_cols)
+    stack = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({n_bands}, {stack}) AS (band_idx, band_hash)"),
+    ).select(id_col, F.col("band_idx").cast("int").alias("band_idx"), "band_hash")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs (doc_a < doc_b, deduped).
+
+    Plan shape: project (id, band_idx, band_hash) -> explode bands ->
+    self-join on (band_idx, band_hash) -> distinct pairs. Only 16-byte rows
+    shuffle; bucket sizes bound the join fan-out.
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_table(df, text_col, id_col, n_hashes)
+    banded = lsh_bands(sig, id_col, n_bands, rows_per_band)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash: bit b is set iff the sum over tokens of
+    (+1 / -1 by token-hash bit b) is positive.
+
+    Explode + partial aggregation (one row per doc on the shuffle) — see
+    :func:`minhash_table` for why the array-fold form is avoided."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(normalize_text(F.col(text_col))), h60)).alias("h"),
+    )
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    out = F.lit(0)
+    for b in range(bits):
+        out = out + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), out.cast("long").alias("simhash"))
+
+
+def simhash_sql(hashes_expr: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`simhash`, over a precomputed token-hash list
+    (compute the list once in a CTE: ``list_transform(tokens, w -> h60(w))``)."""
+    parts = []
+    for b in range(bits):
+        vote = (
+            f"list_sum(list_transform({hashes_expr}, "
+            f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        parts.append(f"(CASE WHEN ({vote}) > 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST((" + " + ".join(parts) + ") AS BIGINT)"
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash with pigeonhole blocking.
+
+    Splitting the 16-bit signature into two 8-bit halves guarantees any pair
+    at Hamming distance <=1 agrees on at least one half — so the candidate
+    join runs on the half keys (two narrow equi-joins) and the exact Hamming
+    check (``bit_count(xor)``) filters after.
+    """
+    sh = simhash_table(df, text_col, id_col).withColumnRenamed("simhash", "sh")
+    sh = sh.withColumn("hi", F.shiftright("sh", 8)).withColumn(
+        "lo", F.col("sh").bitwiseAND(F.lit(255))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pair_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    block = (F.col("a.hi") == F.col("b.hi")) | (F.col("a.lo") == F.col("b.lo"))
+    hamming = F.bit_count(
+        F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    )
+    return (
+        a.join(b, pair_cond & block)
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact 3-gram Jaccard >= threshold via an inverted-index similarity
+    join (no quadratic pair enumeration).
+
+    ``jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|)`` over distinct shingle
+    sets. Shape: explode distinct shingle hashes -> self-join on the 8-byte
+    shingle hash (only co-occurring shingles generate pair rows) -> count
+    common shingles per pair -> join per-doc set sizes -> jaccard. Pairs
+    sharing zero shingles never materialize — exactly the rows an all-pairs
+    join wastes ~100% of its time on. At 100 TB, drop stop-shingles (df cap)
+    to bound bucket fan-out; the fixture corpus needs no cap.
+    """
+    from ..functions.rounding import pround
+
+    base = df.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col))).alias("sh")
+    )
+    sizes = base.select(F.col(id_col), F.size("sh").alias("n"))
+    posting = base.select(
+        F.col(id_col), F.explode(F.transform(F.col("sh"), h60)).alias("sh_hash")
+    )
+    a, b = posting.alias("a"), posting.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh_hash") == F.col("b.sh_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    jac = pround(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4)
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

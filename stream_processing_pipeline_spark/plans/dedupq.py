@@ -1,1 +1,198 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication query suite over ``documents`` (beyond-parity extension).
+
+Five families (SURVEY.md §7.4 / BASELINE.json north star): exact hash,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine. All thresholds were
+calibrated on the fixtures (the corpus plants real near-duplicates: max
+trigram Jaccard 0.989). Every query has a DuckDB oracle running the *same
+deterministic algorithm* in SQL — including MinHash and SimHash, which is
+only possible because hashing is md5-backed (functions.hashing) rather than
+engine-private.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60, h60_sql
+from ..operators import text as T
+from ..operators.dedup import (
+    exact_groups,
+    jaccard_pairs,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_table,
+    minhash_sql_exprs,
+    simhash_pairs,
+    simhash_sql,
+    simhash_table,
+)
+from ..operators.similarity import cosine_pairs
+from ..functions.vectors import cosine_similarity_sql
+from .common import catalog
+from .registry import register
+
+_NORM = T.normalize_text_sql("text")
+
+# Shared CTE: normalized text -> tokens -> 3-gram shingle list (whole-text
+# fallback for <3-word docs), mirroring operators.dedup.shingles exactly.
+_SHINGLE_CTE = f"""
+WITH base AS (SELECT doc_id, lang, {_NORM} AS norm FROM documents),
+tok AS (SELECT doc_id, lang, norm, string_split(norm, ' ') AS t FROM base),
+sh AS (
+  SELECT doc_id, lang, norm,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE [norm] END AS s
+  FROM tok)
+"""
+
+_MH = minhash_sql_exprs("s", 16)
+_MH_COLS = ",\n         ".join(f"{e} AS mh{j}" for j, e in enumerate(_MH))
+
+
+def _band_sql(b: int) -> str:
+    concat = " || ',' || ".join(
+        f"CAST(mh{b * 4 + r} AS VARCHAR)" for r in range(4)
+    )
+    return h60_sql(concat)
+
+
+_BANDS_CTE = f"""{_SHINGLE_CTE},
+mh AS (SELECT doc_id, {_MH_COLS} FROM sh),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, {_band_sql(0)} AS band_hash FROM mh
+  UNION ALL SELECT doc_id, 1, {_band_sql(1)} FROM mh
+  UNION ALL SELECT doc_id, 2, {_band_sql(2)} FROM mh
+  UNION ALL SELECT doc_id, 3, {_band_sql(3)} FROM mh)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {h60_sql(_NORM)} AS text_hash FROM documents)
+    SELECT text_hash, count(*) AS n_docs, min(doc_id) AS keeper
+    FROM base GROUP BY text_hash
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content; one shuffle of
+    (hash, id) pairs — the cheapest full-corpus pass."""
+    return exact_groups(catalog(spark, sf_dir).documents)
+
+
+@register(
+    "dedup_minhash_bands",
+    oracle=f"""{_BANDS_CTE}
+    SELECT doc_id, band_idx, band_hash FROM bands
+    """,
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures banded for LSH: per document, 4 band hashes over a
+    16-hash signature of word-3-gram shingles. The materialization one would
+    persist for incremental dedup of a growing corpus."""
+    docs = catalog(spark, sf_dir).documents
+    return lsh_bands(minhash_table(docs), n_bands=4, rows_per_band=4)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""{_BANDS_CTE}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: self-join on (band, band_hash). Only
+    16-byte keys shuffle; document text never moves."""
+    return lsh_candidate_pairs(catalog(spark, sf_dir).documents)
+
+
+_W_HASH = h60_sql("w")
+_SIMHASH_CTE = f"""
+WITH base AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+tok AS (SELECT doc_id, string_split(norm, ' ') AS t FROM base),
+hs AS (SELECT doc_id, list_transform(t, w -> {_W_HASH}) AS h FROM tok),
+s AS (SELECT doc_id, {simhash_sql('h', 16)} AS simhash FROM hs)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""{_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM s
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: explode token hashes -> 16 map-side
+    partial bit-vote sums -> assemble; one signature row per doc on the
+    shuffle."""
+    return simhash_table(catalog(spark, sf_dir).documents)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""{_SIMHASH_CTE},
+    x AS (SELECT doc_id, simhash AS sh, simhash >> 8 AS hi, simhash & 255 AS lo FROM s)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM x a JOIN x b ON a.doc_id < b.doc_id AND (a.hi = b.hi OR a.lo = b.lo)
+    WHERE bit_count(xor(a.sh, b.sh)) <= 1
+    """,
+    tags=("dedup", "simhash", "pairs"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 1) with pigeonhole half blocking:
+    two narrow equi-joins instead of an O(n^2) scan."""
+    return simhash_pairs(catalog(spark, sf_dir).documents)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""{_SHINGLE_CTE},
+    d AS (SELECT doc_id, list_distinct(s) AS s FROM sh)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           floor((len(list_intersect(a.s, b.s)) * 1.0 /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE floor((len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
+                * 10000.0 + 0.5) / 10000.0 >= 0.05
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.05 over the whole corpus via an
+    inverted-index similarity join (pairs sharing no shingle never
+    materialize); finds the planted near-duplicates (max observed 0.989).
+    The oracle states the same result as a naive all-pairs query — fine at
+    oracle scale, which is exactly why the engine side doesn't do it."""
+    return jaccard_pairs(catalog(spark, sf_dir).documents, threshold=0.05)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {cosine_similarity_sql('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.label = b.label
+    WHERE {cosine_similarity_sql('a.embedding', 'b.embedding')} >= 0.35
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs (cosine >= 0.35) within label blocks —
+    the semantic-dedup family; same kernels as similarity search."""
+    return cosine_pairs(
+        catalog(spark, sf_dir).embeddings, threshold=0.35, block_col="label"
+    )

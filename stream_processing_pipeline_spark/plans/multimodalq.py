@@ -1,1 +1,129 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal-column query suite (beyond-parity).
+
+The fixtures carry no real media, so ``documents.text`` UTF-8 bytes stand in
+for payloads (operators.multimodal.attach_binary_payload): the *plumbing* —
+binary columns, typed metadata, chunk/frame indexing, Arrow-batched
+mapInPandas decode — is real and oracle-verified; only the codec is a
+deterministic stub (md5-derived dimensions), which conveniently makes even
+the decode pipeline SQL-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    attach_binary_payload,
+    chunk_offsets,
+    decode_media_batched,
+    media_metadata,
+)
+from .common import catalog
+from .registry import register
+
+_CHUNK = 64  # bytes per chunk (small to exercise multi-chunk docs)
+_STRIDE = 2  # frame-sampling stride
+
+
+@register(
+    "mm_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256,
+           CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks
+    FROM documents
+    """,
+    tags=("multimodal", "metadata"),
+)
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata: byte length, content sha256, chunk count —
+    the predicate columns that prune 100 TB media scans without touching
+    payload bytes."""
+    docs = attach_binary_payload(catalog(spark, sf_dir).documents, "text")
+    meta = media_metadata("payload")
+    return docs.select(
+        "doc_id",
+        meta.getField("byte_len").cast("long").alias("byte_len"),
+        meta.getField("sha256").alias("sha256"),
+        F.ceil(F.octet_length("payload") / F.lit(float(_CHUNK)))
+        .cast("long")
+        .alias("n_chunks"),
+    )
+
+
+@register(
+    "mm_frame_offsets",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(ceil(octet_length(encode(text)) / {_CHUNK}.0) AS BIGINT) AS n_chunks
+      FROM documents
+    )
+    SELECT doc_id, CAST(u.off AS BIGINT) AS offset
+    FROM m, unnest(range(0, (n_chunks - 1) * {_CHUNK} + 1, {_CHUNK * _STRIDE})) u(off)
+    """,
+    tags=("multimodal", "chunking"),
+)
+def mm_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample chunk offsets (every 2nd 64-byte chunk) — the keyframe
+    access pattern: compute offsets from metadata, fetch only those ranges."""
+    docs = attach_binary_payload(catalog(spark, sf_dir).documents, "text")
+    return docs.select(
+        "doc_id",
+        F.explode(chunk_offsets(F.octet_length("payload"), _CHUNK, _STRIDE)).alias(
+            "offset"
+        ),
+    ).select("doc_id", F.col("offset").cast("long").alias("offset"))
+
+
+@register(
+    "mm_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 192
+                AS INTEGER) AS width,
+           CAST(64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 192
+                AS INTEGER) AS height,
+           ['jpeg', 'png', 'webp'][1 + CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) % 3]
+             AS format
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "pandas-udf"),
+)
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode pipeline over binary payloads.
+
+    The decoder is the deterministic stub (md5-derived width/height/format —
+    no codecs in this container), which makes the whole Python-side pipeline
+    oracle-checkable: schema, batching, and per-row results all verify. Swap
+    ``decoder=`` for PIL/libvips in production; the plan shape is unchanged.
+    """
+    docs = attach_binary_payload(catalog(spark, sf_dir).documents, "text")
+    return decode_media_batched(docs, id_col="doc_id", payload_col="payload")
+
+
+@register(
+    "mm_format_stats",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             ['jpeg', 'png', 'webp'][1 + CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) % 3]
+               AS format
+      FROM documents
+    )
+    SELECT format, count(*) AS n, sum(byte_len) AS total_bytes
+    FROM d GROUP BY format
+    """,
+    tags=("multimodal", "aggregation"),
+)
+def mm_format_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats over decoded metadata: media pipeline -> relational
+    aggregation in one plan (the mapInPandas output is a normal DataFrame)."""
+    docs = attach_binary_payload(catalog(spark, sf_dir).documents, "text")
+    decoded = decode_media_batched(docs)
+    return decoded.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("byte_len").alias("total_bytes")
+    )

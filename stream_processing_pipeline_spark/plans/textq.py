@@ -1,1 +1,145 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis query suite over ``documents`` (beyond-parity extension).
+
+Every query is full-scan + project/aggregate — no shuffle except final
+aggregations — and oracle-verified against DuckDB twins of the same
+portable expressions (operators.text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import avg_money, avg_money_sql
+from ..operators import text as T
+from .common import catalog
+from .registry import register
+
+_SCORES_SQL = T.lang_scores_sql(T.normalize_text_sql("text"))
+_QUALITY_SQL = T.quality_metrics_sql("text")
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CAST({T.token_count_sql('text')} AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           n_chars AS n_chars_declared
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + declared-vs-measured length audit."""
+    docs = catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.col("n_chars").alias("n_chars_declared"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS declared_lang,
+           {_SCORES_SQL['score_en']} AS score_en,
+           {_SCORES_SQL['score_es']} AS score_es,
+           {_SCORES_SQL['score_de']} AS score_de,
+           {_SCORES_SQL['score_fr']} AS score_fr,
+           {T.predicted_lang_sql(_SCORES_SQL)} AS predicted_lang
+    FROM documents
+    """,
+    tags=("text", "lang-id"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (n-gram heuristic): per-language scores +
+    deterministic argmax. A scan-speed first pass; a model-based classifier
+    slots in via mapInPandas where accuracy matters."""
+    docs = catalog(spark, sf_dir).documents
+    norm = T.normalize_text("text")
+    scores = T.lang_scores(norm)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        *[scores[k].alias(k) for k in ("score_en", "score_es", "score_de", "score_fr")],
+        T.predicted_lang(scores).alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           {_QUALITY_SQL['length']} AS length,
+           {_QUALITY_SQL['n_tokens']} AS n_tokens,
+           {_QUALITY_SQL['alpha_ratio']} AS alpha_ratio,
+           {_QUALITY_SQL['stop_ratio']} AS stop_ratio,
+           {_QUALITY_SQL['len_score']} AS len_score,
+           {_QUALITY_SQL['quality']} AS quality
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length/alpha/stopword signals blended to a
+    0-1 score) — the filter stage of a training-data pipeline."""
+    docs = catalog(spark, sf_dir).documents
+    m = T.quality_metrics("text")
+    return docs.select(
+        "doc_id",
+        m["length"].alias("length"),
+        m["n_tokens"].alias("n_tokens"),
+        m["alpha_ratio"].alias("alpha_ratio"),
+        m["stop_ratio"].alias("stop_ratio"),
+        m["len_score"].alias("len_score"),
+        m["quality"].alias("quality"),
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           {T.fingerprint_sql('text')} AS fp,
+           {T.prefix_fingerprint_sql('text')} AS prefix_fp
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content + prefix fingerprints (md5-backed rolling identity) — the keys
+    for exact and boilerplate dedup."""
+    docs = catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        T.fingerprint("text").alias("fp"),
+        T.prefix_fingerprint("text").alias("prefix_fp"),
+    )
+
+
+@register(
+    "quality_by_source",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           {avg_money_sql(_QUALITY_SQL['quality'], scale=4, out_scale=4)} AS avg_quality
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text", "aggregation"),
+)
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation view: documents + mean quality per source feed.
+    The mean goes through exact scaled-integer summation (functions.money)
+    so the distributed aggregation is order-independent."""
+    docs = catalog(spark, sf_dir).documents
+    m = T.quality_metrics("text")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        avg_money(m["quality"], scale=4, out_scale=4).alias("avg_quality"),
+    )
