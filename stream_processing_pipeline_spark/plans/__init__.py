@@ -18,6 +18,7 @@ from .registry import REGISTRY, Query, all_oracles, all_queries, register
 
 from . import parity  # noqa: E402,F401  (imports populate the registry)
 from . import batch  # noqa: E402,F401
+from . import streamq  # noqa: E402,F401
 from . import dedupq  # noqa: E402,F401
 from . import textq  # noqa: E402,F401
 from . import similarq  # noqa: E402,F401

@@ -1,0 +1,218 @@
+"""Streaming-operator query suite beyond the reference's tumbling windows.
+
+The reference uses only 60-minute tumbling windows (SURVEY.md §2.7: no
+sliding/session windows, no arbitrary state). A complete streaming engine
+needs the rest; these register the batch-verifiable forms, and
+``stream_user_stats`` actually executes Structured Streaming with
+``applyInPandasWithState`` inside the query call — the custom-stateful-
+operator plumbing, oracle-checked because a one-file availableNow stream is
+deterministic.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, cents_sql
+from ..functions.windows import flatten_window
+from .common import catalog
+from .registry import register
+
+
+@register(
+    "sliding_window_counts",
+    oracle="""
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS ws FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws FROM events
+    )
+    SELECT CAST(ws AS DATE) AS date,
+           strftime(ws, '%H:%M:%S') AS start_time,
+           strftime(ws + INTERVAL 2 HOUR, '%H:%M:%S') AS end_time,
+           count(*) AS total_events
+    FROM c GROUP BY ws
+    """,
+    tags=("streaming-op", "sliding-window"),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour: each event lands in two windows
+    (Spark's Expand under the hood — state doubles, shuffle key count
+    doubles; size slide/duration accordingly at scale)."""
+    ev = catalog(spark, sf_dir).events
+    agg = ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("window")).agg(
+        F.count(F.lit(1)).alias("total_events")
+    )
+    return flatten_window(agg)
+
+
+@register(
+    "session_windows",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           sum({cents_sql('value')}) / 100.0 AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming-op", "session-window"),
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap): Spark's
+    ``session_window`` merges events closer than the gap; window end =
+    last event + gap. In streaming mode the same expression runs with a
+    watermark and merging state. Oracle: the classic gaps-and-islands SQL."""
+    ev = catalog(spark, sf_dir).events
+    # session_window requires TIMESTAMP (LTZ); identity cast under UTC.
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents("value")) / 100.0).alias("total_value"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "asof_last_click_before_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts, last_click_ts FROM (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+    tags=("streaming-op", "asof-join"),
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookup: for each purchase, the user's most recent strictly-prior
+    click. Expressed as an analytic window (single shuffle on user_id) —
+    the degenerate single-table as-of join; two-table as-of follows the same
+    shape after a union-by-source tag."""
+    ev = catalog(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+@register(
+    "stream_user_stats",
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events,
+           sum({cents_sql('value')}) / 100.0 AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming-op", "stateful", "applyInPandasWithState"),
+)
+def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running (count, cents)
+    kept in explicit GroupState via ``applyInPandasWithState``, executed
+    here as a real availableNow streaming query over the fixture file.
+
+    One input file -> one micro-batch -> one emission per user, so the
+    result is deterministic and equals the batch grouping (the oracle).
+    With multiple batches the operator emits cumulative snapshots per batch
+    — the pattern for live per-key counters at scale (state is per-key,
+    shuffle is one row per key per batch).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cat = catalog(spark, sf_dir)
+    # Stream the fixture file with its raw schema (ts stays an ns-long; this
+    # operator only needs user_id/value, so no normalization required).
+    raw_schema = spark.read.parquet(cat.path("events")).schema
+    # The file streaming source wants a directory; glob-filter to the one
+    # fixture file inside it.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    narrow = stream.select("user_id", cents("value").alias("c"))
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("c", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, c = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            c += int(pdf["c"].sum())
+        state.update((n, c))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [c]}
+        )
+
+    stats = narrow.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+    name = f"user_stats_{uuid.uuid4().hex[:8]}"
+    query = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stateful_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(240)
+    result = spark.table(name)
+    return result.select(
+        "user_id",
+        "n_events",
+        (F.col("total_cents") / 100.0).alias("total_value"),
+    )

@@ -1,0 +1,97 @@
+"""Physical-plan quality regression tests.
+
+Correctness tests prove the right rows come back; these prove the right
+*plan* produces them — the properties that decide whether a query survives a
+100x scale-up: dimension joins broadcast (fact side unshuffled), filters
+reach the parquet scan, scans read only referenced columns.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from stream_processing_pipeline_spark.plans import REGISTRY
+
+from .conftest import SF_MED
+
+
+def plan_of(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = REGISTRY[name].fn(spark, SF_MED)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)", plan)
+
+
+def pushed_filters(plan: str) -> str:
+    return " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+
+
+def test_q6_dim_join_broadcasts(spark):
+    plan = plan_of(spark, "q6_counts_by_segment")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact side must not shuffle for the join
+
+
+def test_q6_scan_prunes_columns(spark):
+    plan = plan_of(spark, "q6_counts_by_segment")
+    events_schemas = [s for s in read_schemas(plan) if "user_id" in s]
+    assert events_schemas, plan
+    for s in events_schemas:
+        # events has 6 columns; the join+agg needs exactly ts and user_id
+        assert "event_type" not in s and "props" not in s and "value" not in s
+
+
+def test_tpch_q1_filter_pushdown(spark):
+    plan = plan_of(spark, "tpch_q1_pricing_summary")
+    pushed = pushed_filters(plan)
+    assert "LessThanOrEqual(l_shipdate" in pushed
+    schemas = read_schemas(plan)
+    # 7 of 11 lineitem columns referenced; partkey/suppkey/linenumber pruned
+    assert all("l_partkey" not in s and "l_suppkey" not in s for s in schemas)
+
+
+def test_tpch_q3_selective_dims_pushed(spark):
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    pushed = pushed_filters(plan)
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed
+    assert "GreaterThan(l_shipdate" in pushed
+    assert "LessThan(o_orderdate" in pushed
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    # limit+orderBy must compile to TakeOrderedAndProject, not a global Sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_revenue_by_nation_all_dims_broadcast(spark):
+    plan = plan_of(spark, "revenue_by_nation")
+    pushed = pushed_filters(plan)
+    assert "EqualTo(r_name,ASIA)" in pushed
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sim_queries_push_query_filter(spark):
+    plan = plan_of(spark, "sim_topk_bruteforce")
+    assert "LessThan(vec_id,5)" in pushed_filters(plan)
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_typed_events", "q4_avg_value_per_hour", "text_quality"]
+)
+def test_no_python_udfs_in_scan_queries(spark, name):
+    """Parity + text queries must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes) — Python only enters for multimodal decode."""
+    plan = plan_of(spark, name)
+    assert "EvalPython" not in plan, plan
