@@ -155,15 +155,25 @@ def cosine_pairs(
     """Near-duplicate pairs by cosine >= threshold within a blocking key
     (embedding-based dedup). Without blocking this is the O(n^2) verify
     stage; with LSH buckets as the block it scales to full corpora."""
+    from ..functions.rounding import pround
+    from ..functions.vectors import l2_norm
+
     cols = [F.col(id_col), F.col(vec_col)] + (
         [F.col(block_col)] if block_col else []
     )
-    base = df.select(*cols)
+    # Precompute each vector's norm once (n sqrt-folds) instead of twice per
+    # pair (O(n^2) folds) — same arithmetic as cosine_similarity
+    # (dot / (sqrt(sa) * sqrt(sb))), so results are bit-identical.
+    base = df.select(*cols, l2_norm(vec_col).alias("nrm"))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    cos = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    cos = pround(
+        dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
     return (
         a.join(b, cond)
         .select(

@@ -300,3 +300,78 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         sum_money(disc_price, 4).alias("revenue")
     )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+    tags=("batch", "anti-join"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no order since 2000.
+    Compiles to BroadcastHashJoin(LeftAnti); the date predicate pushes into
+    the build-side parquet scan."""
+    cat = catalog(spark, sf_dir)
+    recent = cat.orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return cat.customer.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "parts_with_lineitems",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '2001-09-01 00:00:00')
+    """,
+    tags=("batch", "semi-join"),
+)
+def parts_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): parts shipped in the trailing two months —
+    dedup happens inside the join, no distinct pass."""
+    cat = catalog(spark, sf_dir)
+    recent = cat.lineitem.filter(
+        F.col("l_shipdate") >= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz")
+    )
+    return cat.part.join(
+        recent, F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "user_value_deltas",
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS delta,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value
+             AS next_delta
+    FROM events
+    """,
+    tags=("batch", "window-function", "lag-lead"),
+)
+def user_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: per-user value deltas between consecutive events.
+    Subtraction of two exact 2-decimal doubles is deterministic (no sums),
+    so no cents scaling is needed."""
+    ev = catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        (F.lead("value").over(w) - F.col("value")).alias("next_delta"),
+    )
