@@ -375,3 +375,63 @@ def user_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
         (F.lead("value").over(w) - F.col("value")).alias("next_delta"),
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sum_money_sql('l_extendedprice * l_discount', 4)} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("batch", "aggregation", "pushdown"),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter+aggregate. Every predicate reaches the
+    parquet scan (PushedFilters) — at 100 TB this query is row-group-skip
+    bound, not compute bound."""
+    li = catalog(spark, sf_dir).lineitem
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            sum_money(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+           floor(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("batch", "percentile"),
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per category (sort-based aggregate).
+    The approximate scale path is percentile_approx / approx_percentile
+    (see approx_distinct_users for the sketch-query pattern)."""
+    ev = catalog(spark, sf_dir).events
+    from ..functions.rounding import pround
+
+    return ev.groupBy("event_type").agg(
+        pround(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        pround(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )

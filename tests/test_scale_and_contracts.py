@@ -1,0 +1,105 @@
+"""Scale utilities + reference taxi contract tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from stream_processing_pipeline_spark.contracts import FEE_COMPONENTS, TRIP_CONTRACT
+from stream_processing_pipeline_spark.operators.filters import discrepancy_filter
+from stream_processing_pipeline_spark.operators.scale import (
+    read_bucketed_join_plan,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_trip_contract_wire_roundtrip(spark):
+    """Kafka-shaped path: the reference's exact 19-column JSON payload ->
+    typed trip row, empty-string NULLs, flag dropped."""
+    payload = {
+        "VendorID": "2",
+        "tpep_pickup_datetime": "2024-01-01 10:00:00",
+        "tpep_dropoff_datetime": "2024-01-01 10:25:30",
+        "passenger_count": "",
+        "trip_distance": "3.5",
+        "RatecodeID": "1",
+        "store_and_fwd_flag": "N",
+        "PULocationID": "132",
+        "DOLocationID": "236",
+        "payment_type": "1",
+        "fare_amount": "18.40",
+        "extra": "1.0",
+        "mta_tax": "0.5",
+        "tip_amount": "4.0",
+        "tolls_amount": "0.0",
+        "improvement_surcharge": "1.0",
+        "total_amount": "27.65",
+        "congestion_surcharge": "2.75",
+        "Airport_fee": "",
+    }
+    df = spark.createDataFrame([(json.dumps(payload).encode(),)], ["value"])
+    out = TRIP_CONTRACT.parse_json(df).collect()[0]
+    assert out.vendor_id == 2
+    assert out.pickup_datetime == dt.datetime(2024, 1, 1, 10, 0)
+    assert out.passenger_count is None
+    assert out.airport_fee is None
+    assert out.total_amount == 27.65
+    assert "store_and_fwd_flag" not in out.asDict()
+    assert len(out.asDict()) == 18  # the reference's typed width
+
+    # The reference's abnormal-fee predicate over the same contract:
+    # 18.40+1.0+0.5+4.0+0.0+1.0+2.75 = 27.65 -> |27.65-27.65| <= 1, clean.
+    typed = TRIP_CONTRACT.parse_json(df)
+    flagged = discrepancy_filter(typed, "total_amount", FEE_COMPONENTS, 1.0)
+    assert flagged.count() == 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join results — only key distribution."""
+    skewed = spark.createDataFrame(
+        [Row(k=1 if i < 900 else i % 7, v=i) for i in range(1000)]
+    )
+    small = spark.createDataFrame([Row(k=i, name=f"dim{i}") for i in range(10)])
+    plain = {(r.k, r.v, r.name) for r in skewed.join(small, "k").collect()}
+    salted = {(r.k, r.v, r.name) for r in salted_join(skewed, small, "k").collect()}
+    assert salted == plain and len(plain) > 900
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-bucketed tables join without an Exchange on either side."""
+    import contextlib
+    import io
+
+    import shutil
+
+    # Force the sort-merge path: tiny test tables would otherwise broadcast,
+    # which hides the property under test (bucketing removing the Exchange).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    for t in ("t_orders_b", "t_items_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    orders = spark.createDataFrame(
+        [Row(k=i % 50, o=i) for i in range(1000)]
+    )
+    items = spark.createDataFrame(
+        [Row(k=i % 50, amt=float(i)) for i in range(2000)]
+    )
+    write_bucketed(orders, "t_orders_b", "k", n_buckets=8)
+    write_bucketed(items, "t_items_b", "k", n_buckets=8)
+    joined = read_bucketed_join_plan(spark, "t_orders_b", "t_items_b", "k")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan  # bucketing replaced both shuffles
+    assert joined.count() == 1000 * 2000 / 50
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_items_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
