@@ -38,13 +38,13 @@ def main() -> None:
     for name, q in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
         try:
-            rows = q.fn(spark, sf_dir).count()
+            # noop sink: fully materializes every output column (count()
+            # would let Catalyst prune projections, under-measuring scans).
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # keep the bench line parseable on failures
             failures[name] = f"{type(e).__name__}: {e}"[:200]
             timings[name] = -1.0
-        else:
-            _ = rows
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     out = {
         "metric": "total_query_wall_seconds",

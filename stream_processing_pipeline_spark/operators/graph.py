@@ -1,0 +1,86 @@
+"""Connected components over a pair graph — the dedup completion step.
+
+LSH/SimHash/Jaccard produce near-duplicate *pairs*; deduplication needs
+*clusters* (every document connected through any chain of pairs shares one
+canonical keeper). :func:`connected_components` computes them with iterative
+min-label propagation over DataFrames:
+
+    label(v) <- min(label(v), min(label(u) for u adjacent to v))
+
+repeated until fixpoint. Each iteration is one join + one aggregation on the
+(small) edge list — document text never appears. Convergence takes
+O(diameter) iterations; duplicate clusters have tiny diameters (usually <=
+3), so 5-10 rounds close real corpora. Results are deterministic: the
+component id is the minimum doc id in the component.
+
+Scale: this is the standard map-reduce CC algorithm (label propagation /
+"small-star" simplification). The per-iteration shuffle carries one row per
+edge + one per active node; ``persist`` + ``localCheckpoint`` every few
+rounds truncates the growing lineage (essential past ~10 iterations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Components of the undirected pair graph.
+
+    Returns ``(node, component)`` where ``component`` is the minimum node id
+    reachable from ``node``. Nodes only ever appear if they occur in an edge
+    (singletons are their own components trivially and need no rows).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        sym.groupBy("u").agg(F.min("v").alias("nbr_min"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("nbr_min")).alias("component"),
+        )
+    )
+    sym = sym.persist()
+    for i in range(max_iterations):
+        nbr = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.persist()
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

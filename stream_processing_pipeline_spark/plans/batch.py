@@ -435,3 +435,67 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "user_value_minmax_scaled",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, user_id, {cents_sql('value')} AS cv FROM events
+    ),
+    m AS (
+      SELECT event_id, user_id, cv,
+             min(cv) OVER (PARTITION BY user_id) AS cmin,
+             max(cv) OVER (PARTITION BY user_id) AS cmax
+      FROM c
+    )
+    SELECT event_id, user_id,
+           CASE WHEN cmax = cmin THEN 0.5
+                ELSE floor((cv - cmin) * 1.0 / (cmax - cmin) * 1000000.0 + 0.5)
+                     / 1000000.0 END AS scaled
+    FROM m
+    """,
+    tags=("batch", "pandas-udf", "applyInPandas"),
+)
+def user_value_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas transform (``applyInPandas``): per-user min-max
+    scaling of event values. Arithmetic runs on exact integer cents inside
+    the pandas batch with the same operation order as the SQL oracle, so
+    the Python path is value-verified, not just shape-verified. This is the
+    feature-normalization pattern for per-entity model features; at scale
+    each group is one Arrow batch on one executor."""
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ev = catalog(spark, sf_dir).events
+    narrow = ev.select("event_id", "user_id", cents("value").alias("cv"))
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("scaled", DoubleType()),
+        ]
+    )
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        cv = pdf["cv"].astype("int64")
+        cmin, cmax = int(cv.min()), int(cv.max())
+        if cmax == cmin:
+            scaled = pd.Series([0.5] * len(cv), index=cv.index)
+        else:
+            scaled = ((cv - cmin) * 1.0 / (cmax - cmin) * 1000000.0 + 0.5).map(
+                math.floor
+            ) / 1000000.0
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "scaled": scaled}
+        )
+
+    return narrow.groupBy("user_id").applyInPandas(scale, out_schema)

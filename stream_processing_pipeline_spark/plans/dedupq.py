@@ -196,3 +196,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(
         catalog(spark, sf_dir).embeddings, threshold=0.35, block_col="label"
     )
+
+
+_BANDS_CTE_REC = _BANDS_CTE.replace("WITH base", "WITH RECURSIVE base", 1)
+
+
+@register(
+    "dedup_components",
+    oracle=f"""{_BANDS_CTE_REC},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id),
+    sym AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+    reach(node, lab) AS (
+      SELECT u, v FROM sym UNION SELECT u, u FROM sym
+      UNION
+      SELECT r.node, s.v FROM reach r JOIN sym s ON r.lab = s.u
+    )
+    SELECT node, min(lab) AS component FROM reach GROUP BY node
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-LSH pair
+    graph via iterative DataFrame min-label propagation — the step that
+    turns pairwise candidates into dedup groups with one canonical keeper
+    (= the component id, the minimum doc id). The oracle computes the same
+    components with a recursive-CTE transitive closure — feasible at oracle
+    scale, quadratic in the worst case, which is why the engine side
+    iterates instead."""
+    from ..operators.graph import connected_components
+
+    pairs = lsh_candidate_pairs(catalog(spark, sf_dir).documents)
+    return connected_components(pairs)
