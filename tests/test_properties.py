@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis): the cross-engine portability kernel.
+
+These are the load-bearing invariants of the whole oracle methodology —
+if h60/pround/cents ever diverge between Spark, Python, and DuckDB on any
+input, every hash-verified query result is suspect. Hypothesis hunts the
+corners (unicode, signed zeros, huge magnitudes, sentinel collisions).
+
+Strategy note: Spark round-trips per example would be minutes-slow, so the
+properties run the Python/DuckDB pair exhaustively and pin the Spark side on
+a fixed batch of adversarial examples collected from the strategies.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from stream_processing_pipeline_spark.functions.hashing import h60_sql
+from stream_processing_pipeline_spark.functions.rounding import pround_sql
+
+_CON = duckdb.connect()
+
+
+def _py_h60(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _py_pround(x: float, scale: int = 2) -> float:
+    m = float(10**scale)
+    return math.floor(x * m + 0.5) / m
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_h60_python_equals_duckdb(s):
+    duck = _CON.execute(f"SELECT {h60_sql('$s')}", {"s": s}).fetchone()[0]
+    assert duck == _py_h60(s)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(
+        min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_pround_python_equals_duckdb(x, scale):
+    duck = _CON.execute(
+        f"SELECT {pround_sql('$x', scale)}", {"x": x}
+    ).fetchone()[0]
+    assert duck == _py_pround(x, scale), (x, scale)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.decimals(min_value=-10**9, max_value=10**9, places=2))
+def test_cents_roundtrip_exact(d):
+    """round(x*100) recovers the exact cent count of any 2-decimal value
+    that survives the double round-trip."""
+    x = float(d)
+    cents = round(x * 100)
+    duck = _CON.execute(
+        "SELECT CAST(round($x * 100) AS BIGINT)", {"x": x}
+    ).fetchone()[0]
+    assert duck == cents
+    assert abs(cents / 100.0 - x) < 1e-6
+
+
+def test_spark_h60_and_pround_on_adversarial_batch(spark):
+    """Pin the Spark side against Python on a fixed adversarial batch
+    (unicode planes, quotes, backslashes; tie-rounding values)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.functions.hashing import h60
+    from stream_processing_pipeline_spark.functions.rounding import pround
+
+    strings = [
+        "", " ", "''", '"', "\\", "\\n", "a'b''c", "ünïcode ✓ 漢字 🚀",
+        "\t\r\n", "0", "NaN", "null", "x" * 500,
+    ]
+    sdf = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = {r.s: r.h for r in sdf.select("s", h60("s").alias("h")).collect()}
+    for s in strings:
+        assert got[s] == _py_h60(s), repr(s)
+
+    floats = [0.005, -0.005, 2.675, 1.0000000000000002, 123456789.555,
+              -99.995, 0.0, -0.0, 1e-9, 123.456]
+    fdf = spark.createDataFrame([(x,) for x in floats], ["x"])
+    for scale in (0, 2, 4, 6):
+        rows = fdf.select("x", pround(F.col("x"), scale).alias("p")).collect()
+        for r in rows:
+            assert r.p == _py_pround(r.x, scale), (r.x, scale)
