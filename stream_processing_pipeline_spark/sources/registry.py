@@ -48,6 +48,13 @@ class TableCatalog:
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
+            path = self.path(name)
+            if not os.path.exists(path):
+                known = ", ".join(t for t in TABLES if os.path.exists(self.path(t)))
+                raise FileNotFoundError(
+                    f"table {name!r} not found at {path}; tables present in "
+                    f"{self.root}: [{known}]"
+                )
             df = self.spark.read.parquet(self.path(name))
             df = self._normalize(name, df)
             if self.register_views:
