@@ -499,3 +499,55 @@ def user_value_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return narrow.groupBy("user_id").applyInPandas(scale, out_schema)
+
+
+@register(
+    "daily_counts_pivoted",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS date,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+    tags=("batch", "pivot"),
+)
+def daily_counts_pivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real pivot (vs the reference's manual CASE pivot, A1/A2): daily event
+    counts with one column per type. Categories are passed explicitly —
+    at scale an unpinned pivot triggers a distinct-values collection job and
+    a nondeterministic column order; never ship that."""
+    ev = catalog(spark, sf_dir).events
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("date"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+@register(
+    "user_event_type_signature",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             AS type_signature,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    tags=("batch", "collect-agg"),
+)
+def user_event_type_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregate made deterministic: collect_set is unordered by
+    contract, so the output is sorted before serialization (the only way a
+    collected aggregate can be hash-verified or safely joined on)."""
+    ev = catalog(spark, sf_dir).events
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "type_signature"
+        ),
+        F.count_distinct("event_type").alias("n_types"),
+    )
