@@ -52,6 +52,20 @@ def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]
         return problems
     if problems:
         return problems
+    # dtype-kind mismatch (e.g. Spark DECIMAL arriving as object vs DuckDB
+    # DOUBLE) is a schema divergence the driver's gate would flag — don't
+    # let the float cast below mask it.
+    for c in spark_df.columns:
+        sk = spark_df[c].dtype.kind
+        ok_ = oracle_df[c].dtype.kind
+        numeric = {"i", "u", "f"}
+        if (sk in numeric) != (ok_ in numeric):
+            problems.append(
+                f"column {c}: dtype kind mismatch spark={spark_df[c].dtype} "
+                f"oracle={oracle_df[c].dtype}"
+            )
+    if problems:
+        return problems
     s, o = _normalize(spark_df), _normalize(oracle_df)
     for c in s.columns:
         sv, ov = s[c], o[c]
