@@ -322,10 +322,13 @@ def jaccard_pairs(
     base = df.select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col))).alias("sh")
     )
-    sizes = base.select(F.col(id_col), F.size("sh").alias("n"))
+    # One materialized posting list feeds both the size lookup and the
+    # self-join; without the persist Spark recomputes the (regex-heavy)
+    # shingle pass once per consumer.
     posting = base.select(
         F.col(id_col), F.explode(F.transform(F.col("sh"), h60)).alias("sh_hash")
-    )
+    ).persist()
+    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = posting.alias("a"), posting.alias("b")
     common = (
         a.join(

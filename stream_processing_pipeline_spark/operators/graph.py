@@ -33,13 +33,28 @@ def connected_components(
     dst: str = "doc_b",
     max_iterations: int = 20,
     checkpoint_every: int = 5,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Components of the undirected pair graph.
 
     Returns ``(node, component)`` where ``component`` is the minimum node id
     reachable from ``node``. Nodes only ever appear if they occur in an edge
     (singletons are their own components trivially and need no rows).
+
+    Adaptive execution: candidate-pair graphs are orders of magnitude
+    smaller than the corpus that produced them, so when the edge list fits
+    comfortably on the driver (``<= driver_threshold`` edges) a single
+    collect + union-find replaces ~3 shuffle rounds of label propagation —
+    identical output, a fraction of the jobs. Past the threshold the
+    distributed iteration below takes over (the 100 TB path).
     """
+    edges = edges.persist()  # sizing count + downstream reuse: one computation
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        try:
+            return _driver_union_find(edges, src, dst)
+        finally:
+            edges.unpersist()
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -84,3 +99,28 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Collected union-find with path compression; min id becomes the root."""
+    pairs = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min id so the root IS the component id
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    nodes = {n for uv in pairs for n in uv}
+    rows = [(n, find(n)) for n in sorted(nodes)]
+    spark = edges.sparkSession
+    return spark.createDataFrame(rows, ["node", "component"])
