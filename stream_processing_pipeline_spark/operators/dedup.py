@@ -7,7 +7,7 @@ md5-backed hashing so results verify against an independent SQL oracle:
 - **exact** (:func:`exact_groups`): hash-groupBy on normalized text. One
   shuffle keyed by a 60-bit hash; at 100 TB this is the cheapest pass and
   removes the bulk of crawl duplicates.
-- **MinHash + LSH** (:func:`minhash_signature`, :func:`lsh_candidate_pairs`):
+- **MinHash + LSH** (:func:`minhash_table`, :func:`lsh_candidate_pairs`):
   word-shingle MinHash signatures banded into LSH buckets; candidate pairs
   come from a self-join on (band, band_hash) — the shuffle carries only
   (band_hash -> doc_id) pairs, never document text, and the join explodes

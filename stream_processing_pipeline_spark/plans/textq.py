@@ -143,3 +143,66 @@ def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         avg_money(m["quality"], scale=4, out_scale=4).alias("avg_quality"),
     )
+
+
+@register(
+    "top_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split({T.normalize_text_sql('text')}, ' ')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS freq
+    FROM tok WHERE token != ''
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+    tags=("text", "token-stats", "topk"),
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 tokens by frequency (explode ->
+    map-side-combined count -> TakeOrderedAndProject; ties broken by token).
+    The first diagnostic run on any new training corpus."""
+    docs = catalog(spark, sf_dir).documents
+    toks = F.explode(T.tokens(T.normalize_text("text"))).alias("token")
+    return (
+        docs.select(toks)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "token_stats_by_lang",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang,
+             unnest(string_split({T.normalize_text_sql('text')}, ' ')) AS token
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS total_tokens,
+           count(DISTINCT token) AS distinct_tokens
+    FROM tok WHERE token != ''
+    GROUP BY lang
+    """,
+    tags=("text", "token-stats"),
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token volume and vocabulary size — the corpus-balance
+    dashboard numbers for multilingual training mixes."""
+    docs = catalog(spark, sf_dir).documents
+    toks = F.explode(T.tokens(T.normalize_text("text"))).alias("token")
+    return (
+        docs.select("lang", toks)
+        .filter(F.col("token") != "")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.count_distinct("token").alias("distinct_tokens"),
+        )
+    )
