@@ -23,6 +23,7 @@ For near-duplicate detection by cosine (the fifth dedup family), use
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -31,6 +32,9 @@ from ..functions.rounding import pround
 from ..functions.vectors import cosine_similarity, dot_product
 
 __all__ = [
+    "kmeans_fit",
+    "assign_clusters",
+    "topk_ivf",
     "hyperplanes",
     "hyperplane_sql_literal",
     "with_lsh_bucket",
@@ -183,3 +187,132 @@ def cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic distributed Lloyd's k-means — the IVF coarse quantizer.
+
+    Determinism by construction (so a trained index is reproducible across
+    runs and clusters): init = the k vectors with smallest ids; a fixed
+    iteration count; centroid updates via exact scaled-integer sums
+    (micro-units, order-independent) with centroids quantized to 1e-6.
+    Per iteration: one broadcast of k centroids + one assignment pass
+    (zip_with distance folds, argmin via struct-min) + one (cluster, dim)
+    aggregation — corpus vectors never shuffle; only (cluster, dim, sum)
+    partials do. Centroids round-trip through the driver between iterations
+    (k*dim floats — trivial at any corpus scale).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    seeds = (
+        corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [[round(float(x) * 1e6) / 1e6 for x in r[0]] for r in seeds]
+    for _ in range(iterations):
+        assigned = assign_clusters(corpus, centroids, vec_col, id_col)
+        ex = assigned.join(corpus, id_col).select(
+            "cluster",
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+        ).select(
+            "cluster", "d", F.round(F.col("x") * 1e6).cast("long").alias("xs")
+        )
+        sums = (
+            ex.groupBy("cluster", "d")
+            .agg(F.sum("xs").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.cluster, [0.0] * dim)[r.d] = r.s
+            counts[r.cluster] = r.n
+        for c in range(k):
+            if c in acc:  # empty clusters keep their previous centroid
+                centroids[c] = [
+                    math.floor(acc[c][d] / counts[c] + 0.5) / 1e6 for d in range(dim)
+                ]
+    return centroids
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment: (id, cluster, dist2). One pass, no
+    shuffle of vectors (centroids are literals in the plan)."""
+    v = F.col(vec_col)
+    dists = []
+    for c, plane in enumerate(centroids):
+        cc = _plane_col(plane)
+        diff2 = F.zip_with(
+            F.transform(v, lambda x: x.cast("double")), cc, lambda a, b: (a - b) * (a - b)
+        )
+        d2 = F.aggregate(diff2, F.lit(0.0), lambda acc2, x: acc2 + x)
+        dists.append(F.struct(d2.alias("dist2"), F.lit(c).alias("cluster")))
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    return corpus.select(
+        F.col(id_col),
+        best.getField("cluster").alias("cluster"),
+        best.getField("dist2").alias("dist2"),
+    )
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: search only the ``n_probe`` clusters nearest each query.
+
+    The corpus is partitioned once by cluster id (at 100 TB: persisted,
+    partitioned-by-cluster parquet); each query touches ~n_probe/k of it.
+    """
+    ca = assign_clusters(corpus, centroids, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "cluster"
+    )
+    cb = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    corpus_c = cb.join(ca, "neighbor_id")
+
+    v = F.col(vec_col)
+    q_dists = []
+    for c, plane in enumerate(centroids):
+        cc = _plane_col(plane)
+        diff2 = F.zip_with(
+            F.transform(v, lambda x: x.cast("double")), cc, lambda a, b: (a - b) * (a - b)
+        )
+        d2 = F.aggregate(diff2, F.lit(0.0), lambda acc2, x: acc2 + x)
+        q_dists.append(F.struct(d2.alias("d2"), F.lit(c).alias("cluster")))
+    probes = F.slice(F.array_sort(F.array(*q_dists)), 1, n_probe)
+    qx = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(F.transform(probes, lambda s: s.getField("cluster"))).alias(
+            "cluster"
+        ),
+    )
+    scored = corpus_c.join(F.broadcast(qx), "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    ).withColumn("rank", F.col("rank").cast("int"))

@@ -1,0 +1,75 @@
+"""IVF k-means invariants — the correctness pin for the non-SQL-expressible
+iterative queries (sim_ivf_assignments / sim_topk_ivf)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from stream_processing_pipeline_spark.operators.similarity import (
+    assign_clusters,
+    kmeans_fit,
+    topk_bruteforce,
+    topk_ivf,
+)
+
+from .conftest import SF_MED
+
+
+def _emb(spark):
+    from stream_processing_pipeline_spark.plans.common import catalog
+
+    return catalog(spark, SF_MED).embeddings
+
+
+def test_kmeans_deterministic(spark):
+    emb = _emb(spark)
+    c1 = kmeans_fit(emb, k=8, iterations=3)
+    c2 = kmeans_fit(emb, k=8, iterations=3)
+    assert c1 == c2  # bit-identical training
+
+
+def test_assignments_are_nearest_centroid(spark):
+    emb = _emb(spark)
+    centroids = np.array(kmeans_fit(emb, k=8, iterations=3))
+    assigned = assign_clusters(emb, centroids.tolist()).toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    for _, row in assigned.sample(n=100, random_state=7).iterrows():
+        d2 = ((centroids - vecs[row.vec_id]) ** 2).sum(axis=1)
+        assert d2.argmin() == row.cluster
+
+
+def test_centroids_are_member_means(spark):
+    emb = _emb(spark)
+    centroids = kmeans_fit(emb, k=8, iterations=3)
+    # One more assignment + mean must reproduce the final centroids only if
+    # converged; instead verify the documented contract: each centroid is
+    # the scaled-int mean of the members assigned in the LAST update step.
+    # Re-run training but capture the penultimate assignment by repeating
+    # iterations-1 then one update manually.
+    prev = kmeans_fit(emb, k=8, iterations=2)
+    assigned = assign_clusters(emb, prev).toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    import math
+
+    for c in range(8):
+        members = [vecs[v] for v in assigned[assigned.cluster == c].vec_id]
+        if not members:
+            continue
+        xs = np.floor(np.array(members) * 1e6 + 0.5).astype(np.int64)
+        expect = [math.floor(s / len(members) + 0.5) / 1e6 for s in xs.sum(axis=0)]
+        assert expect == centroids[c], f"cluster {c}"
+
+
+def test_ivf_topk_subset_of_bruteforce_scores(spark):
+    """IVF results are true cosines (exact within probed clusters): every
+    (query, neighbor, cosine) triple must appear in the brute-force scan."""
+    emb = _emb(spark)
+    centroids = kmeans_fit(emb, k=8, iterations=3)
+    queries = emb.filter("vec_id < 5")
+    ivf = topk_ivf(emb, queries, centroids, k=10, n_probe=2).toPandas()
+    bf = topk_bruteforce(emb, queries, k=500).toPandas()
+    bf_scores = {(r.query_id, r.neighbor_id): r.cosine for _, r in bf.iterrows()}
+    assert len(ivf) == 50
+    for _, r in ivf.iterrows():
+        assert bf_scores.get((r.query_id, r.neighbor_id)) == r.cosine
