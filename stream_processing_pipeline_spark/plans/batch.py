@@ -588,3 +588,207 @@ def sql_api_revenue_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("batch", "semi-join", "correlated-exists"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: correlated EXISTS with a non-equi condition
+    (l_shipdate > o_orderdate), decorrelated into a left-semi join on the
+    order key with the comparison in the join condition."""
+    cat = catalog(spark, sf_dir)
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = cat.lineitem.select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "tpch_q7_supplier_customer_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           {sum_money_sql(_DISC_PRICE, 4)} AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_name IN ('NATION_9', 'NATION_3') AND cn.n_name IN ('NATION_9', 'NATION_3')
+      AND sn.n_name != cn.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+    tags=("batch", "join", "multi-dim"),
+)
+def tpch_q7_supplier_customer_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bilateral volume: the supplier dimension joins in
+    (two roles of the nation table via aliases). Every dimension broadcasts;
+    the lineitem⋈orders key join is the only large shuffle."""
+    cat = catalog(spark, sf_dir)
+    nations = ["NATION_9", "NATION_3"]  # fixture nation names are synthetic
+    sn = cat.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(nations))
+    cn = cat.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(nations))
+    supp = dim_join(cat.supplier, sn, on=F.col("s_nationkey") == F.col("sn_key"),
+                    how="inner").select("s_suppkey", "supp_nation")
+    cust = dim_join(cat.customer, cn, on=F.col("c_nationkey") == F.col("cn_key"),
+                    how="inner").select("c_custkey", "cust_nation")
+    li = cat.lineitem.filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        dim_join(li, supp, on=F.col("s_suppkey") == F.col("l_suppkey"), how="inner")
+        .join(cat.orders.select("o_orderkey", "o_custkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(sum_money(disc_price, 4).alias("revenue"))
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT {sum_money_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+             AS promo_revenue,
+           {sum_money_sql(_DISC_PRICE, 4)} AS total_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("batch", "join", "conditional-agg"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo share: broadcast part dimension + conditional
+    revenue sums (exact cents). One month of lineitem, predicate pushed."""
+    cat = catalog(spark, sf_dir)
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    joined = dim_join(li, cat.part.select("p_partkey", "p_type"),
+                      on=F.col("p_partkey") == F.col("l_partkey"), how="inner")
+    return joined.agg(
+        sum_money(promo, 4).alias("promo_revenue"),
+        sum_money(disc_price, 4).alias("total_revenue"),
+    )
+
+
+@register(
+    "dq_lineitem_report",
+    oracle="""
+    WITH agg AS (
+      SELECT count(*) AS total,
+             count(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 END) AS v_quantity_range,
+             count(CASE WHEN l_extendedprice < 0 THEN 1 END) AS v_negative_price,
+             count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) AS v_discount_range,
+             count(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R') THEN 1 END) AS v_returnflag_domain,
+             count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS v_shipdate_null
+      FROM lineitem
+    )
+    SELECT u.check, u.violations, total, u.violations = 0 AS pass
+    FROM agg, (
+      SELECT unnest(['quantity_range','negative_price','discount_range',
+                     'returnflag_domain','shipdate_null']) AS check,
+             unnest([v_quantity_range, v_negative_price, v_discount_range,
+                     v_returnflag_domain, v_shipdate_null]) AS violations
+      FROM agg
+    ) u
+    """,
+    tags=("batch", "data-quality"),
+)
+def dq_lineitem_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report: five constraint checks evaluated in
+    ONE scan pass (conditional counts). The validation gate a training
+    pipeline runs before consuming a new data drop."""
+    from ..operators.quality import Check, run_checks
+
+    li = catalog(spark, sf_dir).lineitem
+    checks = [
+        Check("quantity_range", (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)),
+        Check("negative_price", F.col("l_extendedprice") < 0),
+        Check("discount_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+        Check(
+            "returnflag_domain",
+            F.col("l_returnflag").isNull()
+            | ~F.col("l_returnflag").isin("A", "N", "R"),
+        ),
+        Check("shipdate_null", F.col("l_shipdate").isNull()),
+    ]
+    return run_checks(li, checks)
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'orders->customer' AS fk, count(*) AS orphans FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'lineitem->orders', count(*) FROM lineitem
+    WHERE l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part', count(*) FROM lineitem
+    WHERE l_partkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+    UNION ALL
+    SELECT 'lineitem->supplier', count(*) FROM lineitem
+    WHERE l_suppkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+    """,
+    tags=("batch", "data-quality", "referential"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan counts across the star schema — broadcast
+    anti-joins, fact side never shuffles. All-zero on the fixtures (and the
+    check proves it rather than assumes it)."""
+    from ..operators.quality import fk_violations
+
+    cat = catalog(spark, sf_dir)
+    pairs = [
+        ("orders->customer", cat.orders, cat.customer, "o_custkey", "c_custkey"),
+        ("lineitem->orders", cat.lineitem, cat.orders, "l_orderkey", "o_orderkey"),
+        ("lineitem->part", cat.lineitem, cat.part, "l_partkey", "p_partkey"),
+        ("lineitem->supplier", cat.lineitem, cat.supplier, "l_suppkey", "s_suppkey"),
+    ]
+    reports = [
+        fk_violations(fact, dim, fk, dk)
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .select(F.lit(name).alias("fk"), "orphans")
+        for name, fact, dim, fk, dk in pairs
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.union(r)
+    return out
