@@ -100,3 +100,28 @@ def test_stream_stream_interval_join(spark, tmp_path):
     run_available_now(joined, sink, checkpoint=str(tmp_path / "ckpt_ssj"))
     pairs = sorted((r.purchase_id, r.click_id) for r in sink.rows)
     assert pairs == [(2, 1), (6, 5)]
+
+
+def test_update_mode_windowed_counts(spark, tmp_path):
+    """Update output mode: windows re-emit as new rows arrive (vs append's
+    single finalized emission) — the mode for live dashboards. The last
+    emission per window must equal the final count."""
+    rows1 = [_row(1, 0), _row(2, 10)]
+    rows2 = [_row(3, 20), _row(4, 70)]
+    stream = _write_chunks(spark, tmp_path / "upd", [rows1, rows2])
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "60 minutes")
+        .groupBy(F.window("ts", "60 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    sink = MemoryRowsSink()
+    run_available_now(agg, sink, checkpoint=str(tmp_path / "ckpt_upd"),
+                      output_mode="update")
+    # Per epoch: the 00:00 window emits 2 (epoch 0) then 3 (epoch 1 update).
+    emissions = [(e, r.start.minute + r.start.hour * 60, r.n)
+                 for e, batch in sink.batches for r in batch]
+    window0 = [(e, n) for e, m, n in emissions if m == 0]
+    assert window0 == [(0, 2), (1, 3)]  # re-emission with the updated count
+    assert (1, 1) in {(m // 60, n) for _, m, n in emissions}  # 01:00 window

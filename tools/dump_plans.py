@@ -1,0 +1,66 @@
+"""Regenerate PLANS.md: formatted physical plans for headline queries.
+
+Usage: python tools/dump_plans.py  (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from stream_processing_pipeline_spark.plans import REGISTRY  # noqa: E402
+from stream_processing_pipeline_spark.session import build_session  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+HEADLINERS = {
+    "q6_counts_by_segment": "reference Q6: broadcast dim join + two-key window agg — fact side unshuffled",
+    "tpch_q1_pricing_summary": "filtered scan + partial/final hash agg — predicates pushed to parquet",
+    "tpch_q3_shipping_priority": "selective broadcast joins + TakeOrderedAndProject top-k",
+    "dedup_minhash_lsh": "explode/agg MinHash + band self-join on compact keys",
+    "sim_topk_bruteforce": "broadcast query set x partitioned corpus + ranked window",
+    "customers_without_orders": "broadcast LeftAnti with pushed date predicate",
+}
+
+
+def main() -> None:
+    spark = build_session(app_name="dump_plans", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("FATAL")
+    out = [
+        "# PLANS — physical plans of headline queries (auto-generated)",
+        "",
+        "`df.explain('formatted')` at sf0.01, engine defaults (AQE on). What to",
+        "look for: `BroadcastHashJoin` (no fact shuffle), `PushedFilters` reaching",
+        "the `Scan parquet` nodes, narrow `ReadSchema`, `TakeOrderedAndProject`",
+        "for top-k, and the absence of `BatchEvalPython` outside the multimodal",
+        "pipeline. Regenerate with `python tools/dump_plans.py`.",
+        "",
+    ]
+    for name, why in HEADLINERS.items():
+        df = REGISTRY[name].fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        lines = buf.getvalue().splitlines()
+        tree_end = next(
+            (i for i, l in enumerate(lines) if l.strip() == "" and i > 3), len(lines)
+        )
+        tree = "\n".join(lines[:tree_end])
+        scans = "\n".join(
+            l for l in lines if "PushedFilters" in l or "ReadSchema" in l
+        )
+        out += [f"## {name}", "", why, "", "```", tree, "", "-- scan details --",
+                scans, "```", ""]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md regenerated")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
