@@ -792,3 +792,72 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.union(r)
     return out
+
+
+@register(
+    "string_functions_showcase",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '[0-9]+') AS first_number,
+           upper(substring(text, 1, 10)) AS head_upper,
+           concat_ws('|', lang, source) AS lang_source,
+           coalesce(nullif(lang, 'zh'), 'other') AS lang_or_other,
+           lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+           CAST(greatest(n_chars, 100) AS BIGINT) AS chars_floor100,
+           length(trim(text)) AS trimmed_len
+    FROM documents
+    """,
+    tags=("batch", "scalar-functions"),
+)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface in one oracle-verified projection:
+    regexp_extract, substring, upper, concat_ws, coalesce/nullif, lpad,
+    greatest, trim — the portable subset shared with the oracle dialect."""
+    docs = catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "[0-9]+", 0).alias("first_number"),
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+        F.coalesce(F.nullif("lang", F.lit("zh")), F.lit("other")).alias(
+            "lang_or_other"
+        ),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+        F.greatest("n_chars", F.lit(100)).cast("long").alias("chars_floor100"),
+        F.length(F.trim("text")).alias("trimmed_len"),
+    )
+
+
+@register(
+    "datetime_functions_showcase",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sunday1,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                AS INTEGER) AS days_to_2002
+    FROM orders WHERE o_orderkey < 100
+    """,
+    tags=("batch", "datetime-functions"),
+)
+def datetime_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function surface, dialect differences reconciled explicitly:
+    Spark dayofweek is 1-based Sunday (DuckDB 0-based, hence +1 there);
+    Spark datediff(end, start) == DuckDB datediff('day', start, end);
+    date_add == date + INTERVAL."""
+    orders = catalog(spark, sf_dir).orders.filter(F.col("o_orderkey") < 100)
+    odate = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow_sunday1"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.last_day(odate).alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), odate)
+        .cast("int")
+        .alias("days_to_2002"),
+    )
