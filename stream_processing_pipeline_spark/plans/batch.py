@@ -861,3 +861,62 @@ def datetime_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("days_to_2002"),
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {sum_money_sql(_DISC_PRICE, 4)} AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("batch", "grouping-sets"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup's prefix hierarchy): revenue by
+    returnflag, by linestatus, and grand total in one Expand pass. The
+    grouping columns are never NULL in the data, so NULL marks the
+    aggregated-away dimension unambiguously."""
+    li = catalog(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    li.createOrReplaceTempView("lineitem")
+    # GROUPING SETS has no DataFrame-API form; the SQL front-end is the
+    # idiomatic entry (same Catalyst Expand as rollup/cube underneath).
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 / CAST(10000 AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "value_rank_family",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(dense_rank() OVER w AS INTEGER) AS drank,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS prank
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    """,
+    tags=("batch", "window-function", "rank-family"),
+)
+def value_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-function family (dense_rank / ntile / percent_rank) over a
+    unique total order — deterministic and portable (percent_rank's
+    (rank-1)/(n-1) formula is identical in both engines)."""
+    ev = catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    from ..functions.rounding import pround
+
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        pround(F.percent_rank().over(w), 6).alias("prank"),
+    )

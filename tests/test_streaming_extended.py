@@ -125,3 +125,101 @@ def test_update_mode_windowed_counts(spark, tmp_path):
     window0 = [(e, n) for e, m, n in emissions if m == 0]
     assert window0 == [(0, 2), (1, 3)]  # re-emission with the updated count
     assert (1, 1) in {(m // 60, n) for _, m, n in emissions}  # 01:00 window
+
+
+def test_event_time_timeout_sessionizer(spark, tmp_path):
+    """Custom sessionizer via applyInPandasWithState + EventTimeTimeout:
+    sessions close (and emit exactly once) when the watermark passes
+    last_event + gap; open sessions stay in state unemitted. This is the
+    arbitrary-stateful-operator pattern the built-in session_window cannot
+    express (e.g. when the close action must produce a custom record)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    GAP_MIN = 30
+    # user 1: sessions close via the DATA path (a new event arrives beyond
+    # the gap -> the function closes the old session itself; Spark never
+    # delivers a timeout to a key that has data in the same batch).
+    # user 2: one early session then silence -> closes via the TIMEOUT path
+    # (hasTimedOut=True once the watermark passes last_event + gap).
+    chunks = [
+        [_row(1, 0, user=1), _row(2, 10, user=1), _row(9, 5, user=2)],
+        [_row(3, 120, user=1)],   # 02:00: closes user1 session A (00:00-00:10)
+        [_row(4, 240, user=1)],   # 04:00: closes session B (02:00); watermark
+        # reaches 03:00 > user2's 00:35 deadline -> user2 times out
+    ]
+    stream = _write_chunks(spark, tmp_path / "sess", chunks)
+    ev = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "60 minutes")
+        .select("user_id", "ts")
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("start_min", IntegerType()),
+            StructField("end_min", IntegerType()),
+            StructField("n_events", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gap_us = GAP_MIN * 60 * 1_000_000
+
+    def sessionize(key, pdfs, state: GroupState):
+        def to_min(us):
+            return int(us // 60_000_000) % (24 * 60)
+
+        def closed(start_us, last_us, n):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_min": [to_min(start_us)],
+                    "end_min": [to_min(last_us + gap_us)],
+                    "n_events": [int(n)],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield closed(start_us, last_us, n)
+            return
+        ts_us = []
+        for pdf in pdfs:
+            ts_us += [int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])]
+        lo, hi, n = min(ts_us), max(ts_us), len(ts_us)
+        if state.exists:
+            s0, l0, n0 = state.get
+            if lo > l0 + gap_us:
+                # new activity beyond the gap: close the old session now
+                yield closed(s0, l0, n0)
+            else:
+                lo, hi, n = min(lo, s0), max(hi, l0), n + n0
+        state.update((lo, hi, n))
+        state.setTimeoutTimestamp((hi + gap_us) // 1000)  # epoch millis
+
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    sink = MemoryRowsSink()
+    run_available_now(sessions, sink, checkpoint=str(tmp_path / "ckpt_sess"))
+    emitted = sorted(
+        (r.user_id, r.start_min, r.end_min, r.n_events) for r in sink.rows
+    )
+    # user1 A (00:00-00:10, 2 ev) closed by data-gap at 00:40; user1 B
+    # (02:00) closed at 02:30; user2 (00:05) closed by TIMEOUT at 00:35.
+    # user1 C (04:00) still open -> not emitted.
+    assert emitted == [(1, 0, 40, 2), (1, 120, 150, 1), (2, 5, 35, 1)]
