@@ -206,3 +206,67 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("token").alias("distinct_tokens"),
         )
     )
+
+
+_SPLIT_BUCKET = T.h60_sql("concat('split:', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "corpus_train_test_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang,
+             CASE WHEN {_SPLIT_BUCKET} % 100 < 80 THEN 'train' ELSE 'test' END
+               AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM b GROUP BY lang, split
+    """,
+    tags=("text", "sampling", "split"),
+)
+def corpus_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/20 train/test split via content-independent hash
+    bucketing: ``h60('split:' || doc_id) % 100``. Unlike ``sampleBy`` (RNG
+    per partition -> changes with repartitioning), the hash split is a pure
+    function of the id — stable across runs, engines, and cluster layouts,
+    which is what a training-data lineage audit requires."""
+    docs = catalog(spark, sf_dir).documents
+    from ..functions.hashing import stable_bucket
+
+    split = F.when(
+        stable_bucket(F.col("doc_id"), 100, salt="split:") < 80, "train"
+    ).otherwise("test")
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_MIX_BUCKET = T.h60_sql("concat('mix:', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "mixture_downsample",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_MIX_BUCKET} % 100 <
+          CASE WHEN source IN ('src0', 'src1', 'src2') THEN 100 ELSE 25 END
+    """,
+    tags=("text", "sampling", "mixture"),
+)
+def mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture re-weighting: keep 100% of priority sources and
+    a reproducible 25% hash-sample of the rest — the corpus-mixing step of a
+    training-data pipeline, as a pure filter (pushups into the scan where
+    the source column is a partition key)."""
+    docs = catalog(spark, sf_dir).documents
+    from ..functions.hashing import stable_bucket
+
+    keep_pct = F.when(
+        F.col("source").isin("src0", "src1", "src2"), F.lit(100)
+    ).otherwise(F.lit(25))
+    return docs.filter(
+        stable_bucket(F.col("doc_id"), 100, salt="mix:") < keep_pct
+    ).select("doc_id", "source")
