@@ -67,10 +67,15 @@ def _plane_col(plane: list[float]) -> Column:
 
 
 def with_lsh_bucket(
-    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, dim: int = 64
 ) -> DataFrame:
-    """Add a sign-pattern ``bucket`` column (int, 0..2^n_planes-1)."""
-    dim = 64  # fixture dimension; planes are computed per-call for other dims
+    """Add a sign-pattern ``bucket`` column (int, 0..2^n_planes-1).
+
+    ``dim`` must equal the embedding dimension (mirrors :func:`lsh_bucket_sql`,
+    which takes the same parameter): hyperplanes are materialized as literal
+    arrays of that length, and a mismatch would silently degenerate the
+    bucket (``zip_with`` null-pads the shorter side and the dot-fold goes
+    NULL). Pinned by a non-64-dim test so truncation can't recur."""
     planes = hyperplanes(n_planes, dim)
     bucket = F.lit(0)
     for p, plane in enumerate(planes):
@@ -123,16 +128,17 @@ def topk_lsh(
     n_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     The corpus is bucketed once (reusable across query batches); the join key
     is the bucket id, so each query probes ~corpus/2^n_planes vectors.
     """
-    cb = with_lsh_bucket(corpus, vec_col, n_planes).select(
+    cb = with_lsh_bucket(corpus, vec_col, n_planes, dim).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col), F.col("bucket")
     )
-    qb = with_lsh_bucket(queries, vec_col, n_planes).select(
+    qb = with_lsh_bucket(queries, vec_col, n_planes, dim).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
         F.col("bucket"),

@@ -16,7 +16,9 @@ contract):
   file cursor (``/root/reference/src/kafka_stream.py:30-55,78-101``). With
   Spark checkpoints + Kafka offsets this is unnecessary for the engine itself;
   it exists for drop-in parity. At-least-once by design: the cursor persists
-  on clean shutdown only, so a crash replays rows (same as the reference).
+  only up to the last successful ``flush()``, so a crash replays the
+  unacknowledged tail (duplicates possible, loss not — stricter than the
+  reference, whose callback-counted cursor could skip unflushed rows).
 
 Scale notes: ``minPartitions`` lets Spark split large Kafka partitions into
 more tasks than topic partitions; ``maxOffsetsPerTrigger`` bounds micro-batch
@@ -101,8 +103,8 @@ class CsvReplayer:
         with open(self.cursor_path, "w") as f:
             f.write(str(index))
 
-    def run(self, limit: int | None = None) -> int:
-        """Replay rows; returns number sent. Requires kafka-python at runtime."""
+    def _create_producer(self):
+        """Real producer factory; overridable for tests / custom clients."""
         try:
             from kafka import KafkaProducer  # gated: not in test env
         except ImportError as e:  # pragma: no cover
@@ -111,17 +113,30 @@ class CsvReplayer:
                 "tool for real Kafka deployments"
             ) from e
 
-        import csv
-        from itertools import islice
-
-        producer = KafkaProducer(
+        return KafkaProducer(
             bootstrap_servers=self.brokers,
             value_serializer=lambda d: json.dumps(d).encode("utf-8"),
             batch_size=32768,
             linger_ms=50,
         )
+
+    def run(self, limit: int | None = None) -> int:
+        """Replay rows; returns number sent. Requires kafka-python at runtime.
+
+        At-least-once contract: ``send`` is async, so the cursor advances
+        only to the last *flushed* row count — persisted after every
+        successful ``flush()``. If a send/flush raises, the cursor stays at
+        the previous flush point and a restart re-sends the unacknowledged
+        tail (duplicates possible, loss not). Advancing by rows merely
+        handed to ``send`` would silently skip them on restart.
+        """
+        import csv
+        from itertools import islice
+
+        producer = self._create_producer()
         index = self._read_cursor()
         sent = 0
+        flushed = 0
         try:
             with open(self.csv_path, newline="") as f:
                 reader = csv.DictReader(f)
@@ -130,10 +145,13 @@ class CsvReplayer:
                     sent += 1
                     if sent % self.flush_every == 0:
                         producer.flush()
+                        flushed = sent
+                        self._write_cursor(index + flushed)
                     if limit is not None and sent >= limit:
                         break
             producer.flush()
+            flushed = sent
         finally:
-            self._write_cursor(index + sent)
+            self._write_cursor(index + flushed)
             producer.close()
         return sent

@@ -19,7 +19,7 @@ package generalizes that into:
 """
 
 from .alerts import Alerter, CallbackAlerter, EmailAlerter, LogAlerter
-from .runner import StreamQuerySpec, Topology, run_available_now
+from .runner import ROCKSDB_PROVIDER, StreamQuerySpec, Topology, run_available_now
 from .sinks import ForeachBatchSink, JdbcSink, MemoryRowsSink, ParquetSink, with_alert
 
 __all__ = [
@@ -35,4 +35,5 @@ __all__ = [
     "StreamQuerySpec",
     "Topology",
     "run_available_now",
+    "ROCKSDB_PROVIDER",
 ]

@@ -22,7 +22,16 @@ from pyspark.sql.streaming import StreamingQuery
 
 from .sinks import ForeachBatchSink
 
-__all__ = ["StreamQuerySpec", "Topology", "run_available_now"]
+__all__ = ["StreamQuerySpec", "Topology", "run_available_now", "ROCKSDB_PROVIDER"]
+
+# Spark's bundled RocksDB state store: spills streaming-aggregation state to
+# local disk instead of keeping it on the JVM heap. At 100 TB-scale state
+# (high-cardinality keys x long watermarks) the default HDFS-backed in-memory
+# provider OOMs executors; RocksDB bounds memory and survives far larger
+# per-partition state. Changelog checkpointing keeps recovery incremental.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
 
 
 @dataclass
@@ -47,13 +56,39 @@ class Topology:
     spark: SparkSession
     checkpoint_root: str
     specs: list[StreamQuerySpec] = field(default_factory=list)
+    # "rocksdb", "hdfs" (the default provider), or a provider class name.
+    # Applied to the session at start_all — the provider is read when a
+    # query starts and is pinned into its checkpoint thereafter.
+    state_store: str | None = None
+    # Fallback trigger for specs that don't set their own, e.g.
+    # {"processingTime": "10 seconds"} or {"availableNow": True}.
+    default_trigger: dict | None = None
     _queries: dict[str, StreamingQuery] = field(default_factory=dict)
 
     def add(self, spec: StreamQuerySpec) -> "Topology":
         self.specs.append(spec)
         return self
 
+    def _apply_state_store(self) -> None:
+        if self.state_store is None:
+            return
+        provider = {
+            "rocksdb": ROCKSDB_PROVIDER,
+            "hdfs": "org.apache.spark.sql.execution.streaming."
+            "state.HDFSBackedStateStoreProvider",
+        }.get(self.state_store.lower(), self.state_store)
+        self.spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", provider
+        )
+        if provider == ROCKSDB_PROVIDER:
+            self.spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+                ".enabled",
+                "true",
+            )
+
     def start_all(self, available_now: bool = False) -> dict[str, StreamingQuery]:
+        self._apply_state_store()
         for spec in self.specs:
             writer = (
                 spec.df.writeStream.outputMode(spec.output_mode)
@@ -66,8 +101,8 @@ class Topology:
             )
             if available_now:
                 writer = writer.trigger(availableNow=True)
-            elif spec.trigger:
-                writer = writer.trigger(**spec.trigger)
+            elif spec.trigger or self.default_trigger:
+                writer = writer.trigger(**(spec.trigger or self.default_trigger))
             self._queries[spec.name] = writer.start()
         return dict(self._queries)
 

@@ -51,6 +51,69 @@ def test_replayer_requires_kafka(tmp_path):
         r.run()
 
 
+class _FakeProducer:
+    """In-memory producer: records sends, optionally fails the Nth flush."""
+
+    def __init__(self, fail_on_flush: int | None = None):
+        self.sent: list = []
+        self.flushes = 0
+        self.fail_on_flush = fail_on_flush
+        self.closed = False
+
+    def send(self, topic, row):
+        self.sent.append((topic, row))
+
+    def flush(self):
+        self.flushes += 1
+        if self.fail_on_flush is not None and self.flushes >= self.fail_on_flush:
+            raise RuntimeError("broker gone")
+
+    def close(self):
+        self.closed = True
+
+
+def _csv_rows(tmp_path, n: int) -> None:
+    lines = ["a,b"] + [f"{i},{i * 2}" for i in range(n)]
+    (tmp_path / "in.csv").write_text("\n".join(lines) + "\n")
+
+
+def test_cursor_advances_only_after_flush(tmp_path, monkeypatch):
+    """A flush failure must leave the cursor at the last *flushed* row, not
+    at the last row handed to the async send — otherwise restart skips
+    unacknowledged rows and the at-least-once contract silently becomes
+    at-most-once (VERDICT round-1 finding)."""
+    _csv_rows(tmp_path, 10)
+    r = _replayer(tmp_path)
+    r.flush_every = 4
+    fake = _FakeProducer(fail_on_flush=2)  # first flush (row 4) ok, second dies
+    monkeypatch.setattr(r, "_create_producer", lambda: fake)
+    try:
+        r.run()
+    except RuntimeError:
+        pass
+    assert r._read_cursor() == 4  # only the flushed prefix is acknowledged
+    assert fake.closed
+
+    # Restart with a healthy producer: resumes at row 4, re-sends the tail.
+    fake2 = _FakeProducer()
+    monkeypatch.setattr(r, "_create_producer", lambda: fake2)
+    sent = r.run()
+    assert sent == 6
+    assert [row["a"] for _, row in fake2.sent] == [str(i) for i in range(4, 10)]
+    assert r._read_cursor() == 10
+
+
+def test_clean_run_persists_full_cursor(tmp_path, monkeypatch):
+    _csv_rows(tmp_path, 7)
+    r = _replayer(tmp_path)
+    r.flush_every = 3
+    fake = _FakeProducer()
+    monkeypatch.setattr(r, "_create_producer", lambda: fake)
+    assert r.run() == 7
+    assert r._read_cursor() == 7
+    assert fake.flushes >= 3  # two periodic + one final
+
+
 def test_streaming_content_dedup(spark, tmp_path):
     """Streaming dedup bridge: a document stream deduplicated by content
     fingerprint with dropDuplicatesWithinWatermark — re-crawled duplicates

@@ -1,0 +1,82 @@
+"""LSH bucketing invariants: dimension parameterization and content-blocked
+embedding dedup (round-2 hardening — the dim=64 hard-code regression and the
+label-vs-content blocking finding from VERDICT.md)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_processing_pipeline_spark.operators.similarity import (
+    cosine_pairs,
+    hyperplanes,
+    with_lsh_bucket,
+)
+from stream_processing_pipeline_spark.plans.common import catalog
+
+from .conftest import SF_SMALL
+
+
+def _py_bucket(vec: list[float], n_planes: int, dim: int) -> int:
+    planes = hyperplanes(n_planes, dim)
+    bucket = 0
+    for p, plane in enumerate(planes):
+        acc = 0.0
+        for x, w in zip(vec, plane):
+            acc += float(x) * w
+        if acc > 0:
+            bucket |= 1 << p
+    return bucket
+
+
+@pytest.mark.parametrize("dim", [8, 16, 100])
+def test_lsh_bucket_non_64_dims(spark, dim):
+    """Buckets must be computed against hyperplanes of the *vector's*
+    dimension — a plane/vector length mismatch null-pads the zip_with fold
+    and silently degenerates every bucket (the round-1 dim=64 hard-code)."""
+    vecs = [
+        (i, [((i * 31 + d * 7) % 19 - 9) / 9.0 for d in range(dim)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<double>")
+    got = {
+        r.vec_id: r.bucket
+        for r in with_lsh_bucket(df, n_planes=4, dim=dim).collect()
+    }
+    want = {i: _py_bucket(v, 4, dim) for i, v in vecs}
+    assert got == want
+    assert len(set(got.values())) > 1, "degenerate bucketing (all equal)"
+
+
+def test_lsh_bucket_dim_mismatch_degenerates(spark):
+    """Documents the failure mode the dim parameter exists to avoid: planes
+    longer than the vectors null out the fold and every bucket collapses."""
+    df = spark.createDataFrame(
+        [(i, [float(i + d) for d in range(8)]) for i in range(10)],
+        "vec_id: long, embedding: array<double>",
+    )
+    buckets = {r.bucket for r in with_lsh_bucket(df, n_planes=4, dim=64).collect()}
+    assert buckets == {0}
+
+
+def test_embedding_cosine_lsh_pairs_subset_of_exact(spark):
+    """Content-blocked pairs are exactly the all-pairs result restricted to
+    bucket-equal pairs: a subset at the same threshold, found without the
+    O(n^2) join. Recall on the near-uniform fixture is theory-bound
+    ((1 - theta/pi)^4 at ~0.35-0.47 cosine => ~0.1-0.2); clustered real
+    corpora sit far higher. The measured number lands in SCALING.md."""
+    emb = catalog(spark, SF_SMALL).embeddings
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_pairs(emb, threshold=0.35, block_col=None).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_pairs(
+            with_lsh_bucket(emb, n_planes=4), threshold=0.35, block_col="bucket"
+        ).collect()
+    }
+    assert blocked <= exact
+    if exact:
+        recall = len(blocked) / len(exact)
+        assert 0.0 <= recall <= 1.0
