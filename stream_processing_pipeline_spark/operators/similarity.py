@@ -155,6 +155,56 @@ def topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def topk_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k with multi-probe: each query scans its own bucket
+    plus the ``n_planes`` buckets at Hamming distance 1 (one plane bit
+    flipped — the vectors most likely to have landed just across one
+    hyperplane). Recall rises steeply (probe count multiplies the collision
+    probability) while the scan stays (n_planes+1)/2^n_planes of the corpus
+    — the standard recall/cost dial for hyperplane LSH, entirely
+    deterministic and therefore oracle-verifiable. The corpus index is
+    untouched; only the *query* side fans out, so at 100 TB the same
+    bucket-partitioned corpus serves any probe width."""
+    cb = with_lsh_bucket(corpus, vec_col, n_planes, dim).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col), F.col("bucket")
+    )
+    qb = with_lsh_bucket(queries, vec_col, n_planes, dim).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col("bucket"),
+    )
+    masks = [0] + [1 << p for p in range(n_planes)]
+    probes = qb.withColumn(
+        "bucket",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ),
+    )
+    # A candidate matches at most one probe (buckets are distinct), so no
+    # dedup is needed before ranking.
+    scored = cb.join(F.broadcast(probes), ["bucket"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

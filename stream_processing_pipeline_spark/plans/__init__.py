@@ -55,6 +55,11 @@ _GATE_PRIORITY = [
     "user_value_minmax_scaled",
     "user_value_minmax_pandas",
     "dedup_embedding_cosine_lsh",
+    "sim_topk_lsh_multiprobe",
+    "tpch_q5_local_supplier_volume",
+    "user_value_trailing_hour",
+    "dedup_incremental",
+    "dedup_keep_best_quality",
     # flagship parity queries stay inside any gate prefix
     "q1_typed_events",
     "q2_abnormal_minutes",

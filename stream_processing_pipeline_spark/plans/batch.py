@@ -153,6 +153,106 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {sum_money_sql(_DISC_PRICE, 4)} AS revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("batch", "join", "multi-dim"),
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper: the *local supplier* join — lineitem must match a
+    supplier in the customer's own nation (``c_nationkey = s_nationkey``),
+    so the fact row joins two dimensions that must agree. Unlike
+    ``revenue_by_nation`` (customer-side star only), this is the 6-table
+    shape with a cross-dimension equality. Plan: all four dimensions
+    broadcast; the non-equi part of the supplier condition rides the
+    broadcast join's residual filter; the only big shuffles are
+    orders⋈lineitem and the tiny final aggregate."""
+    cat = catalog(spark, sf_dir)
+    nat = (
+        cat.region.filter(F.col("r_name") == "ASIA")
+        .join(cat.nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = dim_join(
+        cat.customer, nat, on=F.col("c_nationkey") == F.col("n_nationkey"),
+        how="inner",
+    ).select("c_custkey", "c_nationkey", "n_name")
+    supp = cat.supplier.select("s_suppkey", "s_nationkey")
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        cat.lineitem.select("l_orderkey", "l_suppkey", disc_price.alias("dp"))
+        .join(F.broadcast(orders.join(F.broadcast(cust),
+                                      F.col("o_custkey") == F.col("c_custkey"))),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+    )
+    return joined.groupBy("n_name").agg(sum_money("dp", 4).alias("revenue"))
+
+
+@register(
+    "user_value_trailing_hour",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events
+    )
+    SELECT event_id, user_id,
+           sum(cv) OVER w / 100.0 AS trailing_sum,
+           CAST(count(*) OVER w AS BIGINT) AS trailing_n
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("batch", "window", "range-frame"),
+)
+def user_value_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytic window: per event, the sum/count of that user's
+    events in the trailing hour — the event-time feature (velocity,
+    rate-limit, burst detection) that tumbling windows can't express because
+    the frame is anchored to *each row's* timestamp. The frame bound is in
+    epoch seconds (floored identically on both engines, so peer groups
+    match); sums run on exact integer cents. One shuffle on user_id, then a
+    single sorted window pass."""
+    ev = catalog(spark, sf_dir).events
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_sec"),
+        cents("value").alias("cv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        (F.sum("cv").over(w) / 100.0).alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+    )
+
+
+@register(
     "top_events_per_user",
     oracle="""
     SELECT user_id, event_id, value, rn FROM (

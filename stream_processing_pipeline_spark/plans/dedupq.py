@@ -229,6 +229,105 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(bucketed, threshold=0.35, block_col="bucket")
 
 
+_INCR_THR = "(SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) FROM documents)"
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""{_BANDS_CTE}
+    SELECT b.doc_id AS doc_id, min(a.doc_id) AS earliest_dup,
+           CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_dups
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < {_INCR_THR} AND b.doc_id >= {_INCR_THR}
+    GROUP BY b.doc_id
+    """,
+    tags=("dedup", "minhash", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: a new crawl increment (the
+    last 20% of doc ids) checked against the *existing* corpus's banded
+    MinHash index, returning each new doc's earliest duplicate and match
+    count. At 100 TB this is the pattern that makes dedup affordable:
+    signatures are computed only for the increment, the persisted band index
+    is read (bucket-partitioned) rather than recomputed, and the join
+    touches only co-bucketed keys — full-corpus reprocessing never happens.
+    Here both sides derive from the fixture for verifiability; the split
+    threshold is a bounded scalar (one max())."""
+    docs = catalog(spark, sf_dir).documents
+    thr = int(docs.agg(F.max("doc_id")).first()[0] * 0.8)
+    index_bands = lsh_bands(minhash_table(docs.filter(F.col("doc_id") < thr)))
+    new_bands = lsh_bands(minhash_table(docs.filter(F.col("doc_id") >= thr)))
+    pairs = (
+        new_bands.alias("n")
+        .join(
+            index_bands.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(F.col("n.doc_id").alias("doc_id"), F.col("o.doc_id").alias("dup"))
+        .distinct()
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.min("dup").alias("earliest_dup"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+_QM = T.quality_metrics_sql("text")
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {h60_sql(_NORM)} AS text_hash, {_QM['quality']} AS q
+      FROM documents
+    ),
+    r AS (
+      SELECT text_hash, doc_id, q,
+             row_number() OVER (PARTITION BY text_hash
+                                ORDER BY q DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY text_hash) AS n
+      FROM base
+    )
+    SELECT text_hash, CAST(n AS BIGINT) AS n_docs, doc_id AS best_doc,
+           q AS best_quality
+    FROM r WHERE rn = 1
+    """,
+    tags=("dedup", "exact", "quality"),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization policy: within each exact-duplicate group keep the
+    highest-*quality* copy (ties to the smallest id), not the smallest id —
+    dedup composed with quality scoring, the way a training-data pipeline
+    actually picks survivors. One shuffle on the 60-bit content hash; text
+    itself never shuffles (quality is computed before the exchange)."""
+    from pyspark.sql import Window
+
+    docs = catalog(spark, sf_dir).documents
+    base = docs.select(
+        "doc_id",
+        h60(T.normalize_text("text")).alias("text_hash"),
+        T.quality_metrics(F.col("text"))["quality"].alias("best_quality"),
+    )
+    w = Window.partitionBy("text_hash").orderBy(
+        F.desc("best_quality"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("text_hash")
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "text_hash",
+            "n_docs",
+            F.col("doc_id").alias("best_doc"),
+            "best_quality",
+        )
+    )
+
+
 _BANDS_CTE_REC = _BANDS_CTE.replace("WITH base", "WITH RECURSIVE base", 1)
 
 

@@ -95,3 +95,33 @@ def test_no_python_udfs_in_scan_queries(spark, name):
     ArrowEvalPython nodes) — Python only enters for multimodal decode."""
     plan = plan_of(spark, name)
     assert "EvalPython" not in plan, plan
+
+
+def test_tpch_q5_fact_never_shuffles(spark):
+    """Q5's 6-table join must compile to all-broadcast joins with the
+    cross-dimension equality fused into a compound broadcast key — lineitem
+    reaches the final aggregate without a join shuffle."""
+    plan = plan_of(spark, "tpch_q5_local_supplier_volume")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    # exactly one Exchange: the 5-group final aggregate
+    assert len(re.findall(r"\n\(\d+\) Exchange\n", plan)) == 1
+
+
+def test_minmax_scaled_is_pure_jvm(spark):
+    """The registered scaler must be the window-expression plan — no Arrow
+    exchange, no Python workers (the round-1 applyInPandas regression)."""
+    plan = plan_of(spark, "user_value_minmax_scaled")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_trailing_hour_single_window_pass(spark):
+    """RANGE-frame query: one shuffle on user_id feeding one Window node;
+    the scan reads only the four referenced columns."""
+    plan = plan_of(spark, "user_value_trailing_hour")
+    assert "Window" in plan
+    assert len(re.findall(r"\n\(\d+\) Exchange\n", plan)) == 1
+    for s in read_schemas(plan):
+        assert "event_type" not in s and "props" not in s

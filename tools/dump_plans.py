@@ -24,6 +24,9 @@ HEADLINERS = {
     "dedup_minhash_lsh": "explode/agg MinHash + band self-join on compact keys",
     "sim_topk_bruteforce": "broadcast query set x partitioned corpus + ranked window",
     "customers_without_orders": "broadcast LeftAnti with pushed date predicate",
+    "tpch_q5_local_supplier_volume": "6-table join; cross-dimension equality fused into a compound broadcast key — lineitem never shuffles",
+    "user_value_minmax_scaled": "per-user min-max scaling as a JVM window expression (no Python workers)",
+    "user_value_trailing_hour": "RANGE-frame trailing-hour window over epoch seconds",
 }
 
 
