@@ -99,11 +99,29 @@ def _bench_streaming_topology(spark, sf_dir: str) -> dict:
         topo.await_all(timeout=300)
         topo.stop_all()
         wall = time.perf_counter() - t0
+
+        # Fan-out variant: stateless routes share one source read (4 queries
+        # instead of 6) — same sink contents, less ingest.
+        topo2 = Topology(spark, checkpoint_root=work + "/ckpt_fanout")
+        EventsTopologyBuilder(
+            events_stream=stream,
+            customer_dim=cat.customer,
+            sink_factory=lambda name: noop_sink,
+        ).build(topo2, fanout_stateless=True)
+        t1 = time.perf_counter()
+        topo2.start_all(available_now=True)
+        topo2.await_all(timeout=300)
+        topo2.stop_all()
+        wall_fanout = time.perf_counter() - t1
+
         shutil.rmtree(work, ignore_errors=True)
         return {
             "streaming_topology_sec": round(wall, 3),
             # 6 concurrent queries each consume the full stream.
             "streaming_events_per_sec": round(6 * n_events / wall),
+            "streaming_fanout_topology_sec": round(wall_fanout, 3),
+            # same logical work delivered by 4 queries / 4 source reads
+            "streaming_fanout_events_per_sec": round(6 * n_events / wall_fanout),
         }
     except Exception as e:  # never break the bench line
         return {"streaming_topology_error": f"{type(e).__name__}: {e}"[:200]}

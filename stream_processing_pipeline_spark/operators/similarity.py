@@ -247,6 +247,67 @@ def cosine_pairs(
 
 # ------------------------------------------------------------------- IVF
 
+def quantize_int(vec_col: Column | str) -> Column:
+    """Micro-unit quantization: ``round(x * 1e6)`` per element, as long.
+    Exactly reproducible on any engine (same rule as the money kernels), so
+    distances computed on quantized vectors are pure integer arithmetic —
+    no float fold-order to disagree about."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c, lambda x: F.round(x.cast("double") * 1000000.0).cast("long"))
+
+
+def seed_centroids_int(
+    corpus: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[int]]]:
+    """Sampled-seed coarse quantizer: the k evenly-spaced corpus vectors
+    (ids ``0, step, 2*step, ...`` with ``step = (max_id + 1) // k``),
+    quantized to integer micro-units. This is k-means initialization without
+    the Lloyd iterations — centroids live on the data manifold, so the
+    Voronoi cells are usably balanced (measured 47-75 per 500 on the
+    near-uniform fixture vs 468/500 for random fixed directions), yet the
+    whole construction is a *fixed rule over the data*, expressible in
+    plain SQL and therefore exactly verifiable (unlike iterative training).
+    One bounded driver roundtrip: k*dim ints."""
+    step = (corpus.agg(F.max(id_col)).first()[0] + 1) // k
+    cid = (F.col(id_col) / step).cast("int")
+    rows = (
+        corpus.filter((F.col(id_col) % step == 0) & (cid < k))
+        .select(cid.alias("cid"), quantize_int(vec_col).alias("v"))
+        .collect()
+    )
+    return sorted((r.cid, [int(x) for x in r.v]) for r in rows)
+
+
+def assign_clusters_static(
+    corpus: DataFrame,
+    centroids_int: list[tuple[int, list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-static-centroid assignment with EXACT integer distances:
+    vectors are quantized to micro-units and ``dist2`` is the integer sum of
+    squared differences — order-independent, overflow-safe (<= 4e12 per dim
+    * dims), and bit-identical across engines. Same no-shuffle shape as
+    :func:`assign_clusters`: centroids are plan literals; only (id, cluster,
+    dist2) rows leave the scan."""
+    v_int = quantize_int(vec_col)
+    dists = []
+    for cid, cvec in centroids_int:
+        cc = F.array(*[F.lit(int(x)).cast("long") for x in cvec])
+        diff2 = F.zip_with(v_int, cc, lambda a, b: (a - b) * (a - b))
+        d2 = F.aggregate(diff2, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        dists.append(F.struct(d2.alias("dist2"), F.lit(int(cid)).alias("cluster")))
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    return corpus.select(
+        F.col(id_col),
+        best.getField("cluster").alias("cluster"),
+        best.getField("dist2").alias("dist2"),
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int = 8,

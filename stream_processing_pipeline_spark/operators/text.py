@@ -28,6 +28,9 @@ __all__ = [
     "tokens_sql",
     "token_count",
     "token_count_sql",
+    "bpe_pretokens",
+    "bpe_pretoken_count",
+    "bpe_pretoken_count_sql",
     "count_occurrences",
     "count_occurrences_sql",
     "lang_scores",
@@ -85,6 +88,29 @@ def token_count(col: Column | str) -> Column:
 
 def token_count_sql(expr: str) -> str:
     return f"len(string_split_regex(trim({expr}), '\\s+'))"
+
+
+# BPE-style pretokenizer (simplified GPT-2 pattern, engine-portable subset):
+# a pretoken is a letter run, a single digit, or a single non-alphanumeric
+# non-space character. Real BPE then merges within pretokens, so the
+# *pretoken* count is the trainable upper bound on BPE token count — the
+# quantity corpus dashboards track before a tokenizer even exists. The
+# pattern deliberately uses only ASCII classes: \p{L}-style classes differ
+# between regex engines, and portability is what makes the count verifiable.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def bpe_pretokens(col: Column | str) -> Column:
+    """Array of BPE-style pretokens of raw text."""
+    return F.regexp_extract_all(_c(col), F.lit(_BPE_PATTERN), 0)
+
+
+def bpe_pretoken_count(col: Column | str) -> Column:
+    return F.size(bpe_pretokens(col)).cast("long")
+
+
+def bpe_pretoken_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{_BPE_PATTERN}')) AS BIGINT)"
 
 
 # ----------------------------------------------------- occurrence counting

@@ -60,6 +60,9 @@ _GATE_PRIORITY = [
     "user_value_trailing_hour",
     "dedup_incremental",
     "dedup_keep_best_quality",
+    "sim_ivf_static_assignments",
+    "sim_topk_ivf_static",
+    "text_bpe_token_stats",
     # flagship parity queries stay inside any gate prefix
     "q1_typed_events",
     "q2_abnormal_minutes",

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity_sql
+from ..functions.vectors import cosine_similarity, cosine_similarity_sql
 from ..operators.similarity import (
     lsh_bucket_sql,
     topk_bruteforce,
@@ -182,6 +182,156 @@ def sim_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "n",
         pround(F.sqrt("sq_sum") / 1000000.0 / F.col("n"), 6).alias("centroid_norm"),
+    )
+
+
+# ----------------------------------------------------- static-quantizer IVF
+
+_K_STATIC = 8
+_DIM = 64
+_SEED_CENT: dict[tuple[int, str], list] = {}
+
+
+def _static_cent(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]]]:
+    """One bounded roundtrip per (session, fixture); the seeds are a fixed
+    rule over the data, so recomputation is exact (cf. _trained_centroids)."""
+    key = (id(spark), sf_dir)
+    if key not in _SEED_CENT:
+        from ..operators.similarity import seed_centroids_int
+
+        _SEED_CENT[key] = seed_centroids_int(
+            catalog(spark, sf_dir).embeddings, k=_K_STATIC
+        )
+    return _SEED_CENT[key]
+
+
+_VI = (
+    "list_transform(CAST(embedding AS DOUBLE[]), "
+    "x -> CAST(round(x * 1000000) AS BIGINT))"
+)
+_DIST2 = (
+    f"CAST(list_sum(list_transform(range(1, {_DIM + 1}), "
+    "i -> (vi[i] - cvec[i]) * (vi[i] - cvec[i]))) AS BIGINT)"
+)
+
+# Same seed rule as seed_centroids_int, in SQL: the k evenly-spaced corpus
+# vectors, quantized; cid = vec_id // step.
+_STATIC_ASSIGN_CTE = f"""
+    WITH s AS (
+      SELECT (max(vec_id) + 1) // {_K_STATIC} AS step FROM embeddings
+    ),
+    cent AS (
+      SELECT CAST(vec_id // step AS INTEGER) AS cid, {_VI} AS cvec
+      FROM embeddings, s
+      WHERE vec_id % step = 0 AND vec_id // step < {_K_STATIC}
+    ),
+    q AS (SELECT vec_id, embedding, {_VI} AS vi FROM embeddings),
+    d AS (
+      SELECT q.vec_id, q.embedding, cent.cid, {_DIST2} AS dist2
+      FROM q, cent
+    )
+"""
+
+
+@register(
+    "sim_ivf_static_assignments",
+    oracle=f"""{_STATIC_ASSIGN_CTE}
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster, dist2
+    FROM d
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+    """,
+    tags=("similarity", "ivf", "static"),
+)
+def sim_ivf_static_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment under a *sampled-seed* coarse quantizer (the k
+    evenly-spaced corpus vectors — k-means init without the Lloyd
+    iterations) with exact integer micro-unit distances: the fully
+    oracle-verified counterpart of ``sim_ivf_assignments``. No float
+    fold-order, no iterative training, value-hash-checked end to end, and
+    the cells are usably balanced because the seeds live on the data
+    manifold (measured 47-75 per 500 on the fixture). Operationally this is
+    the deployed shape: quantizer fixed offline, assignment is a single
+    no-shuffle scan pass with centroids as plan literals."""
+    from ..operators.similarity import assign_clusters_static
+
+    emb = catalog(spark, sf_dir).embeddings
+    return assign_clusters_static(emb, _static_cent(spark, sf_dir))
+
+
+@register(
+    "sim_topk_ivf_static",
+    oracle=f"""{_STATIC_ASSIGN_CTE},
+    ca AS (
+      SELECT vec_id, embedding, cid AS cluster
+      FROM d
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+    ),
+    probes AS (
+      SELECT vec_id, embedding, cid AS cluster
+      FROM d WHERE vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) <= 2
+    )
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {cosine_similarity_sql('c.embedding', 'p.embedding')} AS cosine,
+           CAST(row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY {cosine_similarity_sql('c.embedding', 'p.embedding')} DESC,
+                      c.vec_id
+           ) AS INTEGER) AS rank
+    FROM probes p JOIN ca c ON c.cluster = p.cluster AND c.vec_id != p.vec_id
+    QUALIFY rank <= {_K}
+    """,
+    tags=("similarity", "ivf", "static", "ann"),
+)
+def sim_topk_ivf_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search over the sampled-seed quantizer: each query scans
+    its 2 nearest cells (~1/4 of the corpus at k=8, cells balanced because
+    seeds are corpus points) with exact cosine re-ranking inside —
+    end-to-end ANN that is value-hash-verified, because every step (integer
+    assignment distances, deterministic probe choice, fold-ordered cosine)
+    is engine-portable. The trained twin (``sim_topk_ivf``) shows what Lloyd
+    iterations buy on top; this one proves the probe machinery exactly."""
+    from ..operators.similarity import assign_clusters_static, quantize_int
+
+    emb = catalog(spark, sf_dir).embeddings
+    cent = _static_cent(spark, sf_dir)
+
+    ca = assign_clusters_static(emb, cent).select("vec_id", "cluster")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding")
+    ).join(ca.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+
+    v_int = quantize_int("embedding")
+    q_dists = []
+    for cid, cvec in cent:
+        cc = F.array(*[F.lit(int(x)).cast("long") for x in cvec])
+        diff2 = F.zip_with(v_int, cc, lambda a, b: (a - b) * (a - b))
+        d2 = F.aggregate(diff2, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        q_dists.append(F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cluster")))
+    probes = F.slice(F.array_sort(F.array(*q_dists)), 1, 2)
+    qx = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.explode(F.transform(probes, lambda s: s.getField("cluster"))).alias(
+            "cluster"
+        ),
+    )
+    scored = corpus.join(F.broadcast(qx), "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("embedding"), F.col("query_vec")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .withColumn("rank", F.col("rank").cast("int"))
     )
 
 

@@ -146,6 +146,40 @@ def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_token_stats",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {T.token_count_sql('text')} AS ws_tokens,
+           {T.bpe_pretoken_count_sql('text')} AS bpe_pretokens,
+           {T.pround_sql(
+               f"CAST({T.bpe_pretoken_count_sql('text')} AS DOUBLE) / "
+               f"{T.token_count_sql('text')}", 4)} AS fertility
+    FROM documents
+    """,
+    tags=("text", "token-stats", "bpe"),
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting under a BPE-style pretokenizer (simplified GPT-2
+    pattern: letter runs | single digits | single punctuation) next to the
+    whitespace baseline, plus their ratio — the "fertility" proxy corpus
+    dashboards track to predict tokenizer cost per word before a trained
+    tokenizer exists. Pure regexp_extract_all expressions, JVM-side, one
+    scan, no shuffle."""
+    docs = catalog(spark, sf_dir).documents
+    ws = T.token_count("text")
+    bpe = T.bpe_pretoken_count("text")
+    from ..functions.rounding import pround
+
+    return docs.select(
+        "doc_id",
+        "lang",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_pretokens"),
+        pround(bpe.cast("double") / ws, 4).alias("fertility"),
+    )
+
+
+@register(
     "top_tokens",
     oracle=f"""
     WITH tok AS (

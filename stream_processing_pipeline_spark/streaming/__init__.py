@@ -20,7 +20,14 @@ package generalizes that into:
 
 from .alerts import Alerter, CallbackAlerter, EmailAlerter, LogAlerter
 from .runner import ROCKSDB_PROVIDER, StreamQuerySpec, Topology, run_available_now
-from .sinks import ForeachBatchSink, JdbcSink, MemoryRowsSink, ParquetSink, with_alert
+from .sinks import (
+    FanOutSink,
+    ForeachBatchSink,
+    JdbcSink,
+    MemoryRowsSink,
+    ParquetSink,
+    with_alert,
+)
 
 __all__ = [
     "Alerter",
@@ -28,6 +35,7 @@ __all__ = [
     "CallbackAlerter",
     "EmailAlerter",
     "ForeachBatchSink",
+    "FanOutSink",
     "JdbcSink",
     "ParquetSink",
     "MemoryRowsSink",

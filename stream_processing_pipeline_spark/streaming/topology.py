@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from ..plans import transforms
 from .alerts import Alerter
 from .runner import StreamQuerySpec, Topology
-from .sinks import ForeachBatchSink, with_alert
+from .sinks import FanOutSink, ForeachBatchSink, with_alert
 
 __all__ = ["EventsTopologyBuilder"]
 
@@ -49,24 +49,48 @@ class EventsTopologyBuilder:
         self.sinks[name] = self.sink_factory(name)
         return self.sinks[name]
 
-    def build(self, topology: Topology) -> Topology:
+    def build(self, topology: Topology, fanout_stateless: bool = False) -> Topology:
+        """Assemble the topology. ``fanout_stateless=True`` merges the three
+        stateless queries (raw persistence + the two anomaly detectors) into
+        ONE streaming query via :class:`FanOutSink` — one source read and
+        one checkpoint instead of three (4 queries total instead of 6). The
+        three watermarked aggregations keep their own queries either way:
+        their state belongs to a per-query checkpoint. Sink contents are
+        identical in both modes (pinned by ``test_fanout_topology_equivalence``)."""
         ev = self.events_stream
         wm = self.watermark
 
-        q1 = transforms.typed_events(ev)
-        topology.add(StreamQuerySpec("typed_events", q1, self._sink("typed_events")))
-
-        q2 = transforms.abnormal_minutes(ev)
         q2_sink = self._sink("abnormal_minutes")
         if self.alerter:
             q2_sink = with_alert(q2_sink, self.alerter, "abnormal_minutes")
-        topology.add(StreamQuerySpec("abnormal_minutes", q2, q2_sink))
-
-        q3 = transforms.value_discrepancy(ev)
         q3_sink = self._sink("value_discrepancy")
         if self.alerter:
             q3_sink = with_alert(q3_sink, self.alerter, "value_discrepancy")
-        topology.add(StreamQuerySpec("value_discrepancy", q3, q3_sink))
+
+        if fanout_stateless:
+            fan = FanOutSink(
+                routes=[
+                    ("typed_events", transforms.typed_events, self._sink("typed_events")),
+                    ("abnormal_minutes", transforms.abnormal_minutes, q2_sink),
+                    ("value_discrepancy", transforms.value_discrepancy, q3_sink),
+                ]
+            )
+            topology.add(StreamQuerySpec("stateless_fanout", ev, fan))
+        else:
+            q1 = transforms.typed_events(ev)
+            topology.add(
+                StreamQuerySpec("typed_events", q1, self._sink("typed_events"))
+            )
+            topology.add(
+                StreamQuerySpec(
+                    "abnormal_minutes", transforms.abnormal_minutes(ev), q2_sink
+                )
+            )
+            topology.add(
+                StreamQuerySpec(
+                    "value_discrepancy", transforms.value_discrepancy(ev), q3_sink
+                )
+            )
 
         q4 = transforms.avg_value_per_hour(ev, watermark=wm)
         topology.add(

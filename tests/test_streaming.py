@@ -233,3 +233,46 @@ def test_stream_batch_equivalence_join(spark, tmp_path, n_chunks):
     assert sink.rows
     for r in sink.rows:
         assert batch[(r.date, r.start_time, r.segment)] == r.total_events
+
+
+def test_fanout_topology_equivalence(spark, tmp_path):
+    """fanout_stateless=True must produce byte-identical sink contents with
+    4 streaming queries instead of 6 — the stateless routes share one source
+    read and one checkpoint, the watermarked aggs keep their own."""
+    cat = TableCatalog(spark, SF_SMALL, register_views=False)
+    ev = cat.events.orderBy("ts")
+    stream = chunked_stream(spark, ev, str(tmp_path / "chunks"), n_chunks=3)
+    sinks: dict[str, MemoryRowsSink] = {}
+
+    def factory(name: str) -> MemoryRowsSink:
+        sinks[name] = MemoryRowsSink()
+        return sinks[name]
+
+    alerter = LogAlerter()
+    topo = Topology(spark, checkpoint_root=str(tmp_path / "ckpt"))
+    EventsTopologyBuilder(
+        events_stream=stream,
+        customer_dim=cat.customer,
+        sink_factory=factory,
+        alerter=alerter,
+    ).build(topo, fanout_stateless=True)
+    queries = topo.start_all(available_now=True)
+    assert len(queries) == 4  # 1 fan-out + 3 stateful
+    assert "stateless_fanout" in queries
+    topo.await_all(timeout=240)
+    topo.stop_all()
+
+    # Stateless routes: exact row-set equality with the batch transforms.
+    assert {r.event_id for r in sinks["typed_events"].rows} == {
+        r.event_id for r in transforms.typed_events(ev).collect()
+    }
+    assert len(sinks["abnormal_minutes"].rows) == transforms.abnormal_minutes(ev).count()
+    assert len(sinks["value_discrepancy"].rows) == transforms.value_discrepancy(ev).count()
+    # Stateful queries still emit finalized windows only.
+    for name, batch_df in [
+        ("avg_value_per_hour", transforms.avg_value_per_hour(ev)),
+        ("event_counts_per_hour", transforms.event_counts_per_hour(ev)),
+        ("counts_by_segment", transforms.counts_by_segment(ev, cat.customer)),
+    ]:
+        assert 0 < len(sinks[name].rows) <= batch_df.count(), name
+    assert alerter.sent  # alerts still fire from inside the fan-out
