@@ -63,6 +63,9 @@ _GATE_PRIORITY = [
     "sim_ivf_static_assignments",
     "sim_topk_ivf_static",
     "text_bpe_token_stats",
+    "corpus_clean_train_sample",
+    "stratified_sample_exact",
+    "tpch_q8_market_share",
     # flagship parity queries stay inside any gate prefix
     "q1_typed_events",
     "q2_abnormal_minutes",

@@ -207,6 +207,81 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             sn.n_name AS supp_nation,
+             {cents_sql(_DISC_PRICE, 4)} AS dp
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = cn.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           floor(CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN dp END)
+                      AS DOUBLE)
+                 / CAST(sum(dp) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    tags=("batch", "join", "multi-dim", "ratio"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: one supplier nation's fraction
+    of yearly revenue in a customer region — two roles of the nation
+    dimension plus a conditional-over-total ratio. Both sums run on exact
+    integer cents, so the ratio is deterministic under any aggregation
+    order; every dimension broadcasts and lineitem⋈orders is the only big
+    shuffle."""
+    cat = catalog(spark, sf_dir)
+    cn = (
+        cat.region.filter(F.col("r_name") == "ASIA")
+        .join(cat.nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cust = dim_join(
+        cat.customer, cn, on=F.col("c_nationkey") == F.col("cn_key"), how="inner"
+    ).select("c_custkey")
+    sn = cat.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = dim_join(
+        cat.supplier, sn, on=F.col("s_nationkey") == F.col("sn_key"), how="inner"
+    ).select("s_suppkey", "supp_nation")
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    dp = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    vol = (
+        cat.lineitem.select("l_orderkey", "l_suppkey", dp.alias("dp"))
+        .join(
+            F.broadcast(orders.join(F.broadcast(cust),
+                                    F.col("o_custkey") == F.col("c_custkey"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    share = F.floor(
+        F.sum(F.when(F.col("supp_nation") == "NATION_9", F.col("dp")))
+        .cast("double")
+        / F.sum("dp").cast("double")
+        * 1000000.0
+        + F.lit(0.5)
+    ) / 1000000.0
+    return vol.groupBy("o_year").agg(share.alias("mkt_share")).withColumn(
+        "o_year", F.col("o_year").cast("int")
+    )
+
+
+@register(
     "user_value_trailing_hour",
     oracle="""
     WITH c AS (

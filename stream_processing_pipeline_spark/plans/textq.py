@@ -304,3 +304,84 @@ def mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         stable_bucket(F.col("doc_id"), 100, salt="mix:") < keep_pct
     ).select("doc_id", "source")
+
+
+_QUALITY = T.quality_metrics_sql("text")["quality"]
+_SAMPLE_BUCKET = T.h60_sql("concat('sample:', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "corpus_clean_train_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {T.h60_sql(T.normalize_text_sql('text'))} AS text_hash
+      FROM documents
+    ),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM h GROUP BY text_hash)
+    SELECT d.doc_id, d.lang, {_QUALITY} AS quality
+    FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+    WHERE {_QUALITY} >= 0.55
+      AND {T.h60_sql("concat('split:', CAST(d.doc_id AS VARCHAR))")} % 100 < 80
+    """,
+    tags=("text", "pipeline", "dedup", "quality", "sampling"),
+)
+def corpus_clean_train_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-cleaning composition every training-data
+    pipeline runs: exact-dedup to canonical keepers -> quality gate
+    (blended score >= 0.55, keeps ~41% of the fixture) -> reproducible 80%
+    train split by hash bucket. One scan computes hash + quality; the only
+    shuffle is the keeper groupBy — at 100 TB this whole filter chain is a
+    single map-side pipeline after the dedup exchange, and each stage is
+    the already-verified operator (dedup_exact / text_quality /
+    corpus_train_test_split) so the composition needs no new machinery."""
+    from ..functions.hashing import stable_bucket
+    from ..operators.dedup import exact_groups
+
+    docs = catalog(spark, sf_dir).documents
+    keepers = exact_groups(docs).select(F.col("keeper").alias("doc_id"))
+    quality = T.quality_metrics(F.col("text"))["quality"]
+    return (
+        docs.join(keepers, "doc_id")
+        .select("doc_id", "lang", quality.alias("quality"))
+        .filter(
+            (F.col("quality") >= 0.55)
+            & (stable_bucket(F.col("doc_id"), 100, salt="split:") < 80)
+        )
+    )
+
+
+@register(
+    "stratified_sample_exact",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY {_SAMPLE_BUCKET}, doc_id
+             ) AS INTEGER) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, rn FROM r WHERE rn <= 30
+    """,
+    tags=("text", "sampling", "stratified"),
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sampling: exactly min(30, n) docs per language,
+    chosen by ranking on a content-independent hash — unlike
+    fraction-based ``sampleBy`` the per-stratum count is guaranteed, and
+    unlike RNG sampling the choice is a pure function of ids (stable across
+    runs, engines, partition layouts). Plan shape: one shuffle on the
+    stratum key, per-stratum top-k inside the window — no global sort."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import h60
+
+    docs = catalog(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy(
+        h60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 30)
+    )

@@ -277,3 +277,22 @@ def test_rocksdb_state_store_topology(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_complete_mode_running_totals(spark, tmp_path):
+    """Complete output mode: every micro-batch re-emits the full aggregate
+    (no watermark needed), so the final batch equals the batch-mode groupBy
+    — the third of the three output modes (reference uses append; update is
+    pinned in test_update_mode_windowed_counts)."""
+    chunks = [
+        [_row(1, 0, "click"), _row(2, 10, "view")],
+        [_row(3, 20, "click"), _row(4, 30, "click")],
+    ]
+    stream = _write_chunks(spark, tmp_path / "cm", chunks)
+    totals = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sink = MemoryRowsSink()
+    run_available_now(
+        totals, sink, checkpoint=str(tmp_path / "ckpt_cm"), output_mode="complete"
+    )
+    final = {r.event_type: r.n for r in sink.batches[-1][1]}
+    assert final == {"click": 3, "view": 1}
