@@ -66,6 +66,8 @@ _GATE_PRIORITY = [
     "corpus_clean_train_sample",
     "stratified_sample_exact",
     "tpch_q8_market_share",
+    "text_bpe_token_stats_pandas",
+    "event_props_extract",
     # flagship parity queries stay inside any gate prefix
     "q1_typed_events",
     "q2_abnormal_minutes",

@@ -1127,3 +1127,26 @@ def value_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("quartile"),
         pround(F.percent_rank().over(w), 6).alias("prank"),
     )
+
+
+@register(
+    "event_props_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+    tags=("batch", "json"),
+)
+def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction from a semi-structured payload column
+    (``props``) — the one JSON surface the reference lacks (it parses the
+    whole wire record once, SURVEY.md §2.2): per-row ``get_json_object``
+    stays in codegen, no Python, and Catalyst prunes the scan to the two
+    referenced columns plus the JSON string."""
+    ev = catalog(spark, sf_dir).events
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )

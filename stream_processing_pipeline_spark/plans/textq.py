@@ -7,6 +7,8 @@ portable expressions (operators.text).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via module globals
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -384,4 +386,60 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang")
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 30)
+    )
+
+
+@register(
+    "text_bpe_token_stats_pandas",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {T.token_count_sql('text')} AS ws_tokens,
+           {T.bpe_pretoken_count_sql('text')} AS bpe_pretokens,
+           {T.pround_sql(
+               f"CAST({T.bpe_pretoken_count_sql('text')} AS DOUBLE) / "
+               f"{T.token_count_sql('text')}", 4)} AS fertility
+    FROM documents
+    """,
+    tags=("text", "token-stats", "bpe", "pandas-udf", "demo"),
+)
+def text_bpe_token_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar ``@pandas_udf`` showcase: the same BPE-pretoken accounting
+    as ``text_bpe_token_stats`` computed by Arrow-vectorized Python
+    (``re.findall`` over a pandas Series) against the *same* oracle — the
+    engine's demonstration that the vectorized-scalar-UDF machinery is
+    value-correct, not just plumbed. This is the slot where a real trained
+    tokenizer (tiktoken/HF) would drop in: batch-columnar transfer, one
+    Python call per Arrow batch, never per row. Prefer the JVM regex twin
+    whenever the expression is portable — this path exists for libraries
+    that only speak Python."""
+    import math
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    bpe_re = re.compile(T._BPE_PATTERN)
+    ws_re = re.compile(r"\s+")
+
+    @pandas_udf("long")
+    def ws_count(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: len(ws_re.split(t.strip())))
+
+    @pandas_udf("long")
+    def bpe_count(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: len(bpe_re.findall(t)))
+
+    @pandas_udf("double")
+    def fertility(bpe: pd.Series, ws: pd.Series) -> pd.Series:
+        # identical double ops to pround(bpe/ws, 4): divide, scale, floor
+        return (bpe / ws * 10000.0 + 0.5).map(math.floor) / 10000.0
+
+    docs = catalog(spark, sf_dir).documents
+    out = docs.select(
+        "doc_id",
+        "lang",
+        ws_count("text").alias("ws_tokens"),
+        bpe_count("text").alias("bpe_pretokens"),
+    )
+    return out.withColumn(
+        "fertility", fertility(F.col("bpe_pretokens"), F.col("ws_tokens"))
     )

@@ -27,6 +27,7 @@ HEADLINERS = {
     "tpch_q5_local_supplier_volume": "6-table join; cross-dimension equality fused into a compound broadcast key — lineitem never shuffles",
     "user_value_minmax_scaled": "per-user min-max scaling as a JVM window expression (no Python workers)",
     "user_value_trailing_hour": "RANGE-frame trailing-hour window over epoch seconds",
+    "tpch_q8_market_share": "two nation roles + conditional/total ratio on exact cents",
 }
 
 
