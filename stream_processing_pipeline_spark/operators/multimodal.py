@@ -27,8 +27,11 @@ __all__ = [
     "media_metadata",
     "chunk_offsets",
     "decode_media_batched",
+    "resize_media_batched",
     "DECODE_SCHEMA",
+    "RESIZE_SCHEMA",
     "fake_decoder",
+    "thumbnail_dims",
 ]
 
 
@@ -129,3 +132,68 @@ def decode_media_batched(
             )
 
     return narrow.mapInPandas(batches, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+    ]
+)
+
+
+def thumbnail_dims(w: int, h: int, max_dim: int = 128) -> tuple[int, int]:
+    """Aspect-preserving thumbnail target, pure integer arithmetic (exactly
+    reproducible in SQL): the longer side becomes ``max_dim``, the shorter
+    scales by floor(short * max_dim / long), floored at 1. Images already
+    within bounds pass through."""
+    if w <= max_dim and h <= max_dim:
+        return (w, h)
+    if w >= h:
+        return (max_dim, max(1, h * max_dim // w))
+    return (max(1, w * max_dim // h), max_dim)
+
+
+def resize_media_batched(
+    decoded: DataFrame,
+    max_dim: int = 128,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    codec: str | None = None,
+) -> DataFrame:
+    """Arrow-batched resize stage chained after :func:`decode_media_batched`
+    — the second ``mapInPandas`` hop of a media pipeline (decode -> resize
+    -> feature-extract), demonstrating that intermediate Python stages
+    compose as ordinary DataFrames. Target dimensions are the real integer
+    thumbnail math (:func:`thumbnail_dims`); the *pixel* resampling is the
+    honest stub (``codec=`` raises ``NotImplementedError`` — no image libs
+    in this container; pass ``resizer=`` to plug PIL/libvips in without
+    changing the pipeline shape)."""
+    if codec is not None:
+        raise NotImplementedError(
+            f"real resampling codec {codec!r} not available in this "
+            "environment; pass resizer= with your (bytes, w, h) -> bytes"
+        )
+    narrow = decoded.select("doc_id", "width", "height")
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            dims = [
+                thumbnail_dims(int(w), int(h), max_dim)
+                for w, h in zip(pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_width": [d[0] for d in dims],
+                    "out_height": [d[1] for d in dims],
+                }
+            )
+
+    return narrow.mapInPandas(batches, RESIZE_SCHEMA)

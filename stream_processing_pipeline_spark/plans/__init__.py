@@ -68,6 +68,7 @@ _GATE_PRIORITY = [
     "tpch_q8_market_share",
     "text_bpe_token_stats_pandas",
     "event_props_extract",
+    "mm_resize",
     # flagship parity queries stay inside any gate prefix
     "q1_typed_events",
     "q2_abnormal_minutes",

@@ -142,3 +142,19 @@ def test_cents_exactness(spark):
     assert total == 116.27  # exact, despite 0.1+0.2 != 0.3 in binary
     avg = df.agg(avg_money("v").alias("a")).collect()[0].a
     assert avg == 23.25
+
+def test_thumbnail_dims_edges():
+    """Integer thumbnail math: pass-through within bounds, aspect preserved,
+    never zero on extreme ratios — the arithmetic mm_resize verifies at
+    corpus scale, pinned here on the edges the fixture can't hit."""
+    from stream_processing_pipeline_spark.operators.multimodal import thumbnail_dims
+
+    assert thumbnail_dims(100, 100) == (100, 100)       # within bounds
+    assert thumbnail_dims(128, 128) == (128, 128)       # exactly at bound
+    assert thumbnail_dims(256, 128) == (128, 64)        # landscape
+    assert thumbnail_dims(128, 256) == (64, 128)        # portrait
+    assert thumbnail_dims(10000, 1) == (128, 1)         # floor at 1
+    assert thumbnail_dims(1, 10000) == (1, 128)
+    assert thumbnail_dims(129, 129) == (128, 128)       # just over bound
+    w, h = thumbnail_dims(1920, 1080)
+    assert (w, h) == (128, 1080 * 128 // 1920)
