@@ -23,6 +23,7 @@ from . import dedupq  # noqa: E402,F401
 from . import textq  # noqa: E402,F401
 from . import similarq  # noqa: E402,F401
 from . import multimodalq  # noqa: E402,F401
+from . import tpchx  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 
@@ -69,6 +70,14 @@ _GATE_PRIORITY = [
     "text_bpe_token_stats_pandas",
     "event_props_extract",
     "mm_resize",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_dormant_accounts",
     # flagship parity queries stay inside any gate prefix
     "q1_typed_events",
     "q2_abnormal_minutes",
