@@ -78,6 +78,8 @@ _GATE_PRIORITY = [
     "tpch_q19_discounted_revenue",
     "tpch_q21_suppliers_kept_waiting",
     "tpch_q22_dormant_accounts",
+    "text_repetition_stats",
+    "contamination_bench_overlap",
     # flagship parity queries stay inside any gate prefix
     "q1_typed_events",
     "q2_abnormal_minutes",

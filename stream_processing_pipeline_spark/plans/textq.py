@@ -12,7 +12,9 @@ import pandas as pd  # module-level: pandas_udf type hints resolve via module gl
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..functions.money import avg_money, avg_money_sql
+from ..operators import dedup as D
 from ..operators import text as T
 from .common import catalog
 from .registry import register
@@ -442,4 +444,139 @@ def text_bpe_token_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.withColumn(
         "fertility", fertility(F.col("bpe_pretokens"), F.col("ws_tokens"))
+    )
+
+
+_NORM = T.normalize_text_sql("text")
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM w WHERE w != '' GROUP BY doc_id, w),
+    dw AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(max(c) AS BIGINT) AS top_word_count,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM wc GROUP BY doc_id
+    ),
+    g AS (SELECT doc_id, unnest({D.shingles_sql('text', 2)}) AS g FROM documents),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    dg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(max(c) AS BIGINT) AS top_bigram_count
+      FROM gc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           {T.pround_sql('CAST(top_word_count AS DOUBLE) / n_tokens', 4)} AS top_word_frac,
+           {T.pround_sql('CAST(n_distinct AS DOUBLE) / n_tokens', 4)} AS distinct_ratio,
+           {T.pround_sql('CAST(top_bigram_count AS DOUBLE) / n_bigrams', 4)} AS top_bigram_frac
+    FROM dw JOIN dg USING (doc_id)
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of tokens that
+    are the single most frequent word, distinct-token ratio, and fraction of
+    bigrams that are the most frequent bigram — the standard filters for
+    degenerate/looping text in training-data curation (cf. Rae et al. 2021,
+    "Scaling Language Models", repetition heuristics). Plan: explode words
+    and bigrams, two partial-aggregated (doc_id, gram) counts, per-doc
+    roll-ups joined on doc_id — shuffle keys are (doc_id, gram-hash)-sized,
+    never raw text, and the whole thing is built-in expressions (zip_with
+    shingles, no Python)."""
+    from ..functions.rounding import pround
+    from ..operators.dedup import shingles
+
+    docs = catalog(spark, sf_dir).documents
+    words = docs.select(
+        "doc_id", F.explode(T.tokens(T.normalize_text("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    dw = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_word_count"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    dg = (
+        docs.select("doc_id", F.explode(shingles("text", 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_count"))
+    )
+    return dw.join(dg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        pround(F.col("top_word_count").cast("double") / F.col("n_tokens"), 4).alias(
+            "top_word_frac"
+        ),
+        pround(F.col("n_distinct").cast("double") / F.col("n_tokens"), 4).alias(
+            "distinct_ratio"
+        ),
+        pround(
+            F.col("top_bigram_count").cast("double") / F.col("n_bigrams"), 4
+        ).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "contamination_bench_overlap",
+    oracle=f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, {H.h60_sql('g')} AS gh
+      FROM (SELECT doc_id, unnest({D.shingles_sql('text', 4)}) AS g FROM documents)
+    ),
+    bench AS (SELECT doc_id AS bench_id, gh FROM grams WHERE doc_id % 13 = 0),
+    train AS (SELECT doc_id AS train_id, gh AS tgh FROM grams WHERE doc_id % 13 <> 0)
+    SELECT bench_id,
+           CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs,
+           CAST(count(train_id) AS BIGINT) AS n_matches
+    FROM bench LEFT JOIN train ON gh = tgh
+    GROUP BY bench_id
+    """,
+    tags=("text", "contamination", "inverted-index"),
+)
+def contamination_bench_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: for each held-out "benchmark" document
+    (doc_id % 13 == 0 stands in for an eval set), count the training
+    documents sharing at least one normalized word 4-gram and the total
+    (train doc, shared gram) matches — the n-gram-overlap decontamination
+    check training pipelines run before a corpus ships. Plan: one shingle
+    explode, distinct per (doc, gram-hash), then an inverted-index join on
+    the 60-bit gram hash — the shuffle carries (id, hash) pairs only, raw
+    text never moves, and clean benchmark docs survive via the left join
+    (zero counts are the audit's point). At 100 TB the eval side is tiny, so
+    the gram join broadcasts the benchmark postings; hot boilerplate grams
+    are df-capped the same way dedup_ngram_jaccard documents."""
+    from ..functions.hashing import h60
+    from ..operators.dedup import shingles
+
+    docs = catalog(spark, sf_dir).documents
+    grams = (
+        docs.select("doc_id", F.explode(shingles("text", 4)).alias("g"))
+        .select("doc_id", h60(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % 13 == 0).select(
+        F.col("doc_id").alias("bench_id"), "gh"
+    )
+    train = grams.filter(F.col("doc_id") % 13 != 0).select(
+        F.col("doc_id").alias("train_id"), F.col("gh").alias("tgh")
+    )
+    return (
+        bench.join(train, F.col("gh") == F.col("tgh"), "left")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("train_id").alias("n_train_docs"),
+            F.count("train_id").alias("n_matches"),
+        )
     )
