@@ -42,6 +42,10 @@ __all__ = [
     "topk_bruteforce",
     "topk_lsh",
     "cosine_pairs",
+    "int8_scales",
+    "with_int8_codes",
+    "int8_codes_sql_cte",
+    "topk_int8",
 ]
 
 
@@ -433,3 +437,102 @@ def topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# ------------------------------------------------------- int8 quantization
+
+def int8_scales(corpus: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """One-row DataFrame with the per-dimension symmetric quantization scales
+    (``max |x_d|`` over the corpus), as an array<double>.
+
+    Computed as ``dim`` parallel ``max(abs(element_at(...)))`` aggregates in a
+    single reduce pass — no explode, no shuffle of vectors, and (unlike
+    summation) max is order-independent, so the scales are bit-identical on
+    any engine/partitioning. (This is N parallel *scalar* aggregates, not the
+    N-parallel-array-fold Catalyst blowup documented in dedup.py.)"""
+    maxes = [
+        F.max(F.abs(F.element_at(F.col(vec_col), d + 1).cast("double"))).alias(f"_m{d}")
+        for d in range(dim)
+    ]
+    return corpus.agg(*maxes).select(
+        F.array(*[F.greatest(F.col(f"_m{d}"), F.lit(1e-12)) for d in range(dim)]).alias(
+            "scales"
+        )
+    )
+
+
+def with_int8_codes(
+    corpus: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization: ``code_d = floor(x_d * 127 /
+    scale_d + 0.5)`` (the engine's portable round-half-up — Spark round() and
+    DuckDB round() disagree on doubles), codes in [-127, 127] as longs.
+
+    The 4x memory/bandwidth cut (plus integer dot products downstream) is the
+    standard first compression step for billion-vector ANN serving (cf. IVF-SQ8
+    in the FAISS/Milvus lineage). The one-row scales frame broadcasts via
+    crossJoin; vectors never shuffle."""
+    scales = int8_scales(corpus, vec_col, dim)
+    codes = F.zip_with(
+        F.col(vec_col),
+        F.col("scales"),
+        lambda x, s: F.floor(x.cast("double") * 127.0 / s + 0.5).cast("long"),
+    )
+    return corpus.crossJoin(F.broadcast(scales)).withColumn("codes", codes).drop("scales")
+
+
+def int8_codes_sql_cte(table: str = "embeddings", vec_col: str = "embedding") -> str:
+    """DuckDB CTE body computing the same (vec_id, label, codes) — the oracle
+    twin of :func:`with_int8_codes` (identical double ops, identical
+    round-half-up), for splicing into a WITH clause."""
+    return f"""
+    __scales AS (
+      SELECT list(m ORDER BY d) AS scales FROM (
+        SELECT d, greatest(max(abs(CAST(x AS DOUBLE))), 1e-12) AS m FROM (
+          SELECT unnest({vec_col}) AS x, generate_subscripts({vec_col}, 1) AS d
+          FROM {table}
+        ) GROUP BY d
+      )
+    ),
+    __codes AS (
+      SELECT vec_id, label,
+             list_transform(range(1, len({vec_col}) + 1),
+               i -> CAST(floor(CAST({vec_col}[i] AS DOUBLE) * 127.0 / scales[i] + 0.5)
+                    AS BIGINT)) AS codes
+      FROM {table}, __scales
+    )"""
+
+
+def topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k by integer dot product over int8 codes — the quantized search
+    path. Scores are exact integer arithmetic (|dot| <= dim * 127^2 ~ 1e6,
+    no float fold order at all), so ranking is deterministic and the whole
+    query is oracle-verifiable. Same shape as :func:`topk_bruteforce`:
+    broadcast query codes, corpus codes stay partitioned; at scale the codes
+    column is the only thing scanned (4x smaller than the float vectors)."""
+    coded = with_int8_codes(corpus, vec_col, dim)
+    q = queries.select(F.col(id_col).alias("query_id")).join(
+        coded.select(F.col(id_col).alias("query_id"), F.col("codes").alias("query_codes")),
+        "query_id",
+    )
+    c = coded.select(F.col(id_col).alias("neighbor_id"), "codes")
+    dot = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("query_codes"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", dot.alias("dot_int")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_int").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -80,6 +80,8 @@ _GATE_PRIORITY = [
     "tpch_q22_dormant_accounts",
     "text_repetition_stats",
     "contamination_bench_overlap",
+    "emb_int8_quantize",
+    "sim_topk_int8",
     # flagship parity queries stay inside any gate prefix
     "q1_typed_events",
     "q2_abnormal_minutes",

@@ -389,3 +389,75 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return topk_ivf(emb, queries, _trained_centroids(spark, sf_dir), k=_K, n_probe=2)
+
+
+from ..functions.hashing import h60, h60_sql  # noqa: E402
+from ..operators.similarity import int8_codes_sql_cte, topk_int8, with_int8_codes  # noqa: E402
+
+_CODES_STR_SQL = "array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',')"
+
+
+@register(
+    "emb_int8_quantize",
+    oracle=f"""
+    WITH {int8_codes_sql_cte()}
+    SELECT vec_id, label,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS code_l1,
+           {h60_sql(_CODES_STR_SQL)} AS code_hash
+    FROM __codes
+    """,
+    tags=("similarity", "quantization"),
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding corpus —
+    the 4x compression step (FAISS/Milvus SQ8 lineage) that makes
+    billion-vector indexes fit in memory and turns distance kernels into
+    integer ops. Scales = per-dim max|x| via one reduce pass (no shuffle,
+    order-independent); codes = portable round-half-up, bit-identical across
+    engines. Output pins every code exactly: min/max/L1 plus a 60-bit hash
+    of the full code string per vector (arrays themselves stay out of the
+    driver-gate contract)."""
+    emb = catalog(spark, sf_dir).embeddings
+    coded = with_int8_codes(emb)
+    code_str = F.concat_ws(",", F.transform(F.col("codes"), lambda x: x.cast("string")))
+    abs_sum = F.aggregate(
+        F.col("codes"), F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+    )
+    return coded.select(
+        "vec_id",
+        "label",
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        abs_sum.alias("code_l1"),
+        h60(code_str).alias("code_hash"),
+    )
+
+
+@register(
+    "sim_topk_int8",
+    oracle=f"""
+    WITH {int8_codes_sql_cte()}
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_dot_product(q.codes, c.codes) AS BIGINT) AS dot_int,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.codes, c.codes) DESC, c.vec_id
+           ) AS INTEGER) AS rank
+    FROM __codes q JOIN __codes c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+    QUALIFY rank <= {_K}
+    """,
+    tags=("similarity", "quantization", "ann"),
+)
+def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors by integer dot product over int8 codes — the
+    quantized search path. Scores are exact integer arithmetic (|dot| <=
+    64 * 127^2, no float fold order anywhere), so even tie-breaks are
+    deterministic and the approximate ranking is value-hash-verified against
+    the identical construction in SQL. At scale the scan reads the 4x-smaller
+    codes column only; queries broadcast as in the float baseline."""
+    emb = catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return topk_int8(emb, queries, k=_K)
