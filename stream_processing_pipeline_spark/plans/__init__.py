@@ -82,6 +82,7 @@ _GATE_PRIORITY = [
     "contamination_bench_overlap",
     "emb_int8_quantize",
     "sim_topk_int8",
+    "retrieval_quality_topk",
     # flagship parity queries stay inside any gate prefix
     "q1_typed_events",
     "q2_abnormal_minutes",

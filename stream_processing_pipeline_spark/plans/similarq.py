@@ -461,3 +461,61 @@ def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return topk_int8(emb, queries, k=_K)
+
+
+from ..operators.text import quality_metrics_sql  # noqa: E402
+
+_QUALITY_Q = quality_metrics_sql("text")["quality"]
+
+
+@register(
+    "retrieval_quality_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, {_QUALITY_Q} AS quality
+      FROM documents
+    ),
+    corpus AS (
+      SELECT e.vec_id, e.embedding, q.quality
+      FROM embeddings e JOIN q ON q.doc_id = e.vec_id
+      WHERE q.quality >= 0.5
+    )
+    SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id, c.quality,
+           {cosine_similarity_sql('c.embedding', 'qv.embedding')} AS cosine,
+           CAST(row_number() OVER (
+             PARTITION BY qv.vec_id
+             ORDER BY {cosine_similarity_sql('c.embedding', 'qv.embedding')} DESC,
+                      c.vec_id
+           ) AS INTEGER) AS rank
+    FROM embeddings qv JOIN corpus c ON c.vec_id != qv.vec_id
+    WHERE qv.vec_id < {_N_QUERIES}
+    QUALIFY rank <= 5
+    """,
+    tags=("similarity", "retrieval", "cross-table"),
+)
+def retrieval_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filtered retrieval: top-5 nearest embeddings per query, where
+    candidates must pass the text-quality gate — the "find more examples like
+    this, but only curation-grade ones" operation that links the text and
+    vector halves of a training-data pipeline. The documents⋈embeddings join
+    runs on aligned ids; the quality predicate prunes the candidate corpus
+    BEFORE any distance math (at 100 TB: quality is a pushed parquet
+    predicate on a precomputed column, so the ANN probe never touches
+    rejected documents)."""
+    from ..operators.text import quality_metrics
+
+    cat = catalog(spark, sf_dir)
+    quality = quality_metrics("text")["quality"]
+    q = cat.documents.select("doc_id", quality.alias("quality"))
+    corpus = (
+        cat.embeddings.join(q, F.col("doc_id") == F.col("vec_id"))
+        .filter(F.col("quality") >= 0.5)
+        .select("vec_id", "embedding", "quality")
+    )
+    queries = cat.embeddings.filter(F.col("vec_id") < _N_QUERIES)
+    out = topk_bruteforce(corpus, queries, k=5)
+    qual = corpus.select(F.col("vec_id").alias("neighbor_id"), "quality")
+    return out.join(F.broadcast(qual), "neighbor_id").select(
+        "query_id", "neighbor_id", "quality", "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
