@@ -197,3 +197,39 @@ def resize_media_batched(
             )
 
     return narrow.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def decode_media_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], tuple[int, int, str]] | None = None,
+) -> DataFrame:
+    """The ``mapInArrow`` twin of :func:`decode_media_batched`: identical
+    semantics and output schema, but the UDF consumes raw
+    ``pyarrow.RecordBatch`` objects — no Arrow->pandas->Arrow conversion, no
+    pandas object boxing of the binary payloads. For large binary columns
+    this is the lowest-overhead Python hop PySpark offers (the batch's
+    payload buffers are handed over zero-copy), which is exactly the hot
+    path for 100 TB media decode. Same stub decoder, same oracle."""
+    decode = decoder or fake_decoder
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def batches(it: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in it:
+            payloads = batch.column(1).to_pylist()
+            decoded = [decode(bytes(p)) for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).cast(pa.int64()),
+                    pa.array([len(p) for p in payloads], pa.int64()),
+                    pa.array([d[0] for d in decoded], pa.int32()),
+                    pa.array([d[1] for d in decoded], pa.int32()),
+                    pa.array([d[2] for d in decoded], pa.string()),
+                ],
+                names=["doc_id", "byte_len", "width", "height", "format"],
+            )
+
+    return narrow.mapInArrow(batches, DECODE_SCHEMA)

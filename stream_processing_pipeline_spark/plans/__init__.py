@@ -54,7 +54,6 @@ _GATE_PRIORITY = [
     "mixture_downsample",
     # new or reimplemented in round 2
     "user_value_minmax_scaled",
-    "user_value_minmax_pandas",
     "dedup_embedding_cosine_lsh",
     "sim_topk_lsh_multiprobe",
     "tpch_q5_local_supplier_volume",
@@ -83,6 +82,7 @@ _GATE_PRIORITY = [
     "emb_int8_quantize",
     "sim_topk_int8",
     "retrieval_quality_topk",
+    "mm_decode_arrow",
     # flagship parity queries stay inside any gate prefix
     "q1_typed_events",
     "q2_abnormal_minutes",
@@ -90,6 +90,11 @@ _GATE_PRIORITY = [
     "q4_avg_value_per_hour",
     "q5_event_counts_per_hour",
     "q6_counts_by_segment",
+    # 51st: the explicitly-tagged pandas demo twin — it shares its oracle
+    # with the verified JVM plan (user_value_minmax_scaled) and is pinned by
+    # the local suite, so it is the least-risk query to sit just past a
+    # 50-entry gate cap.
+    "user_value_minmax_pandas",
 ]
 
 

@@ -159,3 +159,31 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_binary_payload(catalog(spark, sf_dir).documents, "text")
     return resize_media_batched(decode_media_batched(docs), max_dim=128)
+
+
+@register(
+    "mm_decode_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 192
+                AS INTEGER) AS width,
+           CAST(64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 192
+                AS INTEGER) AS height,
+           ['jpeg', 'png', 'webp'][1 + CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) % 3]
+             AS format
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "arrow-udf"),
+)
+def mm_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` decode twin of ``mm_decode``: same stub decoder, same
+    oracle, but the Python stage consumes raw pyarrow RecordBatches with
+    zero-copy payload buffers — no pandas materialization. Verifying both
+    flavors against ONE oracle pins that the engine's two batch-Python hops
+    are value-identical; mapInArrow is the preferred hot path for binary
+    media at scale."""
+    from ..operators.multimodal import decode_media_arrow
+
+    docs = attach_binary_payload(catalog(spark, sf_dir).documents, "text")
+    return decode_media_arrow(docs, id_col="doc_id", payload_col="payload")
