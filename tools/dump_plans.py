@@ -28,6 +28,10 @@ HEADLINERS = {
     "user_value_minmax_scaled": "per-user min-max scaling as a JVM window expression (no Python workers)",
     "user_value_trailing_hour": "RANGE-frame trailing-hour window over epoch seconds",
     "tpch_q8_market_share": "two nation roles + conditional/total ratio on exact cents",
+    "tpch_q18_large_volume_customers": "HAVING-subquery computed once (agg reused as filter and output) + broadcast customer + top-k",
+    "tpch_q21_suppliers_kept_waiting": "EXISTS/NOT-EXISTS double correlation as left-semi + left-anti on compact (orderkey, suppkey) pairs",
+    "contamination_bench_overlap": "inverted-index gram-hash join + two-level aggregation (no multi-distinct Expand)",
+    "sim_topk_int8": "int8 codes: one max-reduce for scales, broadcast query codes, exact integer dot ranking",
 }
 
 
