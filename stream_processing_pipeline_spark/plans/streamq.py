@@ -216,3 +216,63 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("total_cents") / 100.0).alias("total_value"),
     )
+
+
+@register(
+    "asof_cogrouped_pandas",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts < e.ts) AS last_click_ts
+    FROM events e WHERE event_type = 'purchase'
+    """,
+    tags=("streaming-op", "asof-join", "pandas-udf", "cogrouped-map"),
+)
+def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogrouped-map pandas showcase: per-user as-of merge of two event
+    streams via ``groupBy().cogroup().applyInPandas`` (pandas ``merge_asof``
+    inside, strict strictly-before semantics) — the sixth and last Arrow UDF
+    flavor (scalar, grouped-map, cogrouped-map, mapInPandas, mapInArrow,
+    stateful), value-verified against a correlated-subquery oracle. This is
+    the slot for two-sided per-key Python logic (feature backfills, custom
+    event alignment) that the JVM window form can't express; for plain as-of
+    semantics prefer the window plan (``asof_last_click_before_purchase``).
+    Scale shape: one shuffle of each side on user_id, Arrow-batched per-key
+    frames, output rows only."""
+    import pandas as pd
+
+    ev = catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "last_click_ts"]
+            )
+        out = left.sort_values("ts", kind="mergesort")
+        if right.empty:
+            out = out.assign(last_click_ts=pd.NaT)
+        else:
+            out = pd.merge_asof(
+                out,
+                right.sort_values("ts", kind="mergesort")[["ts"]].assign(
+                    last_click_ts=lambda d: d["ts"]
+                ),
+                on="ts",
+                direction="backward",
+                allow_exact_matches=False,
+            )
+        return out[["event_id", "user_id", "ts", "last_click_ts"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, ts timestamp_ntz, last_click_ts timestamp_ntz",
+        )
+    )

@@ -31,7 +31,8 @@ def test_priority_queries_inside_plausible_gate_prefix():
     which shares its oracle with its verified JVM plan and is pinned by the
     local suite (plans/__init__.py explains the choice)."""
     overflow = list(_GATE_PRIORITY)[50:]
-    assert overflow in ([], ["user_value_minmax_pandas"]), overflow
+    allowed = {"user_value_minmax_pandas", "asof_cogrouped_pandas"}
+    assert set(overflow) <= allowed, overflow
 
 
 def test_oracle_coverage_is_total_minus_documented_exceptions():
