@@ -19,6 +19,7 @@ package generalizes that into:
 """
 
 from .alerts import Alerter, CallbackAlerter, EmailAlerter, LogAlerter
+from .observe import BatchMetrics, MetricsRecorder, with_observed_metrics
 from .runner import ROCKSDB_PROVIDER, StreamQuerySpec, Topology, run_available_now
 from .sinks import (
     FanOutSink,
@@ -30,6 +31,9 @@ from .sinks import (
 )
 
 __all__ = [
+    "BatchMetrics",
+    "MetricsRecorder",
+    "with_observed_metrics",
     "Alerter",
     "LogAlerter",
     "CallbackAlerter",
