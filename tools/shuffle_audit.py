@@ -1,0 +1,112 @@
+"""Measure per-query shuffle volume — evidence for the "minimize shuffles"
+design rule (writes SHUFFLE.md).
+
+For each audited query: run it to completion, attribute the new stages via
+the Spark status REST API, and record input records vs shuffle-write
+bytes/records (the vectorized parquet reader's inputBytes counter is not
+meaningful, so input is measured in rows). The figure of merit is bytes
+shuffled per row scanned: a well-shaped plan shuffles derived compact keys
+(hashes, ids, partial aggregates), not raw data — single-digit B/row keeps
+the network negligible next to the scan at any scale.
+
+Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/shuffle_audit.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+UI_PORT = 4046
+
+# Query -> what its shuffle SHOULD be, stated up front so the measurement is
+# checkable against the claim.
+AUDITED = {
+    "tpch_q1_pricing_summary": "partial/final agg only: shuffle = 6 groups of partial sums",
+    "tpch_q3_shipping_priority": "broadcast dims; shuffle = orderkey join + per-order partials",
+    "revenue_by_nation": "star join, all dims broadcast; shuffle = orderkey join + 5 groups",
+    "tpch_q18_large_volume_customers": "one lineitem agg on orderkey; survivors join orders",
+    "tpch_q21_suppliers_kept_waiting": "semi/anti joins on compact (orderkey, suppkey) pairs",
+    "dedup_exact": "16 B/doc = one (h60, id) pair per ~600 B document; text never moves",
+    "dedup_minhash_lsh": "4 bands x (band_hash, id) per ~600 B doc; signatures, never shingles",
+    "contamination_bench_overlap": "postings = one 8 B hash per distinct 4-gram (~0.6x the text bytes; raw grams would be ~4x)",
+    "sim_topk_int8": "scales reduce + broadcast query codes; corpus unshuffled until top-k ranking",
+    "text_repetition_stats": "(doc_id, gram, count) partials, ~1x text bytes (gram strings are the group keys)",
+    "q6_counts_by_segment": "broadcast dim join; shuffle = windowed partial counts",
+}
+
+
+def _get(path: str):
+    with urllib.request.urlopen(f"http://localhost:{UI_PORT}{path}") as r:
+        return json.load(r)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from stream_processing_pipeline_spark.plans import REGISTRY
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("shuffle-audit")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = _get("/api/v1/applications")[0]["id"]
+
+    def stage_rows():
+        return {
+            (s["stageId"], s["attemptId"]): s
+            for s in _get(f"/api/v1/applications/{app_id}/stages")
+            if s["status"] in ("COMPLETE", "ACTIVE")
+        }
+
+    results = []
+    seen = set(stage_rows())
+    for name, claim in AUDITED.items():
+        REGISTRY[name].fn(spark, SF_DIR).collect()
+        rows = stage_rows()
+        new = [s for key, s in rows.items() if key not in seen]
+        seen = set(rows)
+        in_rec = sum(s.get("inputRecords", 0) for s in new)
+        shw = sum(s.get("shuffleWriteBytes", 0) for s in new)
+        shw_rec = sum(s.get("shuffleWriteRecords", 0) for s in new)
+        results.append((name, in_rec, shw, shw_rec, claim))
+        print(f"{name:36s} inputRows={in_rec:9d} shuffleWrite={shw/1e6:8.3f}MB rows={shw_rec}")
+
+    lines = [
+        "# SHUFFLE — measured shuffle volume per headline query (auto-generated)",
+        "",
+        f"`tools/shuffle_audit.py` at `{SF_DIR}`, local[8], 32 shuffle",
+        "partitions, AQE on. The figure of merit is **bytes shuffled per row",
+        "scanned**: a well-shaped plan moves derived compact keys (hashes,",
+        "ids, partial aggregates), not raw rows, so single-digit bytes/row",
+        "means the network cost stays negligible next to the scan as data",
+        "grows 1000x. (Parquet input is measured in records — the vectorized",
+        "reader's byte counter is not meaningful.)",
+        "",
+        "| query | input rows | shuffle write | shuffle rows | shuffle B/input row | expected shuffle contents |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, in_rec, shw, shw_rec, claim in results:
+        per = f"{shw / in_rec:.2f}" if in_rec else "n/a"
+        lines.append(
+            f"| `{name}` | {in_rec:,} | {shw / 1e6:.3f} MB | {shw_rec:,} | {per} | {claim} |"
+        )
+    lines.append("")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SHUFFLE.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("SHUFFLE.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
