@@ -117,7 +117,7 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT format, count(*) AS n, sum(byte_len) AS total_bytes
     FROM d GROUP BY format
     """,
-    tags=("multimodal", "aggregation"),
+    tags=("multimodal", "aggregation", "pandas-udf"),
 )
 def mm_format_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus stats over decoded metadata: media pipeline -> relational

@@ -125,3 +125,28 @@ def test_trailing_hour_single_window_pass(spark):
     assert len(re.findall(r"\n\(\d+\) Exchange\n", plan)) == 1
     for s in read_schemas(plan):
         assert "event_type" not in s and "props" not in s
+
+
+def test_python_nodes_only_in_declared_python_queries(spark):
+    """Registry-wide guard: EvalPython / pandas / Arrow nodes may appear ONLY
+    in queries explicitly tagged as Python paths. A stray Python hop in a
+    scan query is the single worst 100 TB regression (10-100x slowdown), so
+    a new query that silently routes through Python fails here."""
+    python_tags = {"pandas-udf", "arrow-udf", "stateful", "cogrouped-map"}
+    offenders, missing_tag = [], []
+    for name, q in REGISTRY.items():
+        plan = plan_of(spark, name)
+        has_python = (
+            "EvalPython" in plan or "MapInPandas" in plan or "MapInArrow" in plan
+            or "FlatMapGroupsInPandas" in plan or "FlatMapCoGroupsInPandas" in plan
+        )
+        declared = bool(python_tags & set(q.tags))
+        if has_python and not declared:
+            offenders.append(name)
+        if declared and not has_python:
+            missing_tag.append(name)
+    assert not offenders, f"undeclared Python paths: {offenders}"
+    # declared-but-JVM is allowed only for the streaming stateful query,
+    # whose batch *plan build* executes the stream eagerly (plan string is
+    # the finished DataFrame's), and the int8/LSH families that tag udf-free
+    assert set(missing_tag) <= {"stream_user_stats"}, missing_tag
