@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "write_bucketed", "read_bucketed_join_plan"]
+__all__ = ["salted_join", "write_bucketed", "read_bucketed_join_plan", "write_partitioned"]
 
 
 def salted_join(
@@ -66,3 +66,22 @@ def read_bucketed_join_plan(
 ) -> DataFrame:
     """Join two co-bucketed tables (shuffle-free when buckets align)."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    sort_col: str | None = None,
+) -> None:
+    """Persist with directory partitioning (+ optional within-file ordering).
+
+    At 100 TB this is the other half of the layout story next to bucketing:
+    partition directories let the planner prune whole subtrees from the scan
+    (``PartitionFilters`` in the plan — zero IO for untouched partitions),
+    and within-file ordering tightens parquet min/max row-group statistics
+    so even intra-partition predicates skip pages. Date is the canonical
+    partition key for event data; cardinality must stay in the thousands
+    (one directory + >=1 file per value)."""
+    out = df.sortWithinPartitions(sort_col) if sort_col else df
+    out.write.partitionBy(partition_col).mode("overwrite").parquet(path)

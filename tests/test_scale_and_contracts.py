@@ -103,3 +103,40 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_orders_b")
     spark.sql("DROP TABLE IF EXISTS t_items_b")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A date-partitioned layout must surface the predicate as a
+    PartitionFilter (directory pruning — zero IO for other days), not a data
+    filter evaluated against every row."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.operators.scale import write_partitioned
+    from stream_processing_pipeline_spark.sources.registry import TableCatalog
+
+    from .conftest import SF_SMALL
+
+    events = TableCatalog(spark, SF_SMALL, register_views=False).events
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(
+        events.withColumn("day", F.to_date("ts")), path, "day", sort_col="user_id"
+    )
+
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("day") == "2024-01-02")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the day predicate must be in the partition filters, not a row filter
+    import re
+
+    pf = " ".join(re.findall(r"PartitionFilters: \[([^\]]*)\]", plan))
+    assert "day" in pf and "2024-01-02" in pf, plan
+    # and the rows really are only that day's
+    days = [r.day.isoformat() for r in one_day.select("day").distinct().collect()]
+    assert days == ["2024-01-02"]
