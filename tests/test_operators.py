@@ -158,3 +158,24 @@ def test_thumbnail_dims_edges():
     assert thumbnail_dims(129, 129) == (128, 128)       # just over bound
     w, h = thumbnail_dims(1920, 1080)
     assert (w, h) == (128, 1080 * 128 // 1920)
+
+
+def test_contract_malformed_json_resilience(spark):
+    """Malformed wire payloads must not kill the stream: from_json yields
+    typed NULLs (PERMISSIVE semantics), row count is preserved, and valid
+    rows in the same batch parse normally — the poison-pill behavior a
+    24/7 ingest pipeline needs (the reference would crash-loop the batch)."""
+    payloads = [
+        ('{"VendorID":"2","tpep_pickup_datetime":"2024-01-01 09:30:00",'
+         '"passenger_count":"1","fare_amount":"12.5"}',),
+        ("{not json at all",),
+        ("",),
+        ('{"VendorID":"7"}',),  # valid but sparse: missing keys -> NULLs
+    ]
+    df = spark.createDataFrame(payloads, ["value"])
+    out = TRIP_CONTRACT.parse_json(df).collect()
+    assert len(out) == 4  # nothing dropped, nothing thrown
+    assert out[0].vendor_id == 2 and out[0].fare_amount == 12.5
+    assert out[1].vendor_id is None  # malformed -> all-NULL row
+    assert out[2].vendor_id is None
+    assert out[3].vendor_id == 7 and out[3].fare_amount is None
