@@ -43,6 +43,11 @@ class EventsTopologyBuilder:
     sink_factory: Callable[[str], ForeachBatchSink]
     alerter: Alerter | None = None
     watermark: str = WATERMARK
+    # Attach in-plan observed ingest metrics (rows, null keys, exact value
+    # cents) to the shared source lineage; every query then reports them per
+    # batch via StreamingQueryProgress (collect with observe.MetricsRecorder).
+    # Zero extra scans — the aggregates ride the existing pass.
+    observe_metrics: bool = False
     sinks: dict[str, ForeachBatchSink] = field(default_factory=dict)
 
     def _sink(self, name: str) -> ForeachBatchSink:
@@ -58,6 +63,10 @@ class EventsTopologyBuilder:
         their state belongs to a per-query checkpoint. Sink contents are
         identical in both modes (pinned by ``test_fanout_topology_equivalence``)."""
         ev = self.events_stream
+        if self.observe_metrics:
+            from .observe import with_observed_metrics
+
+            ev = with_observed_metrics(ev, name="ingest")
         wm = self.watermark
 
         q2_sink = self._sink("abnormal_minutes")

@@ -276,3 +276,47 @@ def test_fanout_topology_equivalence(spark, tmp_path):
     ]:
         assert 0 < len(sinks[name].rows) <= batch_df.count(), name
     assert alerter.sent  # alerts still fire from inside the fan-out
+
+
+def test_topology_observed_ingest_metrics(spark, tmp_path):
+    """observe_metrics=True surfaces per-batch ingest counters from every
+    query of the topology through the listener — each query re-reads the
+    source (Structured Streaming's model), so per-query ingest totals each
+    equal the event count, giving per-consumer lag/health visibility with
+    zero extra scans."""
+    import time
+
+    from stream_processing_pipeline_spark.streaming.observe import MetricsRecorder
+
+    cat = TableCatalog(spark, SF_SMALL, register_views=False)
+    ev = cat.events.orderBy("ts")
+    stream = chunked_stream(spark, ev, str(tmp_path / "chunks"), n_chunks=2)
+
+    recorder = MetricsRecorder()
+    spark.streams.addListener(recorder)
+    try:
+        topo = Topology(spark, checkpoint_root=str(tmp_path / "ckpt"))
+        EventsTopologyBuilder(
+            events_stream=stream,
+            customer_dim=cat.customer,
+            sink_factory=lambda name: MemoryRowsSink(),
+            observe_metrics=True,
+        ).build(topo)
+        topo.start_all(available_now=True)
+        topo.await_all(timeout=240)
+        topo.stop_all()
+        n = ev.count()
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            totals = recorder.totals()
+            if len(totals) == 6 and all(t["n_rows"] == n for t in totals.values()):
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(recorder)
+
+    totals = recorder.totals()
+    assert len(totals) == 6, totals  # every query reported ingest metrics
+    for qname, t in totals.items():
+        assert t["n_rows"] == n, (qname, t)
+        assert t["null_keys"] == 0, (qname, t)
