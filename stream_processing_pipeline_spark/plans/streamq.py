@@ -246,7 +246,14 @@ def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    # The click side gets RENAMED columns: both inputs derive from the same
+    # scan, and with shared attribute ids Catalyst prunes the right side's
+    # ts away under the engine session's optimizer settings (observed: right
+    # frames arrive with only [user_id]). Distinct names keep both lineages
+    # intact under any optimizer configuration.
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+    )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
@@ -259,10 +266,11 @@ def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             out = pd.merge_asof(
                 out,
-                right.sort_values("ts", kind="mergesort")[["ts"]].assign(
-                    last_click_ts=lambda d: d["ts"]
+                right.sort_values("c_ts", kind="mergesort")[["c_ts"]].assign(
+                    last_click_ts=lambda d: d["c_ts"]
                 ),
-                on="ts",
+                left_on="ts",
+                right_on="c_ts",
                 direction="backward",
                 allow_exact_matches=False,
             )
@@ -270,7 +278,7 @@ def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        .cogroup(clicks.groupBy("c_user_id"))
         .applyInPandas(
             merge,
             "event_id long, user_id long, ts timestamp_ntz, last_click_ts timestamp_ntz",
