@@ -66,7 +66,7 @@ _GATE_PRIORITY = [
     "corpus_clean_train_sample",
     "stratified_sample_exact",
     "tpch_q8_market_share",
-    "text_bpe_token_stats_pandas",
+    "sim_pq_codes",
     "event_props_extract",
     "mm_resize",
     "tpch_q10_returned_items",
@@ -97,6 +97,7 @@ _GATE_PRIORITY = [
     # inside the 50-prefix.
     "user_value_minmax_pandas",
     "asof_cogrouped_pandas",
+    "text_bpe_token_stats_pandas",
 ]
 
 

@@ -519,3 +519,73 @@ def retrieval_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "quality", "cosine",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+_PQ_M, _PQ_K, _PQ_DSUB = 8, 16, 8  # 8 subspaces x 16 codewords over 64 dims
+
+_PQ_CODE_COLS = ",\n           ".join(
+    f"CAST(max(CASE WHEN j = {j} THEN cid END) AS INTEGER) AS code_{j}"
+    for j in range(_PQ_M)
+)
+
+_PQ_CODEBOOKS: dict = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _PQ_CODEBOOKS:
+        from ..operators.similarity import pq_codebooks_int
+
+        _PQ_CODEBOOKS[key] = pq_codebooks_int(
+            catalog(spark, sf_dir).embeddings, m=_PQ_M, k=_PQ_K
+        )
+    return _PQ_CODEBOOKS[key]
+
+
+@register(
+    "sim_pq_codes",
+    oracle=f"""
+    WITH s AS (
+      SELECT (max(vec_id) + 1) // {_PQ_K} AS step FROM embeddings
+    ),
+    cent AS (
+      SELECT CAST(vec_id // step AS INTEGER) AS cid, {_VI} AS cvec
+      FROM embeddings, s
+      WHERE vec_id % step = 0 AND vec_id // step < {_PQ_K}
+    ),
+    q AS (SELECT vec_id, label, {_VI} AS vi FROM embeddings),
+    d AS (
+      SELECT q.vec_id, q.label, sub.j, cent.cid,
+             list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+               i -> (vi[sub.j * {_PQ_DSUB} + i] - cvec[sub.j * {_PQ_DSUB} + i])
+                  * (vi[sub.j * {_PQ_DSUB} + i] - cvec[sub.j * {_PQ_DSUB} + i])))
+               AS d2
+      FROM q, cent, (SELECT unnest(range(0, {_PQ_M})) AS j) sub
+    ),
+    best AS (
+      SELECT vec_id, label, j, cid, d2
+      FROM d
+      QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) = 1
+    )
+    SELECT vec_id, label,
+           {_PQ_CODE_COLS},
+           CAST(sum(d2) AS BIGINT) AS distortion
+    FROM best GROUP BY vec_id, label
+    """,
+    tags=("similarity", "quantization", "pq", "static"),
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (IVF-PQ lineage): 64-dim vectors compress 32x
+    into 8 codes of 4 bits (16-codeword codebook per 8-dim subspace), plus
+    the total integer distortion. Codebooks are the sampled-seed rule (the
+    k evenly-spaced corpus vectors, split per subspace) — a fixed function
+    of the data, so the entire construction is SQL-expressible and
+    value-hash verified, argmin tie-breaks included (exact integer
+    micro-unit distances, min by (dist, codeword)). Scale shape: codebooks
+    are plan literals (k*dim ints broadcast in the plan), assignment is one
+    no-shuffle scan pass; at serving time the 8-byte codes column replaces
+    the 256-byte float vectors for ADC distance scans."""
+    from ..operators.similarity import with_pq_codes
+
+    emb = catalog(spark, sf_dir).embeddings
+    return with_pq_codes(emb, _pq_books(spark, sf_dir))

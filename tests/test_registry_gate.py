@@ -31,7 +31,11 @@ def test_priority_queries_inside_plausible_gate_prefix():
     which shares its oracle with its verified JVM plan and is pinned by the
     local suite (plans/__init__.py explains the choice)."""
     overflow = list(_GATE_PRIORITY)[50:]
-    allowed = {"user_value_minmax_pandas", "asof_cogrouped_pandas"}
+    allowed = {
+        "user_value_minmax_pandas",
+        "asof_cogrouped_pandas",
+        "text_bpe_token_stats_pandas",
+    }
     assert set(overflow) <= allowed, overflow
 
 
