@@ -69,6 +69,7 @@ _GATE_PRIORITY = [
     "sim_pq_codes",
     "event_props_extract",
     "mm_resize",
+    "sim_topk_pq",
     "tpch_q10_returned_items",
     "tpch_q12_late_shipments",
     "tpch_q13_customer_distribution",
@@ -82,7 +83,6 @@ _GATE_PRIORITY = [
     "emb_int8_quantize",
     "sim_topk_int8",
     "retrieval_quality_topk",
-    "mm_decode_arrow",
     # flagship parity queries stay inside any gate prefix
     "q1_typed_events",
     "q2_abnormal_minutes",
@@ -98,6 +98,7 @@ _GATE_PRIORITY = [
     "user_value_minmax_pandas",
     "asof_cogrouped_pandas",
     "text_bpe_token_stats_pandas",
+    "mm_decode_arrow",
 ]
 
 

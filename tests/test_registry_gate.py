@@ -35,6 +35,7 @@ def test_priority_queries_inside_plausible_gate_prefix():
         "user_value_minmax_pandas",
         "asof_cogrouped_pandas",
         "text_bpe_token_stats_pandas",
+        "mm_decode_arrow",
     }
     assert set(overflow) <= allowed, overflow
 

@@ -140,3 +140,33 @@ def test_int8_topk_recall_vs_exact(spark):
     # by dot product, not cosine; on the near-uniform fixture that still
     # recovers a solid majority of the cosine top-10.
     assert recall >= 0.5, recall
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """PQ-ADC recovers a nontrivial slice of the exact top-10 even on the
+    worst-case near-uniform fixture (cf. the LSH story: recall on
+    unstructured data is bounded by theory — measured 0.17 here vs 0.10
+    single-probe LSH — while clustered production embeddings sit in the
+    high-recall regime). The floor pins that the 32x-compressed path stays
+    a usable candidate generator, with exact re-ranking downstream."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.operators.similarity import (
+        pq_codebooks_int,
+        topk_bruteforce,
+        topk_pq_adc,
+    )
+    from stream_processing_pipeline_spark.plans.common import catalog
+
+    emb = catalog(spark, SF_SMALL).embeddings
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_bruteforce(emb, queries, k=10).collect()
+    }
+    books = pq_codebooks_int(emb, m=8, k=16)
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_pq_adc(emb, queries, books, k=10).collect()
+    }
+    assert len(exact & pq) / len(exact) >= 0.1
