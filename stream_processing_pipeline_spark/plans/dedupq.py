@@ -361,3 +361,83 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = lsh_candidate_pairs(catalog(spark, sf_dir).documents)
     return connected_components(pairs)
+
+
+_CHUNK_TOKENS = 16
+_SLOT_BASE = 1_000_000  # chunk_no < 1e6 by construction (docs are << 16M tokens)
+
+
+@register(
+    "dedup_span_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             pos // {_CHUNK_TOKENS} AS chunk_no,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk
+      FROM toks GROUP BY doc_id, pos // {_CHUNK_TOKENS}
+    ), keyed AS (
+      SELECT doc_id, chunk_no,
+             {h60_sql('chunk')} AS h,
+             doc_id * {_SLOT_BASE} + chunk_no AS slot
+      FROM chunks
+    ), owned AS (
+      SELECT doc_id,
+             CASE WHEN slot = min(slot) OVER (PARTITION BY h)
+                  THEN 0 ELSE 1 END AS is_dup
+      FROM keyed
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(is_dup) AS BIGINT) AS n_dup_chunks
+    FROM owned GROUP BY doc_id
+    """,
+    tags=("dedup", "span", "sub-document"),
+)
+def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup: split every document into fixed 16-token
+    chunks, hash each chunk, and mark every chunk whose exact content
+    already occurs at an earlier (doc_id, chunk_no) slot — the
+    paragraph/boilerplate-level pass (CCNet-style) that exact whole-doc
+    dedup misses. Output is the per-document audit: chunk count and how
+    many chunks are repeats of earlier spans.
+
+    Scale: the chunk array is built per-row with one split() (the token
+    array is a named projection, so Catalyst does not inline/recompute it
+    per lambda element), and only (doc_id, chunk_no, h60) 24-byte tuples
+    shuffle — raw text never leaves its scan partition, matching the
+    dedup family's compact-key shuffle contract. The ownership pass is a
+    single window over the 60-bit hash; the per-doc roll-up shuffles two
+    ints per chunk."""
+    from pyspark.sql import Window
+
+    docs = catalog(spark, sf_dir).documents
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    chunked = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(toks) / {_CHUNK_TOKENS}.0)) - 1),"
+                f" i -> array_join(slice(toks, i * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS}), ' '))"
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    keyed = chunked.select(
+        "doc_id",
+        "chunk_no",
+        h60(F.col("chunk")).alias("h"),
+        (F.col("doc_id") * _SLOT_BASE + F.col("chunk_no")).alias("slot"),
+    )
+    w = Window.partitionBy("h")
+    owned = keyed.select(
+        "doc_id",
+        F.when(F.col("slot") == F.min("slot").over(w), 0).otherwise(1).alias("is_dup"),
+    )
+    return owned.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("is_dup").cast("long").alias("n_dup_chunks"),
+    )

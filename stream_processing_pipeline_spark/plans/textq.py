@@ -587,3 +587,129 @@ def contamination_bench_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("train_id").alias("n_train_docs"),
         F.sum("c").alias("n_matches"),
     )
+
+
+from ..functions.hashing import stable_bucket_sql as _sbs
+
+_PACK_SHARDS = 8
+_PACK_CTX = 512
+_PACK_ORD = T.h60_sql("concat('pack:', CAST(doc_id AS VARCHAR))")
+_PACK_SHARD = _sbs("doc_id", _PACK_SHARDS, salt="packshard:")
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST({T.token_count_sql('text')} AS BIGINT) AS n_tokens,
+             {_PACK_SHARD} AS shard,
+             {_PACK_ORD} AS ord
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY ord, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_offset,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY ord, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / {_PACK_CTX}) AS BIGINT) AS pack_id
+    FROM t
+    """,
+    tags=("text", "sampling", "packing"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign every document a deterministic shard
+    and a token ``start_offset`` inside that shard's concatenated stream, so
+    ``pack_id = start_offset // 512`` is the fixed-width context window the
+    document starts in (split-anywhere packing, the layout most pretraining
+    loaders use). Order within a shard is a salted hash of the id — a
+    reproducible shuffle, not arrival order. Scale: the only shuffle is the
+    shard partition itself, the running sum is a per-shard window (no global
+    sort), and shard count is a knob — at 100 TB raise it until each shard's
+    token stream fits one writer task."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import h60, stable_bucket
+
+    docs = catalog(spark, sf_dir).documents
+    t = docs.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        stable_bucket(F.col("doc_id"), _PACK_SHARDS, salt="packshard:").alias("shard"),
+        h60(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias("ord"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / _PACK_CTX).cast("long").alias("pack_id"),
+    )
+
+
+_EPOCH_SHARDS = 16
+
+
+@register(
+    "corpus_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, epoch,
+             CAST({T.h60_sql("concat('epoch', CAST(epoch AS VARCHAR), ':', CAST(doc_id AS VARCHAR))")}
+                  AS BIGINT) AS ord
+      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS epoch)
+    )
+    SELECT doc_id, epoch,
+           CAST(ord % {_EPOCH_SHARDS} AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY epoch, ord % {_EPOCH_SHARDS}
+                  ORDER BY ord, doc_id) AS BIGINT) AS pos
+    FROM e
+    """,
+    tags=("text", "sampling", "shuffle"),
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle: each epoch salts the hash, so
+    (shard, pos) is a fresh pseudo-random permutation per epoch yet exactly
+    reproducible — the property a resumable training loader needs (seek to
+    (epoch, shard, pos) without materializing an order column). The
+    permutation is a pure function of (epoch, doc_id): no RNG state, no
+    dependence on partition layout. Scale: row_number windows are per
+    (epoch, shard) — shard count bounds the window partition size, and the
+    epoch fan-out is a row-multiplying projection, not a join."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import h60
+
+    docs = catalog(spark, sf_dir).documents
+    e = docs.select(
+        "doc_id", F.explode(F.array(F.lit(1), F.lit(2))).alias("epoch")
+    ).select(
+        "doc_id",
+        "epoch",
+        h60(
+            F.concat(
+                F.lit("epoch"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("ord"),
+    )
+    shard = (F.col("ord") % _EPOCH_SHARDS).cast("int")
+    w = Window.partitionBy("epoch", shard).orderBy("ord", "doc_id")
+    return e.select(
+        "doc_id",
+        "epoch",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
