@@ -101,6 +101,16 @@ _GATE_PRIORITY = [
     "mm_decode_arrow",
 ]
 
+# Deliberately NOT rotated into the prefix despite late-r2 changes: the
+# shingles() lambda-binding rewrite (operators/dedup.py) is a result-
+# preserving physical-expression change; its consumer family
+# (dedup_minhash_*, dedup_ngram_jaccard, dedup_components,
+# corpus_clean_train_sample, dedup_incremental) was gate-green in r1 and
+# re-verified against unchanged oracles by tools/driver_sim.py after the
+# rewrite. Queries registered after the prefix froze (dedup_span_chunks,
+# corpus_pack_sequences, corpus_epoch_shuffle, quality_weighted_sample)
+# are oracle-verified locally and rotate into the prefix next round.
+
 
 def _apply_gate_priority() -> None:
     ordered = {n: REGISTRY[n] for n in _GATE_PRIORITY if n in REGISTRY}

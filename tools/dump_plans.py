@@ -30,8 +30,10 @@ HEADLINERS = {
     "tpch_q8_market_share": "two nation roles + conditional/total ratio on exact cents",
     "tpch_q18_large_volume_customers": "HAVING-subquery computed once (agg reused as filter and output) + broadcast customer + top-k",
     "tpch_q21_suppliers_kept_waiting": "EXISTS/NOT-EXISTS double correlation as left-semi + left-anti on compact (orderkey, suppkey) pairs",
-    "contamination_bench_overlap": "inverted-index gram-hash join + two-level aggregation (no multi-distinct Expand)",
+    "contamination_bench_overlap": "single-pass gram-hash postings (one corpus scan) + two-level aggregation (no multi-distinct Expand)",
     "sim_topk_int8": "int8 codes: one max-reduce for scales, broadcast query codes, exact integer dot ranking",
+    "dedup_span_chunks": "per-row 16-token chunking (split evaluated once) — only (id, chunk_no, h60) tuples shuffle",
+    "corpus_pack_sequences": "context-window packing via per-shard running token sums — no global sort",
 }
 
 
