@@ -108,7 +108,8 @@ _GATE_PRIORITY = [
 # corpus_clean_train_sample, dedup_incremental) was gate-green in r1 and
 # re-verified against unchanged oracles by tools/driver_sim.py after the
 # rewrite. Queries registered after the prefix froze (dedup_span_chunks,
-# corpus_pack_sequences, corpus_epoch_shuffle, quality_weighted_sample)
+# corpus_pack_sequences, corpus_epoch_shuffle, quality_weighted_sample,
+# tpch_q15_top_supplier)
 # are oracle-verified locally and rotate into the prefix next round.
 
 

@@ -409,3 +409,51 @@ def tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         sum_money("c_acctbal").alias("totacctbal"),
     )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             {sum_money_sql(_DISC_PRICE, 4)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+    """,
+    tags=("batch", "join", "agg-reuse"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum revenue in one quarter. The
+    revenue "view" is computed ONCE — a single shuffled aggregation of the
+    filtered lineitem on l_suppkey in exact integer cents — and the global
+    max is a window over that already-aggregated frame (supplier-count
+    rows, trivially one partition), not a second scan of lineitem; TPC-H's
+    textual form recomputes revenue0 in the subquery. Ties all survive, as
+    the spec requires, because the filter is an exact integer equality.
+    supplier broadcasts onto the one-row-per-supplier result."""
+    from pyspark.sql import Window
+
+    cat = catalog(spark, sf_dir)
+    rev = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents(F.expr(_DISC_PRICE), 4)).alias("rc"))
+    )
+    top = rev.withColumn("mx", F.max("rc").over(Window.partitionBy())).filter(
+        F.col("rc") == F.col("mx")
+    )
+    return dim_join(
+        top,
+        cat.supplier.select("s_suppkey", "s_name"),
+        on=top["l_suppkey"] == F.col("s_suppkey"),
+        how="inner",
+    ).select("s_suppkey", "s_name", (F.col("rc") / 1e4).alias("total_revenue"))
