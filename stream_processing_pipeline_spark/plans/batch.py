@@ -1150,3 +1150,62 @@ def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+@register(
+    "user_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view_ts
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT f.user_id, f.first_view_ts,
+             (SELECT min(e.ts) FROM events e
+              WHERE e.user_id = f.user_id AND e.event_type = 'click'
+                AND e.ts > f.first_view_ts) AS first_click_ts
+      FROM f
+    )
+    SELECT user_id, first_view_ts, first_click_ts,
+           (SELECT min(e.ts) FROM events e
+            WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
+              AND e.ts > c.first_click_ts) AS first_purchase_ts
+    FROM c
+    """,
+    tags=("batch", "window", "funnel"),
+)
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: per user, the first view, the first click
+    AFTER that view, and the first purchase AFTER that click — the
+    conversion-sequence query product analytics runs (each stage must
+    happen after the previous one, not merely anywhere in history). Plan:
+    three stacked unordered windows over the SAME user_id partitioning —
+    one exchange total, each stage's conditional min referencing the
+    previous stage's column; users who never reach a stage carry NULL
+    through the chain automatically (ts > NULL is NULL, min of nothing is
+    NULL). The oracle spells the same chain as correlated subqueries.
+    Scale: no joins, no self-scan per stage — one shuffle of (user_id, ts,
+    event_type) and a final distinct on the per-user constants."""
+    ev = catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id")
+    ts = F.col("ts")
+    et = F.col("event_type")
+    staged = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("first_view_ts", F.min(F.when(et == "view", ts)).over(w))
+        .withColumn(
+            "first_click_ts",
+            F.min(
+                F.when((et == "click") & (ts > F.col("first_view_ts")), ts)
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase_ts",
+            F.min(
+                F.when((et == "purchase") & (ts > F.col("first_click_ts")), ts)
+            ).over(w),
+        )
+    )
+    return staged.select(
+        "user_id", "first_view_ts", "first_click_ts", "first_purchase_ts"
+    ).distinct()

@@ -201,15 +201,24 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"user_stats_{uuid.uuid4().hex[:8]}"
-    query = (
-        stats.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stateful_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(240)
+    # Right-size the stateful task count for the one-file micro-batch (see
+    # Topology.state_partitions): the session's batch-sized shuffle
+    # partition count gives the per-key state operator that many tiny
+    # tasks per batch. Save/restore around the bounded availableNow run.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            stats.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stateful_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(240)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     result = spark.table(name)
     return result.select(
         "user_id",
