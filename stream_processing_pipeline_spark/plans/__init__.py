@@ -109,7 +109,7 @@ _GATE_PRIORITY = [
 # re-verified against unchanged oracles by tools/driver_sim.py after the
 # rewrite. Queries registered after the prefix froze (dedup_span_chunks,
 # corpus_pack_sequences, corpus_epoch_shuffle, quality_weighted_sample,
-# tpch_q15_top_supplier, user_funnel)
+# tpch_q15_top_supplier, user_funnel, rollup_incremental_merge)
 # are oracle-verified locally and rotate into the prefix next round.
 
 

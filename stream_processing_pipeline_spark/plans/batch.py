@@ -1209,3 +1209,49 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "user_id", "first_view_ts", "first_click_ts", "first_purchase_ts"
     ).distinct()
+
+
+@register(
+    "rollup_incremental_merge",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS date, event_type,
+           count(*) AS n_events,
+           sum({cents_sql('value')}) / 100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("batch", "incremental", "aggregation"),
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-aggregation equivalence: a daily rollup maintained as
+    (yesterday's snapshot partial aggregates) MERGE (partial aggregates of
+    only the new data) — re-aggregated, it must equal the full recompute
+    (the oracle). This is THE 100 TB ETL pattern: the full history is never
+    rescanned; each run aggregates only the new partition and merges at
+    aggregate (not raw) cardinality. It verifies exactly — not just
+    approximately — because every partial here is associative and
+    order-independent: counts and integer-cent sums (functions.money);
+    a double sum would drift with merge order and fail the value hash.
+    The day-boundary cutover is arbitrary; the merge re-aggregation
+    handles partials that straddle a group either way."""
+    ev = catalog(spark, sf_dir).events.select(
+        F.to_date("ts").alias("date"),
+        "event_type",
+        cents("value").alias("c"),
+    )
+    cut = F.lit("2024-01-21").cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("date", "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("c").alias("sc")
+        )
+
+    snapshot = partial(ev.filter(F.col("date") < cut))
+    increment = partial(ev.filter(F.col("date") >= cut))
+    return (
+        snapshot.unionByName(increment)
+        .groupBy("date", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            (F.sum("sc") / 100.0).alias("total_value"),
+        )
+    )
