@@ -38,6 +38,8 @@ AUDITED = {
     "sim_topk_int8": "scales reduce + broadcast query codes; corpus unshuffled until top-k ranking",
     "text_repetition_stats": "(doc_id, gram, count) partials, ~1x text bytes (gram strings are the group keys)",
     "q6_counts_by_segment": "broadcast dim join; shuffle = windowed partial counts",
+    "dedup_span_chunks": "one (id, chunk_no, h60) tuple per 16-token chunk; chunk text never leaves its scan partition",
+    "corpus_pack_sequences": "one (id, n_tokens, shard, ord) row per doc into the shard window; text pruned at scan",
 }
 
 
