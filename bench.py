@@ -30,8 +30,17 @@ def main() -> None:
     spark = build_session(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM + parquet footers outside the timed region.
+    # Warm up the JVM + parquet footers outside the timed region, and spin
+    # up the Arrow/pandas Python workers once — otherwise the alphabetically
+    # first pandas query pays every worker's cold start (observed ~5s of
+    # python+pandas import time attributed to one query).
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    def _warm(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 64, 1, 32).mapInPandas(_warm, "id long").count()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
