@@ -34,6 +34,8 @@ HEADLINERS = {
     "sim_topk_int8": "int8 codes: one max-reduce for scales, broadcast query codes, exact integer dot ranking",
     "dedup_span_chunks": "per-row 16-token chunking (split evaluated once) — only (id, chunk_no, h60) tuples shuffle",
     "corpus_pack_sequences": "context-window packing via per-shard running token sums — no global sort",
+    "user_funnel": "three stacked conditional-min windows over ONE user_id exchange — no per-stage self-joins",
+    "rollup_incremental_merge": "snapshot+increment partial-aggregate merge — re-agg at aggregate cardinality",
 }
 
 
