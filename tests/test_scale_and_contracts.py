@@ -140,3 +140,44 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # and the rows really are only that day's
     days = [r.day.isoformat() for r in one_day.select("day").distinct().collect()]
     assert days == ["2024-01-02"]
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a date-partitioned fact on its partition column against a
+    filtered dimension must insert a runtime DPP filter
+    (``dynamicpruningexpression`` in PartitionFilters): the fact scan reads
+    only the partitions the dimension's surviving rows name — decided at
+    run time, which at 100 TB is the difference between scanning one day
+    and scanning the table when the kept days aren't known statically."""
+    import contextlib
+    import io
+    import re
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.operators.scale import write_partitioned
+    from stream_processing_pipeline_spark.sources.registry import TableCatalog
+
+    from .conftest import SF_SMALL
+
+    events = TableCatalog(spark, SF_SMALL, register_views=False).events
+    path = str(tmp_path / "ev_day_dpp")
+    write_partitioned(events.withColumn("day", F.to_date("ts")), path, "day")
+    back = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(date(2024, 1, 2), "keep"), (date(2024, 1, 3), "drop"),
+         (date(2024, 1, 4), "drop")],
+        "day date, tag string",
+    )
+    joined = back.join(dim.filter(F.col("tag") == "keep"), "day")
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    pf = " ".join(re.findall(r"PartitionFilters: \[([^\]]*)\]", plan))
+    assert "dynamicpruning" in pf, plan
+    assert [r.day.isoformat() for r in joined.select("day").distinct().collect()] == [
+        "2024-01-02"
+    ]
