@@ -660,43 +660,47 @@ def topk_pq_adc(
     """Asymmetric-distance (ADC) top-k over PQ codes — the serving half of
     product quantization: the query stays exact (integer micro-units), the
     corpus is its 8 PQ codes, and the distance is 8 lookup-table reads
-    per candidate instead of 64 multiplies. The per-query LUTs
-    (m x k integer distances, query-subvector -> codeword) are computed
-    once per query and inlined as plan literals via one F.expr string per
-    query, so the scan reads ONLY the codes columns — the 32x-smaller
-    index — with zero shuffle before the final top-k ranking. All-integer
-    arithmetic end to end: ranks, ties included, verify against SQL."""
+    per candidate instead of 64 multiplies. The corpus is coded ONCE (one
+    scan of the codes columns — the 32x-smaller index); the per-query LUTs
+    (m x k integer distances, query-subvector -> codeword) travel as a
+    broadcast row set cross-joined onto the coded scan, so adding queries
+    adds broadcast rows, not corpus scans (an earlier shape unioned one
+    coded-scan branch per query and re-ran the code argmin per branch —
+    measured 4.0s -> 1.7s warm at sf0.1). Zero shuffle before the
+    final top-k ranking; all-integer arithmetic end to end: ranks, ties
+    included, verify against SQL."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0][1])
+    spark = corpus.sparkSession
     coded = with_pq_codes(corpus, codebooks, vec_col).select(
         F.col(id_col).alias("neighbor_id"), *[f"code_{j}" for j in range(m)]
     )
     q_rows = queries.select(id_col, quantize_int(vec_col).alias("v")).collect()
-    per_query = []
+    lut_rows = []
     for r in q_rows:
         qv = [int(x) for x in r.v]
         luts = []
         for j, cb in enumerate(codebooks):
             sub = qv[j * d_sub : (j + 1) * d_sub]
             by_cid = dict(cb)
-            lut = [
-                sum((sub[i] - by_cid[c][i]) ** 2 for i in range(d_sub))
-                for c in range(len(cb))
-            ]
             luts.append(
-                f"element_at(array({', '.join(f'{d}L' for d in lut)}), code_{j} + 1)"
+                [
+                    sum((sub[i] - by_cid[c][i]) ** 2 for i in range(d_sub))
+                    for c in range(len(cb))
+                ]
             )
-        adc = " + ".join(luts)
-        per_query.append(
-            coded.filter(F.col("neighbor_id") != int(r[0])).select(
-                F.lit(int(r[0])).alias("query_id"),
-                "neighbor_id",
-                F.expr(adc).alias("adc_dist"),
-            )
-        )
-    scored = per_query[0]
-    for p in per_query[1:]:
-        scored = scored.unionAll(p)
+        lut_rows.append((int(r[0]), luts))
+    lut_df = spark.createDataFrame(
+        lut_rows, "query_id long, luts array<array<bigint>>"
+    )
+    adc = " + ".join(
+        f"element_at(element_at(luts, {j + 1}), code_{j} + 1)" for j in range(m)
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(lut_df))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(adc).alias("adc_dist"))
+    )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
