@@ -44,6 +44,12 @@ __all__ = [
     "fingerprint_sql",
     "prefix_fingerprint",
     "prefix_fingerprint_sql",
+    "PII_PATTERNS",
+    "PII_TOKENS",
+    "pii_counts",
+    "pii_counts_sql",
+    "redact_pii",
+    "redact_pii_sql",
 ]
 
 
@@ -252,6 +258,64 @@ def quality_metrics_sql(expr: str) -> dict[str, str]:
         "len_score": len_score,
         "quality": quality,
     }
+
+
+# ----------------------------------------------------------- PII redaction
+
+# Pattern portability: character classes only ([.] and [+] instead of \. and
+# \+, [0-9] instead of \d) so the same string means the same thing to Java
+# regex (Spark) and RE2 (DuckDB), and leftmost-first greedy matching agrees.
+# Deliberately high-recall/simple — the scan-speed first pass of a PII sweep;
+# a model-based NER pass slots in via mapInPandas where precision matters.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+    "phone": "[+][0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+}
+
+PII_TOKENS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "phone": "<PHONE>",
+    "ipv4": "<IP>",
+}
+
+# Redaction order matters (an email's domain can contain an IP-shaped dotted
+# quad; a phone is digit runs): emails first, then phones, then bare IPs.
+_PII_ORDER = ("email", "phone", "ipv4")
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (``n_emails``/``n_phones``/``n_ipv4``)."""
+    c = _c(col)
+    return {
+        f"n_{k}s" if k != "ipv4" else "n_ipv4": F.size(
+            F.regexp_extract_all(c, F.lit(p), 0)
+        ).cast("long")
+        for k, p in PII_PATTERNS.items()
+    }
+
+
+def pii_counts_sql(expr: str) -> dict[str, str]:
+    return {
+        f"n_{k}s" if k != "ipv4" else "n_ipv4": (
+            f"CAST(len(regexp_extract_all({expr}, '{p}')) AS BIGINT)"
+        )
+        for k, p in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its category token, email->phone->ipv4."""
+    c = _c(col)
+    for k in _PII_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[k], PII_TOKENS[k])
+    return c
+
+
+def redact_pii_sql(expr: str) -> str:
+    for k in _PII_ORDER:
+        expr = f"regexp_replace({expr}, '{PII_PATTERNS[k]}', '{PII_TOKENS[k]}', 'g')"
+    return expr
 
 
 # ---------------------------------------------------------- fingerprinting

@@ -110,7 +110,10 @@ _GATE_PRIORITY = [
 # rewrite. Queries registered after the prefix froze (dedup_span_chunks,
 # corpus_pack_sequences, corpus_epoch_shuffle, quality_weighted_sample,
 # tpch_q15_top_supplier, user_funnel, rollup_incremental_merge)
-# are oracle-verified locally and rotate into the prefix next round.
+# are oracle-verified locally and rotate into the prefix next round; so are
+# the late-r2 additions text_pii_redact (oracle-verified) and
+# hll_sketch_rollup (rows-only by design, invariants pinned in
+# tests/test_pii_and_sketches.py).
 
 
 def _apply_gate_priority() -> None:

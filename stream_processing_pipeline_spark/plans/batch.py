@@ -461,6 +461,36 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_sketch_rollup",
+    oracle=None,  # Datasketches HLL binaries are engine-specific; rows-only.
+    tags=("batch", "approx", "sketch", "reaggregatable"),
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reaggregatable-sketch rollup — THE 100 TB distinct-count pattern:
+    build one Datasketches HLL sketch per (event_type, day) partial
+    (``hll_sketch_agg``), then merge the daily sketches per event_type
+    (``hll_union_agg``) and estimate. At scale the daily sketches are a few
+    KB each and persist in a summary table, so month/quarter/all-time
+    distincts re-aggregate from stored sketches without ever rescanning the
+    fact — the property plain ``count_distinct`` (and its per-key Expand)
+    fundamentally lacks. No SQL oracle: sketch binaries are engine-specific
+    (exact twin: ``daily_distinct_users``); the merge-vs-direct equivalence
+    and the error bound vs exact are pinned by
+    ``tests/test_pii_and_sketches.py``."""
+    ev = catalog(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("date")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+    )
+
+
+@register(
     "rollup_revenue",
     oracle=f"""
     SELECT l_returnflag, l_linestatus, {sum_money_sql(_DISC_PRICE, 4)} AS revenue

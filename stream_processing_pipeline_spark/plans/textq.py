@@ -719,6 +719,80 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic PII lacing: the synthetic corpus has no organic emails/phones/
+# IPs, so the query seeds one of each per document as a pure function of
+# doc_id — identically in Spark and the oracle — and the redaction machinery
+# is then verified against real matches, not vacuous zero counts.
+_PII_TEXT_SQL = (
+    "concat(text, ' Contact: user', CAST(doc_id AS VARCHAR), "
+    "'@example.com from host 10.', CAST(doc_id % 256 AS VARCHAR), '.0.', "
+    "CAST(doc_id % 250 AS VARCHAR), ' or call +1-555-', "
+    "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-', "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '.')"
+)
+
+_PII_COUNTS_SQL = T.pii_counts_sql("pii_text")
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH laced AS (
+      SELECT doc_id, {_PII_TEXT_SQL} AS pii_text FROM documents
+    )
+    SELECT doc_id,
+           {_PII_COUNTS_SQL['n_emails']} AS n_emails,
+           {_PII_COUNTS_SQL['n_phones']} AS n_phones,
+           {_PII_COUNTS_SQL['n_ipv4']} AS n_ipv4,
+           {T.h60_sql(T.redact_pii_sql('pii_text'))} AS redacted_fp,
+           CAST(length({T.redact_pii_sql('pii_text')}) AS BIGINT) AS redacted_len
+    FROM laced
+    """,
+    tags=("text", "pii", "redaction"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII sweep over the corpus: per-category match counts (emails, phones,
+    dotted-quad IPs) plus a fingerprint and length of the redacted text —
+    the scrubbing stage every training-data pipeline runs before text ships.
+    Patterns are portable character-class regexes (operators.text.PII_PATTERNS)
+    applied in a fixed order, all built-in ``regexp_*`` expressions: one scan,
+    zero shuffle, whole-stage codegen — at 100 TB this runs at parquet-scan
+    speed and the redacted text would be written back out columnar, never
+    collected. The redacted output is verified by 60-bit fingerprint so the
+    driver compares content, not just counts."""
+    from ..functions.hashing import h60
+
+    docs = catalog(spark, sf_dir).documents
+    d = F.col("doc_id")
+    laced = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            d.cast("string"),
+            F.lit("@example.com from host 10."),
+            (d % 256).cast("string"),
+            F.lit(".0."),
+            (d % 250).cast("string"),
+            F.lit(" or call +1-555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit("."),
+        ).alias("pii_text"),
+    )
+    counts = T.pii_counts("pii_text")
+    redacted = T.redact_pii("pii_text")
+    return laced.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        h60(redacted).alias("redacted_fp"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
 _QSAMP_RES = 1_000_000
 
 

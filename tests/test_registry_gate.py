@@ -41,12 +41,14 @@ def test_priority_queries_inside_plausible_gate_prefix():
 
 
 def test_oracle_coverage_is_total_minus_documented_exceptions():
-    """Exactly three queries are rows-only by design: the HLL sketch and the
-    two trained-IVF queries (iterative training is not SQL-expressible).
+    """Exactly four queries are rows-only by design: the two HLL-sketch
+    queries (sketch binaries/estimates are engine-specific) and the two
+    trained-IVF queries (iterative training is not SQL-expressible).
     Anything else missing an oracle is a verification regression."""
     no_oracle = set(all_queries()) - set(all_oracles())
     assert no_oracle == {
         "approx_distinct_users",
+        "hll_sketch_rollup",
         "sim_ivf_assignments",
         "sim_topk_ivf",
     }
