@@ -702,7 +702,10 @@ def user_value_minmax_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     same operation order as the SQL oracle, so the Python path is
     value-verified, not just shape-verified. At scale each group is one
     Arrow batch on one executor; prefer the JVM window form whenever the
-    arithmetic is expressible in Column algebra."""
+    arithmetic is expressible in Column algebra. The keyed
+    ``repartition(16)`` is the pandas-stage parallelism floor (AQE coalesces
+    shuffles by bytes, which collapses cheap-by-bytes/expensive-by-CPU
+    Python stages to one task — see ``asof_cogrouped_pandas``)."""
     import math
 
     import pandas as pd
@@ -737,7 +740,11 @@ def user_value_minmax_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "scaled": scaled}
         )
 
-    return narrow.groupBy("user_id").applyInPandas(scale, out_schema)
+    return (
+        narrow.repartition(16, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(scale, out_schema)
+    )
 
 
 @register(

@@ -248,20 +248,30 @@ def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     event alignment) that the JVM window form can't express; for plain as-of
     semantics prefer the window plan (``asof_last_click_before_purchase``).
     Scale shape: one shuffle of each side on user_id, Arrow-batched per-key
-    frames, output rows only."""
+    frames, output rows only. The keyed ``repartition(16)`` before the
+    cogroup is a parallelism FLOOR for the Python stage: AQE coalesces
+    shuffles by byte size, and a pandas stage's per-byte cost is ~100x a
+    JVM stage's, so byte-based coalescing collapsed this to ONE task
+    (measured 6.8s -> 0.9s at sf0.1 with the floor; the explicit-N
+    repartition is exempt from AQE coalescing and the cogroup reuses its
+    partitioning — still one Exchange per side)."""
     import pandas as pd
 
     ev = catalog(spark, sf_dir).events
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .repartition(16, "user_id")
     )
     # The click side gets RENAMED columns: both inputs derive from the same
     # scan, and with shared attribute ids Catalyst prunes the right side's
     # ts away under the engine session's optimizer settings (observed: right
     # frames arrive with only [user_id]). Distinct names keep both lineages
     # intact under any optimizer configuration.
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts"))
+        .repartition(16, "c_user_id")
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
