@@ -111,7 +111,8 @@ _GATE_PRIORITY = [
 # corpus_pack_sequences, corpus_epoch_shuffle, quality_weighted_sample,
 # tpch_q15_top_supplier, user_funnel, rollup_incremental_merge)
 # are oracle-verified locally and rotate into the prefix next round; so are
-# the late-r2 additions text_pii_redact (oracle-verified) and
+# the late-r2 additions text_pii_redact (oracle-verified),
+# recent_errors_before_purchase (oracle-verified bucketized range join), and
 # hll_sketch_rollup (rows-only by design, invariants pinned in
 # tests/test_pii_and_sketches.py).
 

@@ -327,6 +327,60 @@ def user_value_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RJ_BUCKET = 600  # range-join bucket width = the interval length, seconds
+
+
+@register(
+    "recent_errors_before_purchase",
+    oracle=f"""
+    SELECT e.event_id, e.user_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_sec,
+           CAST((SELECT count(*) FROM events x
+                 WHERE x.user_id = e.user_id AND x.event_type = 'error'
+                   AND floor(epoch(x.ts)) >= floor(epoch(e.ts)) - {_RJ_BUCKET}
+                   AND floor(epoch(x.ts)) <  floor(epoch(e.ts))) AS BIGINT)
+             AS n_recent_errors
+    FROM events e WHERE e.event_type = 'purchase'
+    """,
+    tags=("batch", "range-join", "bucketized"),
+)
+def recent_errors_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join — the scale pattern for time-range predicates.
+    Feature: per purchase, how many errors the same user hit in the
+    preceding 10 minutes. Written naively (equi on user + range on time)
+    Spark plans a row-at-a-time non-equi join; the fix is to quantize time
+    into buckets the width of the interval, explode each error into the two
+    buckets its matches can live in, and join EQUI on (user_id, bucket) with
+    the exact range as a residual filter — a hash-partitioned shuffle join
+    whose per-task work is bounded by bucket population, not corpus size.
+    The 2x row expansion on the build side is the entire extra cost; no
+    all-pairs comparison ever happens. Zero-error purchases survive via the
+    left join (zero counts are the feature's point)."""
+    ev = catalog(spark, sf_dir).events
+    sec = F.col("ts").cast("timestamp").cast("long")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", sec.alias("ts_sec")
+    )
+    err_sec = sec.alias("err_sec")
+    b = F.floor(F.col("err_sec") / _RJ_BUCKET)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user_id"), err_sec)
+        .select("e_user_id", "err_sec", F.explode(F.array(b, b + 1)).alias("bkt"))
+    )
+    cond = (
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.floor(F.col("ts_sec") / _RJ_BUCKET) == F.col("bkt"))
+        & (F.col("err_sec") >= F.col("ts_sec") - _RJ_BUCKET)
+        & (F.col("err_sec") < F.col("ts_sec"))
+    )
+    return (
+        purchases.join(errors, cond, "left")
+        .groupBy("event_id", "user_id", "ts_sec")
+        .agg(F.count("err_sec").alias("n_recent_errors"))
+    )
+
+
 @register(
     "top_events_per_user",
     oracle="""
