@@ -16,11 +16,18 @@ package generalizes that into:
   ``availableNow`` one-shot runner used by tests and backfills
 - :mod:`.topology` — the six reference queries as one managed streaming
   topology over an events stream
+- :mod:`.stateful` — Spark 4 ``transformWithStateInPandas`` processors
+  (typed state handles; runtime-gated on ``google.protobuf``)
 """
 
 from .alerts import Alerter, CallbackAlerter, EmailAlerter, LogAlerter
 from .observe import BatchMetrics, MetricsRecorder, with_observed_metrics
 from .runner import ROCKSDB_PROVIDER, StreamQuerySpec, Topology, run_available_now
+from .stateful import (
+    HAS_TWS_RUNTIME,
+    RunningStatsProcessor,
+    user_stats_transform_with_state,
+)
 from .sinks import (
     FanOutSink,
     ForeachBatchSink,
@@ -48,4 +55,7 @@ __all__ = [
     "Topology",
     "run_available_now",
     "ROCKSDB_PROVIDER",
+    "HAS_TWS_RUNTIME",
+    "RunningStatsProcessor",
+    "user_stats_transform_with_state",
 ]

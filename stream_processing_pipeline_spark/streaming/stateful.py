@@ -1,0 +1,120 @@
+"""Spark 4 ``transformWithStateInPandas`` stateful processors.
+
+The engine's custom-stateful-operator surface has two tiers:
+
+- ``applyInPandasWithState`` (plans/streamq.py ``stream_user_stats``) — the
+  Spark 3.x-era GroupState API; runs everywhere, gate-verified.
+- ``transformWithStateInPandas`` (THIS module) — the Spark 4 stateful
+  processor API: typed value/list/map state handles, TTL, event/processing
+  time timers, and state-schema evolution. This is the API you'd pick on a
+  real cluster: state lives in RocksDB, per-state-variable handles avoid
+  packing everything into one tuple, and timers replace hand-rolled timeout
+  bookkeeping.
+
+Environment gate (documented, like the Kafka/SMTP paths): the
+transformWithState state-server protocol serializes state requests with
+protobuf, so the Python side needs ``google.protobuf`` at RUNTIME. This
+container does not ship protobuf, so ``HAS_TWS_RUNTIME`` is False here and
+the execution test skips; the builder and processor classes import and
+construct fine regardless (only query start needs the wire protocol), and
+``tests/test_stateful_tws.py`` pins both halves: construction always, a full
+stream/batch-equivalence run wherever protobuf exists.
+
+Usage::
+
+    from stream_processing_pipeline_spark.streaming.stateful import (
+        user_stats_transform_with_state,
+    )
+    stats = user_stats_transform_with_state(narrow_df)   # groupBy + TWS
+    stats.writeStream...   # requires RocksDB state store (ROCKSDB_PROVIDER)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StructField, StructType
+
+__all__ = [
+    "HAS_TWS_RUNTIME",
+    "RunningStatsProcessor",
+    "user_stats_transform_with_state",
+]
+
+try:  # runtime wire protocol only; the API classes themselves need no protobuf
+    import google.protobuf  # noqa: F401
+
+    HAS_TWS_RUNTIME = True
+except ImportError:  # pragma: no cover - depends on environment
+    HAS_TWS_RUNTIME = False
+
+
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+
+def _make_processor():
+    """Build the StatefulProcessor class lazily (keeps module import cheap)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningStatsProcessor(StatefulProcessor):
+        """Per-key running (count, cents-sum) in a typed ValueState.
+
+        The transformWithState twin of ``stream_user_stats``'s GroupState
+        closure: state is a named value-state handle with an explicit DDL
+        schema (``n BIGINT, c BIGINT``), which Spark versions and validates
+        via the state-schema file — renaming or retyping a field is caught
+        at query start instead of corrupting checkpoints silently.
+        """
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, c BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, c = self._agg.get() if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                c += int(pdf["c"].sum())
+            self._agg.update((n, c))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [c]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningStatsProcessor
+
+
+def RunningStatsProcessor():  # noqa: N802 - factory with class semantics
+    """Instantiate the running-stats StatefulProcessor."""
+    return _make_processor()()
+
+
+def user_stats_transform_with_state(
+    narrow: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Apply the running-stats processor to a ``(user_id, c)`` stream.
+
+    ``narrow`` must have a long ``c`` column (cents). The returned stream
+    emits one cumulative ``(user_id, n_events, total_cents)`` row per key
+    per micro-batch — identical emission contract to ``stream_user_stats``,
+    so a one-file availableNow run equals the batch groupBy.
+
+    Scale: state is one 16-byte struct per key in RocksDB; the shuffle per
+    batch is one row per touched key. Requires the RocksDB state store
+    provider (``streaming.runner.ROCKSDB_PROVIDER``) — transformWithState
+    refuses the default HDFS-backed provider by design.
+    """
+    return narrow.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=RunningStatsProcessor(),
+        outputStructType=USER_STATS_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
