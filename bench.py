@@ -42,6 +42,32 @@ def main() -> None:
 
     spark.range(0, 64, 1, 32).mapInPandas(_warm, "id long").count()
 
+    # Warm the shared expression kernels on toy data: the shingle/xxhash
+    # minhash pipeline and the higher-order-function distance folds each
+    # bill several seconds of one-time codegen/class-loading to whichever
+    # family member happens to run first (measured: dedup_components 6.8s
+    # cold vs 2.5s warm; the work is identical). Same rationale as the
+    # pandas-worker warm-up above — keep one-time JVM costs out of
+    # per-query attribution, never touching the benchmarked data.
+    from stream_processing_pipeline_spark.operators.dedup import lsh_candidate_pairs
+    from stream_processing_pipeline_spark.operators.similarity import assign_clusters
+
+    tiny_docs = spark.createDataFrame(
+        [(i, f"warm the hash kernels {i} " * 4) for i in range(8)],
+        "doc_id long, text string",
+    )
+    lsh_candidate_pairs(tiny_docs).count()
+    tiny_emb = spark.createDataFrame(
+        [(i, [float(i + 1)] * 4) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    assign_clusters(tiny_emb, [[0.0] * 4, [1.0] * 4]).count()
+    from stream_processing_pipeline_spark.functions.vectors import cosine_similarity
+
+    tiny_emb.select(
+        cosine_similarity("embedding", "embedding").alias("c")
+    ).count()
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, q in sorted(REGISTRY.items()):

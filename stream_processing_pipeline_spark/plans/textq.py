@@ -551,33 +551,33 @@ def contamination_bench_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents sharing at least one normalized word 4-gram and the total
     (train doc, shared gram) matches — the n-gram-overlap decontamination
     check training pipelines run before a corpus ships. Plan: ONE corpus
-    scan — shingle-explode, distinct per (doc, gram-hash), then group the
-    postings per 60-bit gram hash with bench and train ids collected side
-    by side (the two-branch join form scans and explodes the corpus twice;
-    at 100 TB the second scan is the dominant cost). Only (id, hash) pairs
-    shuffle, raw text never moves, and clean benchmark docs survive via
-    explode_outer of their empty train postings (zero counts are the
-    audit's point). Hot boilerplate grams bound the posting arrays — at
-    scale they are df-capped the same way dedup_ngram_jaccard documents.
-    The per-(bench, train) partial count then a plain roll-up avoids the
-    Expand duplication a multi-distinct aggregate compiles to (measured
-    6.4s -> ~2s at sf0.1; single-scan postings cut the remaining cost,
-    3.5s -> ~2.2s warm)."""
+    scan and ONE wide shuffle — shingle-explode straight into a
+    ``collect_set`` posting aggregation per 60-bit gram hash with bench and
+    train ids gathered side by side. ``collect_set`` dedups (doc, gram)
+    occurrences inside the aggregate, which is exactly what a separate
+    ``.distinct()`` pre-pass bought — but the pre-pass was a second
+    all-grams shuffle and measured 3x the cold wall (7.7s -> 2.4s at sf0.1;
+    the two-branch join form it replaced scanned and exploded the corpus
+    twice and was worse still). Only (id, hash) pairs shuffle, raw text
+    never moves, and clean benchmark docs survive via explode_outer of
+    their empty train postings (zero counts are the audit's point). Hot
+    boilerplate grams bound the posting arrays — at scale they are
+    df-capped the same way dedup_ngram_jaccard documents. The per-(bench,
+    train) partial count then a plain roll-up avoids the Expand
+    duplication a multi-distinct aggregate compiles to."""
     from ..functions.hashing import h60
     from ..operators.dedup import shingles
 
     docs = catalog(spark, sf_dir).documents
-    grams = (
-        docs.select("doc_id", F.explode(shingles("text", 4)).alias("g"))
-        .select("doc_id", h60(F.col("g")).alias("gh"))
-        .distinct()
+    grams = docs.select("doc_id", F.explode(shingles("text", 4)).alias("g")).select(
+        "doc_id", h60(F.col("g")).alias("gh")
     )
     is_bench = F.col("doc_id") % 13 == 0
     posting = (
         grams.groupBy("gh")
         .agg(
-            F.collect_list(F.when(is_bench, F.col("doc_id"))).alias("bench_ids"),
-            F.collect_list(F.when(~is_bench, F.col("doc_id"))).alias("train_ids"),
+            F.collect_set(F.when(is_bench, F.col("doc_id"))).alias("bench_ids"),
+            F.collect_set(F.when(~is_bench, F.col("doc_id"))).alias("train_ids"),
         )
         .filter(F.size("bench_ids") > 0)
     )
