@@ -112,9 +112,11 @@ _GATE_PRIORITY = [
 # tpch_q15_top_supplier, user_funnel, rollup_incremental_merge)
 # are oracle-verified locally and rotate into the prefix next round; so are
 # the late-r2 additions text_pii_redact (oracle-verified),
-# recent_errors_before_purchase (oracle-verified bucketized range join), and
+# recent_errors_before_purchase (oracle-verified bucketized range join),
 # hll_sketch_rollup (rows-only by design, invariants pinned in
-# tests/test_pii_and_sketches.py).
+# tests/test_pii_and_sketches.py), and the warehouse-analytics trio
+# scd2_user_value_bands / user_retention_cohorts / hourly_purchases_gapfill
+# (oracle-verified MATCH via tools/driver_sim.py).
 
 
 def _apply_gate_priority() -> None:

