@@ -390,3 +390,75 @@ def test_topology_state_partitions_knob(spark, tmp_path):
     topo.stop_all()
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
     assert {n for r in sink.rows for n in [r.n]} == {2, 1}
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: purchases with no click in the prior
+    30 minutes still emit — with NULL click columns — but only once the
+    watermark passes the end of their join window (the engine must hold
+    them in state until no matching click can arrive). Two subtleties this
+    pins, both found by running it:
+
+    - The GLOBAL watermark across multiple ``withWatermark`` branches is
+      their MIN by default — here the purchase branch's last event is the
+      unmatched purchase@170 itself, so its branch watermark parks at 169
+      and no amount of later clicks can advance the global one; the
+      unmatched row would be held forever. ``multipleWatermarkPolicy=max``
+      is the documented knob for exactly this asymmetric-stream shape.
+    - Watermark updates apply at the NEXT micro-batch, so after the
+      watermark-driving click@400 a further batch must run for the evicted
+      row to emit — hence the trailing click@500 as its own trigger."""
+    prev_policy = spark.conf.get(
+        "spark.sql.streaming.multipleWatermarkPolicy", "min"
+    )
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    stream = _write_chunks(
+        spark,
+        tmp_path / "sslo",
+        [
+            [_row(1, 0, "click"), _row(2, 10, "purchase")],  # matched pair
+            [_row(4, 170, "purchase")],  # nearest click 70 min old: unmatched
+            [_row(5, 400, "click")],     # watermark -> 399 at next batch
+            [_row(6, 500, "click")],     # batch that emits the evicted row
+        ],
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_outer",
+    )
+    sink = MemoryRowsSink()
+    try:
+        run_available_now(joined, sink, checkpoint=str(tmp_path / "ckpt_sslo"))
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.multipleWatermarkPolicy", prev_policy
+        )
+    got = sorted(
+        (r.purchase_id, r.click_id) for r in sink.rows
+    )
+    assert got == [(2, 1), (4, None)]
