@@ -34,6 +34,7 @@ from ..functions.vectors import cosine_similarity, dot_product
 __all__ = [
     "kmeans_fit",
     "assign_clusters",
+    "centroid_dist_structs_int",
     "topk_ivf",
     "hyperplanes",
     "hyperplane_sql_literal",
@@ -297,6 +298,21 @@ def assign_clusters_static(
     * dims), and bit-identical across engines. Same no-shuffle shape as
     :func:`assign_clusters`: centroids are plan literals; only (id, cluster,
     dist2) rows leave the scan."""
+    best = F.array_min(centroid_dist_structs_int(vec_col, centroids_int))
+    return corpus.select(
+        F.col(id_col),
+        best.getField("cluster").alias("cluster"),
+        best.getField("dist2").alias("dist2"),
+    )
+
+
+def centroid_dist_structs_int(
+    vec_col: Column | str, centroids_int: list[tuple[int, list[int]]]
+) -> Column:
+    """array<struct<dist2, cluster>> of EXACT integer squared distances to
+    each static centroid — the integer twin of ``_centroid_dist_structs``
+    (same constant-folded matrix-literal shape, micro-unit quantized
+    vectors, arbitrary cluster ids carried in a parallel literal array)."""
     C = F.array(
         *[
             F.array(*[F.lit(int(x)).cast("long") for x in cvec])
@@ -313,14 +329,8 @@ def assign_clusters_static(
             lambda acc, x: acc + x,
         ),
     )
-    structs = F.zip_with(
+    return F.zip_with(
         dists, ids, lambda d, i: F.struct(d.alias("dist2"), i.alias("cluster"))
-    )
-    best = F.array_min(structs)
-    return corpus.select(
-        F.col(id_col),
-        best.getField("cluster").alias("cluster"),
-        best.getField("dist2").alias("dist2"),
     )
 
 

@@ -291,24 +291,25 @@ def sim_topk_ivf_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment distances, deterministic probe choice, fold-ordered cosine)
     is engine-portable. The trained twin (``sim_topk_ivf``) shows what Lloyd
     iterations buy on top; this one proves the probe machinery exactly."""
-    from ..operators.similarity import assign_clusters_static, quantize_int
+    from ..operators.similarity import centroid_dist_structs_int
 
     emb = catalog(spark, sf_dir).embeddings
     cent = _static_cent(spark, sf_dir)
 
-    ca = assign_clusters_static(emb, cent).select("vec_id", "cluster")
+    # One scan assigns each corpus vector its cell and keeps the vector
+    # (re-joining assignments by id would rescan the corpus); the matrix-
+    # literal distance helper keeps the expression tree k-times smaller
+    # than a per-centroid fold loop.
+    best = F.array_min(centroid_dist_structs_int("embedding", cent))
     corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding")
-    ).join(ca.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding"),
+        best.getField("cluster").alias("cluster"),
+    )
 
-    v_int = quantize_int("embedding")
-    q_dists = []
-    for cid, cvec in cent:
-        cc = F.array(*[F.lit(int(x)).cast("long") for x in cvec])
-        diff2 = F.zip_with(v_int, cc, lambda a, b: (a - b) * (a - b))
-        d2 = F.aggregate(diff2, F.lit(0).cast("long"), lambda acc, x: acc + x)
-        q_dists.append(F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cluster")))
-    probes = F.slice(F.array_sort(F.array(*q_dists)), 1, 2)
+    probes = F.slice(
+        F.array_sort(centroid_dist_structs_int("embedding", cent)), 1, 2
+    )
     qx = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
