@@ -73,3 +73,38 @@ def test_ivf_topk_subset_of_bruteforce_scores(spark):
     assert len(ivf) == 50
     for _, r in ivf.iterrows():
         assert bf_scores.get((r.query_id, r.neighbor_id)) == r.cosine
+
+
+def test_partitioned_index_prunes_probed_cells(spark, tmp_path):
+    """The persisted-index shape topk_ivf's docstring promises at scale:
+    write the corpus partitioned by assigned cell, and a probe that touches
+    2 cells must PRUNE the others at the file-listing level (plan shows
+    cluster in PartitionFilters, not as a post-scan Filter) while returning
+    exactly the rows a full-scan filter would."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.operators.similarity import (
+        seed_centroids_int,
+        assign_clusters_static,
+    )
+
+    emb = _emb(spark)
+    cent = seed_centroids_int(emb, k=8)
+    assigned = assign_clusters_static(emb, cent).join(emb, "vec_id")
+    idx_path = str(tmp_path / "ivf_index")
+    assigned.select("vec_id", "embedding", "cluster").write.partitionBy(
+        "cluster"
+    ).parquet(idx_path)
+
+    index = spark.read.parquet(idx_path)
+    probed = index.filter(F.col("cluster").isin(2, 5))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters")[1][:120]
+
+    got = sorted(r.vec_id for r in probed.collect())
+    want = sorted(
+        r.vec_id
+        for r in assigned.filter(F.col("cluster").isin(2, 5)).collect()
+    )
+    assert got == want and len(got) > 0
