@@ -150,3 +150,33 @@ def test_python_nodes_only_in_declared_python_queries(spark):
     # whose batch *plan build* executes the stream eagerly (plan string is
     # the finished DataFrame's), and the int8/LSH families that tag udf-free
     assert set(missing_tag) <= {"stream_user_stats"}, missing_tag
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """Both SCD2 window passes (lag change-point, lead span-end) partition
+    and sort the same way; the second must reuse the first's exchange —
+    one user_id shuffle total, no re-sort."""
+    plan = plan_of(spark, "scd2_user_value_bands")
+    # count tree nodes, not the per-node detail headers that repeat the name
+    assert len(re.findall(r"\+- Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\+- Sort", plan)) == 1, plan
+
+
+def test_scd2_scan_prunes_columns(spark):
+    plan = plan_of(spark, "scd2_user_value_bands")
+    schemas = read_schemas(plan)
+    assert schemas and all("props" not in s and "event_type" not in s
+                           for s in schemas), plan
+
+
+def test_gapfill_aggregates_before_join(spark):
+    """The gap-fill joins the SPINE to the hourly AGGREGATE — the event scan
+    must aggregate down to hours before any join touches it (joining raw
+    events to the spine would carry event-grain rows into the join)."""
+    plan = plan_of(spark, "hourly_purchases_gapfill")
+    agg_pos = plan.find("HashAggregate")
+    join_pos = max(plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+    assert agg_pos != -1 and join_pos != -1
+    # formatted plans list operators leaves-first; the aggregate node id must
+    # be produced before (listed deeper than) the join consuming it
+    assert "purchase" in pushed_filters(plan) or "purchase" in plan
