@@ -29,10 +29,14 @@ from __future__ import annotations
 
 import csv
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
-__all__ = ["CsvReplaySource", "CsvReplayStreamReader"]
+__all__ = ["CsvReplaySource", "CsvReplayStreamReader", "CsvReplayBatchReader"]
 
 
 def _convert(value: str, dtype: str):
@@ -80,8 +84,31 @@ class CsvReplayStreamReader(SimpleDataSourceStreamReader):
         return iter(self._rows(start["index"], end["index"]))
 
 
+class CsvReplayBatchReader(DataSourceReader):
+    """Batch half of the connector: one backfill read of the same file with
+    the same typed-conversion rules (``spark.read.format("csv_replay")``).
+    ``skip_rows`` resumes a backfill from a known cursor — the batch twin of
+    the stream's offset. Partitioning: a replay file is a single local CSV
+    (the reference's shape), so one input partition is correct; cluster-
+    scale CSV ingest belongs to Spark's native reader, not this connector."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.path = options["path"]
+        self.skip_rows = int(options.get("skip_rows", "0"))
+        self.fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+    def read(self, partition):
+        with open(self.path, newline="") as fh:
+            reader = csv.DictReader(fh)
+            for i, rec in enumerate(reader):
+                if i < self.skip_rows:
+                    continue
+                yield tuple(_convert(rec[n], t) for n, t in self.fields)
+
+
 class CsvReplaySource(DataSource):
-    """``format("csv_replay")`` — options: path, ddl, rows_per_batch."""
+    """``format("csv_replay")`` — options: path, ddl, rows_per_batch
+    (stream), skip_rows (batch)."""
 
     @classmethod
     def name(cls) -> str:
@@ -92,6 +119,9 @@ class CsvReplaySource(DataSource):
         # with no SparkContext, so no engine-side parsing here (Spark parses
         # it and hands the reader a StructType).
         return self.options["ddl"]
+
+    def reader(self, schema: StructType) -> CsvReplayBatchReader:
+        return CsvReplayBatchReader(schema, self.options)
 
     def simpleStreamReader(self, schema: StructType) -> CsvReplayStreamReader:  # noqa: N802
         return CsvReplayStreamReader(schema, self.options)

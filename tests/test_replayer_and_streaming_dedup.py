@@ -218,3 +218,37 @@ def test_python_datasource_resumable_cursor(spark, tmp_path):
         for i in range(10, 13):
             w.writerow([i, i * 1.5])
     assert run_once() == [10, 11, 12]
+
+
+def test_python_datasource_batch_backfill(spark, tmp_path):
+    """The batch half of the csv_replay connector: spark.read over the same
+    file and type rules, with skip_rows resuming a backfill from a known
+    cursor (the batch twin of the stream's offset)."""
+    import csv as csvmod
+
+    from stream_processing_pipeline_spark.sources.pyds import CsvReplaySource
+
+    path = tmp_path / "batch.csv"
+    with open(path, "w", newline="") as fh:
+        w = csvmod.writer(fh)
+        w.writerow(["event_id", "value"])
+        for i in range(8):
+            w.writerow([i, i * 1.5])
+        w.writerow([8, ""])  # empty string -> NULL, same rule as the stream
+
+    spark.dataSource.register(CsvReplaySource)
+
+    def read(skip=0):
+        return (
+            spark.read.format("csv_replay")
+            .option("path", str(path))
+            .option("ddl", "event_id bigint, value double")
+            .option("skip_rows", str(skip))
+            .load()
+        )
+
+    full = {r.event_id: r.value for r in read().collect()}
+    assert len(full) == 9 and full[3] == 4.5 and full[8] is None
+
+    resumed = sorted(r.event_id for r in read(skip=6).collect())
+    assert resumed == [6, 7, 8]
