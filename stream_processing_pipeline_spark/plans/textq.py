@@ -826,3 +826,64 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "source", quality.alias("quality")
     ).filter(coin < F.floor(F.col("quality") * _QSAMP_RES).cast("long"))
+
+
+_BUDGET_ORD = H.h60_sql("concat('budget:', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "mixture_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {T.token_count_sql('text')} AS n_tokens,
+             {_BUDGET_ORD} AS ord
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c WHERE cum <= 800
+    """,
+    tags=("text", "sampling", "mixture", "token-budget"),
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: each source contributes documents in
+    deterministic hash order until its token budget (800 here) is spent —
+    how training mixtures are actually specified (token counts, not doc
+    counts; cf. ``mixture_downsample`` for the rate-based form). The hash
+    order makes the greedy cut reproducible across runs, engines, and
+    partition layouts, and unbiased w.r.t. document position in the source.
+    Plan: one scan computes (tokens, order-hash); one shuffle on source
+    serves the running-sum window; the budget predicate is a post-window
+    filter. At 100 TB each source's running sum is a single window
+    partition — sources are the unit of parallelism, which matches the
+    real workload (mixtures have tens of sources, each huge; for a
+    pathological single mega-source, pre-aggregate per hash-bucket and
+    budget buckets instead)."""
+    from pyspark.sql import Window
+
+    docs = catalog(spark, sf_dir).documents
+    t = docs.select(
+        "doc_id",
+        "source",
+        T.token_count("text").alias("n_tokens"),
+        H.h60(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))).alias(
+            "ord"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= 800)
+        .select("doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"))
+    )
