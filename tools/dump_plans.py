@@ -36,6 +36,9 @@ HEADLINERS = {
     "corpus_pack_sequences": "context-window packing via per-shard running token sums — no global sort",
     "user_funnel": "three stacked conditional-min windows over ONE user_id exchange — no per-stage self-joins",
     "rollup_incremental_merge": "snapshot+increment partial-aggregate merge — re-agg at aggregate cardinality",
+    "scd2_user_value_bands": "SCD2 spans: lag + lead windows share one user_id exchange (1 Exchange, 1 Sort)",
+    "hourly_purchases_gapfill": "gap-fill: spine generated distributed via sequence/explode; hourly agg before the join",
+    "mixture_token_budget": "token-budget mixture: one scan, one source-partition running-sum window",
 }
 
 
