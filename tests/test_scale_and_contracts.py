@@ -181,3 +181,35 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert [r.day.isoformat() for r in joined.select("day").distinct().collect()] == [
         "2024-01-02"
     ]
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Rolling schema evolution on an append-only table: a new ingest
+    version adds a column, old files stay untouched, and a mergeSchema read
+    unifies them with NULLs for pre-evolution rows — the way a 100 TB
+    corpus gains a field without a rewrite. Also pins the default: WITHOUT
+    mergeSchema, Spark serves the first-listed file's schema (silently
+    dropping the new column) — which is why the engine's ingest
+    documentation says evolving readers must opt in."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).write.parquet(path + "/batch=0")
+    spark.createDataFrame(
+        [(3, "c", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(path + "/batch=1")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        path + "/batch=0", path + "/batch=1"
+    )
+    assert sorted(f.name for f in merged.schema.fields) == [
+        "doc_id",
+        "lang",
+        "text",
+    ]
+    rows = {r.doc_id: r.lang for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}
+    n_nonnull = merged.filter(F.col("lang").isNotNull()).count()
+    assert n_nonnull == 1
