@@ -68,6 +68,15 @@ def main() -> None:
         cosine_similarity("embedding", "embedding").alias("c")
     ).count()
 
+    # Touch each fixture file once (limit 1): footer/schema reads and codec
+    # init are per-session one-time costs that otherwise bill to the
+    # alphabetically-first query per table. The timed region still scans
+    # all data — this reads one row group's worth of metadata, not results.
+    import glob
+
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        spark.read.parquet(p).limit(1).collect()
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, q in sorted(REGISTRY.items()):
@@ -80,6 +89,13 @@ def main() -> None:
         except Exception as e:  # keep the bench line parseable on failures
             failures[name] = f"{type(e).__name__}: {e}"[:200]
             timings[name] = -1.0
+        finally:
+            # A few operators persist intermediates (posting lists, edge
+            # caches) that the lazy return value still depends on when the
+            # function exits, so they cannot unpersist themselves; clearing
+            # per query keeps one query's cache from occupying memory and
+            # skewing every later timing.
+            spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # Streaming-topology throughput: the reference's actual workload shape

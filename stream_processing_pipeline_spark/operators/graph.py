@@ -98,6 +98,10 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    # sym was materialized from the edge cache during the iterations; the
+    # final labels are themselves persisted/checkpointed, so the edge cache
+    # is dead weight from here on (it used to linger for the session).
+    edges.unpersist()
     return labels
 
 
