@@ -40,6 +40,9 @@ AUDITED = {
     "q6_counts_by_segment": "broadcast dim join; shuffle = windowed partial counts",
     "dedup_span_chunks": "one (id, chunk_no, h60) tuple per 16-token chunk; chunk text never leaves its scan partition",
     "corpus_pack_sequences": "one (id, n_tokens, shard, ord) row per doc into the shard window; text pruned at scan",
+    "scd2_user_value_bands": "one user_id shuffle of (user, ts, id, band) rows serving both window passes",
+    "hourly_purchases_gapfill": "hourly partials only: events aggregate before anything joins the spine",
+    "mixture_token_budget": "one (id, source, n_tokens, ord) row per doc into the source running-sum window; text pruned at scan",
 }
 
 
