@@ -333,20 +333,29 @@ def corpus_clean_train_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus-cleaning composition every training-data
     pipeline runs: exact-dedup to canonical keepers -> quality gate
     (blended score >= 0.55, keeps ~41% of the fixture) -> reproducible 80%
-    train split by hash bucket. One scan computes hash + quality; the only
-    shuffle is the keeper groupBy — at 100 TB this whole filter chain is a
-    single map-side pipeline after the dedup exchange, and each stage is
-    the already-verified operator (dedup_exact / text_quality /
+    train split by hash bucket. ONE corpus scan computes hash + quality and
+    the keeper's attributes ride the dedup exchange via ``min_by`` (an
+    earlier form joined keeper ids back to the corpus — a second full text
+    scan just to recompute quality for the survivors; carrying ~20 bytes of
+    (lang, quality) per doc through the shuffle is far cheaper than
+    rereading 100 TB). The only shuffle is the keeper groupBy, and each
+    stage is the already-verified operator (dedup_exact / text_quality /
     corpus_train_test_split) so the composition needs no new machinery."""
     from ..functions.hashing import stable_bucket
-    from ..operators.dedup import exact_groups
 
     docs = catalog(spark, sf_dir).documents
-    keepers = exact_groups(docs).select(F.col("keeper").alias("doc_id"))
     quality = T.quality_metrics(F.col("text"))["quality"]
+    base = docs.select(
+        "doc_id",
+        H.h60(T.normalize_text("text")).alias("text_hash"),
+        F.struct("lang", quality.alias("quality")).alias("kv"),
+    )
+    keep = base.groupBy("text_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("kv", F.col("doc_id")).alias("kv"),
+    )
     return (
-        docs.join(keepers, "doc_id")
-        .select("doc_id", "lang", quality.alias("quality"))
+        keep.select("doc_id", F.col("kv.lang").alias("lang"), F.col("kv.quality").alias("quality"))
         .filter(
             (F.col("quality") >= 0.55)
             & (stable_bucket(F.col("doc_id"), 100, salt="split:") < 80)
