@@ -896,3 +896,50 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum") <= 800)
         .select("doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"))
     )
+
+
+@register(
+    "text_chunks_udtf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id, CAST(pos // 12 AS INT) AS chunk_no,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk
+    FROM toks GROUP BY doc_id, pos // 12
+    """,
+    tags=("text", "udtf", "python-surface"),
+)
+def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF surface (the last Python-API flavor the engine
+    covers: scalar/grouped/cogrouped/mapInPandas/mapInArrow/stateful are
+    JVM-oracled elsewhere): a table function exploding each document into
+    12-token chunks via LATERAL, registered with ``spark.udtf.register``.
+
+    UDTFs are row-at-a-time Python — the SLOW path, registered here as the
+    API-surface demonstration on a 2% document sample; the production
+    chunker is the JVM expression pipeline in ``dedup_span_chunks`` (same
+    chunking semantics, zero Python). The split mirrors the oracle's
+    single-space rule exactly (``text.split(" ")``, not ``str.split()``,
+    which would silently merge runs of whitespace)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, chunk string")
+    class ChunkText:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 12):
+                yield i // 12, " ".join(toks[i : i + 12])
+
+    spark.udtf.register("chunk_text_12", ChunkText)
+    catalog(spark, sf_dir).documents.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_no, c.chunk
+        FROM _udtf_docs d, LATERAL chunk_text_12(d.text) c
+        WHERE d.doc_id % 50 = 0
+        """
+    )
