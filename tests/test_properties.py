@@ -93,3 +93,69 @@ def test_spark_h60_and_pround_on_adversarial_batch(spark):
         rows = fdf.select("x", pround(F.col("x"), scale).alias("p")).collect()
         for r in rows:
             assert r.p == _py_pround(r.x, scale), (r.x, scale)
+
+
+# --------------------------------------------------------------- SCD2 spans
+
+def _py_scd2(events):
+    """Reference SCD2 in plain Python: events = [(user, ts, event_id, band)]."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ts, eid, band in events:
+        by_user[u].append((ts, eid, band))
+    out = []
+    for u, rows in by_user.items():
+        rows.sort()
+        spans = []
+        for ts, eid, band in rows:
+            if not spans or spans[-1][1] != band:
+                spans.append([ts, band])
+        for i, (ts, band) in enumerate(spans):
+            valid_to = spans[i + 1][0] if i + 1 < len(spans) else None
+            out.append((u, band, ts, valid_to, valid_to is None))
+    return sorted(out, key=lambda r: (r[0], r[2]))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),      # user
+            st.integers(min_value=0, max_value=50),     # ts (minutes)
+            st.sampled_from(["low", "mid", "high", "unknown"]),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_scd2_spans_partition_the_timeline(raw):
+    """Pure-Python SCD2 invariants on arbitrary event streams: per user,
+    spans are change-compressed (no two adjacent spans share a band), cover
+    [first_event, open) with no gaps or overlaps, and exactly the last span
+    is current. (The Spark plan is value-hash-verified against the SQL
+    oracle at fixture scale; this pins the SEMANTICS on adversarial inputs
+    — duplicate timestamps, single-event users, constant bands.)"""
+    events = [
+        (u, ts, i, band) for i, (u, ts, band) in enumerate(raw)
+    ]
+    spans = _py_scd2(events)
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, band, vf, vt, cur in spans:
+        per_user[u].append((vf, vt, band, cur))
+    users_with_events = {u for u, *_ in events}
+    assert set(per_user) == users_with_events
+    for u, ss in per_user.items():
+        ss.sort(key=lambda s: s[0])
+        # exactly one open span, and it is the last
+        assert [s[3] for s in ss] == [False] * (len(ss) - 1) + [True]
+        for i, (vf, vt, band, cur) in enumerate(ss):
+            if i + 1 < len(ss):
+                assert vt == ss[i + 1][0]          # no gap, no overlap
+                assert band != ss[i + 1][2]        # change-compressed
+            else:
+                assert vt is None
+        user_events = sorted(ts for uu, ts, _, _ in events if uu == u)
+        assert ss[0][0] == user_events[0]          # first span starts at first event
