@@ -1521,3 +1521,42 @@ def hourly_purchases_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_purchases"),
         F.last("total", ignorenulls=True).over(w).alias("total_value_locf"),
     )
+
+
+@register(
+    "event_props_variant",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(json_extract_string(props, '$.missing')) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+    tags=("batch", "json", "variant", "spark4"),
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path over the semi-structured column: parse the
+    JSON payload ONCE into a variant (binary-encoded, typed access without
+    re-parsing) and aggregate typed extractions — versus
+    ``event_props_extract``'s per-path ``get_json_object``, which re-parses
+    the string for every path touched. With one path the two tie; with many
+    paths (real event payloads) the single parse wins, and at 100 TB the
+    variant column is what you'd persist so downstream queries never touch
+    JSON text at all. ``try_variant_get`` on an absent path yields NULL
+    (counted here to pin the missing-path contract); DuckDB mirrors with
+    json_extract_string."""
+    ev = catalog(spark, sf_dir).events
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "long").alias("k"),
+            F.try_variant_get(v, "$.missing", "string").alias("missing"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count("missing").alias("n_missing"),
+        )
+    )
