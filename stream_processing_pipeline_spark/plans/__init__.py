@@ -114,9 +114,12 @@ _GATE_PRIORITY = [
 # the late-r2 additions text_pii_redact (oracle-verified),
 # recent_errors_before_purchase (oracle-verified bucketized range join),
 # hll_sketch_rollup (rows-only by design, invariants pinned in
-# tests/test_pii_and_sketches.py), and the warehouse-analytics trio
-# scd2_user_value_bands / user_retention_cohorts / hourly_purchases_gapfill
-# (oracle-verified MATCH via tools/driver_sim.py).
+# tests/test_pii_and_sketches.py), the warehouse-analytics trio
+# scd2_user_value_bands / user_retention_cohorts / hourly_purchases_gapfill,
+# and the late-r2 additions mixture_token_budget (token-denominated
+# sampling), text_chunks_udtf (Python UDTF surface), and
+# event_props_variant (Spark 4 VariantType) — all oracle-verified MATCH
+# via tools/driver_sim.py.
 
 
 def _apply_gate_priority() -> None:
