@@ -132,7 +132,7 @@ def test_python_nodes_only_in_declared_python_queries(spark):
     in queries explicitly tagged as Python paths. A stray Python hop in a
     scan query is the single worst 100 TB regression (10-100x slowdown), so
     a new query that silently routes through Python fails here."""
-    python_tags = {"pandas-udf", "arrow-udf", "stateful", "cogrouped-map"}
+    python_tags = {"pandas-udf", "arrow-udf", "stateful", "cogrouped-map", "udtf"}
     offenders, missing_tag = [], []
     for name, q in REGISTRY.items():
         plan = plan_of(spark, name)
