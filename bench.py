@@ -101,6 +101,16 @@ def main() -> None:
     # Streaming-topology throughput: the reference's actual workload shape
     # (six concurrent queries over an event stream). Chunk prep is outside
     # the timed region; each sink fully materializes its micro-batches.
+    # Stabilize first: the topology runs right after the 100+-query batch
+    # sweep, whose garbage (shuffle files, JVM heap churn) otherwise bleeds
+    # GC pauses into the throughput figure (observed 60k vs 110k events/s
+    # run to run with identical code). The first topology run of a session
+    # also pays streaming-machinery class loading, so run once as warm-up
+    # and record the second run — steady-state throughput is the figure
+    # that scales, and it is reproducible within ~5% (vs 2x swings cold).
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+    _bench_streaming_topology(spark, sf_dir)
     streaming = _bench_streaming_topology(spark, sf_dir)
 
     out = {
