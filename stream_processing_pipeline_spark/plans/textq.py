@@ -917,7 +917,9 @@ def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python UDTF surface (the last Python-API flavor the engine
     covers: scalar/grouped/cogrouped/mapInPandas/mapInArrow/stateful are
     JVM-oracled elsewhere): a table function exploding each document into
-    12-token chunks via LATERAL, registered with ``spark.udtf.register``.
+    12-token chunks via ``DataFrame.lateralJoin`` (the correlated column is
+    marked with ``.outer()``; no temp view, no SQL string, no session-state
+    side effects).
 
     UDTFs are row-at-a-time Python — the SLOW path, registered here as the
     API-surface demonstration on a 2% document sample; the production
@@ -934,12 +936,7 @@ def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(0, len(toks), 12):
                 yield i // 12, " ".join(toks[i : i + 12])
 
-    spark.udtf.register("chunk_text_12", ChunkText)
-    catalog(spark, sf_dir).documents.createOrReplaceTempView("_udtf_docs")
-    return spark.sql(
-        """
-        SELECT d.doc_id, c.chunk_no, c.chunk
-        FROM _udtf_docs d, LATERAL chunk_text_12(d.text) c
-        WHERE d.doc_id % 50 = 0
-        """
+    docs = catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 50 == 0)
+    return docs.lateralJoin(ChunkText(F.col("text").outer())).select(
+        "doc_id", "chunk_no", "chunk"
     )
