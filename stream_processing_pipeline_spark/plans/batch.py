@@ -802,6 +802,54 @@ def user_value_minmax_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_value_minmax_arrow",
+    oracle=_MINMAX_ORACLE,
+    tags=("batch", "arrow-udf", "applyInArrow", "demo"),
+)
+def user_value_minmax_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Arrow transform (``applyInArrow``): the zero-pandas twin
+    of ``user_value_minmax_pandas`` — the UDF receives each user's rows as a
+    ``pyarrow.Table`` directly, skipping the Arrow->pandas conversion the
+    pandas flavor pays on both edges. Same exact integer-cents arithmetic
+    and operation order as the SQL oracle, so this Python path is
+    value-verified too. With mapInArrow (``mm_decode_arrow``) and the
+    pandas/stateful/cogrouped flavors, every Arrow-batched UDF entry point
+    in Spark 4 is now exercised against an oracle. Same keyed
+    ``repartition(16)`` parallelism floor as the pandas twin."""
+    import math
+
+    import pyarrow as pa
+
+    ev = catalog(spark, sf_dir).events
+    narrow = ev.select("event_id", "user_id", cents("value").alias("cv"))
+
+    def scale(t: pa.Table) -> pa.Table:
+        cv = t.column("cv").to_pylist()
+        cmin, cmax = min(cv), max(cv)
+        if cmax == cmin:
+            scaled = [0.5] * len(cv)
+        else:
+            scaled = [
+                math.floor((x - cmin) * 1.0 / (cmax - cmin) * 1000000.0 + 0.5)
+                / 1000000.0
+                for x in cv
+            ]
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "scaled": pa.array(scaled, pa.float64()),
+            }
+        )
+
+    return (
+        narrow.repartition(16, "user_id")
+        .groupBy("user_id")
+        .applyInArrow(scale, "event_id long, user_id long, scaled double")
+    )
+
+
+@register(
     "daily_counts_pivoted",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS date,
