@@ -139,6 +139,7 @@ def test_python_nodes_only_in_declared_python_queries(spark):
         has_python = (
             "EvalPython" in plan or "MapInPandas" in plan or "MapInArrow" in plan
             or "FlatMapGroupsInPandas" in plan or "FlatMapCoGroupsInPandas" in plan
+            or "FlatMapGroupsInArrow" in plan
         )
         declared = bool(python_tags & set(q.tags))
         if has_python and not declared:
