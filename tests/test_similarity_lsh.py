@@ -170,3 +170,30 @@ def test_pq_adc_recall_vs_exact(spark):
         for r in topk_pq_adc(emb, queries, books, k=10).collect()
     }
     assert len(exact & pq) / len(exact) >= 0.1
+
+
+def test_cosine_pairs_dense_equals_fold(spark):
+    """The dense-matmul verify stage must be BIT-identical to the
+    fold-expression reference on both blocking keys — the regression pin
+    that lets the registered dedup queries use the fast path while the
+    oracle stays the exact-arithmetic SQL."""
+    from stream_processing_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_dense,
+        with_lsh_bucket,
+    )
+    from stream_processing_pipeline_spark.plans.common import catalog
+
+    from .conftest import SF_MED
+
+    emb = catalog(spark, SF_MED).embeddings
+    fold = sorted(map(tuple, cosine_pairs(emb, 0.35, "label").collect()))
+    dense = sorted(map(tuple, cosine_pairs_dense(emb, 0.35, "label").collect()))
+    assert fold == dense and len(fold) > 0
+
+    bucketed = with_lsh_bucket(emb, n_planes=4)
+    fold_b = sorted(map(tuple, cosine_pairs(bucketed, 0.35, "bucket").collect()))
+    dense_b = sorted(
+        map(tuple, cosine_pairs_dense(bucketed, 0.35, "bucket").collect())
+    )
+    assert fold_b == dense_b
