@@ -107,7 +107,13 @@ _GATE_PRIORITY = [
 # (dedup_minhash_*, dedup_ngram_jaccard, dedup_components,
 # corpus_clean_train_sample, dedup_incremental) was gate-green in r1 and
 # re-verified against unchanged oracles by tools/driver_sim.py after the
-# rewrite. Queries registered after the prefix froze (dedup_span_chunks,
+# rewrite. The same holds for the late-r2 physical rewrites of gate-green
+# queries — dedup_embedding_cosine (dense matmul verify, bit-equality vs
+# the retained fold reference pinned in test_similarity_lsh.py),
+# corpus_clean_train_sample (min_by one-scan), contamination_bench_overlap
+# (collect_set posting), hourly_purchases_gapfill's and the IVF family's
+# plan reshaping — every one re-verified MATCH against its unchanged
+# oracle by tools/driver_sim.py after the change. Queries registered after the prefix froze (dedup_span_chunks,
 # corpus_pack_sequences, corpus_epoch_shuffle, quality_weighted_sample,
 # tpch_q15_top_supplier, user_funnel, rollup_incremental_merge)
 # are oracle-verified locally and rotate into the prefix next round; so are
