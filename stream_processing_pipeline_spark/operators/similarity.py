@@ -302,6 +302,59 @@ def cosine_pairs_dense(
     )
 
 
+def rerank_dense_by_cell(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe re-ranking as one dense matmul per cell (cogrouped-map):
+    ``corpus`` carries (neighbor_id, vec, cluster), ``queries`` carries
+    (query_id, query_vec, cluster) with one row per probed cell; each cell
+    scores candidates x probing-queries as ``C @ Q.T`` instead of one
+    interpreted fold expression per pair — the same trade as
+    :func:`cosine_pairs_dense`, with the same 1e-6 rounding so output is
+    bit-identical to the fold form (pinned by the IVF-static oracle).
+    Self-matches (neighbor == query) are dropped inside the batch. Cells
+    are Arrow-batch-sized by construction (that is what the coarse
+    quantizer is for); the keyed ``repartition(16)`` is the pandas-stage
+    parallelism floor."""
+    import numpy as np
+    import pandas as pd
+
+    def cell(corp: pd.DataFrame, qs: pd.DataFrame) -> pd.DataFrame:
+        if len(corp) == 0 or len(qs) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        C = np.array([np.asarray(v, dtype=np.float64) for v in corp[vec_col]])
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in qs["query_vec"]])
+        cn = np.sqrt((C * C).sum(axis=1))
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        S = np.floor((C @ Q.T) / np.outer(cn, qn) * 1e6 + 0.5) / 1e6
+        qq, nn = np.meshgrid(
+            qs["query_id"].to_numpy(), corp["neighbor_id"].to_numpy()
+        )
+        out = pd.DataFrame(
+            {
+                "query_id": qq.ravel(),
+                "neighbor_id": nn.ravel(),
+                "cosine": S.ravel(),
+            }
+        )
+        return out[out.query_id != out.neighbor_id]
+
+    return (
+        corpus.repartition(16, "cluster")
+        .groupBy("cluster")
+        .cogroup(queries.repartition(16, "cluster").groupBy("cluster"))
+        .applyInPandas(cell, "query_id long, neighbor_id long, cosine double")
+    )
+
+
 # ------------------------------------------------------------------- IVF
 
 def quantize_int(vec_col: Column | str) -> Column:

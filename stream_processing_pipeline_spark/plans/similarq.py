@@ -281,7 +281,7 @@ def sim_ivf_static_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM probes p JOIN ca c ON c.cluster = p.cluster AND c.vec_id != p.vec_id
     QUALIFY rank <= {_K}
     """,
-    tags=("similarity", "ivf", "static", "ann"),
+    tags=("similarity", "ivf", "static", "ann", "cogrouped-map"),
 )
 def sim_topk_ivf_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe search over the sampled-seed quantizer: each query scans
@@ -317,13 +317,12 @@ def sim_topk_ivf_static(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster"
         ),
     )
-    scored = corpus.join(F.broadcast(qx), "cluster").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("embedding"), F.col("query_vec")).alias("cosine"),
-    )
+    # Re-rank as one dense matmul per probed cell (cogrouped-map) instead
+    # of a join + one interpreted cosine fold per pair — bit-identical under
+    # the shared 1e-6 rounding, value-hash-pinned by this query's oracle.
+    from ..operators.similarity import rerank_dense_by_cell
+
+    scored = rerank_dense_by_cell(corpus, qx)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
