@@ -589,13 +589,10 @@ def topk_ivf(
             "cluster"
         ),
     )
-    scored = corpus_c.join(F.broadcast(qx), "cluster").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine"),
-    )
+    # Dense per-cell re-rank (see rerank_dense_by_cell): candidates x
+    # probing queries as one matmul per cell, bit-identical to the fold-
+    # expression join under the shared 1e-6 rounding.
+    scored = rerank_dense_by_cell(corpus_c, qx, vec_col=vec_col)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

@@ -378,7 +378,7 @@ def sim_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_topk_ivf",
     oracle=None,  # depends on the trained (iterative) index; invariant-tested
-    tags=("similarity", "ivf", "ann"),
+    tags=("similarity", "ivf", "ann", "cogrouped-map"),
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe search: each query scans only its 2 nearest clusters
