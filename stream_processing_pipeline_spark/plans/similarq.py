@@ -642,3 +642,66 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return topk_pq_adc(emb, queries, _pq_books(spark, sf_dir), k=_K)
+
+
+@register(
+    "sim_recall_lsh_at_k",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {lsh_bucket_sql('embedding', _N_PLANES)} AS bucket
+      FROM embeddings
+    ),
+    bf AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+      ) <= {_K}
+    ),
+    ls AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+      ) <= {_K}
+    )
+    SELECT bf.query_id,
+           CAST(count(ls.neighbor_id) AS BIGINT) AS n_hits,
+           count(ls.neighbor_id) / {_K}.0 AS recall_at_k
+    FROM bf LEFT JOIN ls
+      ON bf.query_id = ls.query_id AND bf.neighbor_id = ls.neighbor_id
+    GROUP BY bf.query_id
+    """,
+    tags=("similarity", "lsh", "recall", "evaluation"),
+)
+def sim_recall_lsh_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a VERIFIED query: per-query recall@10 of the LSH probe
+    against the exact brute-force baseline — the measurement SCALING.md
+    reports, now value-hash-checked by the driver gate rather than quoted
+    from a notebook. Both sides are the engine's own registered operators,
+    so this also pins their relative consistency (deterministic LSH +
+    deterministic tie-breaks = a reproducible recall number, engine to
+    engine). The pattern is how an index rollout is validated at 100 TB:
+    exact baseline on a sampled query set, candidate index over the full
+    corpus, recall computed as a join — no collecting result sets to the
+    driver."""
+    emb = catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    bf = topk_bruteforce(emb, queries, k=_K).select("query_id", "neighbor_id")
+    ls = (
+        topk_lsh(emb, queries, k=_K, n_planes=_N_PLANES)
+        .select(
+            F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+        )
+    )
+    joined = bf.join(
+        ls,
+        (bf.query_id == ls.l_qid) & (bf.neighbor_id == ls.l_nid),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("l_nid").alias("n_hits"),
+        (F.count("l_nid") / float(_K)).alias("recall_at_k"),
+    )
