@@ -705,3 +705,64 @@ def sim_recall_lsh_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("l_nid").alias("n_hits"),
         (F.count("l_nid") / float(_K)).alias("recall_at_k"),
     )
+
+
+@register(
+    "sim_recall_ivf_static_at_k",
+    oracle=f"""{_STATIC_ASSIGN_CTE},
+    ca AS (
+      SELECT vec_id, embedding, cid AS cluster
+      FROM d
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+    ),
+    probes AS (
+      SELECT vec_id, embedding, cid AS cluster
+      FROM d WHERE vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) <= 2
+    ),
+    iv AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN ca c ON c.cluster = p.cluster AND c.vec_id != p.vec_id
+      QUALIFY row_number() OVER (
+        PARTITION BY p.vec_id
+        ORDER BY {cosine_similarity_sql('c.embedding', 'p.embedding')} DESC,
+                 c.vec_id
+      ) <= {_K}
+    ),
+    bf AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+      ) <= {_K}
+    )
+    SELECT bf.query_id,
+           CAST(count(iv.neighbor_id) AS BIGINT) AS n_hits,
+           count(iv.neighbor_id) / {_K}.0 AS recall_at_k
+    FROM bf LEFT JOIN iv
+      ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
+    GROUP BY bf.query_id
+    """,
+    tags=("similarity", "ivf", "static", "recall", "evaluation", "cogrouped-map"),
+)
+def sim_recall_ivf_static_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 2-probe static-quantizer IVF search against the
+    exact baseline, per query — the second driver-verified index-quality
+    number (cf. ``sim_recall_lsh_at_k``; SCALING.md's recall table quotes
+    both). Composes two registered pipelines and reduces with a join, so
+    the whole evaluation is value-hash-checked end to end."""
+    emb = catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    bf = topk_bruteforce(emb, queries, k=_K).select("query_id", "neighbor_id")
+    # the registered probe pipeline verbatim (register() returns the fn)
+    iv = sim_topk_ivf_static(spark, sf_dir).select(
+        F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
+    )
+    joined = bf.join(
+        iv, (bf.query_id == iv.i_qid) & (bf.neighbor_id == iv.i_nid), "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("i_nid").alias("n_hits"),
+        (F.count("i_nid") / float(_K)).alias("recall_at_k"),
+    )
