@@ -1576,7 +1576,8 @@ def hourly_purchases_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
            count(json_extract_string(props, '$.missing')) AS n_missing
     FROM events GROUP BY event_type
     """,

@@ -114,7 +114,7 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS format
       FROM documents
     )
-    SELECT format, count(*) AS n, sum(byte_len) AS total_bytes
+    SELECT format, count(*) AS n, CAST(sum(byte_len) AS BIGINT) AS total_bytes
     FROM d GROUP BY format
     """,
     tags=("multimodal", "aggregation", "pandas-udf"),

@@ -27,7 +27,12 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as E
-    from tests.oracle_harness import compare_frames, run_oracle
+    from tests.oracle_harness import (
+        compare_arrow_types,
+        compare_frames,
+        run_oracle,
+        run_oracle_arrow,
+    )
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -53,10 +58,12 @@ def main() -> int:
     for i, name in enumerate(names, 1):
         t0 = time.time()
         try:
-            pdf = queries[name](spark, SF_DIR).toPandas()
+            df = queries[name](spark, SF_DIR)
+            pdf = df.toPandas()
             if name in oracles:
-                odf = run_oracle(oracles[name], SF_DIR)
-                problems = compare_frames(pdf, odf)
+                otbl = run_oracle_arrow(oracles[name], SF_DIR)
+                problems = compare_arrow_types(df.schema, otbl.schema)
+                problems += compare_frames(pdf, run_oracle(oracles[name], SF_DIR))
                 status = "MATCH" if not problems else "; ".join(problems)
             else:
                 status = f"rows-only ({len(pdf)} rows)"
