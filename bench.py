@@ -50,7 +50,9 @@ def main() -> None:
     # pandas-worker warm-up above — keep one-time JVM costs out of
     # per-query attribution, never touching the benchmarked data.
     from stream_processing_pipeline_spark.operators.dedup import lsh_candidate_pairs
-    from stream_processing_pipeline_spark.operators.similarity import assign_clusters
+    from stream_processing_pipeline_spark.operators.similarity import (
+        assign_clusters_static,
+    )
 
     tiny_docs = spark.createDataFrame(
         [(i, f"warm the hash kernels {i} " * 4) for i in range(8)],
@@ -61,7 +63,7 @@ def main() -> None:
         [(i, [float(i + 1)] * 4) for i in range(4)],
         "vec_id long, embedding array<float>",
     )
-    assign_clusters(tiny_emb, [[0.0] * 4, [1.0] * 4]).count()
+    assign_clusters_static(tiny_emb, [(0, [0] * 4), (1, [10**6] * 4)]).count()
     from stream_processing_pipeline_spark.functions.vectors import cosine_similarity
 
     tiny_emb.select(

@@ -23,7 +23,6 @@ For near-duplicate detection by cosine (the fifth dedup family), use
 from __future__ import annotations
 
 import hashlib
-import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -33,7 +32,6 @@ from ..functions.vectors import cosine_similarity, dot_product
 
 __all__ = [
     "kmeans_fit",
-    "assign_clusters",
     "centroid_dist_structs_int",
     "topk_ivf",
     "hyperplanes",
@@ -401,7 +399,7 @@ def assign_clusters_static(
     vectors are quantized to micro-units and ``dist2`` is the integer sum of
     squared differences — order-independent, overflow-safe (<= 4e12 per dim
     * dims), and bit-identical across engines. Same no-shuffle shape as
-    :func:`assign_clusters`: centroids are plan literals; only (id, cluster,
+    the trained path: centroids are plan literals; only (id, cluster,
     dist2) rows leave the scan."""
     best = F.array_min(centroid_dist_structs_int(vec_col, centroids_int))
     return corpus.select(
@@ -412,12 +410,18 @@ def assign_clusters_static(
 
 
 def centroid_dist_structs_int(
-    vec_col: Column | str, centroids_int: list[tuple[int, list[int]]]
+    vec_col: Column | str,
+    centroids_int: list[tuple[int, list[int]]],
+    quantized: bool = False,
 ) -> Column:
     """array<struct<dist2, cluster>> of EXACT integer squared distances to
-    each static centroid — the integer twin of ``_centroid_dist_structs``
-    (same constant-folded matrix-literal shape, micro-unit quantized
-    vectors, arbitrary cluster ids carried in a parallel literal array)."""
+    each centroid: the centroid matrix enters the plan as ONE constant-folded
+    array-of-arrays literal and distances are a single ``transform`` over it
+    (one fold expression total instead of one per centroid — k-times smaller
+    expression tree, ~1.6x on an assignment pass at interactive scale).
+    Micro-unit quantized vectors, arbitrary cluster ids carried in a parallel
+    literal array; pass ``quantized=True`` when ``vec_col`` already holds
+    micro-unit longs (the k-means training loop quantizes once up front)."""
     C = F.array(
         *[
             F.array(*[F.lit(int(x)).cast("long") for x in cvec])
@@ -425,7 +429,8 @@ def centroid_dist_structs_int(
         ]
     )
     ids = F.array(*[F.lit(int(cid)) for cid, _ in centroids_int])
-    v_int = quantize_int(vec_col)
+    v_col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v_int = v_col if quantized else quantize_int(vec_col)
     dists = F.transform(
         C,
         lambda c: F.aggregate(
@@ -445,142 +450,110 @@ def kmeans_fit(
     iterations: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> list[list[float]]:
+) -> list[tuple[int, list[int]]]:
     """Deterministic distributed Lloyd's k-means — the IVF coarse quantizer.
 
-    Determinism by construction (so a trained index is reproducible across
-    runs and clusters): init = the k vectors with smallest ids; a fixed
-    iteration count; centroid updates via exact scaled-integer sums
-    (micro-units, order-independent) with centroids quantized to 1e-6.
-    Per iteration: one broadcast of k centroids + ONE job — the assignment
-    pass (zip_with distance folds, argmin via struct-min) flows straight
-    into the (cluster, dim) aggregation with the vector carried alongside
-    the assignment, so the corpus is scanned once per iteration and nothing
-    joins back (an earlier form re-joined assignments to the corpus by id:
-    a second scan plus a join per iteration for data the scan already had
-    in hand). Corpus vectors never shuffle; only (cluster, dim, sum)
-    partials do. Centroids round-trip through the driver between iterations
-    (k*dim floats — trivial at any corpus scale).
-    """
-    narrow = corpus.select(id_col, vec_col).persist()
-    seeds = narrow.orderBy(id_col).limit(k).select(vec_col).collect()
+    INTEGER-EXACT end to end, which makes the trained index not merely
+    reproducible but *engine-portable*: vectors are quantized once to
+    micro-units (``round(x * 1e6)`` longs), centroids live in micro-units,
+    assignment distances are integer sums of squared differences
+    (order-independent — no float fold-order to disagree about), and the
+    centroid update is floor-half-up integer division
+    (``floor(s/n + 0.5) = (2s + n) // (2n)``, Python floor division). Every
+    step is expressible in portable SQL, so the full training loop is
+    value-hash-verified against the DuckDB oracle of
+    ``sim_ivf_assignments`` — no invariant-test-only training anymore.
+
+    Init = the k vectors with smallest ids; fixed iteration count; empty
+    clusters keep their previous centroid. Per iteration: one broadcast of
+    k centroids + ONE job — the assignment pass (zip_with integer folds,
+    argmin via struct-min with ties to the smallest cluster id) flows
+    straight into the (cluster, dim) aggregation, so the corpus is scanned
+    once per iteration and nothing joins back. Corpus vectors never
+    shuffle; only (cluster, dim, sum) partials do. Centroids round-trip
+    through the driver between iterations (k*dim ints — trivial at any
+    corpus scale). Returns ``[(cluster_id, centroid_micro_units)]`` — the
+    same shape as :func:`seed_centroids_int`, so assignment and probing
+    share the static path's exact-integer machinery."""
+    narrow = corpus.select(
+        F.col(id_col).alias("_id"), quantize_int(vec_col).alias("_vi")
+    ).persist()
+    seeds = narrow.orderBy("_id").limit(k).select("_vi").collect()
     dim = len(seeds[0][0])
-    centroids = [[round(float(x) * 1e6) / 1e6 for x in r[0]] for r in seeds]
+    cents: list[tuple[int, list[int]]] = [
+        (c, [int(x) for x in r[0]]) for c, r in enumerate(seeds)
+    ]
     try:
         for _ in range(iterations):
-            assigned = _assign_keeping_vec(narrow, centroids, vec_col, id_col)
-            ex = assigned.select(
-                "cluster",
-                F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
-            ).select(
-                "cluster", "d", F.round(F.col("x") * 1e6).cast("long").alias("xs")
+            best = F.array_min(
+                centroid_dist_structs_int("_vi", cents, quantized=True)
             )
+            # Two-step select: a generator (posexplode) in the same select as
+            # the struct getField breaks alias resolution inside the zip_with
+            # lambda (Generate's rewrite sees lambda-var field names x_N/y_N).
             sums = (
-                ex.groupBy("cluster", "d")
-                .agg(F.sum("xs").alias("s"), F.count(F.lit(1)).alias("n"))
+                narrow.select(
+                    best.getField("cluster").alias("cluster"), F.col("_vi")
+                )
+                .select("cluster", F.posexplode("_vi").alias("d", "x"))
+                .groupBy("cluster", "d")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
                 .collect()
             )
-            acc: dict[int, list[float]] = {}
+            acc: dict[int, list[int]] = {}
             counts: dict[int, int] = {}
             for r in sums:
-                acc.setdefault(r.cluster, [0.0] * dim)[r.d] = r.s
-                counts[r.cluster] = r.n
-            for c in range(k):
-                if c in acc:  # empty clusters keep their previous centroid
-                    centroids[c] = [
-                        math.floor(acc[c][d] / counts[c] + 0.5) / 1e6
+                acc.setdefault(r.cluster, [0] * dim)[r.d] = int(r.s)
+                counts[r.cluster] = int(r.n)
+            cents = [
+                (
+                    c,
+                    [
+                        (2 * acc[c][d] + counts[c]) // (2 * counts[c])
                         for d in range(dim)
                     ]
+                    if c in acc  # empty clusters keep their previous centroid
+                    else prev,
+                )
+                for c, prev in cents
+            ]
     finally:
         narrow.unpersist()
-    return centroids
-
-
-def _centroid_dist_structs(
-    vec_col: str, centroids: list[list[float]]
-) -> Column:
-    """array<struct<dist2, cluster>> of squared distances to each centroid.
-
-    The centroid matrix enters the plan as ONE constant-folded
-    array-of-arrays literal and distances are a single ``transform`` over
-    it — one fold expression total instead of one per centroid. Per-row
-    arithmetic (and fold order within each centroid) is identical to the
-    per-centroid form it replaced, but the expression tree is k-times
-    smaller, which at interactive scale cut an assignment pass ~1.6x
-    (optimizer + interpreted-HOF setup cost scales with tree size)."""
-    C = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in centroids])
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dists = F.transform(
-        C,
-        lambda c: F.aggregate(
-            F.zip_with(vd, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return F.zip_with(
-        dists,
-        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-        lambda d, i: F.struct(d.alias("dist2"), i.cast("int").alias("cluster")),
-    )
-
-
-def _assign_keeping_vec(
-    corpus: DataFrame,
-    centroids: list[list[float]],
-    vec_col: str,
-    id_col: str,
-) -> DataFrame:
-    """Assignment pass that keeps the vector column in the output (training
-    inner loop and IVF index build: downstream needs (cluster, vector) and
-    re-joining by id would rescan the corpus)."""
-    best = F.array_min(_centroid_dist_structs(vec_col, centroids))
-    return corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        best.getField("cluster").alias("cluster"),
-        best.getField("dist2").alias("dist2"),
-    )
-
-
-def assign_clusters(
-    corpus: DataFrame,
-    centroids: list[list[float]],
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Nearest-centroid assignment: (id, cluster, dist2). One pass, no
-    shuffle of vectors (the centroid matrix is a plan literal); ties on
-    dist2 resolve to the smallest cluster id (struct min ordering, same as
-    the ``least``-of-structs form this replaced)."""
-    best = F.array_min(_centroid_dist_structs(vec_col, centroids))
-    return corpus.select(
-        F.col(id_col),
-        best.getField("cluster").alias("cluster"),
-        best.getField("dist2").alias("dist2"),
-    )
+    return cents
 
 
 def topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
-    centroids: list[list[float]],
+    centroids_int: list[tuple[int, list[int]]],
     k: int = 10,
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF probe: search only the ``n_probe`` clusters nearest each query.
+    """IVF probe: search only the ``n_probe`` cells nearest each query,
+    with exact cosine re-ranking inside the probed cells.
 
-    The corpus is partitioned once by cluster id (at 100 TB: persisted,
-    partitioned-by-cluster parquet); each query touches ~n_probe/k of it.
-    """
-    corpus_c = _assign_keeping_vec(corpus, centroids, vec_col, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col), "cluster"
+    Works for any coarse quantizer in micro-unit form — sampled seeds
+    (:func:`seed_centroids_int`) or trained (:func:`kmeans_fit`); cell
+    choice is exact integer arithmetic either way, so the whole probe is
+    value-hash-verifiable. One scan assigns each corpus vector its cell and
+    keeps the vector (re-joining assignments by id would rescan the
+    corpus); the corpus is partitioned once by cell id (at 100 TB: a
+    persisted, partitioned-by-cluster parquet index — see
+    ``test_partitioned_index_prunes_probed_cells``); each query touches
+    ~n_probe/k of it. Re-ranking is one dense matmul per probed cell
+    (:func:`rerank_dense_by_cell`), bit-identical to the fold-expression
+    join under the shared 1e-6 rounding."""
+    best = F.array_min(centroid_dist_structs_int(vec_col, centroids_int))
+    corpus_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col),
+        best.getField("cluster").alias("cluster"),
     )
 
     probes = F.slice(
-        F.array_sort(_centroid_dist_structs(vec_col, centroids)), 1, n_probe
+        F.array_sort(centroid_dist_structs_int(vec_col, centroids_int)), 1, n_probe
     )
     qx = queries.select(
         F.col(id_col).alias("query_id"),
@@ -589,9 +562,6 @@ def topk_ivf(
             "cluster"
         ),
     )
-    # Dense per-cell re-rank (see rerank_dense_by_cell): candidates x
-    # probing queries as one matmul per cell, bit-identical to the fold-
-    # expression join under the shared 1e-6 rounding.
     scored = rerank_dense_by_cell(corpus_c, qx, vec_col=vec_col)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

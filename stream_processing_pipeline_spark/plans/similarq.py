@@ -233,13 +233,44 @@ _STATIC_ASSIGN_CTE = f"""
 """
 
 
-@register(
-    "sim_ivf_static_assignments",
-    oracle=f"""{_STATIC_ASSIGN_CTE}
+# Shared oracle tails: nearest-cell assignment, and the 2-probe top-k scan.
+# Both the static (seed-quantizer) and trained (k-means) IVF oracles use
+# these verbatim over their respective ``d`` CTE (vec_id, embedding, cid,
+# dist2 vs that quantizer's centroids).
+_ASSIGN_TAIL = """
     SELECT vec_id, CAST(cid AS INTEGER) AS cluster, dist2
     FROM d
     QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
-    """,
+"""
+
+
+def _probe_topk_tail() -> str:
+    return f""",
+    ca AS (
+      SELECT vec_id, embedding, cid AS cluster
+      FROM d
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+    ),
+    probes AS (
+      SELECT vec_id, embedding, cid AS cluster
+      FROM d WHERE vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) <= 2
+    )
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {cosine_similarity_sql('c.embedding', 'p.embedding')} AS cosine,
+           CAST(row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY {cosine_similarity_sql('c.embedding', 'p.embedding')} DESC,
+                      c.vec_id
+           ) AS INTEGER) AS rank
+    FROM probes p JOIN ca c ON c.cluster = p.cluster AND c.vec_id != p.vec_id
+    QUALIFY rank <= {_K}
+"""
+
+
+@register(
+    "sim_ivf_static_assignments",
+    oracle=f"{_STATIC_ASSIGN_CTE}{_ASSIGN_TAIL}",
     tags=("similarity", "ivf", "static"),
 )
 def sim_ivf_static_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,27 +291,7 @@ def sim_ivf_static_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_topk_ivf_static",
-    oracle=f"""{_STATIC_ASSIGN_CTE},
-    ca AS (
-      SELECT vec_id, embedding, cid AS cluster
-      FROM d
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
-    ),
-    probes AS (
-      SELECT vec_id, embedding, cid AS cluster
-      FROM d WHERE vec_id < {_N_QUERIES}
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) <= 2
-    )
-    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-           {cosine_similarity_sql('c.embedding', 'p.embedding')} AS cosine,
-           CAST(row_number() OVER (
-             PARTITION BY p.vec_id
-             ORDER BY {cosine_similarity_sql('c.embedding', 'p.embedding')} DESC,
-                      c.vec_id
-           ) AS INTEGER) AS rank
-    FROM probes p JOIN ca c ON c.cluster = p.cluster AND c.vec_id != p.vec_id
-    QUALIFY rank <= {_K}
-    """,
+    oracle=f"{_STATIC_ASSIGN_CTE}{_probe_topk_tail()}",
     tags=("similarity", "ivf", "static", "ann", "cogrouped-map"),
 )
 def sim_topk_ivf_static(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,57 +299,24 @@ def sim_topk_ivf_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 2 nearest cells (~1/4 of the corpus at k=8, cells balanced because
     seeds are corpus points) with exact cosine re-ranking inside —
     end-to-end ANN that is value-hash-verified, because every step (integer
-    assignment distances, deterministic probe choice, fold-ordered cosine)
-    is engine-portable. The trained twin (``sim_topk_ivf``) shows what Lloyd
-    iterations buy on top; this one proves the probe machinery exactly."""
-    from ..operators.similarity import centroid_dist_structs_int
+    assignment distances, deterministic probe choice, dense-matmul re-rank
+    bit-identical to the fold form under 1e-6 rounding) is
+    engine-portable. The trained twin (``sim_topk_ivf``) shows what Lloyd
+    iterations buy on top; both run the same :func:`topk_ivf` machinery —
+    only the quantizer differs."""
+    from ..operators.similarity import topk_ivf
 
     emb = catalog(spark, sf_dir).embeddings
-    cent = _static_cent(spark, sf_dir)
-
-    # One scan assigns each corpus vector its cell and keeps the vector
-    # (re-joining assignments by id would rescan the corpus); the matrix-
-    # literal distance helper keeps the expression tree k-times smaller
-    # than a per-centroid fold loop.
-    best = F.array_min(centroid_dist_structs_int("embedding", cent))
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding"),
-        best.getField("cluster").alias("cluster"),
-    )
-
-    probes = F.slice(
-        F.array_sort(centroid_dist_structs_int("embedding", cent)), 1, 2
-    )
-    qx = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-        F.explode(F.transform(probes, lambda s: s.getField("cluster"))).alias(
-            "cluster"
-        ),
-    )
-    # Re-rank as one dense matmul per probed cell (cogrouped-map) instead
-    # of a join + one interpreted cosine fold per pair — bit-identical under
-    # the shared 1e-6 rounding, value-hash-pinned by this query's oracle.
-    from ..operators.similarity import rerank_dense_by_cell
-
-    scored = rerank_dense_by_cell(corpus, qx)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _K)
-        .withColumn("rank", F.col("rank").cast("int"))
-    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return topk_ivf(emb, queries, _static_cent(spark, sf_dir), k=_K, n_probe=2)
 
 
-_CENTROIDS: dict[tuple[int, str], list[list[float]]] = {}
+_CENTROIDS: dict[tuple[int, str], list[tuple[int, list[int]]]] = {}
 
 
-def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+def _trained_centroids(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[int]]]:
     """Train once per (session, fixture) — k-means is deterministic, so the
     cached index is exactly what retraining would produce (at scale this is
     the persisted IVF index, trained offline and reused by every probe)."""
@@ -347,43 +325,101 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         from ..operators.similarity import kmeans_fit
 
         _CENTROIDS[key] = kmeans_fit(
-            catalog(spark, sf_dir).embeddings, k=8, iterations=3
+            catalog(spark, sf_dir).embeddings, k=_K_STATIC, iterations=3
         )
     return _CENTROIDS[key]
 
 
+def _kmeans_cte(k: int = _K_STATIC, iterations: int = 3) -> str:
+    """The ENTIRE deterministic Lloyd training loop, unrolled as DuckDB CTEs
+    — possible because :func:`..operators.similarity.kmeans_fit` is
+    integer-exact at every step (micro-unit vectors, integer distances with
+    ties to the smallest cluster id, floor-half-up integer-division centroid
+    updates, empty cells keep their previous centroid). A fixed iteration
+    count means no recursion is needed: each iteration is one
+    assign→explode→sum→update block. Ends with ``d`` (vec_id, embedding,
+    cid, dist2 vs the TRAINED centroids) so the probe/top-k tail is shared
+    verbatim with the static-quantizer oracles."""
+    # floor((2s + n) / (2n)) with exact floor semantics for negative sums
+    # (DuckDB // truncates toward zero; force the numerator to an exact
+    # multiple of the denominator first).
+    num, den = "(2 * s + n)", "(2 * n)"
+    fdiv = f"(({num} - (({num} % {den}) + {den}) % {den}) // {den})"
+    parts = [
+        f"q AS (SELECT vec_id, embedding, {_VI} AS vi FROM embeddings)",
+        f"""c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             vi AS cvec
+      FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= {k}
+    )""",
+    ]
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        parts += [
+            f"""a{i} AS (
+      SELECT q.vec_id, q.vi, c.cid
+      FROM q, {prev} c
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_DIST2}, c.cid) = 1
+    )""",
+            f"""u{i} AS (
+      SELECT cid, d, CAST(sum(x) AS BIGINT) AS s, count(*) AS n
+      FROM (SELECT cid, unnest(vi) AS x,
+                   unnest(range(1, {_DIM + 1})) AS d FROM a{i})
+      GROUP BY cid, d
+    )""",
+            f"""c{i} AS (
+      SELECT p.cid, COALESCE(m.cvec, p.cvec) AS cvec
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, list(CAST({fdiv} AS BIGINT) ORDER BY d) AS cvec
+        FROM u{i} GROUP BY cid
+      ) m ON m.cid = p.cid
+    )""",
+        ]
+        prev = f"c{i}"
+    parts.append(
+        f"""d AS (
+      SELECT q.vec_id, q.embedding, c.cid, {_DIST2} AS dist2
+      FROM q, {prev} c
+    )"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
 @register(
     "sim_ivf_assignments",
-    oracle=None,  # iterative k-means training — non-SQL-expressible; pinned
-    # instead by invariant tests (tests/test_ivf.py): assignments are
-    # nearest-centroid, centroids equal member means, training reproducible.
+    oracle=f"{_kmeans_cte()}{_ASSIGN_TAIL}",
     tags=("similarity", "ivf", "iterative"),
 )
 def sim_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantizer: deterministic distributed Lloyd's k-means
-    (k=8, 3 iterations, exact scaled-integer centroid updates) + nearest-
-    centroid assignment of the corpus. The training step of the IVF index;
-    reproducible run-to-run by construction."""
-    from ..operators.similarity import assign_clusters
+    (k=8, 3 iterations, integer-exact throughout) + nearest-centroid
+    assignment of the corpus with exact integer micro-unit distances.
+
+    Because training is integer-exact at every step, the oracle replays the
+    ENTIRE training loop in SQL (unrolled CTEs) — the previously rows-only
+    iterative pair is now value-hash-verified end to end, training
+    included. Invariant tests (tests/test_ivf.py) still pin the semantic
+    contract (assignments nearest, centroids are member means)."""
+    from ..operators.similarity import assign_clusters_static
 
     emb = catalog(spark, sf_dir).embeddings
-    out = assign_clusters(emb, _trained_centroids(spark, sf_dir))
-    from ..functions.rounding import pround
-
-    return out.select(
-        "vec_id", "cluster", pround(F.col("dist2"), 6).alias("dist2")
-    )
+    return assign_clusters_static(emb, _trained_centroids(spark, sf_dir))
 
 
 @register(
     "sim_topk_ivf",
-    oracle=None,  # depends on the trained (iterative) index; invariant-tested
+    oracle=f"{_kmeans_cte()}{_probe_topk_tail()}",
     tags=("similarity", "ivf", "ann", "cogrouped-map"),
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe search: each query scans only its 2 nearest clusters
-    (~k/4 of the corpus at k=8) — the ANN pattern that scales past LSH when
-    the corpus clusters well. Exact re-ranking inside the probed clusters."""
+    """IVF probe search over the TRAINED quantizer: each query scans its 2
+    nearest cells (~1/4 of the corpus at k=8) with exact cosine re-ranking
+    inside — the ANN pattern that scales past LSH when the corpus clusters
+    well. Value-hash-verified end to end including the k-means training
+    (see ``sim_ivf_assignments``); the static twin
+    (``sim_topk_ivf_static``) shows the same probe machinery under a
+    train-free quantizer."""
     from ..operators.similarity import topk_ivf
 
     emb = catalog(spark, sf_dir).embeddings

@@ -1,12 +1,19 @@
-"""IVF k-means invariants — the correctness pin for the non-SQL-expressible
-iterative queries (sim_ivf_assignments / sim_topk_ivf)."""
+"""IVF k-means invariants.
+
+The trained pair (sim_ivf_assignments / sim_topk_ivf) is value-hash-verified
+against a DuckDB oracle that replays the full integer-exact training loop in
+SQL (plans/similarq._kmeans_cte), so these tests pin the *semantic* contract
+the oracle replay alone would not catch if both sides drifted together:
+assignments are truly nearest-centroid, centroids are truly member means,
+training is reproducible, probes return true cosines.
+"""
 
 from __future__ import annotations
 
 import numpy as np
 
 from stream_processing_pipeline_spark.operators.similarity import (
-    assign_clusters,
+    assign_clusters_static,
     kmeans_fit,
     topk_bruteforce,
     topk_ivf,
@@ -25,49 +32,56 @@ def test_kmeans_deterministic(spark):
     emb = _emb(spark)
     c1 = kmeans_fit(emb, k=8, iterations=3)
     c2 = kmeans_fit(emb, k=8, iterations=3)
-    assert c1 == c2  # bit-identical training
+    assert c1 == c2  # bit-identical training (pure integer arithmetic)
 
 
 def test_assignments_are_nearest_centroid(spark):
     emb = _emb(spark)
-    centroids = np.array(kmeans_fit(emb, k=8, iterations=3))
-    assigned = assign_clusters(emb, centroids.tolist()).toPandas()
-    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
-            for r in emb.collect()}
+    cents = kmeans_fit(emb, k=8, iterations=3)
+    C = np.array([v for _, v in cents], dtype=np.int64)
+    assigned = assign_clusters_static(emb, cents).toPandas()
+    vecs = {
+        r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        for r in emb.collect()
+    }
     for _, row in assigned.sample(n=100, random_state=7).iterrows():
-        d2 = ((centroids - vecs[row.vec_id]) ** 2).sum(axis=1)
+        d2 = ((C - vecs[row.vec_id]) ** 2).sum(axis=1)
         assert d2.argmin() == row.cluster
+        assert d2.min() == row.dist2  # exact integer distances
 
 
 def test_centroids_are_member_means(spark):
+    """Each final centroid is the floor-half-up integer mean of the members
+    assigned under the penultimate centroids (the documented update rule)."""
     emb = _emb(spark)
-    centroids = kmeans_fit(emb, k=8, iterations=3)
-    # One more assignment + mean must reproduce the final centroids only if
-    # converged; instead verify the documented contract: each centroid is
-    # the scaled-int mean of the members assigned in the LAST update step.
-    # Re-run training but capture the penultimate assignment by repeating
-    # iterations-1 then one update manually.
+    final = dict(kmeans_fit(emb, k=8, iterations=3))
     prev = kmeans_fit(emb, k=8, iterations=2)
-    assigned = assign_clusters(emb, prev).toPandas()
-    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
-    import math
-
+    assigned = assign_clusters_static(emb, prev).toPandas()
+    vecs = {
+        r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        for r in emb.collect()
+    }
     for c in range(8):
         members = [vecs[v] for v in assigned[assigned.cluster == c].vec_id]
         if not members:
             continue
-        xs = np.floor(np.array(members) * 1e6 + 0.5).astype(np.int64)
-        expect = [math.floor(s / len(members) + 0.5) / 1e6 for s in xs.sum(axis=0)]
-        assert expect == centroids[c], f"cluster {c}"
+        n = len(members)
+        sums = np.array(members).sum(axis=0)
+        expect = [(2 * int(s) + n) // (2 * n) for s in sums]
+        assert expect == final[c], f"cluster {c}"
 
 
 def test_ivf_topk_subset_of_bruteforce_scores(spark):
     """IVF results are true cosines (exact within probed clusters): every
     (query, neighbor, cosine) triple must appear in the brute-force scan."""
     emb = _emb(spark)
-    centroids = kmeans_fit(emb, k=8, iterations=3)
+    cents = kmeans_fit(emb, k=8, iterations=3)
     queries = emb.filter("vec_id < 5")
-    ivf = topk_ivf(emb, queries, centroids, k=10, n_probe=2).toPandas()
+    ivf = topk_ivf(emb, queries, cents, k=10, n_probe=2).toPandas()
     bf = topk_bruteforce(emb, queries, k=500).toPandas()
     bf_scores = {(r.query_id, r.neighbor_id): r.cosine for _, r in bf.iterrows()}
     assert len(ivf) == 50
@@ -85,7 +99,6 @@ def test_partitioned_index_prunes_probed_cells(spark, tmp_path):
 
     from stream_processing_pipeline_spark.operators.similarity import (
         seed_centroids_int,
-        assign_clusters_static,
     )
 
     emb = _emb(spark)

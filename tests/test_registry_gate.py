@@ -45,16 +45,15 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
 
 
 def test_oracle_coverage_is_total_minus_documented_exceptions():
-    """Exactly four queries are rows-only by design: the two HLL-sketch
-    queries (sketch binaries/estimates are engine-specific) and the two
-    trained-IVF queries (iterative training is not SQL-expressible).
-    Anything else missing an oracle is a verification regression."""
+    """Exactly two queries are rows-only by design: the HLL-sketch pair
+    (sketch binaries/estimates are engine-specific). The trained-IVF pair
+    left this set in round 3 — integer-exact k-means made the training loop
+    SQL-replayable. Anything else missing an oracle is a verification
+    regression."""
     no_oracle = set(all_queries()) - set(all_oracles())
     assert no_oracle == {
         "approx_distinct_users",
         "hll_sketch_rollup",
-        "sim_ivf_assignments",
-        "sim_topk_ivf",
     }
 
 
