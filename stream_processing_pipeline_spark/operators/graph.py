@@ -48,7 +48,10 @@ def connected_components(
     identical output, a fraction of the jobs. Past the threshold the
     distributed iteration below takes over (the 100 TB path).
     """
-    edges = edges.persist()  # sizing count + downstream reuse: one computation
+    # Persist an internal PROJECTION, not the caller's frame: the select
+    # gives this function its own cache entry, so the unpersist calls below
+    # can never silently drop a cache the caller set up on `edges` itself.
+    edges = edges.select(src, dst).persist()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         try:

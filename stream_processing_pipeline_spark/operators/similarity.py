@@ -255,6 +255,7 @@ def cosine_pairs_dense(
     block_col: str | None = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Block-local all-pairs cosine as ONE dense matmul per block
     (grouped-map Arrow batch + numpy) — the fast form of
@@ -262,19 +263,27 @@ def cosine_pairs_dense(
     verify stage: candidate blocks (metadata or LSH buckets) are small by
     construction, so each is a single ``V @ V.T`` instead of |block|^2
     interpreted fold expressions. Measured 8-10x over the fold-expression
-    join at sf0.1 with BIT-IDENTICAL output (numpy's summation-order
-    difference vanishes under the shared 1e-6 rounding; equality is pinned
-    by ``tests/test_similarity_lsh.py::test_cosine_pairs_dense_equals_fold``
-    on both fixtures). The keyed ``repartition(16)`` is the usual pandas-
-    stage parallelism floor (AQE coalesces cheap-by-bytes Python stages to
-    one task otherwise). At 100 TB each block must fit an Arrow batch —
-    exactly the property the blocking key is chosen for; fall back to
+    join at sf0.1. Equality with the fold form is FIXTURE-PINNED, not
+    guaranteed on arbitrary data: numpy/BLAS summation order differs from
+    the left fold in the last ulp, and the shared 1e-6 rounding only hides
+    that when the value is not within ~1 ulp of a rounding boundary
+    (``tests/test_similarity_lsh.py::test_cosine_pairs_dense_equals_fold``
+    pins both fixtures; a boundary-straddling pair on new data could flip
+    the last digit or threshold membership — use :func:`cosine_pairs` when
+    strict fold parity must hold). NULL blocking keys are dropped, matching
+    the join form (``a.block = b.block`` never matches NULL). The keyed
+    repartition (default ``defaultParallelism``) is the usual pandas-stage
+    parallelism floor (AQE coalesces cheap-by-bytes Python stages to one
+    task otherwise). At 100 TB each block must fit an Arrow batch — exactly
+    the property the blocking key is chosen for; fall back to
     :func:`cosine_pairs` for pathologically large blocks."""
     import numpy as np
     import pandas as pd
 
     if block_col is None:
         raise ValueError("dense all-pairs needs a blocking column")
+    df = df.filter(F.col(block_col).isNotNull())
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
@@ -294,7 +303,7 @@ def cosine_pairs_dense(
 
     return (
         df.select(id_col, vec_col, block_col)
-        .repartition(16, block_col)
+        .repartition(n_parts, block_col)
         .groupBy(block_col)
         .applyInPandas(block, "vec_a long, vec_b long, cosine double")
     )
@@ -304,20 +313,35 @@ def rerank_dense_by_cell(
     corpus: DataFrame,
     queries: DataFrame,
     vec_col: str = "embedding",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Probe re-ranking as one dense matmul per cell (cogrouped-map):
     ``corpus`` carries (neighbor_id, vec, cluster), ``queries`` carries
     (query_id, query_vec, cluster) with one row per probed cell; each cell
     scores candidates x probing-queries as ``C @ Q.T`` instead of one
     interpreted fold expression per pair — the same trade as
-    :func:`cosine_pairs_dense`, with the same 1e-6 rounding so output is
-    bit-identical to the fold form (pinned by the IVF-static oracle).
-    Self-matches (neighbor == query) are dropped inside the batch. Cells
-    are Arrow-batch-sized by construction (that is what the coarse
-    quantizer is for); the keyed ``repartition(16)`` is the pandas-stage
-    parallelism floor."""
+    :func:`cosine_pairs_dense`, with the same 1e-6 rounding; equality with
+    the fold form is fixture-pinned by the IVF oracles (see
+    :func:`cosine_pairs_dense` on why last-ulp fold-order divergence is
+    possible on arbitrary data). Self-matches (neighbor == query) are
+    dropped inside the batch.
+
+    TRADE-OFF, stated plainly: this stage DOES shuffle the corpus vectors —
+    the keyed repartition moves every (neighbor_id, vec, cluster) row into
+    the Python cogroup, with at most one non-empty group per cell. That is
+    one full shuffle of the corpus per query *batch*, bought back by the
+    matmul replacing |cell|x|probes| interpreted folds. At serving scale
+    the corpus side should instead be the persisted partitioned-by-cluster
+    index (see ``test_partitioned_index_prunes_probed_cells``), where cell
+    locality is free at read time and only probed cells are read at all.
+    ``num_partitions`` defaults to ``defaultParallelism`` (it previously
+    hard-coded 16, silently capping parallelism); cells are
+    Arrow-batch-sized by construction — that is what the coarse quantizer
+    is for."""
     import numpy as np
     import pandas as pd
+
+    n_parts = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
 
     def cell(corp: pd.DataFrame, qs: pd.DataFrame) -> pd.DataFrame:
         if len(corp) == 0 or len(qs) == 0:
@@ -346,9 +370,9 @@ def rerank_dense_by_cell(
         return out[out.query_id != out.neighbor_id]
 
     return (
-        corpus.repartition(16, "cluster")
+        corpus.repartition(n_parts, "cluster")
         .groupBy("cluster")
-        .cogroup(queries.repartition(16, "cluster").groupBy("cluster"))
+        .cogroup(queries.repartition(n_parts, "cluster").groupBy("cluster"))
         .applyInPandas(cell, "query_id long, neighbor_id long, cosine double")
     )
 
@@ -543,8 +567,10 @@ def topk_ivf(
     persisted, partitioned-by-cluster parquet index — see
     ``test_partitioned_index_prunes_probed_cells``); each query touches
     ~n_probe/k of it. Re-ranking is one dense matmul per probed cell
-    (:func:`rerank_dense_by_cell`), bit-identical to the fold-expression
-    join under the shared 1e-6 rounding."""
+    (:func:`rerank_dense_by_cell` — NOTE it repartitions the corpus by
+    cell, one vector shuffle per query batch; serve from the persisted
+    index to avoid it), fixture-pinned equal to the fold-expression join
+    under the shared 1e-6 rounding."""
     best = F.array_min(centroid_dist_structs_int(vec_col, centroids_int))
     corpus_c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

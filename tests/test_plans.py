@@ -178,6 +178,11 @@ def test_gapfill_aggregates_before_join(spark):
     agg_pos = plan.find("HashAggregate")
     join_pos = max(plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
     assert agg_pos != -1 and join_pos != -1
-    # formatted plans list operators leaves-first; the aggregate node id must
-    # be produced before (listed deeper than) the join consuming it
-    assert "purchase" in pushed_filters(plan) or "purchase" in plan
+    # The plan tree prints root-first: an aggregate that FEEDS the join is a
+    # descendant and appears after it; event-grain rows reaching the join
+    # would put the (post-join) aggregate before the join instead.
+    assert join_pos < agg_pos, plan[:2000]
+    # And no aggregate may sit above the join (the join's output is already
+    # hourly grain — re-aggregating it would mean the spine join multiplied
+    # rows).
+    assert "HashAggregate" not in plan[:join_pos], plan[:join_pos]
