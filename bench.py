@@ -114,6 +114,7 @@ def main() -> None:
     time.sleep(2)
     _bench_streaming_topology(spark, sf_dir)
     streaming = _bench_streaming_topology(spark, sf_dir)
+    sustained = _bench_streaming_sustained(spark, sf_dir)
 
     out = {
         "metric": "total_query_wall_seconds",
@@ -125,6 +126,7 @@ def main() -> None:
         "n_queries": len(timings),
         "failures": failures,
         **streaming,
+        **sustained,
     }
     print(json.dumps(out))
     spark.stop()
@@ -202,6 +204,119 @@ def _bench_streaming_topology(spark, sf_dir: str) -> dict:
         }
     except Exception as e:  # never break the bench line
         return {"streaming_topology_error": f"{type(e).__name__}: {e}"[:200]}
+
+
+def _bench_streaming_sustained(
+    spark, sf_dir: str, replicas: int = 3, n_chunks: int = 12
+) -> dict:
+    """Sustained-rate run at ``replicas``x the event volume: time-shifted
+    event replicas replayed as ``n_chunks`` one-file micro-batches (same
+    per-batch size as the base topology run, 3x the batches), through the
+    fan-out topology. Alongside throughput it records the state-store row
+    counts of each windowed aggregation per micro-batch
+    (``stateOperators.numRowsTotal`` / ``numRowsRemoved``): event-time keeps
+    advancing across the replicas, so the 60-minute watermark must keep
+    evicting closed windows and the per-batch state footprint must stay
+    FLAT — the property that lets the same topology run forever at 100 TB
+    (state ~ open windows x keys, never ~ events seen)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    try:
+        from pyspark.sql import functions as F
+
+        from stream_processing_pipeline_spark.sources.memory import chunked_stream
+        from stream_processing_pipeline_spark.sources.registry import TableCatalog
+        from stream_processing_pipeline_spark.streaming import Topology
+        from stream_processing_pipeline_spark.streaming.topology import (
+            EventsTopologyBuilder,
+        )
+
+        work = tempfile.mkdtemp(prefix="bench_sustained_")
+        cat = TableCatalog(spark, sf_dir, register_views=False)
+        ev = cat.events
+        # The fixture spans ~30 days; shift each replica past the previous
+        # one so event-time is monotone over the whole run and the watermark
+        # keeps moving (stalled event-time would never evict anything).
+        reps = [
+            ev.select(
+                (F.col("event_id") + F.lit(r * 10**12)).alias("event_id"),
+                F.expr(f"ts + INTERVAL {30 * r} DAYS").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+            for r in range(replicas)
+        ]
+        big = reps[0]
+        for x in reps[1:]:
+            big = big.unionByName(x)
+        big = big.orderBy("ts")
+        n_events = big.count()
+        stream = chunked_stream(spark, big, work + "/chunks", n_chunks=n_chunks)
+
+        def noop_sink(batch_df, epoch_id):
+            batch_df.write.format("noop").mode("overwrite").save()
+
+        state_parts = max(
+            4,
+            min(
+                spark.sparkContext.defaultParallelism,
+                n_events // (n_chunks * 3000) or 4,
+            ),
+        )
+        topo = Topology(
+            spark, checkpoint_root=work + "/ckpt", state_partitions=state_parts
+        )
+        EventsTopologyBuilder(
+            events_stream=stream,
+            customer_dim=cat.customer,
+            sink_factory=lambda name: noop_sink,
+        ).build(topo, fanout_stateless=True)
+        t0 = time.perf_counter()
+        queries = topo.start_all(available_now=True)
+        topo.await_all(timeout=600)
+        state: dict[str, dict] = {}
+        for name in (
+            "avg_value_per_hour",
+            "event_counts_per_hour",
+            "counts_by_segment",
+        ):
+            progresses = [
+                _json.loads(p.json) if hasattr(p, "json") else p
+                for p in queries[name].recentProgress
+            ]
+            rows = [
+                op["numRowsTotal"]
+                for p in progresses
+                for op in p.get("stateOperators", [])
+            ]
+            removed = sum(
+                op.get("numRowsRemoved") or 0
+                for p in progresses
+                for op in p.get("stateOperators", [])
+            )
+            if rows:
+                state[name] = {
+                    "batches": len(rows),
+                    "max": max(rows),
+                    "last": rows[-1],
+                    "removed": removed,
+                }
+        topo.stop_all()
+        wall = time.perf_counter() - t0
+        shutil.rmtree(work, ignore_errors=True)
+        return {
+            "streaming_sustained_events": n_events,
+            "streaming_sustained_sec": round(wall, 3),
+            # same 6-logical-queries convention as the base topology figure
+            "streaming_sustained_events_per_sec": round(6 * n_events / wall),
+            "streaming_sustained_state_rows": state,
+        }
+    except Exception as e:  # never break the bench line
+        return {"streaming_sustained_error": f"{type(e).__name__}: {e}"[:200]}
 
 
 if __name__ == "__main__":
