@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dim_join", "fact_join"]
+__all__ = ["dim_join", "fact_join", "salted_join"]
 
 
 def dim_join(
@@ -48,3 +48,40 @@ def fact_join(
         left = left.repartition(partitions, *on)
         right = right.repartition(partitions, *on)
     return left.join(right, on, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_src: Column | str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for hot join keys.
+
+    A shuffle join hashes rows to reducers BY KEY, so one hot key (the
+    celebrity user, the default event type) lands its entire row set on one
+    task no matter how many executors exist — the classic long-tail straggler
+    at 100 TB. Salting splits each key into ``n_salt`` sub-keys: the big
+    (skewed) side gets a deterministic salt derived from ``salt_src`` (any
+    per-row column — an id, not a random: results must be reproducible), the
+    small side is replicated ``n_salt`` times with every salt value, and the
+    join runs on ``(*on, _salt)`` — each hot key now spreads over ``n_salt``
+    tasks. Output is IDENTICAL to the unsalted join (every left row still
+    meets every matching right row exactly once), which is what the oracle
+    of the query using this verifies; the salt column never leaves the join.
+
+    AQE's skew-join handles many batch cases after the fact by splitting
+    oversized partitions; explicit salting is for the cases it can't touch —
+    streaming micro-batches (no per-batch re-optimization), skew the stats
+    underestimate, or when the replicated side must co-partition with later
+    stages. Cost: the small side is materialized ``n_salt``x (keep it
+    dimension-sized) and the shuffle carries one extra int per row.
+    """
+    s = F.col(salt_src) if isinstance(salt_src, str) else salt_src
+    lt = left.withColumn("_salt", F.pmod(F.hash(s), F.lit(n_salt)))
+    rt = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return lt.join(rt, [*on, "_salt"], how).drop("_salt")

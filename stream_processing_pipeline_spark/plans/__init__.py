@@ -24,6 +24,8 @@ from . import textq  # noqa: E402,F401
 from . import similarq  # noqa: E402,F401
 from . import multimodalq  # noqa: E402,F401
 from . import tpchx  # noqa: E402,F401
+from . import histq  # noqa: E402,F401
+from . import scalex  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 
@@ -77,6 +79,11 @@ _GATE_PRIORITY = [
     "sim_ivf_assignments",
     "sim_topk_ivf",
     # -- NEW in round 3 (insert additions here, newest first)
+    "hist_value_rollup",
+    "hist_value_quantiles",
+    "bloom_semijoin_nation_suppliers",
+    "salted_join_type_stats",
+    "text_oov_stats",
     # -- rotation fill: last green row is from r1; re-verify oldest evidence
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -940,3 +940,81 @@ def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.lateralJoin(ChunkText(F.col("text").outer())).select(
         "doc_id", "chunk_no", "chunk"
     )
+
+
+@register(
+    "text_oov_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({T.normalize_text_sql('text')}, ' ')) AS w
+      FROM documents
+    ),
+    t2 AS (SELECT doc_id, w FROM tok WHERE w != ''),
+    cnts AS (SELECT w, count(*) AS cnt FROM t2 GROUP BY w),
+    vocab AS (SELECT w, 1 AS in_vocab FROM cnts ORDER BY cnt DESC, w LIMIT 1000)
+    SELECT t2.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_n,
+           {T.pround_sql(
+               'CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)'
+               ' AS DOUBLE) / count(*)', 4)} AS oov_frac,
+           CAST(sum(64 - length(bin(c.cnt))) AS BIGINT) AS rarity_score
+    FROM t2 JOIN cnts c ON c.w = t2.w LEFT JOIN vocab v ON v.w = t2.w
+    GROUP BY t2.doc_id
+    """,
+    tags=("text", "quality", "oov", "idf"),
+)
+def text_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-based quality signals, integer-exact end to end: per-doc
+    out-of-vocabulary rate against the corpus top-1000 vocabulary
+    (deterministic tie-break: count desc, token asc) and an IDF-CLASS
+    rarity score — each token weighted by ``64 - len(bin(count))``, i.e.
+    ``63 - floor(log2(count))``, the integer frequency class. The log2
+    class replaces float ``log`` deliberately: libm and JVM ``log`` are not
+    correctly-rounded and can disagree in the last ulp, while binary-string
+    length is exact on every engine — same reasoning as the money kernels.
+
+    Scale shape: the vocabulary head (1000 rows) broadcasts; the
+    token->count join shuffles by token hash (at 100 TB the count table is
+    corpus-vocabulary-sized — this is the standard inverted-frequency join,
+    co-partitioned with the token explode). OOV rate and rarity together
+    are the cheap first-pass quality gate (CCNet-style) before any model
+    scoring touches the corpus."""
+    docs = catalog(spark, sf_dir).documents
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(T.tokens(T.normalize_text("text"))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), "w")
+        .limit(1000)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(counts, "w")
+        .join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("oov_n"),
+            F.sum(F.lit(64) - F.length(F.bin("cnt"))).alias("rarity_score"),
+        )
+    )
+    from ..functions.rounding import pround
+
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "oov_n",
+        pround(F.col("oov_n").cast("double") / F.col("n_tokens"), 4).alias(
+            "oov_frac"
+        ),
+        "rarity_score",
+    )

@@ -1,0 +1,152 @@
+"""Invariants for the round-3 scale operators: mergeable histograms,
+Bloom-prefiltered semi-joins, salted joins.
+
+The registered queries value-hash-verify results against DuckDB; these pin
+the operator-level contracts the oracles exercise only indirectly — merge
+associativity on arbitrary splits, the no-false-negatives guarantee, the
+false-positive rate actually being small, and salting changing the plan
+without changing the result."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processing_pipeline_spark.operators.bloom import (
+    bloom_bitmap,
+    bloom_might_contain,
+    bloom_prefilter,
+)
+from stream_processing_pipeline_spark.operators.histogram import (
+    histogram_quantiles,
+    merge_histograms,
+    value_histogram,
+)
+from stream_processing_pipeline_spark.operators.joins import salted_join
+
+from .conftest import SF_MED
+
+
+def _events(spark):
+    from stream_processing_pipeline_spark.plans.common import catalog
+
+    return catalog(spark, SF_MED).events
+
+
+def test_histogram_merge_is_lossless(spark):
+    """Histograms built per (day, type) and merged to type must equal the
+    histogram built directly at type grain — on any split dimension."""
+    ev = _events(spark).withColumn("day", F.to_date("ts"))
+    direct = value_histogram(ev, "value", ["event_type"]).toPandas()
+    merged = merge_histograms(
+        value_histogram(ev, "value", ["day", "event_type"]), ["event_type"]
+    ).toPandas()
+    key = ["event_type", "bin"]
+    d = direct.sort_values(key, ignore_index=True)
+    m = merged.sort_values(key, ignore_index=True)
+    assert d.equals(m.astype(d.dtypes.to_dict()))
+
+
+def test_histogram_quantiles_bracket_exact(spark):
+    """The estimate is the upper edge of the bin holding the ceil(q*n)-th
+    order statistic (inverse-CDF semantics, NOT the interpolated
+    `percentile()`): it must bracket that order statistic from above within
+    one bin width."""
+    import math
+
+    ev = _events(spark)
+    hist = value_histogram(ev, "value", ["event_type"])
+    est = histogram_quantiles(hist, ["event_type"]).toPandas().set_index("event_type")
+    pdf = ev.select("event_type", "value").toPandas()
+    for t, grp in pdf.groupby("event_type"):
+        vals = sorted(grp["value"])
+        for q in (50, 90, 99):
+            stat = vals[math.ceil(q * len(vals) / 100) - 1]
+            h = est.loc[t, f"p{q}"]
+            assert h >= stat - 1e-9, (t, q, stat, h)
+            assert h - stat < 5.0, (t, q, stat, h)  # one $5 bin
+
+
+def _supplier_keys(spark):
+    """A genuinely selective key set: one nation's suppliers (~10% of
+    suppliers, ~10% of lineitems at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans.common import catalog
+
+    cat = catalog(spark, SF_MED)
+    return (
+        cat.supplier.join(
+            cat.nation.filter(F.col("n_name") == "NATION_9"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+        .distinct()
+    ), cat.lineitem
+
+
+def test_bloom_has_no_false_negatives(spark):
+    keys, _ = _supplier_keys(spark)
+    words = bloom_bitmap(keys, "s_suppkey")
+    misses = keys.filter(~bloom_might_contain("s_suppkey", words)).count()
+    assert misses == 0
+
+
+def test_bloom_false_positive_rate_is_small(spark):
+    """At default sizing (2^16 bits, k=4, tens of keys) absent keys should
+    essentially never pass; allow <1% to keep the bound honest for larger
+    key sets."""
+    keys, lineitem = _supplier_keys(spark)
+    words = bloom_bitmap(keys, "s_suppkey")
+    non_members = (
+        lineitem.select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+        .join(keys, "s_suppkey", "left_anti")
+    )
+    n_non = non_members.count()
+    assert n_non > 0  # the key set must be selective for this test to bite
+    fp = non_members.filter(bloom_might_contain("s_suppkey", words)).count()
+    assert fp / n_non < 0.01, (fp, n_non)
+
+
+def test_bloom_prefilter_plus_join_equals_plain_semijoin(spark):
+    keys, lineitem = _supplier_keys(spark)
+    words = bloom_bitmap(keys, "s_suppkey")
+    cond = F.col("l_suppkey") == F.col("s_suppkey")
+    pre = bloom_prefilter(lineitem, words, "l_suppkey").join(
+        keys, cond, "left_semi"
+    )
+    plain = lineitem.join(keys, cond, "left_semi")
+    n_pre, n_plain = pre.count(), plain.count()
+    assert n_pre == n_plain > 0
+    assert (
+        pre.select("l_orderkey", "l_linenumber")
+        .exceptAll(plain.select("l_orderkey", "l_linenumber"))
+        .count()
+        == 0
+    )
+    # the prefilter must actually prune: passed rows ~= matching rows, far
+    # below the full scan
+    passed = bloom_prefilter(lineitem, words, "l_suppkey").count()
+    assert passed < lineitem.count() * 0.5
+    assert passed >= n_plain
+
+
+def test_salted_join_matches_plain_join_and_salts_the_plan(spark):
+    ev = _events(spark)
+    stats = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    salted = salted_join(
+        ev, stats.hint("merge"), on=["event_type"], salt_src="event_id", n_salt=8
+    )
+    plain = ev.join(stats, "event_type")
+    assert salted.count() == plain.count()
+    got = salted.groupBy("event_type").agg(F.sum("n_t").alias("s")).toPandas()
+    want = plain.groupBy("event_type").agg(F.sum("n_t").alias("s")).toPandas()
+    key = "event_type"
+    assert got.sort_values(key, ignore_index=True).equals(
+        want.sort_values(key, ignore_index=True)
+    )
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    join_line = next(l for l in plan.splitlines() if "SortMergeJoin" in l)
+    assert "_salt" in join_line  # the salt is part of the join keys
+    assert "_salt" not in salted.columns  # and never leaves the operator
