@@ -39,6 +39,10 @@ HEADLINERS = {
     "scd2_user_value_bands": "SCD2 spans: lag + lead windows share one user_id exchange (1 Exchange, 1 Sort)",
     "hourly_purchases_gapfill": "gap-fill: spine generated distributed via sequence/explode; hourly agg before the join",
     "mixture_token_budget": "token-budget mixture: one scan, one source-partition running-sum window",
+    "hist_value_rollup": "mergeable cent histogram: one map-side-combinable agg, groups x bins rows shuffle",
+    "bloom_semijoin_nation_suppliers": "8 KiB bitmap filter BEFORE the join shuffle (96% of rows dropped pre-shuffle), exact semi-join after",
+    "salted_join_type_stats": "hot-key salting: SortMergeJoin on (event_type, _salt) — 5-value key spread over 8 reducers",
+    "sim_ivf_assignments": "trained-IVF assignment: centroid matrix as plan literal, no shuffle of vectors (training replayed in the SQL oracle)",
 }
 
 
