@@ -79,6 +79,7 @@ _GATE_PRIORITY = [
     "sim_ivf_assignments",
     "sim_topk_ivf",
     # -- NEW in round 3 (insert additions here, newest first)
+    "stream_click_purchase_join",
     "hist_value_rollup",
     "hist_value_quantiles",
     "bloom_semijoin_nation_suppliers",

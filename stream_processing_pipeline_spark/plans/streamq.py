@@ -303,3 +303,101 @@ def asof_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id long, user_id long, ts timestamp_ntz, last_click_ts timestamp_ntz",
         )
     )
+
+
+@register(
+    "stream_click_purchase_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    """,
+    tags=("streaming-op", "stream-stream-join", "interval-join", "watermark"),
+)
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join, executed as a real
+    Structured Streaming query: purchases joined to the same user's clicks
+    from the strictly-prior hour. The one surface none of the other
+    streaming queries cover — two unbounded sides, each buffering rows in
+    state until the other side's watermark passes the interval.
+
+    Scale shape: both watermarks are 60 minutes and the join interval is
+    one hour, so each side's state holds at most ~2 hours of events per
+    user regardless of stream length — the interval condition is what
+    makes unbounded-join state bounded (without it Spark rejects the plan
+    outright in append mode). One availableNow batch over the fixture file
+    is deterministic and drops nothing (late-row eviction applies from the
+    second batch on), so the result equals the batch range join — the
+    DuckDB oracle."""
+    from pyspark.sql.types import LongType
+
+    cat = catalog(spark, sf_dir)
+    raw_schema = spark.read.parquet(cat.path("events")).schema
+    # Same conditional conversion as the catalog: ts surfaces as an ns-long
+    # under nanosAsLong, as a timestamp type otherwise; either way the join
+    # needs LTZ event time (UTC session: identity on the wall-clock value).
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        ts_expr = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts_expr = F.col("ts").cast("timestamp")
+
+    def side(alias: str, etype: str):
+        # Two independent readers of the same fixture file — a real
+        # stream-stream join needs two sources, each with its own offsets.
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return (
+            s.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                ts_expr.alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "60 minutes")
+        )
+
+    purchases = side("purchase", "purchase")
+    clicks = side("click", "click")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            purchase_user = click_user
+            AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+            AND click_ts < purchase_ts
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("purchase_id"),
+        F.col("click_id"),
+        F.col("purchase_user").alias("user_id"),
+        F.col("purchase_ts").cast("timestamp_ntz"),
+        F.col("click_ts").cast("timestamp_ntz"),
+    )
+
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ssjoin_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        if query.isActive:  # pragma: no cover — defensive timeout stop
+            query.stop()
+            raise TimeoutError("stream-stream join did not finish")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
