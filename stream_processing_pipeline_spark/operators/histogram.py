@@ -52,8 +52,16 @@ def _bin_col(value_col: Column | str, width_cents: int) -> Column:
 
 
 def hist_bin_sql(value_expr: str, width_cents: int = DEFAULT_WIDTH_CENTS) -> str:
-    """DuckDB twin of the bin id (non-negative values: // is floor)."""
-    return f"(CAST(round({value_expr} * 100) AS BIGINT) // {width_cents})"
+    """DuckDB twin of the bin id. ``floor`` of the float quotient, NOT
+    integer ``//``: DuckDB's ``//`` truncates toward zero, which diverges
+    from Spark's ``floor`` on negative values (-1.5 -> -1 vs -2). The float
+    division is exact for the same reason as the Spark side (integer-valued
+    operands below 2^53, quotient >= 1/width away from any wrong
+    integer)."""
+    return (
+        f"CAST(floor(CAST(round({value_expr} * 100) AS BIGINT)"
+        f" / {float(width_cents)}) AS BIGINT)"
+    )
 
 
 def value_histogram(

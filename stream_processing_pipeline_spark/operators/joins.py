@@ -79,6 +79,11 @@ def salted_join(
     stages. Cost: the small side is materialized ``n_salt``x (keep it
     dimension-sized) and the shuffle carries one extra int per row.
     """
+    if how.lower().replace("_", "") not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        # right/full joins would emit each UNMATCHED right row once per
+        # replica (n_salt copies) — not result-preserving. Salt the other
+        # side instead (swap the arguments).
+        raise ValueError(f"salted_join does not preserve '{how}' semantics")
     s = F.col(salt_src) if isinstance(salt_src, str) else salt_src
     lt = left.withColumn("_salt", F.pmod(F.hash(s), F.lit(n_salt)))
     rt = right.withColumn(

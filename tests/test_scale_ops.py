@@ -150,3 +150,41 @@ def test_salted_join_matches_plain_join_and_salts_the_plan(spark):
     join_line = next(l for l in plan.splitlines() if "SortMergeJoin" in l)
     assert "_salt" in join_line  # the salt is part of the join keys
     assert "_salt" not in salted.columns  # and never leaves the operator
+
+
+def test_histogram_bins_match_oracle_on_negative_values(spark):
+    """Spark floor vs DuckDB // diverge on negatives (-1.5 -> -2 vs -1);
+    hist_bin_sql must use explicit floor so the twin stays exact for
+    signed values (deltas, refunds), not just the positive fixture."""
+    import duckdb
+
+    from stream_processing_pipeline_spark.operators.histogram import (
+        hist_bin_sql,
+        value_histogram,
+    )
+
+    vals = [-12.34, -5.0, -0.01, 0.0, 0.01, 2.49, 2.5, 7.51]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = {
+        r.bin: r.n
+        for r in value_histogram(df, "value", [], width_cents=500).collect()
+    }
+    rows = duckdb.sql(
+        "SELECT "
+        + hist_bin_sql("value", 500)
+        + " AS bin, count(*) AS n FROM (SELECT unnest("
+        + str(vals)
+        + ") AS value) GROUP BY bin"
+    ).fetchall()
+    want = {b: n for b, n in rows}
+    assert got == want
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    ev = _events(spark).limit(10)
+    stats = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    for how in ("right", "full", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(ev, stats, ["event_type"], "event_id", how=how)
