@@ -79,6 +79,10 @@ _GATE_PRIORITY = [
     "sim_ivf_assignments",
     "sim_topk_ivf",
     # -- NEW in round 3 (insert additions here, newest first)
+    "heavy_hitters_tokens",
+    "layout_zorder_stats",
+    "weighted_priority_sample",
+    "stream_dedup_events",
     "stream_click_purchase_join",
     "hist_value_rollup",
     "hist_value_quantiles",

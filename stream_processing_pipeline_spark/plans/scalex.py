@@ -21,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..functions.money import cents, cents_sql
+from ..operators import text as T
 from ..operators.bloom import bloom_bitmap, bloom_prefilter
 from ..operators.joins import salted_join
 from .common import catalog
@@ -123,4 +125,156 @@ def salted_join_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("c") > F.col("mean_cents"), 1).otherwise(0)
         ).alias("n_above_mean"),
+    )
+
+
+# ------------------------------------------------------------ heavy hitters
+
+_HH_PHI_DEN = 30  # heavy hitter := count * 30 >= total token count
+_TOK_SQL = T.tokens_sql(T.normalize_text_sql("text"))
+
+
+@register(
+    "heavy_hitters_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOK_SQL}) AS token FROM documents
+    ), kept AS (
+      SELECT token FROM tok WHERE token <> ''
+    ), c AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY token
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS total FROM kept
+    )
+    SELECT token, n FROM c WHERE n * {_HH_PHI_DEN} >= (SELECT total FROM tot)
+    """,
+    tags=("scale", "sketch", "heavy-hitters", "misra-gries", "mapInPandas"),
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens carrying >= 1/30 of all token occurrences, found via the
+    two-phase Misra-Gries pipeline (:mod:`..operators.sketch`): bounded
+    64-counter per-partition sketches nominate candidates (<= 64 rows per
+    partition move, never the key space), then an exact recount over
+    candidate rows only — semi-join-pruned BEFORE the aggregation shuffle —
+    applies the integer threshold ``n * 30 >= total``. The oracle is the
+    naive full aggregation: a green row proves the sketch changed the
+    physical plan, not the answer. The relative (not absolute) threshold
+    keeps the definition scale-invariant: the same query means the same
+    thing at sf0.001 and at 100 TB."""
+    from ..operators.sketch import heavy_hitters_exact
+
+    docs = catalog(spark, sf_dir).documents
+    toks = docs.select(
+        F.explode(T.tokens(T.normalize_text("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters_exact(toks, "token", phi_den=_HH_PHI_DEN, k=64)
+
+
+# -------------------------------------------------------------- z-ordering
+
+_Z_BITS = 5  # 5 bits per dimension -> 10-bit code, 1024 cells
+_Z_RANGE_SHIFT = 6  # file = 64 consecutive codes = an aligned 8x8 rectangle
+_ZX_SQL = "(user_id % 32)"
+_ZY_SQL = "CAST(extract(hour FROM ts) AS BIGINT)"
+
+
+def _zorder_oracle() -> str:
+    from ..operators.sketch import morton_sql
+
+    return f"""
+    WITH coded AS (
+      SELECT {_ZX_SQL} AS x, {_ZY_SQL} AS y,
+             {morton_sql(_ZX_SQL, _ZY_SQL, _Z_BITS)} AS zcode
+      FROM events
+    )
+    SELECT (zcode >> {_Z_RANGE_SHIFT}) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM coded GROUP BY file_id
+    """
+
+
+@register(
+    "layout_zorder_stats",
+    oracle=_zorder_oracle(),
+    tags=("scale", "layout", "z-order", "data-skipping"),
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout planning: Morton-interleave (user bucket, hour) into a
+    10-bit code, group rows into 64-code files (the write path sorts by
+    ``zcode`` and cuts every 64 codes — :func:`tests` pin the written file
+    stats), and emit exactly the min/max footer stats a reader would prune
+    on. Every file's span is an aligned 8x8 rectangle in (x, y) — so a
+    predicate on EITHER dimension skips ~7/8 of files, where a single-column
+    sort layout prunes only its own column and a hash layout prunes nothing.
+    The code is pure shift/mask integer algebra
+    (:func:`..operators.sketch.morton_interleave`), identical in the SQL
+    oracle; ``extract(hour ...)`` matches Spark's ``hour(ts)`` under the
+    session UTC contract."""
+    from ..operators.sketch import morton_interleave
+
+    ev = catalog(spark, sf_dir).events
+    x = (F.col("user_id") % 32).cast("long")
+    y = F.hour("ts").cast("long")
+    coded = ev.select(
+        x.alias("x"), y.alias("y"),
+        morton_interleave(x, y, _Z_BITS).alias("zcode"),
+    )
+    return coded.groupBy(
+        F.shiftright("zcode", _Z_RANGE_SHIFT).cast("long").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+    )
+
+
+# ----------------------------------------------- weighted priority sampling
+
+_WPS_K = 100
+_WPS_W_SQL = f"CAST({T.token_count_sql('text')} AS BIGINT)"
+_WPS_H_SQL = H.h60_sql("concat('wps:', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "weighted_priority_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, {_WPS_W_SQL} AS n_tokens,
+             {_WPS_H_SQL} // {_WPS_W_SQL} AS priority
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens, priority
+    FROM w ORDER BY priority, doc_id LIMIT {_WPS_K}
+    """,
+    tags=("scale", "sampling", "weighted", "top-k"),
+)
+def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sample without replacement: priority =
+    ``hash(doc_id) div weight`` (weight = token count, so longer documents
+    get proportionally smaller priorities and better selection odds), keep
+    the k = 100 smallest. Complements the sampling family's other members —
+    Bernoulli (``quality_weighted_sample``) gives random SIZE, this gives
+    exact size; the hash makes the sample a pure function of the row,
+    reproducible across engines and partition layouts. Integer division
+    keeps it engine-exact (no float pow as in textbook A-ES — same selection
+    shape, zero cross-engine ulp risk; Spark ``div`` truncation equals
+    DuckDB ``//`` flooring on these non-negative operands). Physically a
+    TakeOrderedAndProject: per-partition top-k partials, k rows per
+    partition to the merge, never a global sort."""
+    docs = catalog(spark, sf_dir).documents
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        H.h60(F.concat(F.lit("wps:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    return (
+        keyed.select(
+            "doc_id", "source", "n_tokens",
+            F.expr("h div n_tokens").alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(_WPS_K)
     )

@@ -401,3 +401,74 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           date_trunc('minute', ts) AS minute_ts
+    FROM events
+    """,
+    tags=("streaming-op", "dedup", "watermark", "dropDuplicatesWithinWatermark"),
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with BOUNDED state, executed as a real
+    Structured Streaming query: ``dropDuplicatesWithinWatermark`` keeps the
+    first row per (user, type, minute) and — unlike plain
+    ``dropDuplicates``, whose key state lives forever — evicts each key's
+    state once the 30-minute watermark passes it. That eviction is what
+    makes exactly-once-style dedup of an at-least-once source (Kafka
+    redelivery, replayed files) runnable indefinitely: state size is keys
+    per watermark horizon, not keys per stream lifetime.
+
+    Only the key columns are emitted: which duplicate arrives first within
+    a micro-batch is execution-order-dependent, the key set is not — so the
+    one-file availableNow run is deterministic and equals the batch
+    ``SELECT DISTINCT`` (the oracle)."""
+    from pyspark.sql.types import LongType
+
+    cat = catalog(spark, sf_dir)
+    raw_schema = spark.read.parquet(cat.path("events")).schema
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        ts_expr = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts_expr = F.col("ts").cast("timestamp")
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = (
+        stream.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", ts_expr).alias("minute_ts"),
+        )
+        .withWatermark("minute_ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_ts"])
+        .select(
+            "user_id", "event_type", F.col("minute_ts").cast("timestamp_ntz")
+        )
+    )
+
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dedup_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        if query.isActive:  # pragma: no cover — defensive timeout stop
+            query.stop()
+            raise TimeoutError("streaming dedup did not finish")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)

@@ -1,0 +1,178 @@
+"""Misra-Gries heavy hitters + Morton z-ordering (operators/sketch.py).
+
+The fixture vocabulary is small (31 tokens at every SF), so the registry
+query never triggers MG eviction; these tests construct a skewed stream
+with cardinality >> k so the eviction path and the no-false-negative
+guarantee are exercised for real.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_processing_pipeline_spark.operators.sketch import (
+    heavy_hitters_exact,
+    mg_candidates,
+    morton_interleave,
+    morton_sql,
+)
+
+from .conftest import SF_MED
+
+
+def _skewed_df(spark, n_partitions: int = 4):
+    """~5.5k rows, 1000+ distinct keys: three heavy keys own ~38% of the
+    mass, a 1000-key uniform tail owns the rest — eviction fires constantly
+    for any k well under 1000."""
+    rows = (
+        [("hot_a",)] * 1200
+        + [("hot_b",)] * 700
+        + [("hot_c",)] * 300
+        + [(f"tail_{i % 1000}",) for i in range(3333)]
+    )
+    # Deterministic interleave so heavy keys appear in every partition mixed
+    # with tail keys (the adversarial order for a counter-based sketch).
+    rows.sort(key=lambda r: hash(r[0] + str(len(r))) % 97)
+    return spark.createDataFrame(rows, "key string").repartition(n_partitions)
+
+
+def test_mg_candidates_bounded_and_superset(spark):
+    k = 20
+    df = _skewed_df(spark)
+    n_total = df.count()
+    out = mg_candidates(df, "key", k).collect()
+
+    totals = [r.n for r in out if r.key is None]
+    cands = [r for r in out if r.key is not None]
+    # One total row per partition; together they reconstruct N exactly.
+    assert sum(totals) == n_total
+    # Bounded output: at most k candidate rows per partition.
+    assert len(cands) <= k * len(totals)
+
+    # No-false-negative guarantee: every key with global count > N/(k+1)
+    # survives in at least one partition's summary.
+    exact = {r.key: r.n for r in df.groupBy("key").count().withColumnRenamed("count", "n").collect()}
+    must_survive = {key for key, n in exact.items() if n > n_total / (k + 1)}
+    survived = {r.key for r in cands}
+    assert must_survive  # the fixture really has heavy keys
+    assert must_survive <= survived
+    # MG counters are lower bounds on the true count.
+    for r in cands:
+        assert r.n <= exact[r.key]
+
+
+def test_heavy_hitters_exact_equals_naive(spark):
+    phi_den = 8  # heavy := count*8 >= N; hot_a and hot_b qualify, tail not
+    df = _skewed_df(spark)
+    n_total = df.count()
+    got = {
+        (r.key, r.n)
+        for r in heavy_hitters_exact(df, "key", phi_den=phi_den, k=20).collect()
+    }
+    naive = {
+        (r.key, r["count"])
+        for r in df.groupBy("key").count().collect()
+        if r["count"] * phi_den >= n_total
+    }
+    assert got == naive
+    assert {k for k, _ in got} == {"hot_a", "hot_b"}
+
+
+def test_heavy_hitters_guard_rejects_weak_k(spark):
+    df = _skewed_df(spark, n_partitions=1)
+    with pytest.raises(ValueError, match="superset guarantee"):
+        heavy_hitters_exact(df, "key", phi_den=30, k=10)
+
+
+def test_heavy_hitters_plan_shape(spark):
+    """Phase 1 is one Arrow-batched python stage; phase 2's recount joins
+    broadcast candidates (no shuffle of the candidate set)."""
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["heavy_hitters_tokens"].fn(spark, SF_MED)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" in plan
+    assert "Broadcast" in plan
+
+
+def test_morton_bijective_and_block_aligned(spark):
+    """All 1024 (x, y) pairs get distinct codes, and chopping the low 6
+    bits yields 16 aligned 8x8 rectangles — the file-skipping property the
+    layout query's docstring claims."""
+    grid = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    coded = grid.select(
+        "x", "y", morton_interleave(F.col("x"), F.col("y"), 5).alias("z")
+    )
+    rows = coded.collect()
+    assert len({r.z for r in rows}) == 1024
+    assert all(0 <= r.z < 1024 for r in rows)
+    blocks: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        blocks.setdefault(r.z >> 6, []).append((r.x, r.y))
+    assert len(blocks) == 16
+    for pts in blocks.values():
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        assert len(pts) == 64
+        assert max(xs) - min(xs) == 7 and max(ys) - min(ys) == 7
+        assert min(xs) % 8 == 0 and min(ys) % 8 == 0
+
+
+def test_morton_sql_twin_matches_column_form(spark):
+    import duckdb
+
+    pairs = [(x, y) for x in range(0, 32, 5) for y in range(0, 24, 7)]
+    sdf = spark.createDataFrame(pairs, "x long, y long")
+    spark_codes = {
+        (r.x, r.y): r.z
+        for r in sdf.select(
+            "x", "y", morton_interleave(F.col("x"), F.col("y"), 5).alias("z")
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql = morton_sql("x", "y", 5)
+    for x, y in pairs:
+        (got,) = con.execute(
+            f"SELECT {sql} FROM (SELECT {x}::BIGINT AS x, {y}::BIGINT AS y)"
+        ).fetchone()
+        assert got == spark_codes[(x, y)]
+
+
+def test_zorder_layout_narrows_file_spans(spark):
+    """Every 64-code file covers an 8-wide slice of BOTH dimensions on the
+    real fixture — the min/max stats a reader prunes 2-D predicates on."""
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    stats = REGISTRY["layout_zorder_stats"].fn(spark, SF_MED).collect()
+    assert stats
+    for r in stats:
+        assert r.max_x - r.min_x <= 7
+        assert r.max_y - r.min_y <= 7
+        assert r.min_x // 8 == r.max_x // 8  # aligned, not merely narrow
+        assert r.min_y // 8 == r.max_y // 8
+
+
+def test_weighted_priority_sample_prefers_long_documents(spark):
+    """Selection odds scale with the token-count weight: the picked docs'
+    mean length must exceed the corpus mean (deterministic on the fixture,
+    k=100 of 500 docs at sf0.01)."""
+    from stream_processing_pipeline_spark.operators.text import token_count
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    picked = REGISTRY["weighted_priority_sample"].fn(spark, SF_MED)
+    rows = picked.collect()
+    assert len(rows) == 100
+    corpus_mean = (
+        catalog(spark, SF_MED)
+        .documents.select(F.avg(token_count("text")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    sample_mean = sum(r.n_tokens for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
