@@ -108,7 +108,11 @@ def heavy_hitters_exact(
             "need k + 1 > phi_den"
         )
     out_key = out_key or key_col
-    summaries = mg_candidates(df, key_col, k)
+    # Both phase-2 consumers (candidate keys, partition totals) read the
+    # summaries; persisting the <= (k+1) x n_partitions rows keeps the
+    # sketch pass to ONE scan instead of one per consumer. Bounded by
+    # construction; the harnesses clearCache() per query.
+    summaries = mg_candidates(df, key_col, k).persist()
     candidates = (
         summaries.filter(F.col("key").isNotNull()).select("key").distinct()
     )

@@ -43,6 +43,9 @@ HEADLINERS = {
     "bloom_semijoin_nation_suppliers": "8 KiB bitmap filter BEFORE the join shuffle (96% of rows dropped pre-shuffle), exact semi-join after",
     "salted_join_type_stats": "hot-key salting: SortMergeJoin on (event_type, _salt) — 5-value key spread over 8 reducers",
     "sim_ivf_assignments": "trained-IVF assignment: centroid matrix as plan literal, no shuffle of vectors (training replayed in the SQL oracle)",
+    "heavy_hitters_tokens": "Misra-Gries two-phase: one MapInPandas sketch pass (<=64 rows/partition) + broadcast-pruned exact recount",
+    "layout_zorder_stats": "Morton z-code as pure shift/mask codegen; grouped min/max = the footer stats a reader prunes on",
+    "weighted_priority_sample": "weighted top-k as TakeOrderedAndProject — k rows per partition to the merge, no global sort",
 }
 
 
