@@ -43,6 +43,9 @@ AUDITED = {
     "scd2_user_value_bands": "one user_id shuffle of (user, ts, id, band) rows serving both window passes",
     "hourly_purchases_gapfill": "hourly partials only: events aggregate before anything joins the spine",
     "mixture_token_budget": "one (id, source, n_tokens, ord) row per doc into the source running-sum window; text pruned at scan",
+    "heavy_hitters_tokens": "MG sketch: <=65 rows/partition (candidates+total) shuffle; recount shuffles (token, partial) pairs for candidate tokens only",
+    "layout_zorder_stats": "per-(file_id) min/max/count partials only — 16 groups, the coded rows never shuffle raw",
+    "weighted_priority_sample": "TakeOrderedAndProject: k=100 rows per partition to the merge; no exchange at all",
 }
 
 
