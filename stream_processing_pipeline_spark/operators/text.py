@@ -339,3 +339,50 @@ def prefix_fingerprint(col: Column | str, n_words: int = 8) -> Column:
 def prefix_fingerprint_sql(expr: str, n_words: int = 8) -> str:
     toks = tokens_sql(normalize_text_sql(expr))
     return h60_sql(f"array_to_string(list_slice({toks}, 1, {n_words}), ' ')")
+
+
+# ---------------------------------------------------------- HTML cleaning
+
+# Entity -> replacement, applied in a fixed order (amp LAST so that
+# double-escaped text like "&amp;lt;" decodes one level per pass, the
+# conventional single-pass behavior). Literal string replaces — no regex —
+# so Spark replace() and DuckDB replace() agree byte-for-byte.
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+# Engine-portable ASCII classes only (same rationale as _BPE_PATTERN):
+# tags = a '<', optionally anything non-'>', then '>'; control chars by
+# explicit hex range, excluding tab/newline which collapse as whitespace.
+_TAG_PATTERN = "<[^>]*>"
+_CTRL_PATTERN = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+_WS_PATTERN = "[ \\t\\n\\r]+"
+
+
+def clean_html(col: Column | str) -> Column:
+    """Boilerplate-stage text cleaning: drop ``<...>`` tags, decode the six
+    common HTML entities, strip control characters, collapse all whitespace
+    runs to single spaces, trim. Every step is a JVM-side regexp_replace /
+    replace chain inside whole-stage codegen — no UDF — and each has an
+    exact DuckDB twin (:func:`clean_html_sql`), so cleaned text is
+    verifiable cross-engine byte-for-byte."""
+    c = F.regexp_replace(_c(col), _TAG_PATTERN, " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, _CTRL_PATTERN, " ")
+    c = F.regexp_replace(c, _WS_PATTERN, " ")
+    return F.trim(c)
+
+
+def clean_html_sql(expr: str) -> str:
+    out = f"regexp_replace({expr}, '{_TAG_PATTERN}', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{rep_sql}')"
+    out = f"regexp_replace({out}, '{_CTRL_PATTERN}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_WS_PATTERN}', ' ', 'g')"
+    return f"trim({out})"

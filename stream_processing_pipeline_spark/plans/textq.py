@@ -1018,3 +1018,39 @@ def text_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "rarity_score",
     )
+
+
+_CLEAN_SQL = T.clean_html_sql("text")
+
+
+@register(
+    "text_clean_html",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length({_CLEAN_SQL}) AS BIGINT) AS clean_len,
+           {T.h60_sql(_CLEAN_SQL)} AS clean_fp,
+           CAST(length(text) - length({_CLEAN_SQL}) AS BIGINT) AS removed_chars
+    FROM documents
+    """,
+    tags=("text", "cleaning", "html", "boilerplate"),
+)
+def text_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-stage HTML cleaning as a verifiable column pipeline: tag
+    strip, entity decode, control-char strip, whitespace collapse
+    (:func:`..operators.text.clean_html`) — the first stage every
+    web-crawl corpus passes through before quality scoring or dedup. The
+    output pins the cleaned text per document by length AND 60-bit
+    fingerprint, so the oracle checks the transformation byte-for-byte, not
+    just its shape. The fixture text contains no markup (the pipeline is a
+    near-no-op here); `tests/test_text_cleaning.py` drives the same
+    Spark/DuckDB expression pair over constructed HTML where every rule
+    fires. Pure codegen expressions: at 100 TB this runs at scan speed with
+    zero shuffle and zero Python."""
+    docs = catalog(spark, sf_dir).documents
+    cleaned = T.clean_html("text")
+    return docs.select(
+        "doc_id",
+        F.length(cleaned).cast("long").alias("clean_len"),
+        T.h60(cleaned).alias("clean_fp"),
+        (F.length("text") - F.length(cleaned)).cast("long").alias("removed_chars"),
+    )

@@ -1,0 +1,55 @@
+"""clean_html / clean_html_sql cross-engine equivalence on text where the
+rules actually fire (the documents fixture contains no markup)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from stream_processing_pipeline_spark.operators.text import (
+    clean_html,
+    clean_html_sql,
+)
+
+CASES = [
+    "<p>Hello <b>world</b></p>",
+    "a &amp; b &lt;tag&gt; &quot;quoted&quot; it&#39;s fine",
+    "double-escaped &amp;lt;stays-entity&amp;gt;",
+    "ctrl\x07chars\x1fstripped\x0bout",
+    "  collapse \t all\n\nwhitespace\r\n runs  ",
+    "<script>alert('x')</script>text after",
+    "<a href='x.html'>link</a>&nbsp;trail",
+    "unclosed <tag stays if no gt",
+    "plain text is untouched",
+    "",
+]
+
+
+def test_clean_html_matches_duckdb_twin(spark):
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(CASES)], "i long, t string")
+    got = {
+        r.i: r.c
+        for r in sdf.select("i", clean_html("t").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(CASES):
+        (want,) = con.execute(
+            f"SELECT {clean_html_sql('$tx')}".replace("$tx", "?"), [t]
+        ).fetchone()
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_clean_html_semantics(spark):
+    sdf = spark.createDataFrame([(t,) for t in CASES], "t string")
+    out = [r.c for r in sdf.select(clean_html("t").alias("c")).collect()]
+    assert out[0] == "Hello world"
+    assert out[1] == "a & b <tag> \"quoted\" it's fine"
+    # single-pass entity decode: &amp;lt; -> &lt; (NOT a second decode to <)
+    assert out[2] == "double-escaped &lt;stays-entity&gt;"
+    assert out[3] == "ctrl chars stripped out"
+    assert out[4] == "collapse all whitespace runs"
+    assert out[5] == "alert('x') text after"
+    assert out[6] == "link trail"
+    assert "<" in out[7]  # malformed tag without '>' is preserved
+    assert out[8] == "plain text is untouched"
+    assert out[9] == ""
