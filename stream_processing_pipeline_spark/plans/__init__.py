@@ -79,6 +79,8 @@ _GATE_PRIORITY = [
     "sim_ivf_assignments",
     "sim_topk_ivf",
     # -- NEW in round 3 (insert additions here, newest first)
+    "stream_session_windows",
+    "bpe_pair_counts",
     "text_clean_html",
     "heavy_hitters_tokens",
     "layout_zorder_stats",

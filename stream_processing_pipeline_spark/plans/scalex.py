@@ -148,7 +148,7 @@ _TOK_SQL = T.tokens_sql(T.normalize_text_sql("text"))
     )
     SELECT token, n FROM c WHERE n * {_HH_PHI_DEN} >= (SELECT total FROM tot)
     """,
-    tags=("scale", "sketch", "heavy-hitters", "misra-gries", "mapInPandas"),
+    tags=("scale", "sketch", "heavy-hitters", "misra-gries", "pandas-udf"),
 )
 def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokens carrying >= 1/30 of all token occurrences, found via the

@@ -472,3 +472,95 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           sum({cents_sql('value')}) / 100.0 AS total_value
+    FROM s GROUP BY user_id, sid
+    HAVING max(ts) + INTERVAL 30 MINUTE
+           <= (SELECT max(ts) FROM events) - INTERVAL 30 MINUTE
+    """,
+    tags=("streaming-op", "session-window", "watermark", "append-finalization"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows executed as a REAL streaming query — the merging-
+    window stateful operator (``session_window`` + watermark, append mode),
+    where ``session_windows`` registers the batch form. Append mode emits a
+    session only once the 30-minute watermark passes its end, so the
+    availableNow run yields exactly the FINALIZED sessions: every session
+    whose end precedes (max event time - 30 min). The oracle is the batch
+    gaps-and-islands SQL with that finalization predicate — pinning not
+    just the session math but the watermark emission contract itself (the
+    13 tail sessions at sf0.01 stay in state, exactly as a live stream
+    would hold them awaiting more data). State per user is one open-session
+    row, merged on arrival, evicted on emission — bounded by active users
+    per horizon at any scale."""
+    from pyspark.sql.types import LongType
+
+    cat = catalog(spark, sf_dir)
+    raw_schema = spark.read.parquet(cat.path("events")).schema
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        ts_expr = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts_expr = F.col("ts").cast("timestamp")
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.select("user_id", ts_expr.alias("ts"), cents("value").alias("c"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("c") / 100.0).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sess_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        if query.isActive:  # pragma: no cover — defensive timeout stop
+            query.stop()
+            raise TimeoutError("streaming session windows did not finish")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)

@@ -1054,3 +1054,51 @@ def text_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.h60(cleaned).alias("clean_fp"),
         (F.length("text") - F.length(cleaned)).cast("long").alias("removed_chars"),
     )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH pre AS (
+      SELECT unnest(regexp_extract_all(text, '{T._BPE_PATTERN}')) AS tok
+      FROM documents
+    ), v AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS w FROM pre GROUP BY tok
+    ), p AS (
+      SELECT substring(v.tok, g.i, 2) AS pair, v.w
+      FROM v CROSS JOIN LATERAL
+           (SELECT unnest(range(1, length(v.tok))) AS i) g
+      WHERE length(v.tok) >= 2
+    )
+    SELECT pair, CAST(sum(w) AS BIGINT) AS weight
+    FROM p GROUP BY pair ORDER BY weight DESC, pair LIMIT 20
+    """,
+    tags=("text", "tokenizer-training", "bpe", "top-k"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: the 20 most frequent
+    adjacent character pairs, weighted by pretoken frequency. The scale
+    trick is the classic one — aggregate the corpus to its pretoken VOCAB
+    first (one shuffle of (pretoken, count)), then explode character pairs
+    over distinct pretokens only: pair generation touches vocab-sized data
+    however large the corpus, which is why real BPE trainers operate on a
+    word-frequency dict. Pair extraction is ``transform(sequence(...),
+    i -> substring(tok, i, 2))`` — codegen, no UDF; both engines index
+    substrings 1-based so the oracle replays it exactly. (The length >= 2
+    guard also keeps Spark's ``sequence(1, 0)`` from generating its
+    DESCENDING [1, 0] sequence for single-char pretokens.)"""
+    docs = catalog(spark, sf_dir).documents
+    pre = docs.select(F.explode(T.bpe_pretokens("text")).alias("tok"))
+    vocab = pre.groupBy("tok").agg(F.count(F.lit(1)).alias("w"))
+    pairs = vocab.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+        "w",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("w").alias("weight"))
+        .orderBy(F.desc("weight"), "pair")
+        .limit(20)
+    )
