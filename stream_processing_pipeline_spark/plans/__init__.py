@@ -79,6 +79,7 @@ _GATE_PRIORITY = [
     "sim_ivf_assignments",
     "sim_topk_ivf",
     # -- NEW in round 3 (insert additions here, newest first)
+    "sql_recursive_click_streak",
     "stream_session_windows",
     "bpe_pair_counts",
     "text_clean_html",

@@ -1609,3 +1609,89 @@ def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("missing").alias("n_missing"),
         )
     )
+
+
+# Oracle for the recursive-CTE query: one ANSI WITH RECURSIVE statement
+# (UNION ALL form — the only form Spark 4 supports; the walk is over
+# strictly-decreasing row numbers, so it terminates without UNION's dedup).
+_CLICK_STREAK_SQL = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, event_id AS purchase_id, rn - 1 AS cur, 0 AS streak
+      FROM ev WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT w.user_id, w.purchase_id, w.cur - 1, w.streak + 1
+      FROM walk w JOIN ev e
+        ON e.user_id = w.user_id AND e.rn = w.cur
+      WHERE e.event_type = 'click' AND w.streak < 50
+    )
+    SELECT user_id, purchase_id,
+           CAST(max(streak) AS BIGINT) AS click_streak
+    FROM walk GROUP BY user_id, purchase_id
+"""
+
+
+@register(
+    "sql_recursive_click_streak",
+    oracle=_CLICK_STREAK_SQL,
+    tags=("batch", "sql-api", "recursive-cte", "iterative"),
+)
+def sql_recursive_click_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): for every purchase, the
+    length of the unbroken run of clicks immediately preceding it. The
+    recursion steps back one event per iteration while the predecessor is
+    a click; row numbers strictly decrease, so UNION ALL terminates, and
+    the frontier shrinks geometrically (only still-in-streak purchases
+    survive a step). A gaps-and-islands window pass could compute the same
+    answer in two shuffles — this registers the ITERATIVE surface, pinned
+    against an independent engine's WITH RECURSIVE (the oracle is one
+    self-contained statement of the same walk).
+
+    Physical shape: events are row-numbered once and persisted; the
+    recursion seeds from the purchase rows and joins each frontier against
+    the CLICKS-ONLY slice (numbering stays over all events, so a non-click
+    predecessor simply ends the streak by producing no successor) — per
+    iteration that is one join of a shrinking frontier against the static
+    persisted slice, never a rescan of the raw table. The BROADCAST hint
+    sizes for the fixture (the clicks slice is small here, and it halves
+    the per-iteration overhead); on a corpus where the slice outgrows the
+    broadcast threshold, drop the hint and each level is a shuffle join of
+    the geometrically-shrinking frontier against the co-partitioned slice."""
+    cat = catalog(spark, sf_dir)
+    cat.register_all()
+    ev = spark.sql(
+        """
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS rn
+        FROM events
+        """
+    ).persist()
+    ev.filter(F.col("event_type") == "click").createOrReplaceTempView(
+        "_streak_clicks"
+    )
+    ev.filter(F.col("event_type") == "purchase").createOrReplaceTempView(
+        "_streak_purchases"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT user_id, event_id AS purchase_id, rn - 1 AS cur, 0 AS streak
+          FROM _streak_purchases
+          UNION ALL
+          SELECT /*+ BROADCAST(e) */
+                 w.user_id, w.purchase_id, w.cur - 1, w.streak + 1
+          FROM walk w JOIN _streak_clicks e
+            ON e.user_id = w.user_id AND e.rn = w.cur
+          WHERE w.streak < 50
+        )
+        SELECT user_id, purchase_id,
+               CAST(max(streak) AS BIGINT) AS click_streak
+        FROM walk GROUP BY user_id, purchase_id
+        """
+    )
