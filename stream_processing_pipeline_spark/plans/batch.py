@@ -1695,3 +1695,92 @@ def sql_recursive_click_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY user_id, purchase_id
         """
     )
+
+
+@register(
+    "lineitem_measures_unpivot",
+    oracle=f"""
+    WITH long AS (
+      SELECT l_returnflag, measure, val FROM (
+        SELECT l_returnflag,
+               {cents_sql('l_quantity')} AS quantity,
+               {cents_sql('l_extendedprice')} AS extendedprice,
+               {cents_sql('l_discount')} AS discount,
+               {cents_sql('l_tax')} AS tax
+        FROM lineitem
+      ) UNPIVOT (val FOR measure IN (quantity, extendedprice, discount, tax))
+    )
+    SELECT l_returnflag, measure,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(val) AS BIGINT) AS total_cents,
+           CAST(min(val) AS BIGINT) AS min_cents,
+           CAST(max(val) AS BIGINT) AS max_cents
+    FROM long GROUP BY l_returnflag, measure
+    """,
+    tags=("batch", "unpivot", "melt", "reshape"),
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via ``DataFrame.unpivot`` (the melt surface,
+    inverse of the pivot in ``daily_counts_pivoted``): four lineitem
+    measures become (measure, value) rows in exact integer cents, then one
+    grouped profile per (returnflag, measure) — the shape data-profiling
+    jobs use to run one aggregation over N columns instead of N scans.
+    Unpivot is a narrow projection (rows x 4, no shuffle); the single
+    aggregation shuffles 12 group partials. Both engines' UNPIVOT agree on
+    the long schema; cents conversion keeps the values engine-exact."""
+    li = catalog(spark, sf_dir).lineitem
+    wide = li.select(
+        "l_returnflag",
+        cents("l_quantity").alias("quantity"),
+        cents("l_extendedprice").alias("extendedprice"),
+        cents("l_discount").alias("discount"),
+        cents("l_tax").alias("tax"),
+    )
+    long = wide.unpivot(
+        ids=["l_returnflag"],
+        values=["quantity", "extendedprice", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("total_cents"),
+        F.min("val").alias("min_cents"),
+        F.max("val").alias("max_cents"),
+    )
+
+
+@register(
+    "cube_daily_type_counts",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({cents_sql('value')}) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY CUBE (CAST(date_trunc('day', ts) AS DATE), event_type)
+    """,
+    tags=("batch", "cube", "olap"),
+)
+def cube_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE completes the OLAP trio (``rollup_revenue`` = prefix hierarchy,
+    ``grouping_sets_revenue`` = explicit sets): all four (day, type)
+    grouping combinations — detail, per-day, per-type, grand total — in ONE
+    Expand pass over one scan, the dashboard-materialization shape. Expand
+    multiplies shuffle rows by the number of grouping sets, but partial
+    aggregation collapses them map-side first, so what shuffles is
+    4x the GROUP cardinality, not 4x the data. Neither grouping column is
+    NULL in the data, so NULL marks the aggregated-away dimension
+    unambiguously (same contract as the other two)."""
+    ev = catalog(spark, sf_dir).events
+    return (
+        ev.select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            "event_type",
+            cents("value").alias("c"),
+        )
+        .cube("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("total_cents"),
+        )
+    )
