@@ -46,11 +46,6 @@ from pyspark.sql import functions as F
 
 __all__ = ["mg_candidates", "heavy_hitters_exact"]
 
-# Sentinel key for per-partition total rows emitted alongside candidates
-# (lets phase 2 learn N from the phase-1 scan instead of a third pass).
-_TOTAL = None
-
-
 def mg_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries of the ``key_col`` frequencies.
 
@@ -80,7 +75,9 @@ def mg_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
         out = pd.DataFrame(
             {"key": counters.index.astype(str), "n": counters.to_numpy("int64")}
         )
-        total_row = pd.DataFrame({"key": [_TOTAL], "n": [total]})
+        # NULL-keyed row = the partition total (lets phase 2 learn N from
+        # this same scan instead of a third pass over the data).
+        total_row = pd.DataFrame({"key": [None], "n": [total]})
         yield pd.concat([out, total_row], ignore_index=True)
 
     narrow = df.select(F.col(key_col).cast("string").alias(key_col))
