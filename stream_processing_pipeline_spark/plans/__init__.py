@@ -79,6 +79,8 @@ _GATE_PRIORITY = [
     "sim_ivf_assignments",
     "sim_topk_ivf",
     # -- NEW in round 3 (insert additions here, newest first)
+    "minhash_jaccard_calibration",
+    "dedup_rate_by_source",
     "lineitem_measures_unpivot",
     "cube_daily_type_counts",
     "sql_recursive_click_streak",

@@ -447,3 +447,148 @@ def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("is_dup").cast("long").alias("n_dup_chunks"),
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH f AS (SELECT source, {h60_sql(_NORM)} AS fp FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_rows
+    FROM f GROUP BY source
+    """,
+    tags=("dedup", "dashboard", "quality"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate dashboard: per source, how many documents collapse
+    under the exact content fingerprint — the first number a corpus triage
+    looks at (a source with a high dup rate gets crawl-dedup attention
+    before quality filtering). One scan; the distinct-count Expand shuffles
+    (source, fp) pairs, never text."""
+    docs = catalog(spark, sf_dir).documents
+    fp = h60(T.normalize_text("text"))
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup_rows"),
+        )
+    )
+
+
+_EST_MATCH_SQL = " + ".join(
+    f"(CASE WHEN ma.mh{j} = mb.mh{j} THEN 1 ELSE 0 END)" for j in range(16)
+)
+
+
+@register(
+    "minhash_jaccard_calibration",
+    oracle=f"""{_BANDS_CTE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b, {_EST_MATCH_SQL} AS est_matches16
+      FROM cand c JOIN mh ma ON ma.doc_id = c.doc_a
+                  JOIN mh mb ON mb.doc_id = c.doc_b
+    ),
+    shd AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c JOIN shd x ON x.doc_id = c.doc_a
+                  JOIN shd y ON y.doc_id = c.doc_b AND y.g = x.g
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b,
+           CAST(e.est_matches16 AS BIGINT) AS est_matches16,
+           CAST(COALESCE(i.i, 0) AS BIGINT) AS inter_sh,
+           CAST(sa.n + sb.n - COALESCE(i.i, 0) AS BIGINT) AS union_sh
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    """,
+    tags=("dedup", "minhash", "calibration", "sketch-accuracy"),
+)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit, value-hash-verified: for every LSH candidate
+    pair, the MinHash ESTIMATE of Jaccard similarity (matching signature
+    components out of 16 — E[est/16] = J by the MinHash property) next to
+    the EXACT shingle-set Jaccard as integer (intersection, union) counts —
+    no floats anywhere, so the calibration table is engine-exact. This is
+    the query one runs before trusting a banding threshold on a new corpus:
+    if est_matches16/16 systematically overshoots inter/union, the
+    signature is too short for the shingle distribution. Exact counts join
+    raw shingles for the CANDIDATE pairs only (candidate-bounded volume);
+    the full-corpus exact path stays hashed (``dedup_ngram_jaccard``)."""
+    docs = catalog(spark, sf_dir).documents
+    # One signature computation serves both the LSH candidate join and the
+    # estimate columns (lsh_candidate_pairs would recompute it): persist
+    # the one-row-per-doc table — bounded, and the harnesses clearCache().
+    sig = minhash_table(docs).persist()
+    banded = lsh_bands(sig, n_bands=4, rows_per_band=4)
+    a_band, b_band = banded.alias("a"), banded.alias("b")
+    cands = (
+        a_band.join(
+            b_band,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a_sig = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(16)],
+    )
+    b_sig = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(16)],
+    )
+    est_col = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(16)
+    )
+    est = (
+        cands.join(a_sig, "doc_a").join(b_sig, "doc_b")
+        .select("doc_a", "doc_b", est_col.alias("est_matches16"))
+    )
+
+    from ..operators.dedup import shingles
+
+    shd = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("g")
+    ).distinct()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cands.join(shd.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            shd.select(F.col("doc_id").alias("doc_b"), F.col("g")),
+            ["doc_b", "g"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.col("est_matches16").cast("long").alias("est_matches16"),
+            F.coalesce(F.col("i"), F.lit(0)).cast("long").alias("inter_sh"),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
+            .cast("long").alias("union_sh"),
+        )
+    )
