@@ -802,3 +802,141 @@ def sim_recall_ivf_static_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("i_nid").alias("n_hits"),
         (F.count("i_nid") / float(_K)).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------- power-iteration PCA
+
+_PCA_ITERS = 6
+_PCA_WSCALE = 1024  # renormalize w to max-abs 1024 each iteration
+
+
+def _pca_cte(iterations: int = _PCA_ITERS) -> str:
+    """DuckDB replay of the integer power iteration, unrolled like
+    ``_kmeans_cte``: milli-unit quantization, truncating-div mean centering,
+    then per-iteration (dot = C·w, u = Cᵀ·dot, w' = trunc(u*1024 / max|u|))
+    — every step integer arithmetic with TRUNCATING division (DuckDB's
+    integer ``//`` and Spark's ``div`` both truncate toward zero; the
+    driver-side renormalization reproduces it explicitly), so the
+    eigenvector estimate is engine-exact."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so an
+    # unrolled 6-iteration chain would re-expand c/d/u once per reference —
+    # exponential plan growth (observed: >9 min vs ~4 s materialized).
+    cte = """
+    WITH m AS MATERIALIZED (
+      SELECT vec_id, g.i - 1 AS j,
+             CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS v
+      FROM embeddings CROSS JOIN LATERAL
+           (SELECT unnest(range(1, 65)) AS i) g
+    ),
+    mu AS MATERIALIZED (
+      SELECT j, CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+      FROM m GROUP BY j
+    ),
+    c AS MATERIALIZED (
+      SELECT m.vec_id, m.j, m.v - mu.mu AS v FROM m JOIN mu USING (j)
+    ),
+    w0 AS MATERIALIZED (
+      SELECT unnest(range(0, 64)) AS j, CAST(1 AS BIGINT) AS w)
+    """
+    for it in range(1, iterations + 1):
+        p = it - 1
+        cte += f""",
+    d{it} AS MATERIALIZED (
+      SELECT c.vec_id, sum(c.v * w{p}.w) AS dot
+      FROM c JOIN w{p} ON w{p}.j = c.j GROUP BY c.vec_id
+    ),
+    u{it} AS MATERIALIZED (
+      SELECT c.j, sum(c.v * d{it}.dot) AS u
+      FROM c JOIN d{it} ON d{it}.vec_id = c.vec_id GROUP BY c.j
+    ),
+    w{it} AS MATERIALIZED (
+      SELECT j, (u * {_PCA_WSCALE}) // (SELECT max(abs(u)) FROM u{it}) AS w
+      FROM u{it}
+    )"""
+    return cte
+
+
+@register(
+    "emb_top_pc_power_iteration",
+    oracle=f"""{_pca_cte()}
+    SELECT j AS dim_idx, CAST(w AS BIGINT) AS w
+    FROM w{_PCA_ITERS}
+    """,
+    tags=("similarity", "embedding", "pca", "iterative", "power-iteration"),
+)
+def emb_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by SIX power
+    iterations in exact integer arithmetic — the direction ABTT-style
+    embedding post-processing ("all-but-the-top") removes, and the whitening
+    diagnostic one computes before trusting cosine similarity on a new
+    embedding table. Convergence honesty: the fixture embeddings are
+    near-isotropic (lambda1/lambda2 = 1.013), so the DIRECTION converges at
+    that snail ratio per step; what the iteration does guarantee — pinned by
+    `tests` against numpy — is captured variance, Rayleigh quotient >= 0.9
+    of lambda1 after 6 iterations (0.48 at the seed). On real embedding
+    tables, where ABTT matters precisely because a few directions dominate,
+    the same iterations converge in direction too. Same determinism recipe that made the trained-IVF
+    k-means oracle-able: milli-unit quantization, truncating-div centering,
+    and per-iteration renormalization of w to max-abs 1024 with explicit
+    truncating division, so Spark and the DuckDB CTE replay agree bit-for-bit
+    (sign is pinned by the fixed all-ones seed; no eigenvector sign
+    ambiguity).
+
+    Scale shape: the centered corpus is computed once and persisted
+    exploded; each iteration is one matvec pair — (vec, dot) partials then
+    64 per-dim sums shuffle, vectors never move — and a 64-int driver
+    roundtrip for the renormalization (bounded like the k-means centroid
+    roundtrip). Integer headroom: |c| <= ~1.1k milli-units, |dot| <= 7e7,
+    per-dim sums <= N * 7.4e10 — int64-safe beyond 1e8 rows; past that,
+    rescale c another 8x or switch the partial sums to decimal(38)."""
+    emb = catalog(spark, sf_dir).embeddings
+    m = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("j", "x"),
+    ).select(
+        "vec_id",
+        F.col("j").cast("long").alias("j"),
+        F.floor(F.col("x").cast("double") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    mu = m.groupBy("j").agg(
+        F.expr("sum(v) div count(1)").cast("long").alias("mu")
+    )
+    c = (
+        m.join(F.broadcast(mu), "j")
+        .select("vec_id", "j", (F.col("v") - F.col("mu")).alias("v"))
+        .persist()
+    )
+
+    w = [1] * 64
+    for _ in range(_PCA_ITERS):
+        w_df = F.broadcast(
+            spark.createDataFrame([(j, wj) for j, wj in enumerate(w)], "j long, w long")
+        )
+        dot = (
+            c.join(w_df, "j")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+        )
+        u_rows = (
+            c.join(dot, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("v") * F.col("dot")).alias("u"))
+            .collect()  # 64 rows — bounded driver roundtrip
+        )
+        u = {r.j: r.u for r in u_rows}
+        mx = max(abs(v) for v in u.values())
+
+        def tdiv(a: int, b: int) -> int:
+            # truncating division (DuckDB integer `//`, Spark `div`);
+            # Python's // floors, so route through magnitudes.
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+
+        w = [tdiv(u[j] * _PCA_WSCALE, mx) for j in range(64)]
+
+    return spark.createDataFrame(
+        [(j, wj) for j, wj in enumerate(w)], "dim_idx long, w long"
+    )
