@@ -1784,3 +1784,58 @@ def cube_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("total_cents"),
         )
     )
+
+
+_MICRO_D = "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+
+
+@register(
+    "array_functions_showcase",
+    oracle=f"""
+    WITH m AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> {_MICRO_D}) AS mi,
+             embedding AS e
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(e) AS INTEGER) AS n_dims,
+           CAST(len(list_filter(mi, x -> x > 0)) AS INTEGER) AS n_positive,
+           len(list_filter(mi, x -> abs(x) > 400000)) > 0 AS has_extreme,
+           CAST(list_sum(list_slice(list_sort(mi, 'DESC'), 1, 3))
+                AS BIGINT) AS top3_sum_micro,
+           CAST(list_sum(list_transform(mi, x -> abs(x))) AS BIGINT)
+             AS l1_micro,
+           CAST(list_position(list_transform(mi, x -> x < 0), true)
+                AS BIGINT) AS first_neg_idx
+    FROM m
+    """,
+    tags=("batch", "array-functions", "higher-order"),
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface in one oracle-verified projection
+    (completing the scalar trio with ``string_``/``datetime_functions_
+    showcase``): transform, filter, exists, sort_array, slice, aggregate,
+    array_position — all whole-stage-codegen lambdas, zero Python. Values
+    go through micro-unit integers BEFORE sorting/summing so every output
+    is engine-exact (float sums would be order-sensitive; integer sort
+    makes the top-3 slice deterministic under ties)."""
+    emb = catalog(spark, sf_dir).embeddings
+    mi = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.size(F.filter(mi, lambda x: x > 0)).alias("n_positive"),
+        F.exists(mi, lambda x: F.abs(x) > 400000).alias("has_extreme"),
+        F.aggregate(
+            F.slice(F.sort_array(mi, asc=False), 1, 3), zero, lambda a, x: a + x
+        ).alias("top3_sum_micro"),
+        F.aggregate(mi, zero, lambda a, x: a + F.abs(x)).alias("l1_micro"),
+        F.array_position(
+            F.transform(mi, lambda x: x < 0), F.lit(True)
+        ).cast("long").alias("first_neg_idx"),
+    )
