@@ -46,6 +46,9 @@ HEADLINERS = {
     "heavy_hitters_tokens": "Misra-Gries two-phase: one MapInPandas sketch pass (<=64 rows/partition) + broadcast-pruned exact recount",
     "layout_zorder_stats": "Morton z-code as pure shift/mask codegen; grouped min/max = the footer stats a reader prunes on",
     "weighted_priority_sample": "weighted top-k as TakeOrderedAndProject — k rows per partition to the merge, no global sort",
+    "sql_recursive_click_streak": "Spark 4 recursive CTE: UnionLoop over a geometrically-shrinking frontier joined to a persisted clicks slice",
+    "lineitem_measures_unpivot": "wide-to-long Expand (4 measures) + one grouped profile — N-column profiling in one scan",
+    "minhash_jaccard_calibration": "one persisted signature table feeds both the LSH candidate join and the estimate columns; exact counts candidate-bounded",
 }
 
 
