@@ -79,6 +79,7 @@ _GATE_PRIORITY = [
     "sim_ivf_assignments",
     "sim_topk_ivf",
     # -- NEW in round 3 (insert additions here, newest first)
+    "value_outliers_exact",
     "array_functions_showcase",
     "emb_top_pc_power_iteration",
     "minhash_jaccard_calibration",

@@ -1839,3 +1839,60 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(mi, lambda x: x < 0), F.lit(True)
         ).cast("long").alias("first_neg_idx"),
     )
+
+
+@register(
+    "value_outliers_exact",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, {cents_sql('value')} AS v FROM events
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s,
+             sum(CAST(v AS HUGEINT) * v) AS ssq
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (
+             (CAST(s.n AS HUGEINT) * c.v - s.s) ** 2
+               > 9 * (CAST(s.n AS HUGEINT) * s.ssq
+                      - CAST(s.s AS HUGEINT) ** 2)
+           ) AS BIGINT) AS n_outliers
+    FROM c JOIN s USING (event_type)
+    GROUP BY c.event_type
+    """,
+    tags=("batch", "data-quality", "outliers", "exact-arithmetic"),
+)
+def value_outliers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier counts (|z| > 3 per event type) with ZERO floating
+    point: the z test ``(v-mu)^2 > 9 sigma^2`` multiplies out to the integer
+    inequality ``(n*v - s)^2 > 9*(n*ssq - s^2)`` over exact cent sums, so
+    the flag — normally the least reproducible kind of filter (float mean
+    and variance are partition-order-sensitive) — is engine- and
+    layout-exact. Wide products go through decimal(38) on the Spark side
+    and HUGEINT in the oracle (int64 overflows at (n*v)^2 ~ 2.4e19 already
+    at sf0.1). Shape: one grouped pass for (n, s, ssq), broadcast of the
+    5-row stats, one flagging scan — variance never requires a second
+    float-accumulating pass."""
+    ev = catalog(spark, sf_dir).events
+    c = ev.select("event_type", cents("value").alias("v"))
+    d38 = "decimal(38,0)"
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast(d38) * F.col("v")).alias("ssq"),
+    )
+    j = c.join(F.broadcast(stats), "event_type")
+    lhs_root = F.col("n").cast(d38) * F.col("v") - F.col("s")
+    rhs = F.lit(9).cast(d38) * (
+        F.col("n").cast(d38) * F.col("ssq")
+        - F.col("s").cast(d38) * F.col("s")
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(lhs_root * lhs_root > rhs, 1).otherwise(0)
+        ).alias("n_outliers"),
+    )
