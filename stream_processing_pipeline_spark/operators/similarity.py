@@ -756,6 +756,31 @@ def pq_codebooks_int(
     ]
 
 
+def _subspace_argmin_exprs(
+    codebooks: list[list[tuple[int, list[int]]]], src_col: str
+) -> list[str]:
+    """Per-subspace ``least(struct(dist, idx)...)`` argmin SQL strings over
+    integer-vector column ``src_col``. Each is ONE F.expr() SQL string:
+    building the 16-codeword argmin per subspace from nested Column objects
+    costs thousands of py4j round-trips (measured ~6s of driver time per
+    plan build); a single parsed string is milliseconds for the identical
+    plan. Shared by the plain-PQ and residual-PQ (IVFADC) coders."""
+    d_sub = len(codebooks[0][0][1])
+    best_exprs = []
+    for j, cb in enumerate(codebooks):
+        lo = j * d_sub + 1
+        structs = []
+        for cid, cw in cb:
+            lit = "array(" + ", ".join(f"{int(x)}L" for x in cw) + ")"
+            d2 = (
+                f"aggregate(zip_with(slice({src_col}, {lo}, {d_sub}), {lit}, "
+                "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+            )
+            structs.append(f"named_struct('d', {d2}, 'i', {int(cid)})")
+        best_exprs.append("least(" + ", ".join(structs) + ")")
+    return best_exprs
+
+
 def with_pq_codes(
     corpus: DataFrame,
     codebooks: list[list[tuple[int, list[int]]]],
@@ -773,25 +798,8 @@ def with_pq_codes(
     boundary before the per-subspace folds reference slices of it —
     embedding the quantize transform inside all m*k distance folds would
     re-evaluate it per fold (the documented subtree-re-evaluation trap)."""
-    m = len(codebooks)
-    d_sub = len(codebooks[0][0][1])
     staged = corpus.withColumn("_v_int", quantize_int(vec_col))
-    # Each column is ONE F.expr() SQL string: building the 16-codeword
-    # argmin per subspace from nested Column objects costs thousands of
-    # py4j round-trips (measured ~6s of driver time per plan build); a
-    # single parsed string is milliseconds for the identical plan.
-    best_exprs = []
-    for j, cb in enumerate(codebooks):
-        lo = j * d_sub + 1
-        structs = []
-        for cid, cw in cb:
-            lit = "array(" + ", ".join(f"{int(x)}L" for x in cw) + ")"
-            d2 = (
-                f"aggregate(zip_with(slice(_v_int, {lo}, {d_sub}), {lit}, "
-                "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
-            )
-            structs.append(f"named_struct('d', {d2}, 'i', {int(cid)})")
-        best_exprs.append("least(" + ", ".join(structs) + ")")
+    best_exprs = _subspace_argmin_exprs(codebooks, "_v_int")
     cols = [
         F.expr(f"({e}).i").cast("int").alias(f"code_{j}")
         for j, e in enumerate(best_exprs)
@@ -886,6 +894,178 @@ def topk_pq_adc(
     )
     scored = (
         coded.crossJoin(F.broadcast(lut_df))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(adc).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+
+def residual_codebooks_int(
+    corpus: DataFrame,
+    centroids_int: list[tuple[int, list[int]]],
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[tuple[int, list[int]]]]:
+    """Residual PQ codebooks — the IVFADC construction: codewords are the
+    RESIDUALS (vector minus its nearest coarse centroid) of k evenly-spaced
+    corpus vectors, split into ``m`` subspaces. Seeds sit at MID-stride
+    (``vec_id % step == step // 2``) so they never coincide with the coarse
+    quantizer's own seeds (whose residuals are identically zero — a wasted
+    codeword); every codeword is a genuine residual. Like the plain-PQ
+    codebooks this is a fixed rule over the data, fully SQL-expressible,
+    with one bounded driver roundtrip (k*dim ints). The driver-side cell
+    assignment below uses the same exact integer distance + (dist, cid)
+    tie-break as the engine expressions, so both engines derive identical
+    books."""
+    step = (corpus.agg(F.max(id_col)).first()[0] + 1) // k
+    off = step // 2
+    rows = (
+        corpus.filter(
+            (F.col(id_col) % step == off)
+            & ((F.col(id_col) / step).cast("int") < k)
+        )
+        .select(
+            (F.col(id_col) / step).cast("int").alias("cid"),
+            quantize_int(vec_col).alias("v"),
+        )
+        .collect()
+    )
+    seeds = sorted((r.cid, [int(x) for x in r.v]) for r in rows)
+    cents = dict(centroids_int)
+    res_seeds = []
+    for scid, v in seeds:
+        _, cell = min(
+            (sum((a - b) ** 2 for a, b in zip(v, cv)), c)
+            for c, cv in centroids_int
+        )
+        res_seeds.append((scid, [a - b for a, b in zip(v, cents[cell])]))
+    dim = len(seeds[0][1])
+    d_sub = dim // m
+    return [
+        [(c, rv[j * d_sub : (j + 1) * d_sub]) for c, rv in res_seeds]
+        for j in range(m)
+    ]
+
+
+def with_ivfpq_codes(
+    corpus: DataFrame,
+    centroids_int: list[tuple[int, list[int]]],
+    codebooks: list[list[tuple[int, list[int]]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ encoding: assign each vector its coarse cell (exact integer
+    distances, centroids as plan literals), subtract the cell centroid, and
+    PQ-code the RESIDUAL against the residual codebooks. Residuals are an
+    order of magnitude smaller than raw vectors, so the same 16-codeword
+    books quantize them with far less distortion — the reason FAISS-style
+    IVFADC encodes residuals, not vectors. Everything is expressions over
+    plan literals: one no-shuffle scan emits (id, cell, m codes,
+    distortion); the 256-byte float vector never leaves the scan.
+
+    The quantized vector and residual are staged through named columns;
+    Catalyst's CollapseProject keeps multiply-referenced non-trivial
+    expressions at a projection boundary, so the coarse argmin runs once,
+    not once per codeword fold."""
+    cids = [c for c, _ in centroids_int]
+    if cids != list(range(len(cids))):
+        raise ValueError("coarse centroid ids must be dense 0..k-1")
+    m = len(codebooks)
+    C = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{int(x)}L" for x in cvec) + ")"
+            for _, cvec in centroids_int
+        )
+        + ")"
+    )
+    staged = corpus.withColumn("_v_int", quantize_int(vec_col))
+    best = F.array_min(
+        centroid_dist_structs_int("_v_int", centroids_int, quantized=True)
+    )
+    staged = staged.withColumn("cluster", best.getField("cluster").cast("int"))
+    staged = staged.withColumn(
+        "_r_int",
+        F.expr(f"zip_with(_v_int, element_at({C}, cluster + 1), (a, b) -> a - b)"),
+    )
+    best_exprs = _subspace_argmin_exprs(codebooks, "_r_int")
+    cols = [
+        F.expr(f"({e}).i").cast("int").alias(f"code_{j}")
+        for j, e in enumerate(best_exprs)
+    ]
+    total = F.expr(" + ".join(f"({e}).d" for e in best_exprs)).alias("distortion")
+    return staged.select(
+        *[c for c in corpus.columns if c != vec_col], "cluster", *cols, total
+    )
+
+
+def topk_ivfpq_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids_int: list[tuple[int, list[int]]],
+    codebooks: list[list[tuple[int, list[int]]]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC serving: coarse-probe then asymmetric distance over residual
+    PQ codes — the full billion-scale ANN index shape (IVF prunes the scan
+    to ~n_probe/k of the corpus, PQ shrinks what's scanned 32x). Per query:
+    choose the ``n_probe`` nearest cells (exact integer distances on the
+    driver — k*dim ints, bounded), build one LUT per (query, cell) from the
+    QUERY'S residual in that cell against the codebooks, and broadcast-join
+    LUT rows to the coded corpus **on the cell id** — candidates outside
+    probed cells are never touched, and per candidate the distance is m
+    lookup-table reads. All-integer end to end: ranks and ties verify
+    against the identical construction in SQL. At 100 TB the coded corpus
+    is a persisted table partitioned by cell; the cell-key join prunes at
+    file-listing level just like the IVF-static index."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    spark = corpus.sparkSession
+    coded = with_ivfpq_codes(corpus, centroids_int, codebooks, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "cluster", *[f"code_{j}" for j in range(m)]
+    )
+    cents = dict(centroids_int)
+    q_rows = queries.select(id_col, quantize_int(vec_col).alias("v")).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = [int(x) for x in r.v]
+        by_cell = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, cv)), c)
+            for c, cv in centroids_int
+        )
+        for _, cell in by_cell[:n_probe]:
+            res = [a - b for a, b in zip(qv, cents[cell])]
+            luts = []
+            for j, cb in enumerate(codebooks):
+                sub = res[j * d_sub : (j + 1) * d_sub]
+                by_cid = dict(cb)
+                luts.append(
+                    [
+                        sum((sub[i] - by_cid[c][i]) ** 2 for i in range(d_sub))
+                        for c in range(len(cb))
+                    ]
+                )
+            lut_rows.append((int(r[0]), int(cell), luts))
+    lut_df = spark.createDataFrame(
+        lut_rows, "query_id long, cluster int, luts array<array<bigint>>"
+    )
+    adc = " + ".join(
+        f"element_at(element_at(luts, {j + 1}), code_{j} + 1)" for j in range(m)
+    )
+    scored = (
+        coded.join(F.broadcast(lut_df), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.expr(adc).alias("adc_dist"))
     )

@@ -79,6 +79,8 @@ _GATE_PRIORITY = [
     "sim_ivf_assignments",
     "sim_topk_ivf",
     # -- NEW in round 3 (insert additions here, newest first)
+    "sim_ivfpq_codes",
+    "sim_topk_ivfpq",
     "value_outliers_exact",
     "array_functions_showcase",
     "emb_top_pc_power_iteration",

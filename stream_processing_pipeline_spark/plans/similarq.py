@@ -680,6 +680,181 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_pq_adc(emb, queries, _pq_books(spark, sf_dir), k=_K)
 
 
+# ------------------------------------------------------------------ IVF-PQ
+#
+# Residual product quantization under the static coarse quantizer (IVFADC).
+# The shared CTE assigns every vector its coarse cell and residual, builds
+# the 16 residual codewords from MID-STRIDE seeds (vec_id % step = step//2 —
+# never a coarse seed, whose residual would be the zero vector), and codes
+# every residual per subspace. All integer micro-unit arithmetic: both the
+# encoding and the ADC probe verify value-hash-exact against this SQL.
+
+_IVFPQ_CTE = f"""
+    WITH s AS (
+      SELECT (max(vec_id) + 1) // {_K_STATIC} AS step FROM embeddings
+    ),
+    cent AS (
+      SELECT CAST(vec_id // step AS INTEGER) AS cid, {_VI} AS cvec
+      FROM embeddings, s
+      WHERE vec_id % step = 0 AND vec_id // step < {_K_STATIC}
+    ),
+    q AS (SELECT vec_id, {_VI} AS vi FROM embeddings),
+    d AS (
+      SELECT q.vec_id, q.vi, cent.cid, cent.cvec, {_DIST2} AS dist2
+      FROM q, cent
+    ),
+    a AS (
+      SELECT vec_id, vi, cid, cvec FROM d
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+    ),
+    res AS (
+      SELECT vec_id, cid AS cell,
+             list_transform(range(1, {_DIM + 1}), i -> vi[i] - cvec[i]) AS ri
+      FROM a
+    ),
+    s2 AS (
+      SELECT (max(vec_id) + 1) // {_PQ_K} AS step2 FROM embeddings
+    ),
+    sd AS (
+      SELECT CAST(vec_id // step2 AS INTEGER) AS scid, vec_id AS svid
+      FROM embeddings, s2
+      WHERE vec_id % step2 = step2 // 2 AND vec_id // step2 < {_PQ_K}
+    ),
+    rb AS (
+      SELECT sd.scid, res.ri AS rv FROM sd JOIN res ON res.vec_id = sd.svid
+    ),
+    cd AS (
+      SELECT r.vec_id, r.cell, sub.j, rb.scid,
+             list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+               i -> (r.ri[sub.j * {_PQ_DSUB} + i] - rb.rv[sub.j * {_PQ_DSUB} + i])
+                  * (r.ri[sub.j * {_PQ_DSUB} + i] - rb.rv[sub.j * {_PQ_DSUB} + i])))
+               AS d2
+      FROM res r, rb, (SELECT unnest(range(0, {_PQ_M})) AS j) sub
+    ),
+    codes AS (
+      SELECT vec_id, cell, j, scid, d2 FROM cd
+      QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, scid) = 1
+    )
+"""
+
+_IVFPQ_CODE_COLS = ",\n           ".join(
+    f"CAST(max(CASE WHEN j = {j} THEN scid END) AS INTEGER) AS code_{j}"
+    for j in range(_PQ_M)
+)
+
+_IVFPQ_BOOKS: dict = {}
+
+
+def _ivfpq_books(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _IVFPQ_BOOKS:
+        from ..operators.similarity import residual_codebooks_int
+
+        _IVFPQ_BOOKS[key] = residual_codebooks_int(
+            catalog(spark, sf_dir).embeddings,
+            _static_cent(spark, sf_dir),
+            m=_PQ_M,
+            k=_PQ_K,
+        )
+    return _IVFPQ_BOOKS[key]
+
+
+@register(
+    "sim_ivfpq_codes",
+    oracle=f"""
+    {_IVFPQ_CTE}
+    SELECT vec_id, CAST(cell AS INTEGER) AS cluster,
+           {_IVFPQ_CODE_COLS},
+           CAST(sum(d2) AS BIGINT) AS distortion
+    FROM codes GROUP BY vec_id, cell
+    """,
+    tags=("similarity", "quantization", "ivf-pq", "residual", "static"),
+)
+def sim_ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ encoding (IVFADC index build): coarse cell + residual PQ
+    codes + integer distortion per vector, in one no-shuffle scan pass with
+    centroids and codebooks as plan literals. Encoding the residual instead
+    of the raw vector is what makes PQ usable under an IVF on real
+    clustered embeddings — residual magnitudes shrink with cluster
+    tightness, so the same 16-codeword books lose less. Honest fixture
+    note: these near-uniform synthetic vectors have NO cluster structure,
+    so coarse cells barely shrink residuals and measured mean distortion is
+    ~1.4x plain PQ (``test_ivfpq_code_properties`` pins the measured
+    ratio band rather than a win the fixture cannot show); the value being
+    verified here is the construction itself. Every argmin and tie-break is
+    integer micro-unit arithmetic, value-hash-verified against the
+    identical SQL construction. Reference scope: the reference engine has
+    no ANN surface at all (SURVEY.md §2) — this family is part of the
+    beyond-parity LLM-pipeline suite."""
+    from ..operators.similarity import with_ivfpq_codes
+
+    emb = catalog(spark, sf_dir).embeddings
+    out = with_ivfpq_codes(
+        emb, _static_cent(spark, sf_dir), _ivfpq_books(spark, sf_dir)
+    )
+    return out.select(
+        "vec_id", "cluster", *[f"code_{j}" for j in range(_PQ_M)], "distortion"
+    )
+
+
+@register(
+    "sim_topk_ivfpq",
+    oracle=f"""
+    {_IVFPQ_CTE},
+    qp AS (
+      SELECT vec_id AS query_id, vi, cid AS cell, cvec
+      FROM d WHERE vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) <= 2
+    ),
+    qres AS (
+      SELECT query_id, cell,
+             list_transform(range(1, {_DIM + 1}), i -> vi[i] - cvec[i]) AS qr
+      FROM qp
+    ),
+    qd AS (
+      SELECT q.query_id, q.cell, sub.j, rb.scid,
+             list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+               i -> (q.qr[sub.j * {_PQ_DSUB} + i] - rb.rv[sub.j * {_PQ_DSUB} + i])
+                  * (q.qr[sub.j * {_PQ_DSUB} + i] - rb.rv[sub.j * {_PQ_DSUB} + i])))
+               AS qdist
+      FROM qres q, rb, (SELECT unnest(range(0, {_PQ_M})) AS j) sub
+    )
+    SELECT qd.query_id, c.vec_id AS neighbor_id,
+           CAST(sum(qd.qdist) AS BIGINT) AS adc_dist,
+           CAST(row_number() OVER (
+             PARTITION BY qd.query_id ORDER BY sum(qd.qdist), c.vec_id
+           ) AS INTEGER) AS rank
+    FROM codes c JOIN qd ON qd.cell = c.cell AND qd.j = c.j AND qd.scid = c.scid
+                        AND c.vec_id != qd.query_id
+    GROUP BY qd.query_id, c.vec_id
+    QUALIFY rank <= {_K}
+    """,
+    tags=("similarity", "quantization", "ivf-pq", "ann", "residual"),
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC serving — the full billion-scale ANN shape: the coarse probe
+    prunes the scan to ~2/8 of the corpus (candidates join the broadcast
+    per-(query, cell) LUT rows ON the cell id, so unprobed cells are never
+    read), and within probed cells each candidate costs 8 lookup-table
+    reads over its 32x-compressed residual codes instead of 64 float
+    multiplies. At 100 TB the coded corpus is a persisted table partitioned
+    by cell — the same file-listing-level pruning as the IVF-static index,
+    but scanning nibbles, not vectors. Integer-exact end to end; ranks and
+    ties verify against the same construction in SQL."""
+    from ..operators.similarity import topk_ivfpq_adc
+
+    emb = catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return topk_ivfpq_adc(
+        emb,
+        queries,
+        _static_cent(spark, sf_dir),
+        _ivfpq_books(spark, sf_dir),
+        k=_K,
+        n_probe=2,
+    )
+
+
 @register(
     "sim_recall_lsh_at_k",
     oracle=f"""

@@ -121,3 +121,92 @@ def test_partitioned_index_prunes_probed_cells(spark, tmp_path):
         for r in assigned.filter(F.col("cluster").isin(2, 5)).collect()
     )
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------------------------ IVF-PQ
+
+
+def test_ivfpq_code_properties(spark):
+    """Independent numpy replay of the IVFADC encoding: cell is the argmin
+    coarse centroid, codes are per-subspace argmins over the RESIDUAL, and
+    distortion is the sum of the winning subspace distances. Also pins the
+    honest fixture note in sim_ivfpq_codes' docstring: on these
+    near-uniform vectors residual coding measures ~1.4x the distortion of
+    plain PQ (no cluster structure for the coarse step to exploit) — the
+    band below fails if either side of that documented trade drifts."""
+    import pandas as pd
+
+    from stream_processing_pipeline_spark.operators.similarity import (
+        pq_codebooks_int,
+        residual_codebooks_int,
+        seed_centroids_int,
+        with_ivfpq_codes,
+        with_pq_codes,
+    )
+
+    emb = _emb(spark)
+    cents = seed_centroids_int(emb, k=8)
+    books = residual_codebooks_int(emb, cents, m=8, k=16)
+    coded = with_ivfpq_codes(emb, cents, books).toPandas()
+
+    C = np.array([v for _, v in cents], dtype=np.int64)
+    vecs = {
+        r.vec_id: np.floor(
+            np.array(r.embedding, dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        for r in emb.collect()
+    }
+    B = [np.array([cw for _, cw in cb], dtype=np.int64) for cb in books]
+    for _, row in coded.sample(n=50, random_state=11).iterrows():
+        v = vecs[row.vec_id]
+        d2 = ((C - v) ** 2).sum(axis=1)
+        assert d2.argmin() == row.cluster
+        r = v - C[row.cluster]
+        distortion = 0
+        for j in range(8):
+            sub = r[j * 8 : (j + 1) * 8]
+            dj = ((B[j] - sub) ** 2).sum(axis=1)
+            assert dj.argmin() == row[f"code_{j}"]
+            distortion += int(dj.min())
+        assert distortion == row.distortion
+
+    plain = with_pq_codes(emb, pq_codebooks_int(emb, m=8, k=16)).toPandas()
+    ratio = coded.distortion.mean() / plain.distortion.mean()
+    assert 1.1 < ratio < 1.7  # documented fixture trade-off band
+
+
+def test_ivfpq_probe_confined_to_probed_cells(spark):
+    """Every neighbor an IVFADC probe returns lives in one of the query's
+    n_probe nearest coarse cells — the pruning contract that makes the
+    cell-partitioned coded index skip unprobed files at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.operators.similarity import (
+        residual_codebooks_int,
+        seed_centroids_int,
+        topk_ivfpq_adc,
+        with_ivfpq_codes,
+    )
+
+    emb = _emb(spark)
+    cents = seed_centroids_int(emb, k=8)
+    books = residual_codebooks_int(emb, cents, m=8, k=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = topk_ivfpq_adc(emb, queries, cents, books, k=10, n_probe=2).toPandas()
+    assert len(got) == 50
+
+    C = np.array([v for _, v in cents], dtype=np.int64)
+    vecs = {
+        r.vec_id: np.floor(
+            np.array(r.embedding, dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        for r in queries.collect()
+    }
+    cell_of = {
+        r.vec_id: r.cluster
+        for r in with_ivfpq_codes(emb, cents, books).collect()
+    }
+    for qid, grp in got.groupby("query_id"):
+        d2 = ((C - vecs[qid]) ** 2).sum(axis=1)
+        probed = set(np.argsort(d2, kind="stable")[:2].tolist())
+        assert {cell_of[n] for n in grp.neighbor_id} <= probed
