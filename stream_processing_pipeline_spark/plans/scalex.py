@@ -278,3 +278,83 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(_WPS_K)
     )
+
+
+# ------------------------------------------------------------- bucketing
+
+_BUCKETS = 8
+_BUCKETED: dict = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write ``orders`` and ``lineitem`` ONCE per (session, fixture) as
+    bucket-sorted tables on the join key: ``bucketBy(8, key)`` +
+    ``sortBy(key)``, pre-repartitioned so hash-partition i holds exactly
+    bucket i (repartition and bucketing share the Murmur3 hash) — one file
+    per bucket, so the bucketed scan reports both distribution AND sort
+    order and the join needs neither Exchange nor Sort. The in-memory
+    session catalog holds the table metadata; data lands in a temp dir.
+    This is the offline half of the bucketed-join contract: pay the
+    shuffle once at write time, then every subsequent join on the bucket
+    key is shuffle-free forever — at 100 TB the difference between a
+    nightly pipeline that re-shuffles 6 TB per join and one that never
+    does."""
+    import re
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _BUCKETED:
+        tag = re.sub(r"\W", "_", sf_dir).strip("_")
+        o_name, l_name = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+        base = tempfile.mkdtemp(prefix="bucketed_")
+        cat = catalog(spark, sf_dir)
+        (
+            cat.orders.repartition(_BUCKETS, "o_orderkey")
+            .write.bucketBy(_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{base}/orders")
+            .mode("overwrite")
+            .saveAsTable(o_name)
+        )
+        (
+            cat.lineitem.repartition(_BUCKETS, "l_orderkey")
+            .write.bucketBy(_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{base}/lineitem")
+            .mode("overwrite")
+            .saveAsTable(l_name)
+        )
+        _BUCKETED[key] = (o_name, l_name)
+    return _BUCKETED[key]
+
+
+@register(
+    "bucketed_join_revenue",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)', 4)})
+             AS BIGINT) AS revenue_u4
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("scale", "bucketing", "join", "shuffle-free"),
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orders⋈lineitem fact join executed over BUCKETED table copies:
+    both sides bucket-sorted by the join key, so the sort-merge join reads
+    co-located buckets with zero Exchange and zero Sort
+    (``test_bucketed_join_has_no_exchange`` pins the plan; the only
+    shuffle left in the whole query is the 5-group aggregation). The
+    oracle is the plain join on the raw parquet — bucketing must change
+    the physical plan and nothing else. Revenue stays integer
+    (10^-4-unit cents), engine-exact."""
+    o_name, l_name = _bucketed_tables(spark, sf_dir)
+    joined = spark.table(o_name).join(
+        spark.table(l_name), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(cents(disc_price, 4)).alias("revenue_u4"),
+    )

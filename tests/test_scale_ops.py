@@ -188,3 +188,41 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "full", "right_outer"):
         with pytest.raises(ValueError):
             salted_join(ev, stats, ["event_type"], "event_id", how=how)
+
+
+# ----------------------------------------------------------- bucketed join
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of the bucketed tables: the orders⋈lineitem
+    sort-merge join must read co-located bucketed scans — NO Exchange
+    anywhere in the join subtree (broadcast disabled so the
+    bucket-vs-shuffle choice is actually exercised). Sort nodes DO remain:
+    Spark >= 3.0 does not propagate bucket sort order from the scan by
+    default (SPARK-28595; ``spark.sql.legacy.bucketedTableScanOutputOrdering``)
+    — those sorts are bucket-local over already-sorted single-file runs,
+    no shuffle behind them. Result parity with the raw-parquet join is the
+    registered oracle's job; this pins the physical plan the technique
+    exists for."""
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.scalex import _bucketed_tables
+
+    o_name, l_name = _bucketed_tables(spark, SF_MED)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(o_name).join(
+            spark.table(l_name), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        # and the result equals the raw-parquet join
+        cat = catalog(spark, SF_MED)
+        raw = cat.orders.join(
+            cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        assert joined.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
