@@ -404,6 +404,128 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_click_purchase_outer",
+    oracle="""
+    WITH w AS (
+      SELECT least(
+               max(CASE WHEN event_type = 'click' THEN ts END),
+               max(CASE WHEN event_type = 'purchase' THEN ts END)
+             ) - INTERVAL 60 MINUTE AS wm
+      FROM events
+    ),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id, p.purchase_ts
+    FROM c JOIN p ON p.user_id = c.user_id
+      AND p.purchase_ts > c.click_ts
+      AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT c.click_id, c.user_id, c.click_ts,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS TIMESTAMP) AS purchase_ts
+    FROM c, w
+    WHERE c.click_ts + INTERVAL 1 HOUR < w.wm
+      AND NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = c.user_id
+          AND p.purchase_ts > c.click_ts
+          AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+      )
+    """,
+    tags=(
+        "streaming-op",
+        "stream-stream-join",
+        "outer-join",
+        "interval-join",
+        "watermark",
+        "state-eviction",
+    ),
+)
+def stream_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join, executed as a
+    real Structured Streaming query: every click joined to the same user's
+    purchases in the FOLLOWING hour; clicks that convert emit matched rows
+    immediately, clicks that don't emit exactly one NULL-joined row — but
+    only once the watermark proves no match can still arrive. That
+    NULL-row emission contract is the whole point of the outer variant
+    (the inner join is ``stream_click_purchase_join``): a row leaves state
+    when its entire match window (click_ts, click_ts + 1h] falls below
+    the GLOBAL watermark — the MIN of the two sides' watermarks (each =
+    that side's max event time - 60 min), which is why the oracle's ``w``
+    CTE takes ``least()`` over per-type maxima. Clicks near the end of the
+    fixture stay pending forever (their window never closes), and the
+    oracle encodes exactly that: this verifies the emission semantics
+    themselves, not just the join math. State stays bounded at ~2 h of
+    events per side regardless of stream length, same as the inner
+    variant."""
+    from pyspark.sql.types import LongType
+
+    cat = catalog(spark, sf_dir)
+    raw_schema = spark.read.parquet(cat.path("events")).schema
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        ts_expr = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts_expr = F.col("ts").cast("timestamp")
+
+    def side(alias: str, etype: str):
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return (
+            s.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                ts_expr.alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "60 minutes")
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            click_user = purchase_user
+            AND purchase_ts > click_ts
+            AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+            """
+        ),
+        "left_outer",
+    ).select(
+        F.col("click_id"),
+        F.col("click_user").alias("user_id"),
+        F.col("click_ts").cast("timestamp_ntz"),
+        F.col("purchase_id"),
+        F.col("purchase_ts").cast("timestamp_ntz"),
+    )
+
+    name = f"ss_outer_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ssouter_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        if query.isActive:  # pragma: no cover — defensive timeout stop
+            query.stop()
+            raise TimeoutError("stream-stream outer join did not finish")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
+@register(
     "stream_dedup_events",
     oracle="""
     SELECT DISTINCT user_id, event_type,
