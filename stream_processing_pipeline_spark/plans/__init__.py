@@ -79,6 +79,7 @@ _GATE_PRIORITY = [
     "sim_ivf_assignments",
     "sim_topk_ivf",
     # -- NEW in round 3 (insert additions here, newest first)
+    "user_value_ewma",
     "stream_click_purchase_outer",
     "bucketed_join_revenue",
     "sim_ivfpq_codes",

@@ -1896,3 +1896,64 @@ def value_outliers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lhs_root * lhs_root > rhs, 1).otherwise(0)
         ).alias("n_outliers"),
     )
+
+
+# ------------------------------------------------------------- time series
+
+_EWMA_A = 200000  # alpha = 0.2 in micro-units; 1e6 - A = 800000
+
+
+@register(
+    "user_value_ewma",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             list({cents_sql('value')} * 1000000 ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(xs) AS BIGINT) AS n_events,
+           CAST(list_reduce(xs, (acc, x) ->
+             ({_EWMA_A} * x + {1000000 - _EWMA_A} * acc) // 1000000)
+             AS BIGINT) AS ewma_u6
+    FROM seq
+    """,
+    tags=("batch", "timeseries", "ewma", "order-dependent-fold",
+          "exact-arithmetic"),
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event values —
+    the first ORDER-DEPENDENT numeric recurrence in the registry (every
+    other aggregate is commutative; an EWMA is a left fold that visits
+    events in time order). The recurrence runs in INTEGER micro-cents with
+    floor division — ``E_t = (A*X_t + (1e6-A)*E_{{t-1}}) // 1e6``,
+    ``E_0 = X_0`` — so there is no float accumulation drift and both
+    engines compute bit-identical folds (operands stay < 4e16, well inside
+    int64). Spark shape: one shuffle groups each user's (ts, event_id, x)
+    structs, ``sort_array`` orders the sequence, and ONE ``aggregate``
+    fold runs JVM-side — no UDF, no window, no per-row Python. Memory is
+    bounded by a single user's event count (the same per-key bound every
+    sessionization op carries), not by stream length; at 100 TB users
+    hash-spread across executors and the fold stays within each group."""
+    ev = catalog(spark, sf_dir).events
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                (cents("value") * 1000000).alias("x"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("seq"))
+    )
+    fold = F.expr(
+        f"aggregate(slice(seq, 2, size(seq) - 1), element_at(seq, 1).x, "
+        f"(acc, s) -> ({_EWMA_A}L * s.x + {1000000 - _EWMA_A}L * acc) "
+        f"div 1000000L)"
+    )
+    return seq.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        fold.alias("ewma_u6"),
+    )
