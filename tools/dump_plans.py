@@ -49,6 +49,11 @@ HEADLINERS = {
     "sql_recursive_click_streak": "Spark 4 recursive CTE: UnionLoop over a geometrically-shrinking frontier joined to a persisted clicks slice",
     "lineitem_measures_unpivot": "wide-to-long Expand (4 measures) + one grouped profile — N-column profiling in one scan",
     "minhash_jaccard_calibration": "one persisted signature table feeds both the LSH candidate join and the estimate columns; exact counts candidate-bounded",
+    "bucketed_join_revenue": "fact join over bucketed table copies — at this tiny SF the small side broadcasts (also shuffle-free); with broadcast off the bucket scans feed a zero-Exchange SortMergeJoin (plan-pinned in test_bucketed_join_has_no_exchange)",
+    "sim_topk_ivfpq": "IVFADC: coarse probe prunes to 2/8 cells via the cell-key LUT join; 8 LUT reads per candidate over 32x-compressed residual codes",
+    "user_value_ewma": "order-dependent EWMA as one JVM aggregate() fold over sort_array'd per-user structs — no UDF, no window",
+    "dedup_edit_distance": "levenshtein refine behind a 16-char-prefix blocker self-join — 1000x candidate pruning vs length buckets",
+    "value_mad_outliers": "exact median/MAD as distributed order statistics: sort-window central-rank picks, no per-group arrays",
 }
 
 
