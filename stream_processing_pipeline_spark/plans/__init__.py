@@ -79,6 +79,8 @@ _GATE_PRIORITY = [
     "sim_ivf_assignments",
     "sim_topk_ivf",
     # -- NEW in round 3 (insert additions here, newest first)
+    "scd2_point_in_time_join",
+    "user_value_trend",
     "value_mad_outliers",
     "dedup_edit_distance",
     "user_value_ewma",

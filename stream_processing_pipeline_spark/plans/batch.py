@@ -2062,3 +2062,139 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle=f"""
+    WITH banded AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value IS NULL THEN 'unknown'
+                  WHEN value < 20 THEN 'low'
+                  WHEN value < 100 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM events
+    ), changes AS (
+      SELECT user_id, ts, event_id, band,
+             lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_band
+      FROM banded
+    ), spans AS (
+      SELECT user_id, band, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes WHERE prev_band IS NULL OR band <> prev_band
+    )
+    SELECT s.band,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum({cents_sql('e.value')}) AS BIGINT) AS revenue_cents,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e
+    JOIN spans s
+      ON s.user_id = e.user_id
+     AND e.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+    WHERE e.event_type = 'purchase'
+    GROUP BY s.band
+    """,
+    tags=("batch", "scd2", "point-in-time", "range-join", "feature-store"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join — the canonical feature-store operation: each
+    purchase fact joined to the SCD2 dimension row that was valid AT the
+    fact's event time (the band spans of ``scd2_user_value_bands``),
+    aggregated to purchases/revenue/users per band-as-of-purchase. Naive
+    PIT joins explode into range joins; the scalable shape used here is
+    equi-join on the entity key + range predicate — valid because SCD2
+    spans per key are change-compressed (dozens, not event counts), so the
+    join fan-out is bounded by a key's span count. Spans partition
+    [first_event, ∞) per user as half-open intervals, so every fact matches exactly one
+    span (zero-length spans from equal-ts changes match nothing — the
+    ``>= from AND < to`` predicate is what makes that deterministic in
+    both engines). One user_id shuffle builds the spans, one equi-join
+    shuffle joins the facts; nothing quadratic anywhere."""
+    ev = catalog(spark, sf_dir).events
+    band = (
+        F.when(F.col("value").isNull(), "unknown")
+        .when(F.col("value") < 20, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    banded = ev.select("user_id", "ts", "event_id", band.alias("band"))
+    changes = banded.withColumn("prev_band", F.lag("band").over(w)).filter(
+        F.col("prev_band").isNull() | (F.col("band") != F.col("prev_band"))
+    )
+    spans = changes.select(
+        F.col("user_id").alias("s_user"),
+        "band",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", cents("value").alias("v")
+    )
+    joined = facts.join(
+        spans,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("v").alias("revenue_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "user_value_trend",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000
+               - min(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id)
+               AS dx,
+             {cents_sql('value')} AS y
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) * sum(dx * y) - sum(dx) * sum(y) AS BIGINT)
+             AS slope_num,
+           CAST(count(*) * sum(dx * dx) - sum(dx) * sum(dx) AS BIGINT)
+             AS slope_den
+    FROM x GROUP BY user_id
+    """,
+    tags=("batch", "regression", "trend", "exact-arithmetic"),
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend as closed-form OLS — slope over (event time,
+    value) — kept EXACT by emitting the slope as an integer rational:
+    ``slope_num = n*Σxy - Σx*Σy`` over ``slope_den = n*Σx² - (Σx)²``
+    (cents × re-centered epoch seconds). Re-centering x to each user's
+    first event (one window min over the same user_id exchange the
+    aggregation uses) is what keeps the integer sums inside int64 — raw
+    epoch seconds squared would overflow; deltas within the fixture's
+    window stay below 4e16. Both engines run ANSI/loud-overflow integer
+    arithmetic, so a corpus whose per-user span breaks the documented
+    bound fails loudly rather than silently rounding — the float path
+    would silently lose low bits instead. All sums are commutative
+    integer aggregates: one shuffle, partial map-side aggregation, no
+    sort."""
+    ev = catalog(spark, sf_dir).events
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    wu = Window.partitionBy("user_id")
+    x = ev.select(
+        "user_id",
+        (sec - F.min(sec).over(wu)).alias("dx"),
+        cents("value").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    return x.groupBy("user_id").agg(
+        n.alias("n_events"),
+        (n * F.sum(F.col("dx") * F.col("y"))
+         - F.sum("dx") * F.sum("y")).alias("slope_num"),
+        (n * F.sum(F.col("dx") * F.col("dx"))
+         - F.sum("dx") * F.sum("dx")).alias("slope_den"),
+    )
