@@ -686,3 +686,94 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+@register(
+    "stream_hourly_topk_users",
+    oracle=f"""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS ws, user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum({cents_sql('value')}) AS BIGINT) AS total_cents
+      FROM events
+      GROUP BY 1, 2
+      HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+             <= (SELECT max(ts) FROM events) - INTERVAL 30 MINUTE
+    )
+    SELECT ws AS window_start, user_id, n_events, total_cents,
+           CAST(row_number() OVER (
+             PARTITION BY ws ORDER BY n_events DESC, user_id
+           ) AS INTEGER) AS rank
+    FROM agg QUALIFY rank <= 3
+    """,
+    tags=("streaming-op", "tumbling-window", "topk", "watermark",
+          "append-finalization"),
+)
+def stream_hourly_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the 3 most active users of each FINALIZED hour.
+    The windowed per-(hour, user) counts run as a real watermarked
+    streaming aggregation in append mode; the rank runs as a batch window
+    over the sink table — deliberately, because a top-k can only be
+    correct over windows the watermark has finalized, so ranking belongs
+    in the serving layer (or a foreachBatch) where complete windows land.
+    This is the standard production split: unbounded state stays in the
+    streaming agg (bounded per watermark horizon), the ranking reads
+    closed windows only. The oracle is the batch hourly aggregation under
+    the same finalization predicate (window_end <= max ts - 30 min delay)
+    with the same (count desc, user_id) tie-broken rank."""
+    from pyspark.sql.types import LongType
+
+    cat = catalog(spark, sf_dir)
+    raw_schema = spark.read.parquet(cat.path("events")).schema
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        ts_expr = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts_expr = F.col("ts").cast("timestamp")
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.select("user_id", ts_expr.alias("ts"), cents("value").alias("c"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("total_cents"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "user_id",
+            "n_events",
+            "total_cents",
+        )
+    )
+
+    name = f"topk_hour_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_topk_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        if query.isActive:  # pragma: no cover — defensive timeout stop
+            query.stop()
+            raise TimeoutError("hourly top-k stream did not finish")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    wr = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "user_id"
+    )
+    return (
+        spark.table(name)
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
