@@ -79,6 +79,7 @@ _GATE_PRIORITY = [
     "sim_ivf_assignments",
     "sim_topk_ivf",
     # -- NEW in round 3 (insert additions here, newest first)
+    "trailing_week_active_users",
     "stream_hourly_topk_users",
     "scd2_point_in_time_join",
     "user_value_trend",

@@ -2198,3 +2198,45 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * F.sum(F.col("dx") * F.col("dx"))
          - F.sum("dx") * F.sum("dx")).alias("slope_den"),
     )
+
+
+@register(
+    "trailing_week_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM ud)
+    SELECT s.day,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+    FROM spine s JOIN ud
+      ON ud.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+    GROUP BY s.day
+    """,
+    tags=("batch", "sliding-distinct", "wau", "range-join"),
+)
+def trailing_week_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (WAU) — the sliding DISTINCT
+    aggregate, which no window frame can compute (COUNT(DISTINCT) OVER
+    RANGE is unsupported in both engines for a reason: distinct state
+    can't partial-aggregate across frame slides). The scalable shape:
+    compress the event log to distinct (user, day) FIRST — orders of
+    magnitude smaller than events — then a bounded range join replicates
+    each user-day to at most 7 spine days and a plain distinct-count
+    finishes. Shuffle is user-days x 7, independent of event volume; the
+    spine join is a broadcast (days are few). This is the day-grain
+    standard for retention dashboards; the calendar spine comes from
+    observed days, so a day with zero events is absent rather than
+    zero-filled (``hourly_purchases_gapfill`` shows the spine-fill
+    variant)."""
+    ev = catalog(spark, sf_dir).events
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    spine = ud.select("day").distinct().withColumnRenamed("day", "sday")
+    joined = ud.join(
+        F.broadcast(spine),
+        (F.col("day") <= F.col("sday"))
+        & (F.col("day") >= F.date_sub(F.col("sday"), 6)),
+    )
+    return joined.groupBy(F.col("sday").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
