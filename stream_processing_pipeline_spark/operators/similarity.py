@@ -46,6 +46,9 @@ __all__ = [
     "with_int8_codes",
     "int8_codes_sql_cte",
     "topk_int8",
+    "residual_codebooks_int",
+    "with_ivfpq_codes",
+    "topk_ivfpq_adc",
 ]
 
 

@@ -91,26 +91,32 @@ _GATE_PRIORITY = [
     "sim_ivfpq_codes",
     "sim_topk_ivfpq",
     "value_outliers_exact",
-    "array_functions_showcase",
     "emb_top_pc_power_iteration",
-    "minhash_jaccard_calibration",
-    "dedup_rate_by_source",
-    "lineitem_measures_unpivot",
-    "cube_daily_type_counts",
     "sql_recursive_click_streak",
     "stream_session_windows",
-    "bpe_pair_counts",
     "text_clean_html",
     "heavy_hitters_tokens",
     "layout_zorder_stats",
-    "weighted_priority_sample",
     "stream_dedup_events",
     "stream_click_purchase_join",
     "hist_value_rollup",
-    "hist_value_quantiles",
     "bloom_semijoin_nation_suppliers",
     "salted_join_type_stats",
     "text_oov_stats",
+    # -- r4 rotation: new-in-r3 queries DEFERRED past the 50-slot gate
+    #    prefix (26 carry-over slots + 24 new > 50, so something had to
+    #    wait). Each deferred query shares its verified machinery with an
+    #    in-prefix sibling gated this round or earlier, and all are green
+    #    in the local mirror; they rotate to the r4 prefix head.
+    #    (test_registry_gate pins this exact set.)
+    "array_functions_showcase",     # sibling: string/datetime showcases (r1)
+    "minhash_jaccard_calibration",  # sibling: dedup_minhash_bands/_lsh (r1)
+    "dedup_rate_by_source",         # sibling: dedup_exact machinery (r1)
+    "lineitem_measures_unpivot",    # sibling: daily_counts_pivoted (r1)
+    "cube_daily_type_counts",       # sibling: rollup/grouping-sets (r1)
+    "hist_value_quantiles",         # sibling: hist_value_rollup (in prefix)
+    "weighted_priority_sample",     # sibling: stratified/quality samples (r2)
+    "bpe_pair_counts",              # sibling: text_bpe_token_stats (r2)
     # -- rotation fill: last green row is from r1; re-verify oldest evidence
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -46,6 +46,14 @@ AUDITED = {
     "heavy_hitters_tokens": "MG sketch: <=65 rows/partition (candidates+total) shuffle; recount shuffles (token, partial) pairs for candidate tokens only",
     "layout_zorder_stats": "per-(file_id) min/max/count partials only — 16 groups, the coded rows never shuffle raw",
     "weighted_priority_sample": "TakeOrderedAndProject: k=100 rows per partition to the merge; no exchange at all",
+    "bucketed_join_revenue": "bucketed scans feed the join with ZERO exchange; shuffle = the 5-group agg partials only (first run pays the one-time bucketed write)",
+    "sim_topk_ivfpq": "coded corpus (cell + 8 nibble codes) joins broadcast LUT rows on the cell key; vectors never shuffle, only (query, candidate, adc) triples rank",
+    "user_value_ewma": "one user_id shuffle of (ts, event_id, cents) structs; the EWMA fold happens inside the grouped rows",
+    "dedup_edit_distance": "block key + 256-char prefix per doc (~280 B/row) into the prefix-blocked self-join; full text never moves",
+    "value_mad_outliers": "two event_type sort-window exchanges of (type, cents) pairs — the exact-median cost the histogram path avoids",
+    "scd2_point_in_time_join": "spans (change-compressed) + purchase facts shuffle on user_id; fan-out bounded by spans per user",
+    "user_value_trend": "commutative integer partials only: one user_id exchange for the window min, one for the five sums",
+    "trailing_week_active_users": "distinct (user, day) then x7 day-replication — shuffle scales with user-days, not events",
 }
 
 
