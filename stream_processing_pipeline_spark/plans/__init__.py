@@ -109,6 +109,8 @@ _GATE_PRIORITY = [
     #    in-prefix sibling gated this round or earlier, and all are green
     #    in the local mirror; they rotate to the r4 prefix head.
     #    (test_registry_gate pins this exact set.)
+    "partition_pruned_daily_stats", # plan contract pinned by its own test;
+                                    # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)
     "minhash_jaccard_calibration",  # sibling: dedup_minhash_bands/_lsh (r1)
     "dedup_rate_by_source",         # sibling: dedup_exact machinery (r1)

@@ -358,3 +358,71 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(cents(disc_price, 4)).alias("revenue_u4"),
     )
+
+
+# ------------------------------------------------------ partition pruning
+
+_PARTITIONED: dict = {}
+
+
+def _date_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write ``events`` ONCE per (session, fixture) as a parquet table
+    partitioned by event date — the standard time-series layout whose
+    whole point is that a date-filtered read never LISTS, let alone
+    scans, out-of-range partitions. Completes the physical-layout trio:
+    bucketing (shuffle-free joins), z-order (2-D row-group skipping),
+    date partitioning (file-listing-level pruning)."""
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _PARTITIONED:
+        path = tempfile.mkdtemp(prefix="events_by_date_")
+        ev = catalog(spark, sf_dir).events
+        (
+            ev.withColumn("event_date", F.col("ts").cast("date"))
+            .repartition("event_date")
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        _PARTITIONED[key] = path
+    return _PARTITIONED[key]
+
+
+@register(
+    "partition_pruned_daily_stats",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({cents_sql('value')}) AS BIGINT) AS total_cents
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+      AND CAST(ts AS DATE) < DATE '2024-01-13'
+    GROUP BY 1, 2
+    """,
+    tags=("scale", "layout", "partition-pruning", "time-series"),
+)
+def partition_pruned_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type stats over a 3-day slice of the DATE-PARTITIONED
+    event store: the filter binds to the partition column, so pruning
+    happens at file-listing time — the scan never opens out-of-range
+    files (``test_partition_pruned_scan_lists_only_range`` pins
+    ``PartitionFilters`` and partition count in the plan; at 100 TB this
+    is the difference between reading 3 days and reading 3 years). The
+    oracle recomputes from the raw unpartitioned parquet, proving the
+    layout changes the physical plan and nothing else. The first call per
+    session pays the one-time partitioned write — exactly how a real
+    event store amortizes layout cost across every later query."""
+    path = _date_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(
+            (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+            & (F.col("event_date") < F.lit("2024-01-13").cast("date"))
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("total_cents"),
+        )
+    )

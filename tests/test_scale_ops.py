@@ -226,3 +226,31 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == raw.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partition_pruned_scan_lists_only_range(spark):
+    """The date filter must land in PartitionFilters (file-listing-level
+    pruning), and the pruned scan must read exactly the in-range subset a
+    full-scan filter would return."""
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.scalex import (
+        _date_partitioned_events,
+    )
+
+    path = _date_partitioned_events(spark, SF_MED)
+    ev = spark.read.parquet(path)
+    lo, hi = "2024-01-10", "2024-01-13"
+    pruned = ev.filter(
+        (F.col("event_date") >= F.lit(lo).cast("date"))
+        & (F.col("event_date") < F.lit(hi).cast("date"))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+    # no post-scan Filter on the partition column: pruning is total
+    raw = catalog(spark, SF_MED).events
+    want = raw.filter(
+        (F.col("ts").cast("date") >= F.lit(lo).cast("date"))
+        & (F.col("ts").cast("date") < F.lit(hi).cast("date"))
+    ).count()
+    assert pruned.count() == want > 0
