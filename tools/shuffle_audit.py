@@ -46,14 +46,15 @@ AUDITED = {
     "heavy_hitters_tokens": "MG sketch: <=65 rows/partition (candidates+total) shuffle; recount shuffles (token, partial) pairs for candidate tokens only",
     "layout_zorder_stats": "per-(file_id) min/max/count partials only — 16 groups, the coded rows never shuffle raw",
     "weighted_priority_sample": "TakeOrderedAndProject: k=100 rows per partition to the merge; no exchange at all",
-    "bucketed_join_revenue": "bucketed scans feed the join with ZERO exchange; shuffle = the 5-group agg partials only (first run pays the one-time bucketed write)",
+    "bucketed_join_revenue": "steady state (write prewarmed): bucketed scans feed the join with ZERO exchange; shuffle = the tiny per-priority agg partials only",
     "sim_topk_ivfpq": "coded corpus (cell + 8 nibble codes) joins broadcast LUT rows on the cell key; vectors never shuffle, only (query, candidate, adc) triples rank",
     "user_value_ewma": "one user_id shuffle of (ts, event_id, cents) structs; the EWMA fold happens inside the grouped rows",
-    "dedup_edit_distance": "block key + 256-char prefix per doc (~280 B/row) into the prefix-blocked self-join; full text never moves",
+    "dedup_edit_distance": "zero shuffle at this SF: the blocked side broadcasts; at scale the self-join exchanges ~280 B/row (block key + 256-char prefix), full text never moves",
     "value_mad_outliers": "two event_type sort-window exchanges of (type, cents) pairs — the exact-median cost the histogram path avoids",
     "scd2_point_in_time_join": "spans (change-compressed) + purchase facts shuffle on user_id; fan-out bounded by spans per user",
     "user_value_trend": "commutative integer partials only: one user_id exchange for the window min, one for the five sums",
     "trailing_week_active_users": "distinct (user, day) then x7 day-replication — shuffle scales with user-days, not events",
+    "partition_pruned_daily_stats": "steady state (write prewarmed): 3-day PartitionFilters scan + per-(date, type) agg partials only",
 }
 
 
@@ -84,6 +85,13 @@ def main() -> None:
             for s in _get(f"/api/v1/applications/{app_id}/stages")
             if s["status"] in ("COMPLETE", "ACTIVE")
         }
+
+    # Layout queries pay a one-time write (bucketed tables / partitioned
+    # store) on their FIRST in-session run; prewarm so the audited row
+    # shows the steady-state read path the layout exists for.
+    PREWARM = {"bucketed_join_revenue", "partition_pruned_daily_stats"}
+    for name in PREWARM & set(AUDITED):
+        REGISTRY[name].fn(spark, SF_DIR).collect()
 
     results = []
     seen = set(stage_rows())
