@@ -1,9 +1,13 @@
-"""Misra-Gries heavy hitters: bounded-memory candidates, exact recount.
+"""Frequency sketches: Misra-Gries heavy hitters and Count-Min point
+estimates (plus the Morton/z-order code helpers the layout queries share).
 
-The sketch family's frequency member (alongside :mod:`.histogram` for
-quantiles, :mod:`.bloom` for membership, and HLL for cardinality): find
-every key whose global frequency is at least ``N / phi_den`` without ever
-shuffling the full key space.
+The sketch family's frequency members (alongside :mod:`.histogram` for
+quantiles, :mod:`.bloom` for membership, and HLL for cardinality):
+Misra-Gries finds every key whose global frequency is at least
+``N / phi_den`` without ever shuffling the full key space; Count-Min
+(:func:`cms_counters` / :func:`cms_estimate`) answers per-key frequency
+point queries from a fixed ``depth x width`` counter grid that merges by
+cell-wise addition.
 
 Two phases, the standard production shape for 100 TB corpora:
 
@@ -44,7 +48,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mg_candidates", "heavy_hitters_exact"]
+__all__ = [
+    "mg_candidates",
+    "heavy_hitters_exact",
+    "cms_counters",
+    "cms_estimate",
+    "cms_counters_sql",
+    "cms_probe_rows_sql",
+]
 
 def mg_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries of the ``key_col`` frequencies.
@@ -127,6 +138,119 @@ def heavy_hitters_exact(
         .filter(F.col("n") * phi_den >= F.col("_N"))
         .select(F.col("key").alias(out_key), "n")
     )
+
+
+# --------------------------------------------------------- Count-Min sketch
+
+def cms_counters(
+    df: DataFrame, key_col: str, depth: int, width: int, salt: str = "cms"
+) -> DataFrame:
+    """Count-Min sketch of the ``key_col`` frequencies: ``depth`` hash rows
+    of ``width`` counters each [Cormode & Muthukrishnan 2005].
+
+    Returns ``(row int, bucket int, n long)`` — at most ``depth * width``
+    rows TOTAL, independent of input size or key cardinality. Each input row
+    increments one counter per hash row; the bucket ids come from the
+    engine-portable :func:`..functions.hashing.stable_bucket` with a per-row
+    salt, so an independent SQL engine rebuilds the identical sketch
+    (:func:`cms_counters_sql`).
+
+    Physical shape: one ``posexplode`` over a ``depth``-element int array
+    (all hashing inside whole-stage codegen), then a map-side-combined
+    aggregation whose shuffle carries at most ``depth * width`` partial
+    rows PER TASK — the sketch, not the key space. Sketches over disjoint
+    row sets merge by cell-wise addition (the groupBy is exactly that
+    merge), which is what makes CMS the 100 TB path for frequency: build
+    per-shard, add, point-query for free, where the exact per-key count of
+    a billion-key column shuffles the full key space.
+    """
+    from ..functions.hashing import stable_bucket
+
+    if depth < 1 or width < 1:
+        raise ValueError(f"need depth >= 1 and width >= 1, got {depth}x{width}")
+    buckets = F.array(
+        *[stable_bucket(key_col, width, salt=f"{salt}{r}") for r in range(depth)]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch: for each row of ``keys``, the CMS frequency
+    estimate ``min over hash rows of counter[row][bucket_row(key)]``.
+
+    Guarantees ``estimate >= true count`` always (each counter only ever
+    adds mass), with overestimate bounded by ``e * N / width`` at
+    probability ``1 - e^-depth`` — the classic CMS bound. Every probed
+    cell exists in ``counters`` whenever the key occurs in the sketched
+    input (the key's own occurrences incremented it), so the inner join
+    sees exactly ``depth`` cells per such key.
+
+    Other columns of ``keys`` ride through unchanged (grouped on). The
+    probe side is ``depth * |keys|`` rows — broadcast it; the sketch side
+    is at most ``depth * width`` rows. Neither depends on corpus size.
+    """
+    from ..functions.hashing import stable_bucket
+
+    probe = keys.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[
+                    stable_bucket(key_col, width, salt=f"{salt}{r}")
+                    for r in range(depth)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    others = [c for c in keys.columns]
+    return (
+        F.broadcast(probe)
+        .join(counters, ["row", "bucket"])
+        .groupBy(*others)
+        .agg(F.min("n").alias("cms_n"))
+    )
+
+
+def cms_counters_sql(
+    rel: str, key_expr: str, depth: int, width: int, salt: str = "cms"
+) -> str:
+    """DuckDB twin of :func:`cms_counters` over relation ``rel`` (cell-
+    identical: same md5-derived bucket ids, same counts)."""
+    from ..functions.hashing import stable_bucket_sql
+
+    parts = [
+        f"SELECT {r} AS row, {stable_bucket_sql(key_expr, width, salt=f'{salt}{r}')}"
+        f" AS bucket, CAST(count(*) AS BIGINT) AS n FROM {rel} GROUP BY 2"
+        for r in range(depth)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def cms_probe_rows_sql(
+    rel: str, key_expr: str, depth: int, width: int, salt: str = "cms"
+) -> str:
+    """DuckDB twin of the probe-side explode in :func:`cms_estimate`:
+    ``rel``'s columns plus ``(row, bucket)`` per hash row."""
+    from ..functions.hashing import stable_bucket_sql
+
+    parts = [
+        f"SELECT *, {r} AS row, "
+        f"{stable_bucket_sql(key_expr, width, salt=f'{salt}{r}')} AS bucket "
+        f"FROM {rel}"
+        for r in range(depth)
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def morton_interleave(x: Column, y: Column, bits: int) -> Column:

@@ -109,6 +109,10 @@ _GATE_PRIORITY = [
     #    in-prefix sibling gated this round or earlier, and all are green
     #    in the local mirror; they rotate to the r4 prefix head.
     #    (test_registry_gate pins this exact set.)
+    "cms_token_freq",               # sibling: heavy_hitters_tokens (in
+                                    # prefix; same sketch family + tokenizer)
+    "text_bigram_coverage",         # sibling: contamination_bench_overlap
+                                    # (same posting-aggregation machinery)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

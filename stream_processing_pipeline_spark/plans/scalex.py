@@ -170,6 +170,71 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(toks, "token", phi_den=_HH_PHI_DEN, k=64)
 
 
+# --------------------------------------------------------- Count-Min sketch
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def _cms_oracle() -> str:
+    from ..operators.sketch import cms_counters_sql, cms_probe_rows_sql
+
+    cms = cms_counters_sql("kept", "token", _CMS_DEPTH, _CMS_WIDTH)
+    probe = cms_probe_rows_sql("cand", "token", _CMS_DEPTH, _CMS_WIDTH)
+    return f"""
+    WITH tok AS (
+      SELECT unnest({_TOK_SQL}) AS token FROM documents
+    ), kept AS (
+      SELECT token FROM tok WHERE token <> ''
+    ), cms AS (
+      {cms}
+    ), cand AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+      FROM kept GROUP BY token ORDER BY exact_n DESC, token LIMIT 20
+    ), probe AS (
+      {probe}
+    )
+    SELECT p.token, p.exact_n, CAST(min(m.n) AS BIGINT) AS cms_n
+    FROM probe p JOIN cms m USING (row, bucket)
+    GROUP BY p.token, p.exact_n
+    """
+
+
+@register(
+    "cms_token_freq",
+    oracle=_cms_oracle(),
+    tags=("scale", "sketch", "count-min", "frequency"),
+)
+def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for the corpus's top-20 tokens,
+    next to their exact counts: build the 4x256 counter grid in one
+    map-side-combined pass (:func:`..operators.sketch.cms_counters` — the
+    shuffle carries at most depth*width partial rows per task, never the
+    vocabulary), then point-query it for the head tokens
+    (:func:`..operators.sketch.cms_estimate`). ``cms_n >= exact_n`` always
+    (counters only gain mass; pinned by test); the md5-derived bucket ids
+    make the sketch cell-identical in the SQL oracle, so even the collision
+    noise is value-hash-verified. At 100 TB the grid is the merge unit:
+    per-shard sketches add cell-wise into a 4 KiB summary that answers any
+    frequency probe, where the exact-count twin must shuffle the full key
+    space. The exact candidate counts here are the verification harness,
+    not the technique — a production probe reads the sketch alone."""
+    from ..operators.sketch import cms_counters, cms_estimate
+
+    docs = catalog(spark, sf_dir).documents
+    kept = docs.select(
+        F.explode(T.tokens(T.normalize_text("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    counters = cms_counters(kept, "token", _CMS_DEPTH, _CMS_WIDTH)
+    cand = (
+        kept.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "token")
+        .limit(20)
+    )
+    return cms_estimate(counters, cand, "token", _CMS_DEPTH, _CMS_WIDTH)
+
+
 # -------------------------------------------------------------- z-ordering
 
 _Z_BITS = 5  # 5 bits per dimension -> 10-bit code, 1024 cells

@@ -602,6 +602,85 @@ def contamination_bench_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- LM-coverage scoring
+
+_REF_SOURCES = ("src0", "src1", "src2", "src3")
+_REF_IN = "(" + ", ".join(f"'{s}'" for s in _REF_SOURCES) + ")"
+_REF_MIN_DF = 2
+
+
+@register(
+    "text_bigram_coverage",
+    oracle=f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, source, {H.h60_sql('g')} AS gh
+      FROM (SELECT doc_id, source, unnest({D.shingles_sql('text', 2)}) AS g
+            FROM documents)
+    ), ref AS (
+      SELECT gh FROM grams WHERE source IN {_REF_IN}
+      GROUP BY gh HAVING count(*) >= {_REF_MIN_DF}
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN r.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           CAST((1000 * sum(CASE WHEN r.gh IS NOT NULL THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS cov_permille
+    FROM grams g LEFT JOIN ref r ON g.gh = r.gh
+    GROUP BY g.doc_id
+    """,
+    tags=("text", "lm-coverage", "quality", "inverted-index"),
+)
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-corpus bigram coverage — the cheap, deterministic stand-in
+    for LM-perplexity quality filtering: score every document by the share
+    of its distinct word bigrams that appear in >= 2 documents of a curated
+    reference subset (sources src0-src3 stand in for the wiki-grade slice).
+    High coverage ~ fluent in-distribution prose; near-zero ~ gibberish,
+    boilerplate, or wrong-language text — the classic KenLM-filter signal
+    without the float log-probs that would break cross-engine bit-equality
+    (coverage is pure set arithmetic; the permille score is integer
+    division).
+
+    Plan: ONE corpus scan, one shuffle on 8-byte gram hashes — the posting
+    aggregation collects each gram's reference-doc ids (for the df >= 2
+    membership test) and all doc ids side by side via ``collect_set``
+    (which dedups (doc, gram) in-aggregate; same shape
+    :func:`contamination_bench_overlap` measured 3x faster than a distinct
+    pre-pass), then explodes back to (doc, covered?) pairs for the per-doc
+    roll-up. Raw text never moves. At 100 TB the reference slice is the
+    small curated corpus, so its gram set is a few GB of hashes — and the
+    stop-gram posting arrays are df-capped exactly as
+    :func:`dedup_ngram_jaccard` documents."""
+    docs = catalog(spark, sf_dir).documents
+    grams = docs.select(
+        "doc_id",
+        F.col("source").isin(*_REF_SOURCES).alias("is_ref"),
+        F.explode(D.shingles("text", 2)).alias("g"),
+    ).select("doc_id", "is_ref", H.h60(F.col("g")).alias("gh"))
+    posting = grams.groupBy("gh").agg(
+        F.collect_set(F.when(F.col("is_ref"), F.col("doc_id"))).alias("ref_ids"),
+        F.collect_set("doc_id").alias("ids"),
+    )
+    exploded = posting.select(
+        F.explode("ids").alias("doc_id"),
+        (F.size("ref_ids") >= _REF_MIN_DF).alias("cov"),
+    )
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("cov").cast("long")).alias("n_covered"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_covered",
+            F.expr("(1000 * n_covered) div n_bigrams").alias("cov_permille"),
+        )
+    )
+
+
 from ..functions.hashing import stable_bucket_sql as _sbs
 
 _PACK_SHARDS = 8

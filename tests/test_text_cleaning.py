@@ -53,3 +53,25 @@ def test_clean_html_semantics(spark):
     assert "<" in out[7]  # malformed tag without '>' is preserved
     assert out[8] == "plain text is untouched"
     assert out[9] == ""
+
+
+def test_bigram_coverage_invariants(spark):
+    """text_bigram_coverage: permille in [0, 1000], covered <= total, every
+    document scored exactly once, and the reference-df >= 2 rule actually
+    bites (some bigram mass is uncovered on the fixture corpus)."""
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    rows = REGISTRY["text_bigram_coverage"].fn(spark, SF_MED).collect()
+    n_docs = (
+        REGISTRY["text_token_stats"].fn(spark, SF_MED).count()
+    )
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    for r in rows:
+        assert 0 <= r.n_covered <= r.n_bigrams
+        assert 0 <= r.cov_permille <= 1000
+        assert r.cov_permille == (1000 * r.n_covered) // r.n_bigrams
+    assert any(r.n_covered > 0 for r in rows)
+    assert any(r.n_covered < r.n_bigrams for r in rows)
