@@ -55,6 +55,8 @@ AUDITED = {
     "user_value_trend": "commutative integer partials only: one user_id exchange for the window min, one for the five sums",
     "trailing_week_active_users": "distinct (user, day) then x7 day-replication — shuffle scales with user-days, not events",
     "partition_pruned_daily_stats": "steady state (write prewarmed): 3-day PartitionFilters scan + per-(date, type) agg partials only",
+    "cms_token_freq": "sketch build: <= depth*width partial cells per task after map-side combine; the candidate recount shuffles (token, partial) pairs, the probe join broadcasts",
+    "text_bigram_coverage": "postings = one 8 B hash per (doc, distinct bigram); raw text never moves, per-doc roll-up shuffles (doc_id, covered) pairs",
 }
 
 
