@@ -113,6 +113,12 @@ _GATE_PRIORITY = [
                                     # prefix; same sketch family + tokenizer)
     "text_bigram_coverage",         # sibling: contamination_bench_overlap
                                     # (same posting-aggregation machinery)
+    "cdc_apply_snapshot",           # sibling: scd2_point_in_time_join /
+                                    # rollup_incremental_merge (in prefix)
+    "cdc_snapshot_diff",            # sibling: cdc_apply_snapshot (same
+                                    # max_by LWW core, oracle-pinned as-of)
+    "join_key_skew_audit",          # sibling: salted_join_type_stats (in
+                                    # prefix; the audit that motivates it)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

@@ -2240,3 +2240,254 @@ def trailing_week_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("sday").alias("day")).agg(
         F.countDistinct("user_id").alias("wau")
     )
+
+
+# ----------------------------------------------------------- CDC / snapshots
+#
+# The events stream read as a change-data-capture log keyed by user_id:
+# 'signup' = insert, 'click'/'view'/'purchase' = upsert of the tracked
+# value, 'error' = delete. The op mapping is the demo contract over the
+# fixture; the operators (last-writer-wins apply, point-in-time snapshot
+# diff) are the real lakehouse surface.
+
+_CDC_OP = ("CASE WHEN event_type = 'signup' THEN 'I' "
+           "WHEN event_type = 'error' THEN 'D' ELSE 'U' END")
+
+
+def _cdc_payload():
+    return F.struct(
+        F.col("ts"),
+        F.col("event_id"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        cents("value").alias("value_cents"),
+    )
+
+
+@register(
+    "cdc_apply_snapshot",
+    oracle=f"""
+    WITH ops AS (
+      SELECT user_id, ts, event_id, {_CDC_OP} AS op,
+             {cents_sql('value')} AS value_cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_ops
+      FROM events
+    )
+    SELECT user_id, op AS last_op, ts AS last_ts,
+           event_id AS last_event_id, value_cents AS last_value_cents,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM ops WHERE rn = 1 AND op <> 'D'
+    """,
+    tags=("batch", "cdc", "upsert", "last-writer-wins"),
+)
+def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: replay the keyed op log and emit the
+    resulting snapshot — each key's LAST op under the total order
+    (ts, event_id) wins; keys whose last op is a delete are absent. This is
+    the core of every lakehouse MERGE/CDC sink (Debezium -> Delta/Iceberg
+    apply), expressed as ONE map-side-combinable aggregation: ``max_by``
+    over the (ts, event_id) struct reduces each key to its final payload
+    inside the scan tasks, so the only shuffle carries one partial row per
+    (task, key) — no per-key sort, no window over the full log. At 100 TB
+    the log shuffles compact (key, final-op) partials where the
+    row_number-window form (the oracle) must sort whole partitions;
+    merging INTO an existing base snapshot is the same shape plus the
+    outer-join step :func:`rollup_incremental_merge` demonstrates."""
+    ev = catalog(spark, sf_dir).events
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    snap = ev.groupBy("user_id").agg(
+        F.max_by(_cdc_payload(), ordk).alias("last"),
+        F.count(F.lit(1)).alias("n_ops"),
+    )
+    return snap.filter(F.col("last.op") != "D").select(
+        "user_id",
+        F.col("last.op").alias("last_op"),
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.value_cents").alias("last_value_cents"),
+        "n_ops",
+    )
+
+
+_SNAP_T1 = "2024-01-16 00:00:00"
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH ops AS (
+      SELECT user_id, ts, event_id, {_CDC_OP} AS op,
+             {cents_sql('value')} AS value_cents
+      FROM events
+    ), s1 AS (
+      SELECT user_id, op, event_id, value_cents FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ops WHERE ts <= TIMESTAMP '{_SNAP_T1}'
+      ) WHERE rn = 1
+    ), s2 AS (
+      SELECT user_id, op, event_id, value_cents FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ops
+      ) WHERE rn = 1
+    ), p1 AS (SELECT * FROM s1 WHERE op <> 'D'),
+       p2 AS (SELECT * FROM s2 WHERE op <> 'D')
+    SELECT COALESCE(p1.user_id, p2.user_id) AS user_id,
+           CASE WHEN p1.user_id IS NULL THEN 'added'
+                WHEN p2.user_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           p1.value_cents AS t1_value_cents,
+           p2.value_cents AS t2_value_cents
+    FROM p1 FULL OUTER JOIN p2 ON p1.user_id = p2.user_id
+    WHERE p1.user_id IS NULL OR p2.user_id IS NULL
+       OR p1.event_id <> p2.event_id
+    """,
+    tags=("batch", "cdc", "snapshot-diff", "time-travel"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — time-travel comparison of the CDC table's state at
+    T1 (mid-log) vs now: per key, 'added' (absent then, present now),
+    'removed' (present then, deleted since), or 'changed' (present in both
+    with any newer op); keys with no ops since T1 are not in the diff.
+    Computed in ONE scan and ONE shuffle: a single grouped aggregation
+    takes ``max_by`` twice — once over the full order key, once with the
+    key NULLed out past T1 (max_by skips NULL keys, so the second
+    aggregate IS the T1 snapshot) — then classifies row-wise. The oracle
+    computes the two snapshots independently (two window passes + full
+    outer join) and must agree, which also pins the as-of semantics. The
+    diff volume is bounded by keys touched after T1, the same property
+    that makes incremental snapshot reconciliation cheap at 100 TB —
+    untouched keys never reach the filter."""
+    ev = catalog(spark, sf_dir).events
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    t1 = F.lit(_SNAP_T1).cast("timestamp")
+    ordk_t1 = F.when(F.col("ts") <= t1, ordk)
+    both = ev.groupBy("user_id").agg(
+        F.max_by(_cdc_payload(), ordk).alias("l2"),
+        F.max_by(_cdc_payload(), ordk_t1).alias("l1"),
+    )
+    p1 = F.col("l1").isNotNull() & (F.col("l1.op") != "D")
+    p2 = F.col("l2.op") != "D"
+    return (
+        both.filter(
+            (p1 != p2) | (p1 & p2 & (F.col("l1.event_id") != F.col("l2.event_id")))
+        )
+        .select(
+            "user_id",
+            F.when(~p1, "added")
+            .when(~p2, "removed")
+            .otherwise("changed")
+            .alias("change"),
+            F.when(p1, F.col("l1.value_cents")).alias("t1_value_cents"),
+            F.when(p2, F.col("l2.value_cents")).alias("t2_value_cents"),
+        )
+    )
+
+
+# -------------------------------------------------------- join-key skew audit
+
+def _skew_audit_one(df: DataFrame, key, label: str) -> DataFrame:
+    """One audit row for one join-key column: per-key count distribution
+    (exact p50/p90/p99/max picked from the cumulative count-of-counts —
+    the window runs over DISTINCT count values, bounded by the largest
+    per-key count, never the key space) plus the hottest key's row share."""
+    c = df.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    f = c.groupBy("n").agg(F.count(F.lit(1)).alias("fr"))
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = f.select("n", F.sum("fr").over(w).alias("cf"))
+    stats = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    # integer ceil(q*K): (num*K + den - 1) div den
+    r50 = F.expr("(1 * n_keys + 1) div 2")
+    r90 = F.expr("(9 * n_keys + 9) div 10")
+    r99 = F.expr("(99 * n_keys + 99) div 100")
+    picks = (
+        cum.crossJoin(F.broadcast(stats))
+        .agg(
+            F.min(F.when(F.col("cf") >= r50, F.col("n"))).alias("p50_n"),
+            F.min(F.when(F.col("cf") >= r90, F.col("n"))).alias("p90_n"),
+            F.min(F.when(F.col("cf") >= r99, F.col("n"))).alias("p99_n"),
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(picks))
+        .select(
+            F.lit(label).alias("key_col"),
+            "n_keys",
+            "n_rows",
+            "max_n",
+            "p50_n",
+            "p90_n",
+            "p99_n",
+            F.expr("(1000 * max_n) div n_rows").alias("top_share_permille"),
+        )
+    )
+
+
+def _skew_audit_sql(key_expr: str, label: str) -> str:
+    return f"""
+    SELECT '{label}' AS key_col, s.n_keys, s.n_rows, s.max_n,
+           (SELECT min(n) FROM cum_{label} WHERE cf >= (1 * s.n_keys + 1) // 2)
+             AS p50_n,
+           (SELECT min(n) FROM cum_{label} WHERE cf >= (9 * s.n_keys + 9) // 10)
+             AS p90_n,
+           (SELECT min(n) FROM cum_{label} WHERE cf >= (99 * s.n_keys + 99) // 100)
+             AS p99_n,
+           (1000 * s.max_n) // s.n_rows AS top_share_permille
+    FROM stats_{label} s
+    """
+
+
+def _skew_ctes(key_expr: str, label: str) -> str:
+    return f"""
+    c_{label} AS (
+      SELECT {key_expr} AS k, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    f_{label} AS (SELECT n, count(*) AS fr FROM c_{label} GROUP BY n),
+    cum_{label} AS (
+      SELECT n, CAST(sum(fr) OVER (ORDER BY n) AS BIGINT) AS cf FROM f_{label}
+    ),
+    stats_{label} AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_n
+      FROM c_{label}
+    )"""
+
+
+@register(
+    "join_key_skew_audit",
+    oracle=f"""
+    WITH {_skew_ctes('user_id', 'user')},
+    {_skew_ctes('event_type', 'etype')}
+    {_skew_audit_sql('user_id', 'user')}
+    UNION ALL
+    {_skew_audit_sql('event_type', 'etype')}
+    """,
+    tags=("batch", "skew", "diagnostics", "ops"),
+)
+def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the pre-flight a 100 TB join runs before
+    choosing a strategy: per candidate key column, the exact per-key row
+    count distribution (p50/p90/p99/max) and the hottest key's share of
+    all rows (permille). ``max_n``/``top_share`` decide between plain
+    shuffle, AQE skew splitting, and :func:`salted_join_type_stats`-style
+    salting; ``n_keys`` decides broadcast eligibility of the other side.
+    Shape: the percentile picks run over the CUMULATIVE COUNT-OF-COUNTS —
+    a window over distinct per-key counts (bounded by the hottest key's
+    count, not the key space), so the audit itself cannot skew: the only
+    per-key shuffle is the map-side-combined count. Exact integer ranks
+    ``ceil(q*K)`` keep both engines bit-identical."""
+    ev = catalog(spark, sf_dir).events
+    return _skew_audit_one(ev, F.col("user_id").cast("string"), "user").unionAll(
+        _skew_audit_one(ev, F.col("event_type"), "etype")
+    )

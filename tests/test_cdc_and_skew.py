@@ -1,0 +1,82 @@
+"""CDC apply / snapshot diff / join-key skew audit semantics (plans/batch.py).
+
+The DuckDB oracles pin the values; these pin the contracts the oracle form
+can't distinguish: delete semantics, diff-class consistency, and the
+percentile picks' ordering invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+from .conftest import SF_MED
+
+
+def _events(spark):
+    from stream_processing_pipeline_spark.plans.common import catalog
+
+    return catalog(spark, SF_MED).events
+
+
+def test_cdc_apply_drops_exactly_the_delete_terminated_keys(spark):
+    """A user is absent from the snapshot iff their latest op (ts, event_id
+    order) is a delete — verified against an independent window-based
+    computation of the same contract."""
+    ev = _events(spark)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type")
+    )
+    deleted = {r.user_id for r in last.collect() if r.event_type == "error"}
+    all_users = {r.user_id for r in ev.select("user_id").distinct().collect()}
+
+    snap = REGISTRY["cdc_apply_snapshot"].fn(spark, SF_MED).collect()
+    present = {r.user_id for r in snap}
+    assert present == all_users - deleted
+    assert all(r.last_op in ("I", "U") for r in snap)
+    # n_ops accounts for every log row, including the deletes.
+    n_present_ops = sum(r.n_ops for r in snap)
+    n_deleted_ops = (
+        ev.filter(F.col("user_id").isin(list(deleted))).count() if deleted else 0
+    )
+    assert n_present_ops + n_deleted_ops == ev.count()
+
+
+def test_cdc_snapshot_diff_classes_are_consistent(spark):
+    rows = REGISTRY["cdc_snapshot_diff"].fn(spark, SF_MED).collect()
+    assert rows, "mid-log T1 must produce a non-empty diff"
+    for r in rows:
+        if r.change == "added":
+            assert r.t1_value_cents is None and r.t2_value_cents is not None
+        elif r.change == "removed":
+            assert r.t1_value_cents is not None and r.t2_value_cents is None
+        else:
+            assert r.change == "changed"
+            assert r.t1_value_cents is not None and r.t2_value_cents is not None
+    # The diff never mentions a key twice.
+    ids = [r.user_id for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_skew_audit_orderings_and_totals(spark):
+    ev = _events(spark)
+    rows = {r.key_col: r for r in REGISTRY["join_key_skew_audit"].fn(spark, SF_MED).collect()}
+    assert set(rows) == {"user", "etype"}
+    n = ev.count()
+    for r in rows.values():
+        assert r.n_rows == n
+        assert r.p50_n <= r.p90_n <= r.p99_n <= r.max_n
+        assert 1 <= r.top_share_permille <= 1000
+        assert r.top_share_permille == (1000 * r.max_n) // r.n_rows
+    assert rows["etype"].n_keys == 5
+    assert rows["user"].n_keys == ev.select("user_id").distinct().count()
+    # 5-value event_type is the documented hot-key case: its top share must
+    # dwarf the user column's.
+    assert rows["etype"].top_share_permille > rows["user"].top_share_permille

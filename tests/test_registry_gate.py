@@ -48,6 +48,9 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
     deferred_to_r4 = {
         "cms_token_freq",
         "text_bigram_coverage",
+        "cdc_apply_snapshot",
+        "cdc_snapshot_diff",
+        "join_key_skew_audit",
         "partition_pruned_daily_stats",
         "array_functions_showcase",
         "minhash_jaccard_calibration",
