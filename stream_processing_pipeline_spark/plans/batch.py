@@ -2292,9 +2292,12 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply), expressed as ONE map-side-combinable aggregation: ``max_by``
     over the (ts, event_id) struct reduces each key to its final payload
     inside the scan tasks, so the only shuffle carries one partial row per
-    (task, key) — no per-key sort, no window over the full log. At 100 TB
-    the log shuffles compact (key, final-op) partials where the
-    row_number-window form (the oracle) must sort whole partitions;
+    (task, key) — no window over the full log, no ordering of events
+    within a key (the max_by buffer keeps one champion; Spark plans the
+    struct-keyed max_by as SortAggregate, whose per-partition sort is by
+    the grouping key only — pinned by test). At 100 TB the log shuffles
+    compact (key, final-op) partials where the row_number-window form (the
+    oracle) must sort whole partitions by (key, ts);
     merging INTO an existing base snapshot is the same shape plus the
     outer-join step :func:`rollup_incremental_merge` demonstrates."""
     ev = catalog(spark, sf_dir).events

@@ -186,3 +186,33 @@ def test_gapfill_aggregates_before_join(spark):
     # hourly grain — re-aggregating it would mean the spine join multiplied
     # rows).
     assert "HashAggregate" not in plan[:join_pos], plan[:join_pos]
+
+
+def test_cdc_queries_aggregate_without_window(spark):
+    """Both CDC queries must plan as ONE grouped aggregation (partial
+    SortAggregate before the exchange, final after), never as the
+    row_number window their oracles use — the window form sorts whole
+    partitions by (key, ts) where max_by keeps one champion per key."""
+    for name in ("cdc_apply_snapshot", "cdc_snapshot_diff"):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, name
+        # Map-side partial aggregation: an aggregate below the exchange.
+        exch = plan.find("Exchange")
+        agg_positions = [
+            m.start() for m in re.finditer("SortAggregate|HashAggregate", plan)
+        ]
+        assert exch != -1 and agg_positions, name
+        assert any(p > exch for p in agg_positions), (
+            f"{name}: no partial aggregate under the exchange"
+        )
+
+
+def test_skew_audit_window_runs_over_count_of_counts(spark):
+    """The audit's only Window sits above the count-of-counts aggregate
+    (distinct n values), never directly over per-key rows — the property
+    that keeps the audit skew-proof."""
+    plan = plan_of(spark, "join_key_skew_audit")
+    w = plan.find("Window")
+    assert w != -1
+    # Root-first print: the aggregate feeding the window appears after it.
+    assert re.search("Window", plan) and "HashAggregate" in plan[w:], plan[:1500]

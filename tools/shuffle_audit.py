@@ -57,6 +57,8 @@ AUDITED = {
     "partition_pruned_daily_stats": "steady state (write prewarmed): 3-day PartitionFilters scan + per-(date, type) agg partials only",
     "cms_token_freq": "sketch build: <= depth*width partial cells per task after map-side combine; the candidate recount shuffles (token, partial) pairs, the probe join broadcasts",
     "text_bigram_coverage": "postings = one 8 B hash per (doc, distinct bigram); raw text never moves, per-doc roll-up shuffles (doc_id, covered) pairs",
+    "cdc_apply_snapshot": "one map-side-combined max_by: shuffle = one (key, champion-payload) partial per task-key, never the log",
+    "join_key_skew_audit": "per-key counts map-side combine; the percentile window shuffles only distinct count values (count-of-counts)",
 }
 
 
