@@ -119,6 +119,8 @@ _GATE_PRIORITY = [
                                     # max_by LWW core, oracle-pinned as-of)
     "join_key_skew_audit",          # sibling: salted_join_type_stats (in
                                     # prefix; the audit that motivates it)
+    "bpe_train_merges",             # sibling: bpe_pair_counts (round-one
+                                    # twin) / text_bpe_token_stats (r2)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

