@@ -121,6 +121,8 @@ _GATE_PRIORITY = [
                                     # prefix; the audit that motivates it)
     "bpe_train_merges",             # sibling: bpe_pair_counts (round-one
                                     # twin) / text_bpe_token_stats (r2)
+    "stream_cdc_apply",             # sibling: stream_user_stats (same
+                                    # applyInPandasWithState harness, r1)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

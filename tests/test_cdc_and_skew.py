@@ -80,3 +80,21 @@ def test_skew_audit_orderings_and_totals(spark):
     # 5-value event_type is the documented hot-key case: its top share must
     # dwarf the user column's.
     assert rows["etype"].top_share_permille > rows["user"].top_share_permille
+
+
+def test_stream_cdc_apply_equals_batch_snapshot(spark):
+    """Kappa equivalence, pinned directly: replaying the log through the
+    stateful streaming operator lands on exactly the batch aggregation's
+    snapshot — same rows, same values, including the micro-truncated
+    timestamps."""
+    batch = {
+        r.user_id: (r.last_op, r.last_ts, r.last_event_id,
+                    r.last_value_cents, r.n_ops)
+        for r in REGISTRY["cdc_apply_snapshot"].fn(spark, SF_MED).collect()
+    }
+    stream = {
+        r.user_id: (r.last_op, r.last_ts, r.last_event_id,
+                    r.last_value_cents, r.n_ops)
+        for r in REGISTRY["stream_cdc_apply"].fn(spark, SF_MED).collect()
+    }
+    assert stream == batch

@@ -52,6 +52,7 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
         "cdc_snapshot_diff",
         "join_key_skew_audit",
         "bpe_train_merges",
+        "stream_cdc_apply",
         "partition_pruned_daily_stats",
         "array_functions_showcase",
         "minhash_jaccard_calibration",
