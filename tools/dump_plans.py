@@ -54,6 +54,12 @@ HEADLINERS = {
     "user_value_ewma": "order-dependent EWMA as one JVM aggregate() fold over sort_array'd per-user structs — no UDF, no window",
     "dedup_edit_distance": "levenshtein refine behind a 16-char-prefix blocker self-join — 1000x candidate pruning vs length buckets",
     "value_mad_outliers": "exact median/MAD as distributed order statistics: sort-window central-rank picks, no per-group arrays",
+    "cdc_apply_snapshot": "CDC last-writer-wins as ONE max_by aggregation (partial SortAggregate under the exchange) — no window, no full-log sort",
+    "cdc_snapshot_diff": "two as-of snapshots from one groupBy (second max_by's order key NULLed past T1) — single scan, single shuffle",
+    "join_key_skew_audit": "exact skew percentiles over the cumulative count-of-counts — the window never sees per-key rows",
+    "cms_token_freq": "Count-Min build as one map-side-combined agg (<= depth*width cells/task); broadcast probe join for the estimates",
+    "bpe_train_merges": "six-round BPE training as one DAG: vocab-bounded word table, TakeOrdered(1) argmax, broadcast-winner replace, localCheckpoint lineage cuts",
+    "text_bigram_coverage": "one corpus scan -> gram-hash posting agg (collect_set dedups in-aggregate) -> per-doc coverage roll-up",
 }
 
 
