@@ -123,6 +123,9 @@ _GATE_PRIORITY = [
                                     # twin) / text_bpe_token_stats (r2)
     "stream_cdc_apply",             # sibling: stream_user_stats (same
                                     # applyInPandasWithState harness, r1)
+    "dpp_promo_day_revenue",        # sibling: partition_pruned_daily_stats
+                                    # (same partitioned store; DPP is the
+                                    # runtime half, plan-pinned)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

@@ -491,3 +491,51 @@ def partition_pruned_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("value")).alias("total_cents"),
         )
     )
+
+
+@register(
+    "dpp_promo_day_revenue",
+    oracle=f"""
+    WITH promo AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS np
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY np DESC, d LIMIT 3
+    )
+    SELECT CAST(e.ts AS DATE) AS event_date, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({cents_sql('e.value')}) AS BIGINT) AS total_cents
+    FROM events e JOIN promo p ON CAST(e.ts AS DATE) = p.d
+    GROUP BY 1, 2
+    """,
+    tags=("scale", "layout", "dynamic-partition-pruning", "join"),
+)
+def dpp_promo_day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime half of the pruning story:
+    the filter (the 3 busiest purchase days) is computed at RUN TIME from
+    the data, so no static predicate can prune the date-partitioned store.
+    Spark's DPP injects the broadcast dim's key set into the partitioned
+    scan as a runtime partition filter (``dynamicpruningexpression`` —
+    plan-pinned by test), so only the 3 matching date directories are
+    read, out of ~30. The oracle recomputes from the raw unpartitioned
+    parquet: layout + DPP change IO, never the answer. At 100 TB this is
+    the difference between 'join the promo calendar against 3 years of
+    events' reading 3 years or reading 3 days — and it composes with
+    static pruning (:func:`partition_pruned_daily_stats`) and the
+    broadcast that carries the dim."""
+    path = _date_partitioned_events(spark, sf_dir)
+    store = spark.read.parquet(path)
+    raw = catalog(spark, sf_dir).events
+    promo = (
+        raw.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("np"))
+        .orderBy(F.col("np").desc(), "d")
+        .limit(3)
+    )
+    joined = store.join(
+        F.broadcast(promo), store["event_date"] == promo["d"]
+    )
+    return joined.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents("value")).alias("total_cents"),
+    )

@@ -216,3 +216,12 @@ def test_skew_audit_window_runs_over_count_of_counts(spark):
     assert w != -1
     # Root-first print: the aggregate feeding the window appears after it.
     assert re.search("Window", plan) and "HashAggregate" in plan[w:], plan[:1500]
+
+
+def test_dpp_promo_day_scan_has_dynamic_partition_filter(spark):
+    """The date-partitioned scan must carry a DPP runtime filter — the
+    promo-day key set is only known at run time, so the pruning has to be
+    dynamicpruningexpression in PartitionFilters, not a static predicate."""
+    plan = plan_of(spark, "dpp_promo_day_revenue")
+    assert "dynamicpruningexpression" in plan, plan[:1500]
+    assert "PartitionFilters" in plan
