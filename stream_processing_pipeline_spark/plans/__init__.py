@@ -126,6 +126,9 @@ _GATE_PRIORITY = [
     "dpp_promo_day_revenue",        # sibling: partition_pruned_daily_stats
                                     # (same partitioned store; DPP is the
                                     # runtime half, plan-pinned)
+    "quality_filter_funnel",        # sibling: text_quality /
+                                    # corpus_clean_train_sample (r2; same
+                                    # metric kernels, new attribution)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

@@ -1330,3 +1330,104 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ----------------------------------------------------- filter-cascade funnel
+
+# C4/Gopher-style keep rules in cascade order: (name, SQL predicate over the
+# quality_metrics columns). The Spark side evaluates the same predicates via
+# expr() over identically-named columns, so both engines share one rule list.
+_FUNNEL_RULES = [
+    ("min_length", "length >= 150"),
+    ("alpha_ratio", "alpha_ratio >= 0.82"),
+    ("stop_ratio", "stop_ratio >= 0.04"),
+    ("quality_score", "quality >= 0.50"),
+]
+
+
+def _funnel_oracle() -> str:
+    m = T.quality_metrics_sql("text")
+    msel = ", ".join(f"{v} AS {k}" for k, v in m.items())
+    flags = ", ".join(
+        f"({pred}) AS r{i}" for i, (_, pred) in enumerate(_FUNNEL_RULES)
+    )
+    aggs = ["CAST(count(*) AS BIGINT) AS total"]
+    for i in range(len(_FUNNEL_RULES)):
+        cum = " AND ".join(f"r{j}" for j in range(i)) or "TRUE"
+        aggs.append(
+            f"CAST(sum(CASE WHEN NOT r{i} THEN 1 ELSE 0 END) AS BIGINT) AS fa{i}"
+        )
+        aggs.append(
+            f"CAST(sum(CASE WHEN {cum} AND NOT r{i} THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS d{i}"
+        )
+        aggs.append(
+            f"CAST(sum(CASE WHEN {cum} THEN 1 ELSE 0 END) AS BIGINT) AS in{i}"
+        )
+    rows = []
+    for i, (name, _) in enumerate(_FUNNEL_RULES):
+        rows.append(
+            f"SELECT {i} AS rule_idx, '{name}' AS rule, in{i} AS n_input, "
+            f"fa{i} AS n_failing_alone, d{i} AS n_dropped, "
+            f"in{i} - d{i} AS n_surviving FROM a"
+        )
+    return (
+        f"WITH m AS (SELECT {msel} FROM documents), "
+        f"f AS (SELECT {flags} FROM m), "
+        f"a AS (SELECT {', '.join(aggs)} FROM f) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=_funnel_oracle(),
+    tags=("text", "quality", "filter-cascade", "dashboard"),
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter-cascade attribution report every C4/Gopher-style cleaning
+    pipeline publishes before anyone trusts its output: for each keep-rule
+    in cascade order, how many documents entered the stage, how many the
+    rule fails CORPUS-WIDE (order-independent attribution), how many it
+    dropped at its cascade position, and how many survived into the next
+    stage. The numbers that decide whether a rule is load-bearing or dead
+    weight, and which ordering loses the least good data. ONE corpus scan:
+    every rule flag and every cumulative conjunction reduces in a single
+    map-side-combined aggregation to one row (no joins, no second pass —
+    at 100 TB re-scanning per rule is the difference between one pass and
+    |rules| passes); the per-rule rows then unpivot from that one-row
+    aggregate. Rule predicates are shared verbatim (one list drives both
+    engines), so the report is value-hash-verified end to end."""
+    docs = catalog(spark, sf_dir).documents
+    m = T.quality_metrics(F.col("text"))
+    flagged = docs.select(*[v.alias(k) for k, v in m.items()]).select(
+        *[
+            F.expr(pred).alias(f"r{i}")
+            for i, (_, pred) in enumerate(_FUNNEL_RULES)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("total")]
+    for i in range(len(_FUNNEL_RULES)):
+        cum = F.lit(True)
+        for j in range(i):
+            cum = cum & F.col(f"r{j}")
+        aggs.append(
+            F.sum((~F.col(f"r{i}")).cast("long")).alias(f"fa{i}")
+        )
+        aggs.append(
+            F.sum((cum & ~F.col(f"r{i}")).cast("long")).alias(f"d{i}")
+        )
+        aggs.append(F.sum(cum.cast("long")).alias(f"in{i}"))
+    a = flagged.agg(*aggs)
+    rows = None
+    for i, (name, _) in enumerate(_FUNNEL_RULES):
+        r = a.select(
+            F.lit(i).alias("rule_idx"),
+            F.lit(name).alias("rule"),
+            F.col(f"in{i}").alias("n_input"),
+            F.col(f"fa{i}").alias("n_failing_alone"),
+            F.col(f"d{i}").alias("n_dropped"),
+            (F.col(f"in{i}") - F.col(f"d{i}")).alias("n_surviving"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows

@@ -54,6 +54,7 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
         "bpe_train_merges",
         "stream_cdc_apply",
         "dpp_promo_day_revenue",
+        "quality_filter_funnel",
         "partition_pruned_daily_stats",
         "array_functions_showcase",
         "minhash_jaccard_calibration",

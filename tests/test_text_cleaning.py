@@ -117,3 +117,27 @@ def test_bpe_train_merges_semantics(spark):
         ).collect()
     }
     assert got == {("aa", "a"): 1}
+
+
+def test_quality_filter_funnel_telescopes(spark):
+    """Funnel algebra: stages telescope (each stage's survivors are the
+    next stage's input), cascade drops never exceed corpus-wide failures,
+    and every stage is load-bearing on the fixture (drops > 0)."""
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    rows = sorted(
+        REGISTRY["quality_filter_funnel"].fn(spark, SF_MED).collect(),
+        key=lambda r: r.rule_idx,
+    )
+    assert [r.rule_idx for r in rows] == list(range(len(rows)))
+    n_docs = REGISTRY["text_quality"].fn(spark, SF_MED).count()
+    assert rows[0].n_input == n_docs
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_input == prev.n_surviving
+    for r in rows:
+        assert r.n_surviving == r.n_input - r.n_dropped
+        assert r.n_dropped <= r.n_failing_alone
+        assert r.n_dropped > 0, f"{r.rule} is dead weight on the fixture"
+    assert rows[-1].n_surviving > 0
