@@ -129,6 +129,9 @@ _GATE_PRIORITY = [
     "quality_filter_funnel",        # sibling: text_quality /
                                     # corpus_clean_train_sample (r2; same
                                     # metric kernels, new attribution)
+    "mm_shard_manifest",            # sibling: corpus_pack_sequences (same
+                                    # running-sum packing contract, bytes
+                                    # over payloads) + mm_metadata (r2)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

@@ -187,3 +187,90 @@ def mm_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_binary_payload(catalog(spark, sf_dir).documents, "text")
     return decode_media_arrow(docs, id_col="doc_id", payload_col="payload")
+
+
+# --------------------------------------------------- WebDataset shard layout
+
+from ..functions.hashing import h60 as _h60
+from ..functions.hashing import h60_sql as _h60_sql
+from ..functions.hashing import stable_bucket as _sb
+from ..functions.hashing import stable_bucket_sql as _sb_sql
+
+_MM_WRITERS = 4        # parallel shard writers (one tar stream each)
+_MM_TARGET = 16384     # close a shard file once it reaches 16 KiB
+
+_MM_ORD = _h60_sql("concat('mmshard:', CAST(doc_id AS VARCHAR))")
+_MM_WRITER = _sb_sql("doc_id", _MM_WRITERS, salt="mmwriter:")
+
+
+@register(
+    "mm_shard_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             {_MM_WRITER} AS writer,
+             {_MM_ORD} AS ord
+      FROM documents
+    ), s AS (
+      SELECT doc_id, writer, byte_len,
+             CAST(COALESCE(SUM(byte_len) OVER (
+                    PARTITION BY writer ORDER BY ord, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_b
+      FROM t
+    )
+    SELECT doc_id, writer, byte_len,
+           start_b // {_MM_TARGET} AS file_no,
+           start_b - (start_b // {_MM_TARGET}) * {_MM_TARGET} AS file_offset
+    FROM s
+    """,
+    tags=("multimodal", "layout", "webdataset", "shard-packing"),
+)
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest for the binary payloads: assign
+    every blob a writer stream, a shard file number, and its byte offset
+    INSIDE that file — the (shard, offset, length) triple a sequential
+    tar-shard reader needs to stream training samples without an index
+    server. Writers are deterministic hash buckets; within a writer blobs
+    order by a content-independent hash (decorrelating crawl order, same
+    rationale as ``corpus_epoch_shuffle``); a shard file closes once its
+    byte sum reaches the 16 KiB target, the current blob finishing its
+    file (start-based assignment — exactly how size-targeted tar writers
+    roll files). Shape: one scan, one per-writer running-sum window —
+    payload BYTES never shuffle, only (doc_id, byte_len) pairs enter the
+    window (the same no-global-sort packing contract
+    ``corpus_pack_sequences`` carries, here in bytes over media blobs).
+    At 100 TB each writer's window is an independent partition and shard
+    files parallelize across writers; the manifest IS the dataset index
+    that makes random access into sequential media storage possible."""
+    from ..operators.multimodal import attach_binary_payload
+
+    docs = attach_binary_payload(catalog(spark, sf_dir).documents, "text")
+    t = docs.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("byte_len"),
+        _sb(F.col("doc_id"), _MM_WRITERS, salt="mmwriter:").alias("writer"),
+        _h60(F.concat(F.lit("mmshard:"), F.col("doc_id").cast("string"))).alias("ord"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("writer")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = t.select(
+        "doc_id",
+        "writer",
+        "byte_len",
+        F.coalesce(F.sum("byte_len").over(w), F.lit(0)).alias("start_b"),
+    )
+    file_no = F.expr(f"start_b div {_MM_TARGET}")
+    return s.select(
+        "doc_id",
+        "writer",
+        "byte_len",
+        file_no.alias("file_no"),
+        (F.col("start_b") - file_no * _MM_TARGET).alias("file_offset"),
+    )

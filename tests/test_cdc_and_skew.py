@@ -98,3 +98,26 @@ def test_stream_cdc_apply_equals_batch_snapshot(spark):
         for r in REGISTRY["stream_cdc_apply"].fn(spark, SF_MED).collect()
     }
     assert stream == batch
+
+
+def test_mm_shard_manifest_reconstructs_contiguous_streams(spark):
+    """Manifest algebra: within each (writer, file_no), offsets start where
+    the previous blob ended (contiguous tar members), offsets never reach
+    the target except for the straddling last member, and every blob
+    appears exactly once."""
+    rows = REGISTRY["mm_shard_manifest"].fn(spark, SF_MED).collect()
+    n_docs = len({r.doc_id for r in rows})
+    assert n_docs == len(rows)
+    by_writer = {}
+    for r in rows:
+        by_writer.setdefault(r.writer, []).append(r)
+    target = 16384
+    for writer, blobs in by_writer.items():
+        blobs.sort(key=lambda r: (r.file_no, r.file_offset))
+        pos = 0  # global byte position in this writer's stream
+        for r in blobs:
+            assert r.file_no * target + r.file_offset == pos, (writer, r)
+            assert 0 <= r.file_offset < target
+            pos += r.byte_len
+    # Multiple files per writer at this SF (the target actually bites).
+    assert any(max(r.file_no for r in blobs) >= 1 for blobs in by_writer.values())

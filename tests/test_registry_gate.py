@@ -55,6 +55,7 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
         "stream_cdc_apply",
         "dpp_promo_day_revenue",
         "quality_filter_funnel",
+        "mm_shard_manifest",
         "partition_pruned_daily_stats",
         "array_functions_showcase",
         "minhash_jaccard_calibration",
