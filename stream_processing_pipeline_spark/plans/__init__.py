@@ -132,6 +132,8 @@ _GATE_PRIORITY = [
     "mm_shard_manifest",            # sibling: corpus_pack_sequences (same
                                     # running-sum packing contract, bytes
                                     # over payloads) + mm_metadata (r2)
+    "sim_recall_pq_at_k",           # sibling: sim_recall_ivf_static_at_k
+                                    # (in prefix; same eval composition)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

@@ -1115,3 +1115,78 @@ def emb_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(j, wj) for j, wj in enumerate(w)], "dim_idx long, w long"
     )
+
+
+@register(
+    "sim_recall_pq_at_k",
+    oracle=f"""
+    WITH s AS (
+      SELECT (max(vec_id) + 1) // {_PQ_K} AS step FROM embeddings
+    ),
+    cent AS (
+      SELECT CAST(vec_id // step AS INTEGER) AS cid, {_VI} AS cvec
+      FROM embeddings, s
+      WHERE vec_id % step = 0 AND vec_id // step < {_PQ_K}
+    ),
+    q AS (SELECT vec_id, {_VI} AS vi FROM embeddings),
+    d AS (
+      SELECT q.vec_id, sub.j, cent.cid,
+             list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+               i -> (vi[sub.j * {_PQ_DSUB} + i] - cvec[sub.j * {_PQ_DSUB} + i])
+                  * (vi[sub.j * {_PQ_DSUB} + i] - cvec[sub.j * {_PQ_DSUB} + i])))
+               AS d2
+      FROM q, cent, (SELECT unnest(range(0, {_PQ_M})) AS j) sub
+    ),
+    codes AS (
+      SELECT vec_id, j, cid FROM d
+      QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) = 1
+    ),
+    qd AS (SELECT vec_id AS query_id, j, cid, d2 AS qdist FROM d
+           WHERE vec_id < {_N_QUERIES}),
+    pq AS (
+      SELECT qd.query_id, c.vec_id AS neighbor_id
+      FROM codes c JOIN qd ON qd.j = c.j AND qd.cid = c.cid
+                          AND c.vec_id != qd.query_id
+      GROUP BY qd.query_id, c.vec_id
+      QUALIFY row_number() OVER (
+        PARTITION BY qd.query_id ORDER BY sum(qd.qdist), c.vec_id
+      ) <= {_K}
+    ),
+    bf AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+      ) <= {_K}
+    )
+    SELECT bf.query_id,
+           CAST(count(pq.neighbor_id) AS BIGINT) AS n_hits,
+           count(pq.neighbor_id) / {_K}.0 AS recall_at_k
+    FROM bf LEFT JOIN pq
+      ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
+    GROUP BY bf.query_id
+    """,
+    tags=("similarity", "quantization", "pq", "recall", "evaluation"),
+)
+def sim_recall_pq_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of full-scan ADC over 32x-compressed PQ codes against the
+    exact float baseline — the third index-quality number next to
+    ``sim_recall_lsh_at_k`` and ``sim_recall_ivf_static_at_k``, isolating
+    pure QUANTIZATION loss (PQ scans every code, so any miss is coding
+    error, not candidate pruning — where the LSH/IVF numbers mix both).
+    Composes two registered pipelines and reduces with a join; the whole
+    evaluation is value-hash-checked end to end."""
+    emb = catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    bf = topk_bruteforce(emb, queries, k=_K).select("query_id", "neighbor_id")
+    pq = sim_topk_pq(spark, sf_dir).select(
+        F.col("query_id").alias("p_qid"), F.col("neighbor_id").alias("p_nid")
+    )
+    joined = bf.join(
+        pq, (bf.query_id == pq.p_qid) & (bf.neighbor_id == pq.p_nid), "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("p_nid").alias("n_hits"),
+        (F.count("p_nid") / float(_K)).alias("recall_at_k"),
+    )
