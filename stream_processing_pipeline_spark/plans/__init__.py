@@ -134,6 +134,8 @@ _GATE_PRIORITY = [
                                     # over payloads) + mm_metadata (r2)
     "sim_recall_pq_at_k",           # sibling: sim_recall_ivf_static_at_k
                                     # (in prefix; same eval composition)
+    "hourly_anomaly_vs_baseline",   # sibling: value_mad_outliers (in
+                                    # prefix; same central-rank median)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

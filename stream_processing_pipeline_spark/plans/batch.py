@@ -2494,3 +2494,67 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _skew_audit_one(ev, F.col("user_id").cast("string"), "user").unionAll(
         _skew_audit_one(ev, F.col("event_type"), "etype")
     )
+
+
+# ------------------------------------------------- seasonal anomaly baseline
+
+@register(
+    "hourly_anomaly_vs_baseline",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY hr ORDER BY n, d) AS rn,
+             count(*) OVER (PARTITION BY hr) AS m
+      FROM h
+    ), med AS (
+      SELECT hr, n AS med_n FROM r WHERE rn = (m + 1) // 2
+    )
+    SELECT h.d AS date, h.hr AS hour, h.n AS n_events, med.med_n,
+           (1000 * h.n) // med.med_n AS load_permille
+    FROM h JOIN med ON h.hr = med.hr
+    WHERE 2 * abs(h.n - med.med_n) > med.med_n
+    """,
+    tags=("batch", "anomaly", "seasonal-baseline", "ops"),
+)
+def hourly_anomaly_vs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume anomaly detection — the on-call dashboard
+    query: build a per-hour-of-day baseline (the exact lower median of
+    that clock hour's daily event counts across the month, picked by
+    central rank so both engines agree on even-sized groups) and flag
+    every (date, hour) whose volume deviates from its own hour's baseline
+    by more than 50%. Comparing 3am to the 3am baseline instead of a
+    global mean is what keeps diurnal troughs from paging. Shape: the
+    event scan reduces map-side to ~24*days hourly partials; the median
+    window and the baseline join run over that tiny aggregate (24
+    baseline rows broadcast back), so the detector costs one scan at any
+    scale. ``load_permille`` (integer division) gives the alert its
+    severity without floats."""
+    ev = catalog(spark, sf_dir).events
+    h = ev.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("hr").orderBy("n", "d")
+    wm = Window.partitionBy("hr")
+    r = h.select(
+        "*",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wm).alias("m"),
+    )
+    med = r.filter(F.col("rn") == F.expr("(m + 1) div 2")).select(
+        F.col("hr").alias("mhr"), F.col("n").alias("med_n")
+    )
+    return (
+        h.join(F.broadcast(med), F.col("hr") == F.col("mhr"))
+        .filter(2 * F.abs(F.col("n") - F.col("med_n")) > F.col("med_n"))
+        .select(
+            F.col("d").alias("date"),
+            F.col("hr").alias("hour"),
+            F.col("n").alias("n_events"),
+            "med_n",
+            F.expr("(1000 * n) div med_n").alias("load_permille"),
+        )
+    )
