@@ -136,6 +136,9 @@ _GATE_PRIORITY = [
                                     # (in prefix; same eval composition)
     "hourly_anomaly_vs_baseline",   # sibling: value_mad_outliers (in
                                     # prefix; same central-rank median)
+    "llm_corpus_stage_report",      # composition of verified kernels:
+                                    # dedup_exact + minhash bands +
+                                    # quality + split (all gated r1/r2)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

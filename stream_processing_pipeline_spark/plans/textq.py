@@ -1431,3 +1431,163 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionAll(r)
     return rows
+
+
+# ------------------------------------------------ end-to-end corpus pipeline
+
+_STAGE_QUALITY_MIN = 0.50
+_STAGE_EST_MIN = 12       # near-dup := >= 12 of 16 MinHash components agree
+_STAGE_TRAIN_BUCKETS = 8  # of 10 -> 80% train split
+
+
+def _stage_report_oracle() -> str:
+    from .dedupq import _BANDS_CTE, _EST_MATCH_SQL
+
+    q = T.quality_metrics_sql("text")["quality"]
+    bucket = H.stable_bucket_sql("b.doc_id", 10, salt="traintest:")
+    return f"""{_BANDS_CTE},
+    meta AS (
+      SELECT b.doc_id, {H.h60_sql('b.norm')} AS th,
+             CAST({T.token_count_sql('d.text')} AS BIGINT) AS nt,
+             {q} AS quality, {bucket} AS bkt
+      FROM base b JOIN documents d ON d.doc_id = b.doc_id
+    ),
+    k1 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn
+        FROM meta
+      ) WHERE rn = 1
+    ),
+    pairs2 AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+      WHERE a.doc_id IN (SELECT doc_id FROM k1)
+        AND b.doc_id IN (SELECT doc_id FROM k1)
+    ),
+    drop2 AS (
+      SELECT DISTINCT p.db AS doc_id
+      FROM pairs2 p JOIN mh ma ON ma.doc_id = p.da
+                    JOIN mh mb ON mb.doc_id = p.db
+      WHERE {_EST_MATCH_SQL} >= {_STAGE_EST_MIN}
+    ),
+    k2 AS (SELECT doc_id FROM k1 WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+    k3 AS (SELECT m.doc_id FROM meta m JOIN k2 USING (doc_id)
+           WHERE m.quality >= {_STAGE_QUALITY_MIN}),
+    k4 AS (SELECT m.doc_id FROM meta m JOIN k3 USING (doc_id)
+           WHERE m.bkt < {_STAGE_TRAIN_BUCKETS})
+    SELECT 0 AS stage_idx, 'raw' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens FROM meta
+    UNION ALL SELECT 1, 'exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(nt) AS BIGINT) FROM meta JOIN k1 USING (doc_id)
+    UNION ALL SELECT 2, 'near_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(nt) AS BIGINT) FROM meta JOIN k2 USING (doc_id)
+    UNION ALL SELECT 3, 'quality_gate', CAST(count(*) AS BIGINT),
+           CAST(sum(nt) AS BIGINT) FROM meta JOIN k3 USING (doc_id)
+    UNION ALL SELECT 4, 'train_sample', CAST(count(*) AS BIGINT),
+           CAST(sum(nt) AS BIGINT) FROM meta JOIN k4 USING (doc_id)
+    """
+
+
+@register(
+    "llm_corpus_stage_report",
+    oracle=_stage_report_oracle(),
+    tags=("text", "pipeline", "dedup", "quality", "dashboard"),
+)
+def llm_corpus_stage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole preprocessing pipeline as ONE report — the per-stage
+    document/token survival table a training-data run publishes: raw ->
+    exact dedup (min-id keeper per content hash) -> near-dup suppression
+    (drop the larger id of any surviving pair that shares an LSH band AND
+    agrees on >= 12/16 MinHash components — pairwise suppression; the
+    transitive-closure variant is :func:`...dedupq.dedup_components`) ->
+    quality gate (blended score >= 0.50) -> reproducible 80% train split.
+    Every stage reuses a verified kernel (content hash, MinHash bands,
+    quality metrics, hash bucketing), so this is the composition audit:
+    one green row proves the stages compose without re-deriving any of
+    them. Shape: ONE corpus scan builds (hash, tokens, quality, bucket)
+    per doc; the signature table builds once and serves both the band
+    join and the component-agreement test; stage sets are id-only
+    DataFrames (8 bytes/doc), so the report costs the dedup pipeline plus
+    five tiny aggregates. Counts are monotone non-increasing by
+    construction (pinned by test)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import lsh_bands, minhash_table
+
+    docs = catalog(spark, sf_dir).documents
+    meta = docs.select(
+        "doc_id",
+        H.h60(T.normalize_text("text")).alias("th"),
+        T.token_count("text").alias("nt"),
+        T.quality_metrics(F.col("text"))["quality"].alias("quality"),
+        H.stable_bucket(F.col("doc_id"), 10, salt="traintest:").alias("bkt"),
+    ).persist()
+
+    w = Window.partitionBy("th").orderBy("doc_id")
+    k1 = (
+        meta.select("doc_id", "th")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+    sig = minhash_table(docs).join(k1, "doc_id").persist()
+    banded = lsh_bands(sig, n_bands=4, rows_per_band=4)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    a_sig = sig.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(16)],
+    )
+    b_sig = sig.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(16)],
+    )
+    est = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(16)
+    )
+    drop2 = (
+        pairs.join(a_sig, "da")
+        .join(b_sig, "db")
+        .filter(est >= _STAGE_EST_MIN)
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    k2 = k1.join(drop2, "doc_id", "left_anti")
+    k3 = meta.join(k2, "doc_id").filter(
+        F.col("quality") >= _STAGE_QUALITY_MIN
+    ).select("doc_id")
+    k4 = meta.join(k3, "doc_id").filter(
+        F.col("bkt") < _STAGE_TRAIN_BUCKETS
+    ).select("doc_id")
+
+    def stage(idx: int, name: str, ids) -> DataFrame:
+        src = meta if ids is None else meta.join(ids, "doc_id")
+        return src.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+
+    out = stage(0, "raw", None)
+    for i, (nm, ids) in enumerate(
+        [("exact_dedup", k1), ("near_dedup", k2), ("quality_gate", k3),
+         ("train_sample", k4)],
+        start=1,
+    ):
+        out = out.unionAll(stage(i, nm, ids))
+    return out

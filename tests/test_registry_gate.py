@@ -58,6 +58,7 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
         "mm_shard_manifest",
         "sim_recall_pq_at_k",
         "hourly_anomaly_vs_baseline",
+        "llm_corpus_stage_report",
         "partition_pruned_daily_stats",
         "array_functions_showcase",
         "minhash_jaccard_calibration",

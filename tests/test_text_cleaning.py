@@ -141,3 +141,31 @@ def test_quality_filter_funnel_telescopes(spark):
         assert r.n_dropped <= r.n_failing_alone
         assert r.n_dropped > 0, f"{r.rule} is dead weight on the fixture"
     assert rows[-1].n_surviving > 0
+
+
+def test_llm_corpus_stage_report_monotone(spark):
+    """Stage survival is monotone non-increasing in docs AND tokens, stage 0
+    covers the whole corpus, and the exact-dedup + quality stages actually
+    bite on the fixture."""
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    rows = sorted(
+        REGISTRY["llm_corpus_stage_report"].fn(spark, SF_MED).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert [r.stage for r in rows] == [
+        "raw", "exact_dedup", "near_dedup", "quality_gate", "train_sample"
+    ]
+    n_docs = REGISTRY["text_token_stats"].fn(spark, SF_MED).count()
+    assert rows[0].n_docs == n_docs
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs <= prev.n_docs
+        assert cur.n_tokens <= prev.n_tokens
+    # the sf0.01 fixture happens to contain no exact dups; the stage may
+    # be a no-op there (monotonicity above still holds at any SF)
+    assert rows[1].n_docs <= rows[0].n_docs
+    assert rows[3].n_docs < rows[2].n_docs     # quality gate bites
+    assert rows[4].n_docs < rows[3].n_docs     # 80% split bites
+    assert rows[4].n_docs > 0
