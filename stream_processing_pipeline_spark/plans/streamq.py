@@ -814,8 +814,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the operator's job) and are filtered at emission, exactly like the
     batch form. Executed as a real availableNow run over the fixture file:
     one file -> one micro-batch -> deterministic final snapshot."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     from pyspark.sql.types import LongType as _Long
 
@@ -845,61 +844,15 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("value").alias("vc"),
     )
 
-    out_schema = StructType(
-        [
-            StructField("user_id", LongType()),
-            StructField("ts_us", LongType()),
-            StructField("event_id", LongType()),
-            StructField("op", StringType()),
-            StructField("vc", LongType()),
-            StructField("n_ops", LongType()),
-        ]
+    from ..streaming.stateful import (
+        CDC_OUT_SCHEMA,
+        CDC_STATE_SCHEMA,
+        cdc_champion_update,
     )
-    state_schema = StructType(
-        [
-            StructField("ts_us", LongType()),
-            StructField("event_id", LongType()),
-            StructField("op", StringType()),
-            StructField("vc", LongType()),
-            StructField("n", LongType()),
-        ]
-    )
-
-    def update(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        best = state.get if state.exists else None
-        n = best[4] if best else 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            n += len(pdf)
-            # Vectorized per-batch champion under (ts_us, event_id) order.
-            top = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
-            cand = (
-                int(top["ts_us"]),
-                int(top["event_id"]),
-                str(top["op"]),
-                int(top["vc"]),
-            )
-            if best is None or cand[:2] > tuple(best[:2]):
-                best = (*cand, n)
-            else:
-                best = (*best[:4], n)
-        state.update(best)
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "ts_us": [best[0]],
-                "event_id": [best[1]],
-                "op": [best[2]],
-                "vc": [best[3]],
-                "n_ops": [best[4]],
-            }
-        )
 
     snap = ops.groupBy("user_id").applyInPandasWithState(
-        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        cdc_champion_update, CDC_OUT_SCHEMA, CDC_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout,
     )
 
     name = f"cdc_apply_{uuid.uuid4().hex[:8]}"

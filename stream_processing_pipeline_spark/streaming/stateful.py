@@ -32,9 +32,12 @@ Usage::
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 __all__ = [
+    "CDC_OUT_SCHEMA",
+    "CDC_STATE_SCHEMA",
+    "cdc_champion_update",
     "HAS_TWS_RUNTIME",
     "RunningStatsProcessor",
     "user_stats_transform_with_state",
@@ -117,4 +120,68 @@ def user_stats_transform_with_state(
         outputStructType=USER_STATS_SCHEMA,
         outputMode="Append",
         timeMode="None",
+    )
+
+
+# ------------------------------------------------ CDC champion (GroupState)
+
+CDC_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("op", StringType()),
+        StructField("vc", LongType()),
+        StructField("n_ops", LongType()),
+    ]
+)
+
+CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("op", StringType()),
+        StructField("vc", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def cdc_champion_update(key, pdfs, state):
+    """GroupState update for the streaming CDC upsert
+    (plans/streamq.py ``stream_cdc_apply``): keep ONE champion tuple per
+    key — the op with the max (ts_us, event_id) — plus an op counter,
+    merging each micro-batch's vectorized argmax against carried state.
+    Module-level so multi-batch semantics are unit-testable
+    (tests/test_cdc_and_skew.py) independent of the registered query's
+    one-file fixture run."""
+    import pandas as pd
+
+    best = state.get if state.exists else None
+    n = best[4] if best else 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        top = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+        cand = (
+            int(top["ts_us"]),
+            int(top["event_id"]),
+            str(top["op"]),
+            int(top["vc"]),
+        )
+        if best is None or cand[:2] > tuple(best[:2]):
+            best = (*cand, n)
+        else:
+            best = (*best[:4], n)
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "ts_us": [best[0]],
+            "event_id": [best[1]],
+            "op": [best[2]],
+            "vc": [best[3]],
+            "n_ops": [best[4]],
+        }
     )

@@ -121,3 +121,79 @@ def test_mm_shard_manifest_reconstructs_contiguous_streams(spark):
             pos += r.byte_len
     # Multiple files per writer at this SF (the target actually bites).
     assert any(max(r.file_no for r in blobs) >= 1 for blobs in by_writer.values())
+
+
+def test_cdc_champion_state_survives_micro_batches(spark, tmp_path):
+    """Cross-batch state: feed the CDC op log as TWO micro-batches
+    (maxFilesPerTrigger=1) where batch 1 holds the EARLIER half of each
+    key's history — the final emission per key must equal the single-batch
+    answer (champion carried and beaten correctly, counters cumulative).
+    Key 7's batch-2 rows are all OLDER than its batch-1 champion, pinning
+    the carried-state-wins path."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from stream_processing_pipeline_spark.streaming.stateful import (
+        CDC_OUT_SCHEMA,
+        CDC_STATE_SCHEMA,
+        cdc_champion_update,
+    )
+
+    rows = [
+        # (user, ts_us, event_id, op, vc) — interleaved histories
+        (7, 100, 1, "U", 10),
+        (7, 900, 2, "U", 90),   # batch-1 champion for key 7
+        (8, 100, 3, "I", 5),
+        (9, 500, 4, "U", 50),
+    ], [
+        (7, 300, 5, "D", 0),    # older than key 7's carried champion
+        (7, 500, 6, "U", 55),   # still older -> champion must stay (900, 2)
+        (8, 700, 7, "D", 0),    # newer -> key 8 ends deleted
+        (9, 600, 8, "U", 60),   # newer -> key 9 updates
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id long, ts_us long, event_id long, op string, vc long"
+    for i, batch in enumerate(rows):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    # Two directories -> list files one per trigger for a 2-batch run.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    snap = stream.groupBy("user_id").applyInPandasWithState(
+        cdc_champion_update, CDC_OUT_SCHEMA, CDC_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout,
+    )
+    import uuid as _uuid
+
+    name = f"cdc_mb_{_uuid.uuid4().hex[:8]}"
+    q = (
+        snap.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    out = spark.table(name).toPandas()
+    # Two real micro-batches: every key appears in both, so append mode
+    # must have emitted exactly twice per key — if the files coalesced
+    # into one batch this is 3 rows and the carried-state path went
+    # untested.
+    assert len(out) == 6, out
+    # One emission per (key, batch-it-appeared-in); the LAST emission per
+    # key is the final state.
+    final = {}
+    for r in out.itertuples():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_ops >= cur[4]:
+            final[r.user_id] = (r.ts_us, r.event_id, r.op, r.vc, r.n_ops)
+    assert final[7] == (900, 2, "U", 90, 4)   # carried champion survived
+    assert final[8] == (700, 7, "D", 0, 2)    # delete won -> filtered later
+    assert final[9] == (600, 8, "U", 60, 2)
