@@ -147,10 +147,11 @@ def test_python_nodes_only_in_declared_python_queries(spark):
         if declared and not has_python:
             missing_tag.append(name)
     assert not offenders, f"undeclared Python paths: {offenders}"
-    # declared-but-JVM is allowed only for the streaming stateful query,
-    # whose batch *plan build* executes the stream eagerly (plan string is
-    # the finished DataFrame's), and the int8/LSH families that tag udf-free
-    assert set(missing_tag) <= {"stream_user_stats"}, missing_tag
+    # declared-but-JVM is allowed only for the streaming stateful queries,
+    # whose batch *plan build* executes the stream eagerly (the plan string
+    # is the finished memory-sink DataFrame's, the Python stateful hop ran
+    # inside the streaming query)
+    assert set(missing_tag) <= {"stream_user_stats", "stream_cdc_apply"}, missing_tag
 
 
 def test_scd2_windows_share_one_exchange(spark):
