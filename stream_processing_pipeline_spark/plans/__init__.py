@@ -139,6 +139,9 @@ _GATE_PRIORITY = [
     "llm_corpus_stage_report",      # composition of verified kernels:
                                     # dedup_exact + minhash bands +
                                     # quality + split (all gated r1/r2)
+    "lc_distinct_users_daily",      # sibling: daily_distinct_users (r1) /
+                                    # hll pair (the oracle-able register
+                                    # form of the same sketch family)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

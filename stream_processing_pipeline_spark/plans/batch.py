@@ -2558,3 +2558,58 @@ def hourly_anomaly_vs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * n) div med_n").alias("load_permille"),
         )
     )
+
+
+# ---------------------------------------------- linear-counting cardinality
+
+_LC_K = 1024  # register bitmap width
+
+from ..functions.hashing import stable_bucket_sql as _lc_bucket_sql
+
+_LC_B = _lc_bucket_sql("user_id", _LC_K, salt="lc:")
+
+
+@register(
+    "lc_distinct_users_daily",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(DISTINCT {_LC_B}) AS BIGINT) AS occupied,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           (1000 * count(DISTINCT {_LC_B})) // {_LC_K} AS occupancy_permille
+    FROM events GROUP BY 1
+    """,
+    tags=("batch", "sketch", "linear-counting", "cardinality"),
+)
+def lc_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting registers for daily distinct users — the
+    ORACLE-VERIFIABLE member of the cardinality-sketch family (the HLL
+    pair stays rows-only because its registers are engine-private; these
+    registers are md5-derived buckets, so DuckDB rebuilds them
+    cell-identically). Per day: the number of OCCUPIED buckets out of
+    1024 (the linear-counting register population — the caller applies
+    ``-K*ln(1 - occupied/K)`` for the estimate; emitting the raw occupied
+    count keeps the result float-free and engine-exact), the exact
+    distinct count beside it, and the occupancy permille that tells an
+    operator when the register is saturating (> ~700 permille means size
+    up K). Registers MERGE BY UNION — month = OR of its days — pinned by
+    test; that mergeability is why linear counting (like HLL) rolls up
+    pre-aggregated at 100 TB where exact distinct must reshuffle raw
+    keys. Shuffle: at most K buckets per (day, task) after map-side
+    partial-distinct, independent of user cardinality."""
+    from ..functions.hashing import stable_bucket
+
+    ev = catalog(spark, sf_dir).events
+    b = stable_bucket(F.col("user_id"), _LC_K, salt="lc:")
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.countDistinct(b).alias("occupied"),
+            F.countDistinct("user_id").alias("exact_distinct"),
+        )
+        .select(
+            "day",
+            "occupied",
+            "exact_distinct",
+            F.expr(f"(1000 * occupied) div {_LC_K}").alias("occupancy_permille"),
+        )
+    )

@@ -197,3 +197,28 @@ def test_cdc_champion_state_survives_micro_batches(spark, tmp_path):
     assert final[7] == (900, 2, "U", 90, 4)   # carried champion survived
     assert final[8] == (700, 7, "D", 0, 2)    # delete won -> filtered later
     assert final[9] == (600, 8, "U", 60, 2)
+
+
+def test_lc_registers_merge_by_union(spark):
+    """Linear-counting mergeability: the month's occupied-register count
+    equals the union of the daily register sets (never the sum — overlap
+    collapses), and occupied <= min(K, exact) per day."""
+    from stream_processing_pipeline_spark.functions.hashing import stable_bucket
+
+    rows = REGISTRY["lc_distinct_users_daily"].fn(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert r.occupied <= min(1024, r.exact_distinct)
+        assert r.occupancy_permille == (1000 * r.occupied) // 1024
+    ev = _events(spark)
+    b = stable_bucket(F.col("user_id"), 1024, salt="lc:")
+    day_regs = {
+        r.day: r.regs
+        for r in ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.collect_set(b).alias("regs"))
+        .collect()
+    }
+    union_all = set().union(*[set(v) for v in day_regs.values()])
+    month_occupied = ev.select(b.alias("b")).distinct().count()
+    assert len(union_all) == month_occupied
+    assert sum(len(v) for v in day_regs.values()) > month_occupied  # overlap

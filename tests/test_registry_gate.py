@@ -59,6 +59,7 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
         "sim_recall_pq_at_k",
         "hourly_anomaly_vs_baseline",
         "llm_corpus_stage_report",
+        "lc_distinct_users_daily",
         "partition_pruned_daily_stats",
         "array_functions_showcase",
         "minhash_jaccard_calibration",
