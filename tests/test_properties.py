@@ -159,3 +159,90 @@ def test_scd2_spans_partition_the_timeline(raw):
                 assert vt is None
         user_events = sorted(ts for uu, ts, _, _ in events if uu == u)
         assert ss[0][0] == user_events[0]          # first span starts at first event
+
+
+# ------------------------------------------------- BPE greedy-merge encoding
+
+def _wrap(syms):
+    return "".join(f" {s} " for s in syms)
+
+
+def _unwrap(seq):
+    return seq.split("  ") and [t for t in seq.strip(" ").split("  ")]
+
+
+def _greedy_merge_ref(syms, l, r):
+    """Reference greedy leftmost non-overlapping pair fusion."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+_sym = st.text(
+    alphabet=st.characters(
+        blacklist_characters=" ", min_codepoint=33, max_codepoint=0x2FFF
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(st.lists(_sym, min_size=1, max_size=12), st.data())
+@settings(max_examples=300, deadline=None)
+def test_bpe_wrapped_replace_is_greedy_fusion(syms, data):
+    """The double-space-wrapped string encoding used by bpe_train_merges:
+    a plain leftmost-non-overlapping str.replace on ' l  r ' -> ' lr '
+    must equal the reference greedy pair fusion for ANY symbol sequence
+    and ANY pair drawn from it — including overlap runs (aaa), adjacent
+    repeats (abab), and symbols that are substrings of other symbols."""
+    l = data.draw(st.sampled_from(syms))
+    r = data.draw(st.sampled_from(syms))
+    seq = _wrap(syms)
+    merged_str = seq.replace(f" {l}  {r} ", f" {l}{r} ")
+    assert _unwrap(merged_str) == _greedy_merge_ref(syms, l, r)
+
+
+# --------------------------------------------------- Count-Min sketch maths
+
+def _py_bucket(s: str, width: int, salt: str) -> int:
+    return _py_h60(f"{salt}{s}") % width
+
+
+@given(
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=3),
+             min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=2, max_value=32),
+)
+@settings(max_examples=200, deadline=None)
+def test_cms_dominates_and_merges(keys, depth, width):
+    """Pure-Python twin of cms_counters/cms_estimate (same md5 buckets):
+    estimates dominate exact counts on arbitrary multisets, and sketching
+    two halves then adding cells equals sketching the union."""
+    from collections import Counter
+
+    def sketch(ks):
+        cells = Counter()
+        for k in ks:
+            for r in range(depth):
+                cells[(r, _py_bucket(k, width, f"cms{r}"))] += 1
+        return cells
+
+    whole = sketch(keys)
+    exact = Counter(keys)
+    for k, n in exact.items():
+        est = min(
+            whole[(r, _py_bucket(k, width, f"cms{r}"))] for r in range(depth)
+        )
+        assert est >= n
+    half = len(keys) // 2
+    merged = sketch(keys[:half])
+    for cell, n in sketch(keys[half:]).items():
+        merged[cell] += n
+    assert merged == whole
