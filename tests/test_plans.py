@@ -226,3 +226,38 @@ def test_dpp_promo_day_scan_has_dynamic_partition_filter(spark):
     plan = plan_of(spark, "dpp_promo_day_revenue")
     assert "dynamicpruningexpression" in plan, plan[:1500]
     assert "PartitionFilters" in plan
+
+
+def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
+    """Registry-wide guard: a CartesianProduct node anywhere is an
+    unconditional failure (the one plan shape with no 100 TB story).
+    BroadcastNestedLoopJoin is allowed ONLY where the broadcast side is
+    tiny by construction — the enumerated set below (query sets of
+    N_QUERIES vectors, 1-row/24-row aggregates, day spines, correlated
+    scalar subqueries). A new query landing a BNLJ must either justify
+    itself onto this list or restructure."""
+    bnlj_tiny_side = {
+        "sim_recall_lsh_at_k",          # broadcast query set (N_QUERIES rows)
+        "sim_recall_ivf_static_at_k",   # broadcast query set
+        "sim_recall_pq_at_k",           # broadcast query set
+        "sim_topk_bruteforce",          # broadcast query set
+        "sim_topk_int8",                # broadcast query codes
+        "sim_topk_pq",                  # broadcast per-query LUTs
+        "emb_int8_quantize",            # broadcast 1-row global max
+        "retrieval_quality_topk",       # broadcast query set
+        "dedup_simhash_pairs",          # broadcast pigeonhole block dims
+        "trailing_week_active_users",   # broadcast day spine (~31 rows)
+        "heavy_hitters_tokens",         # broadcast 1-row total
+        "join_key_skew_audit",          # broadcast 1-row stats x2
+        "tpch_q22_dormant_accounts",    # correlated scalar avg (1 row)
+        "llm_corpus_stage_report",      # broadcast 1-row stage aggregates
+    }
+    offenders, undocumented = [], []
+    for name, q in REGISTRY.items():
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_tiny_side:
+            undocumented.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
+    assert not undocumented, f"undocumented BNLJ in: {undocumented}"
