@@ -1,8 +1,12 @@
-"""CDC apply / snapshot diff / join-key skew audit semantics (plans/batch.py).
+"""Round-3 ops-query semantics: CDC apply/diff (batch + streaming,
+incl. cross-micro-batch state), join-key skew audit, WebDataset shard
+manifest, linear-counting registers.
 
 The DuckDB oracles pin the values; these pin the contracts the oracle form
-can't distinguish: delete semantics, diff-class consistency, and the
-percentile picks' ordering invariants.
+can't distinguish: delete semantics, diff-class consistency, percentile
+ordering invariants, Kappa (stream == batch) equivalence, carried-state
+evolution across micro-batches, manifest stream contiguity, and
+register-union mergeability.
 """
 
 from __future__ import annotations
