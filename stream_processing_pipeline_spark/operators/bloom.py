@@ -104,3 +104,29 @@ def bloom_prefilter(
     from. Follow with the exact join — this is a shuffle reducer, not a
     replacement for it."""
     return df.filter(bloom_might_contain(key_col, words, n_bits, k))
+
+
+# ------------------------------------------------- portable (verifiable) form
+
+def portable_positions(key: Column, n_bits: int, k: int) -> list[Column]:
+    """md5-derived bit positions (engine-portable, unlike the xxhash64
+    fast path above): for queries that MATERIALIZE the bitmap into a
+    verified result — the filter words themselves become value-hash-checked
+    output, so an independent engine must rebuild them bit-identically."""
+    from ..functions.hashing import h60
+
+    return [
+        (h60(F.concat(F.lit(f"bf{i}:"), key.cast("string"))) % n_bits)
+        for i in range(k)
+    ]
+
+
+def portable_positions_sql(expr: str, n_bits: int, k: int) -> list[str]:
+    """DuckDB twin of :func:`portable_positions`."""
+    from ..functions.hashing import h60_sql
+
+    out = []
+    for i in range(k):
+        salted = f"concat('bf{i}:', CAST({expr} AS VARCHAR))"
+        out.append(f"({h60_sql(salted)} % {n_bits})")
+    return out

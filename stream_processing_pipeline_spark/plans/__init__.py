@@ -142,6 +142,9 @@ _GATE_PRIORITY = [
     "lc_distinct_users_daily",      # sibling: daily_distinct_users (r1) /
                                     # hll pair (the oracle-able register
                                     # form of the same sketch family)
+    "bloom_source_membership_audit", # sibling: bloom_semijoin_nation_
+                                    # suppliers (in prefix; this is the
+                                    # materialized/verified bitmap form)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

@@ -539,3 +539,125 @@ def dpp_promo_day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(cents("value")).alias("total_cents"),
     )
+
+
+# ------------------------------------------ materialized Bloom filter audit
+
+_BF_BITS = 4096   # 128 x 32-bit words (32-bit words: shifts stay overflow-
+_BF_WORD = 32     # safe and engine-identical; 64-bit words would hit the
+_BF_K = 3         # 1<<63 signed-overflow divergence)
+_BF_TARGET = "src0"
+
+
+def _bf_oracle() -> str:
+    from ..operators.bloom import portable_positions_sql
+
+    pos = portable_positions_sql("h", _BF_BITS, _BF_K)
+    pos_union = " UNION ALL ".join(
+        f"SELECT source, h, {p} AS p FROM base" for p in pos
+    )
+    return f"""
+    WITH base AS (
+      SELECT DISTINCT source, {H.h60_sql(T.normalize_text_sql('text'))} AS h
+      FROM documents
+    ),
+    tgt AS (SELECT DISTINCT h FROM base WHERE source = '{_BF_TARGET}'),
+    tpos AS (
+      SELECT DISTINCT p FROM ({pos_union.replace('FROM base', 'FROM (SELECT h, h AS source FROM tgt) base')})
+    ),
+    words AS (
+      SELECT p // {_BF_WORD} AS w,
+             bit_or(CAST(1 AS BIGINT) << (p % {_BF_WORD})) AS word
+      FROM tpos GROUP BY 1
+    ),
+    probe AS ({pos_union.replace('FROM base', "FROM base WHERE source <> '" + _BF_TARGET + "'")}),
+    hits AS (
+      SELECT pr.source, pr.h,
+             CASE WHEN (wd.word >> (pr.p % {_BF_WORD})) & 1 = 1
+                  THEN 1 ELSE 0 END AS hit
+      FROM probe pr LEFT JOIN words wd ON wd.w = pr.p // {_BF_WORD}
+    ),
+    per_h AS (
+      SELECT source, h,
+             CASE WHEN sum(hit) = {_BF_K} THEN 1 ELSE 0 END AS maybe
+      FROM hits GROUP BY source, h
+    )
+    SELECT p.source,
+           CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(p.maybe) AS BIGINT) AS n_maybe,
+           CAST(sum(CASE WHEN p.maybe = 1 AND t.h IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM per_h p LEFT JOIN tgt t ON t.h = p.h
+    GROUP BY p.source
+    """
+
+
+@register(
+    "bloom_source_membership_audit",
+    oracle=_bf_oracle(),
+    tags=("scale", "sketch", "bloom", "membership", "fp-audit"),
+)
+def bloom_source_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-shard membership exchange, audited: build one source's
+    content-hash Bloom filter DISTRIBUTED (explode k md5-portable bit
+    positions, pack into 32-bit words with a ``bit_or`` aggregate — the
+    mergeable form: filters of disjoint shards OR together), probe every
+    other source's distinct content hashes through it, and report per
+    source exact membership, filter hits, and FALSE POSITIVES — the
+    numbers that size a production filter (fp = maybe - exact; with m/n
+    ~= 8 bits/key and k=3 expect ~3% fp). At 100 TB this is the pattern
+    that replaces shipping key lists between shards with shipping
+    n_bits/8 bytes; the md5-derived positions (unlike the xxhash64 fast
+    path in :mod:`..operators.bloom`, which only ever prunes) make the
+    packed words themselves engine-identical, so the whole audit —
+    bitmap, probes, fp counts — is value-hash-verified."""
+    from ..operators.bloom import portable_positions
+
+    docs = catalog(spark, sf_dir).documents
+    base = docs.select(
+        "source", H.h60(T.normalize_text("text")).alias("h")
+    ).distinct()
+    pos = portable_positions(F.col("h"), _BF_BITS, _BF_K)
+
+    tgt = base.filter(F.col("source") == _BF_TARGET).select("h").distinct()
+    words = (
+        tgt.select(F.explode(F.array(*pos)).alias("p"))
+        .distinct()
+        .groupBy(F.expr(f"p div {_BF_WORD}").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BF_WORD} AS INT))")
+            ).alias("word")
+        )
+    )
+    probe = base.filter(F.col("source") != _BF_TARGET).select(
+        "source", "h", F.explode(F.array(*pos)).alias("p")
+    )
+    hits = probe.join(
+        F.broadcast(words), F.expr(f"p div {_BF_WORD}") == F.col("w"), "left"
+    ).select(
+        "source",
+        "h",
+        F.expr(
+            f"CASE WHEN (shiftright(word, CAST(p % {_BF_WORD} AS INT)) & 1) = 1 "
+            "THEN 1 ELSE 0 END"
+        ).alias("hit"),
+    )
+    per_h = hits.groupBy("source", "h").agg(
+        (F.sum("hit") == _BF_K).cast("long").alias("maybe")
+    )
+    ex = tgt.withColumn("ex", F.lit(1))
+    return (
+        per_h.join(F.broadcast(ex), "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum(F.coalesce(F.col("ex"), F.lit(0))).alias("n_exact"),
+            F.sum("maybe").alias("n_maybe"),
+            F.sum(
+                F.when((F.col("maybe") == 1) & F.col("ex").isNull(), 1).otherwise(0)
+            ).alias("n_false_pos"),
+        )
+    )

@@ -60,6 +60,7 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
         "hourly_anomaly_vs_baseline",
         "llm_corpus_stage_report",
         "lc_distinct_users_daily",
+        "bloom_source_membership_audit",
         "partition_pruned_daily_stats",
         "array_functions_showcase",
         "minhash_jaccard_calibration",

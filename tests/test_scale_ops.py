@@ -254,3 +254,18 @@ def test_partition_pruned_scan_lists_only_range(spark):
         & (F.col("ts").cast("date") < F.lit(hi).cast("date"))
     ).count()
     assert pruned.count() == want > 0
+
+
+def test_bloom_membership_audit_no_false_negatives(spark):
+    """Bloom contract: every exact member hits the filter (no false
+    negatives — so n_false_pos is exactly n_maybe - n_exact), and counts
+    nest properly per probe source."""
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    rows = REGISTRY["bloom_source_membership_audit"].fn(spark, SF_MED).collect()
+    assert rows, "at least one probe source"
+    for r in rows:
+        assert 0 <= r.n_exact <= r.n_maybe <= r.n_probed
+        assert r.n_false_pos == r.n_maybe - r.n_exact
