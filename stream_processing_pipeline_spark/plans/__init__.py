@@ -145,6 +145,8 @@ _GATE_PRIORITY = [
     "bloom_source_membership_audit", # sibling: bloom_semijoin_nation_
                                     # suppliers (in prefix; this is the
                                     # materialized/verified bitmap form)
+    "sim_margin_mined_pairs",       # sibling: sim_topk_bruteforce (r2;
+                                    # same broadcast-query scan + window)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

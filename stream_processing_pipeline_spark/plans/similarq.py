@@ -1190,3 +1190,96 @@ def sim_recall_pq_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("p_nid").alias("n_hits"),
         (F.count("p_nid") / float(_K)).alias("recall_at_k"),
     )
+
+
+# --------------------------------------------------- margin-based mining
+
+from ..functions.rounding import pround_sql as _pround_sql_fn
+
+_pround_sql_cos6 = _pround_sql_fn("cos", 6)
+
+_MINE_N = 100          # query-side cap (vec_id < _MINE_N among label < 5)
+_MINE_BEST = 0.32      # accept: best cosine at least this...
+_MINE_MARGIN = 0.024   # ...and ahead of the runner-up by at least this
+
+
+@register(
+    "sim_margin_mined_pairs",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE label < 5 AND vec_id < {_MINE_N}
+    ),
+    b AS (SELECT vec_id, embedding FROM embeddings WHERE label >= 5),
+    s AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS nid,
+             {cosine_similarity_sql('a.embedding', 'b.embedding')} AS cos
+      FROM a, b
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, nid
+      ) AS rn FROM s
+    ),
+    t AS (
+      SELECT query_id,
+             max(CASE WHEN rn = 1 THEN nid END) AS neighbor_id,
+             max(CASE WHEN rn = 1 THEN {{p1}} END) AS best_cos,
+             max(CASE WHEN rn = 2 THEN {{p1}} END) AS second_cos
+      FROM r WHERE rn <= 2 GROUP BY query_id
+    )
+    SELECT query_id, neighbor_id, best_cos,
+           best_cos - second_cos AS margin,
+           CAST(CASE WHEN best_cos >= {_MINE_BEST}
+                      AND best_cos - second_cos >= {_MINE_MARGIN}
+                     THEN 1 ELSE 0 END AS BIGINT) AS accepted
+    FROM t
+    """.replace("{p1}", _pround_sql_cos6),
+    tags=("similarity", "mining", "margin", "bitext"),
+)
+def sim_margin_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based pair mining (the Artetxe-Schwenk bitext-mining
+    decision rule, absolute-margin variant): for each query vector in one
+    partition of the corpus, its best match in the OTHER partition is
+    accepted only when the best cosine clears a floor AND leads the
+    runner-up by a margin — the criterion that separates true aligned
+    pairs from dense-region noise where everything is mildly similar
+    (label-parity halves stand in for the two languages of parallel-corpus
+    mining). Shape: the bounded query side broadcasts against the corpus
+    partition (the sim_topk_bruteforce contract — corpus never shuffles),
+    one window picks best and runner-up per query, and the margin is
+    computed on identically-rounded values so the accept bit is
+    engine-exact. At 100 TB the same rule composes with the IVF/PQ
+    candidate paths: mine within probed cells, margin-test against the
+    cell's runner-up."""
+    from pyspark.sql import Window
+
+    from ..functions.rounding import pround
+
+    emb = catalog(spark, sf_dir).embeddings
+    a = emb.filter((F.col("label") < 5) & (F.col("vec_id") < _MINE_N)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    b = emb.filter(F.col("label") >= 5).select(
+        F.col("vec_id").alias("nid"), "embedding"
+    )
+    s = F.broadcast(a).crossJoin(b).select(
+        "query_id", "nid", cosine_similarity("qe", "embedding").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "nid")
+    r = s.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    t = r.groupBy("query_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("nid"))).alias("neighbor_id"),
+        F.max(F.when(F.col("rn") == 1, pround(F.col("cos"), 6))).alias("best_cos"),
+        F.max(F.when(F.col("rn") == 2, pround(F.col("cos"), 6))).alias("second_cos"),
+    )
+    margin = F.col("best_cos") - F.col("second_cos")
+    return t.select(
+        "query_id",
+        "neighbor_id",
+        "best_cos",
+        margin.alias("margin"),
+        (
+            (F.col("best_cos") >= _MINE_BEST) & (margin >= _MINE_MARGIN)
+        ).cast("long").alias("accepted"),
+    )

@@ -197,3 +197,23 @@ def test_cosine_pairs_dense_equals_fold(spark):
         map(tuple, cosine_pairs_dense(bucketed, 0.35, "bucket").collect())
     )
     assert fold_b == dense_b
+
+
+def test_margin_mining_accept_rule_is_selective(spark):
+    """The margin rule must actually discriminate on the fixture: some
+    queries accepted, some rejected, and every accepted row satisfies both
+    thresholds while every rejected row fails at least one."""
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    rows = REGISTRY["sim_margin_mined_pairs"].fn(spark, SF_MED).collect()
+    assert rows
+    acc = [r for r in rows if r.accepted == 1]
+    rej = [r for r in rows if r.accepted == 0]
+    assert acc and rej, "thresholds must split the fixture"
+    for r in acc:
+        assert r.best_cos >= 0.32 and r.margin >= 0.024
+    for r in rej:
+        assert r.best_cos < 0.32 or r.margin < 0.024
+    assert all(r.margin >= 0 for r in rows)
