@@ -2594,8 +2594,12 @@ def lc_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     up K). Registers MERGE BY UNION — month = OR of its days — pinned by
     test; that mergeability is why linear counting (like HLL) rolls up
     pre-aggregated at 100 TB where exact distinct must reshuffle raw
-    keys. Shuffle: at most K buckets per (day, task) after map-side
-    partial-distinct, independent of user cardinality."""
+    keys. Shuffle: the REGISTER column moves at most K buckets per
+    (day, task) after map-side partial-distinct, independent of user
+    cardinality; the exact-distinct column beside it (the verification
+    baseline — production keeps only the registers) is what shuffles raw
+    user ids, and SHUFFLE.md's measured 62k rows are almost entirely that
+    companion, not the sketch."""
     from ..functions.hashing import stable_bucket
 
     ev = catalog(spark, sf_dir).events

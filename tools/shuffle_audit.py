@@ -59,6 +59,11 @@ AUDITED = {
     "text_bigram_coverage": "postings = one 8 B hash per (doc, distinct bigram); raw text never moves, per-doc roll-up shuffles (doc_id, covered) pairs",
     "cdc_apply_snapshot": "one map-side-combined max_by: shuffle = one (key, champion-payload) partial per task-key, never the log",
     "join_key_skew_audit": "per-key counts map-side combine; the percentile window shuffles only distinct count values (count-of-counts)",
+    "quality_filter_funnel": "every rule flag + cumulative conjunction reduces map-side to ONE row; shuffle = a handful of partial-agg rows",
+    "lc_distinct_users_daily": "register column shuffles <= K=1024 buckets/(day,task); the EXACT companion column (the audit baseline, dropped in production) is what shuffles user ids",
+    "bloom_source_membership_audit": "bitmap build shuffles <= n_bits position rows; probes shuffle (source, h, hit) triples, text never moves",
+    "mm_shard_manifest": "one per-writer running-sum window over (doc_id, byte_len) pairs — payload bytes never shuffle",
+    "sim_margin_mined_pairs": "broadcast query side x corpus partition; shuffle = top-2 (query, cos) rows into the window",
 }
 
 
