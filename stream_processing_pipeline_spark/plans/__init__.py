@@ -147,6 +147,8 @@ _GATE_PRIORITY = [
                                     # materialized/verified bitmap form)
     "sim_margin_mined_pairs",       # sibling: sim_topk_bruteforce (r2;
                                     # same broadcast-query scan + window)
+    "lc_register_set_algebra",      # sibling: lc_distinct_users_daily
+                                    # (same registers; set-op layer)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

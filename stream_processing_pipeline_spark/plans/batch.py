@@ -2617,3 +2617,79 @@ def lc_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(1000 * occupied) div {_LC_K}").alias("occupancy_permille"),
         )
     )
+
+
+_LC_SPLIT = "2024-01-16 00:00:00"
+
+
+@register(
+    "lc_register_set_algebra",
+    oracle=f"""
+    WITH b AS (
+      SELECT CASE WHEN ts < TIMESTAMP '{_LC_SPLIT}' THEN 0 ELSE 1 END AS half,
+             user_id, {_LC_B} AS bk
+      FROM events
+    ),
+    agg AS (
+      SELECT CAST(count(DISTINCT CASE WHEN half = 0 THEN bk END) AS BIGINT)
+               AS occ_h1,
+             CAST(count(DISTINCT CASE WHEN half = 1 THEN bk END) AS BIGINT)
+               AS occ_h2,
+             CAST(count(DISTINCT bk) AS BIGINT) AS occ_union
+      FROM b
+    ),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_overlap_users FROM (
+        SELECT user_id FROM b GROUP BY user_id
+        HAVING count(DISTINCT half) = 2
+      )
+    )
+    SELECT occ_h1, occ_h2, occ_union,
+           occ_h1 + occ_h2 - occ_union AS overlap_registers,
+           exact_overlap_users
+    FROM agg, ex
+    """,
+    tags=("batch", "sketch", "linear-counting", "set-algebra"),
+)
+def lc_register_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA on the linear-counting registers: split the log
+    into two halves, and report each half's occupied registers, the
+    union's (union is EXACT for register sketches — it is just the OR of
+    the bitmaps, which is why pre-aggregated daily sketches can answer
+    any date-range cardinality), and the INTERSECTION estimated by
+    inclusion-exclusion (`h1 + h2 - union`) next to the exact overlapping
+    user count — the comparison that shows why intersection, unlike
+    union, carries compounded sketch error (the reason theta sketches
+    exist). One conditional multi-distinct aggregation computes all three
+    register counts in a single pass; everything integer, everything
+    engine-exact."""
+    from ..functions.hashing import stable_bucket
+
+    ev = catalog(spark, sf_dir).events
+    b = ev.select(
+        (F.col("ts") >= F.lit(_LC_SPLIT).cast("timestamp"))
+        .cast("int")
+        .alias("half"),
+        "user_id",
+        stable_bucket(F.col("user_id"), _LC_K, salt="lc:").alias("bk"),
+    )
+    agg = b.agg(
+        F.countDistinct(F.when(F.col("half") == 0, F.col("bk"))).alias("occ_h1"),
+        F.countDistinct(F.when(F.col("half") == 1, F.col("bk"))).alias("occ_h2"),
+        F.countDistinct("bk").alias("occ_union"),
+    )
+    ex = (
+        b.groupBy("user_id")
+        .agg(F.countDistinct("half").alias("nh"))
+        .filter(F.col("nh") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_overlap_users"))
+    )
+    return agg.crossJoin(F.broadcast(ex)).select(
+        "occ_h1",
+        "occ_h2",
+        "occ_union",
+        (F.col("occ_h1") + F.col("occ_h2") - F.col("occ_union")).alias(
+            "overlap_registers"
+        ),
+        "exact_overlap_users",
+    )

@@ -226,3 +226,14 @@ def test_lc_registers_merge_by_union(spark):
     month_occupied = ev.select(b.alias("b")).distinct().count()
     assert len(union_all) == month_occupied
     assert sum(len(v) for v in day_regs.values()) > month_occupied  # overlap
+
+
+def test_lc_set_algebra_bounds(spark):
+    """Inclusion-exclusion sanity: register overlap is bounded by the
+    smaller half's occupancy, union <= h1 + h2, and the register-level
+    overlap never undercounts the exact user overlap's bucket image (a
+    shared user forces a shared register in both halves)."""
+    (r,) = REGISTRY["lc_register_set_algebra"].fn(spark, SF_MED).collect()
+    assert max(r.occ_h1, r.occ_h2) <= r.occ_union <= r.occ_h1 + r.occ_h2
+    assert 0 <= r.overlap_registers <= min(r.occ_h1, r.occ_h2)
+    assert r.exact_overlap_users >= 0
