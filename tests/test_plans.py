@@ -251,6 +251,8 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "join_key_skew_audit",          # broadcast 1-row stats x2
         "tpch_q22_dormant_accounts",    # correlated scalar avg (1 row)
         "llm_corpus_stage_report",      # broadcast 1-row stage aggregates
+        "sim_margin_mined_pairs",       # broadcast query set (_MINE_N rows)
+        "lc_register_set_algebra",      # broadcast 1-row exact-overlap agg
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
