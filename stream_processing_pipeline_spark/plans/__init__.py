@@ -149,6 +149,9 @@ _GATE_PRIORITY = [
                                     # same broadcast-query scan + window)
     "lc_register_set_algebra",      # sibling: lc_distinct_users_daily
                                     # (same registers; set-op layer)
+    "pagerank_trade_network",       # sibling: dedup_components (r1; same
+                                    # message-passing + localCheckpoint
+                                    # iteration recipe)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

@@ -2693,3 +2693,92 @@ def lc_register_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "exact_overlap_users",
     )
+
+
+# ------------------------------------------------------- PageRank (integer)
+
+_PR_ITERS = 4
+_PR_SCALE = 1000000   # pr unit: 1e6 micro-units = "1.0"
+_PR_DAMP = 850000     # d = 0.85 in micro-units
+_PR_TELEPORT = _PR_SCALE - _PR_DAMP
+
+
+def _pagerank_oracle() -> str:
+    parts = [f"""
+    WITH e0 AS (
+      SELECT DISTINCT 2 * l.l_suppkey AS u, 2 * o.o_custkey + 1 AS v
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ed AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY u),
+    pr0 AS (SELECT u AS node, CAST({_PR_SCALE} AS BIGINT) AS pr FROM deg)"""]
+    for k in range(_PR_ITERS):
+        parts.append(f""",
+    pr{k + 1} AS (
+      SELECT ed.v AS node,
+             CAST({_PR_TELEPORT} + ({_PR_DAMP} * sum(p.pr // d.d))
+                  // {_PR_SCALE} AS BIGINT) AS pr
+      FROM ed JOIN pr{k} p ON p.node = ed.u JOIN deg d ON d.u = ed.u
+      GROUP BY ed.v
+    )""")
+    parts.append(f"""
+    SELECT node, pr FROM pr{_PR_ITERS} ORDER BY pr DESC, node LIMIT 20
+    """)
+    return "".join(parts)
+
+
+@register(
+    "pagerank_trade_network",
+    oracle=_pagerank_oracle(),
+    tags=("batch", "graph", "pagerank", "iterative", "exact-arithmetic"),
+)
+def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier<->customer trade graph (an edge per
+    distinct trading pair via lineitem⋈orders, symmetrized so no node
+    dangles; suppliers encode as 2k, customers as 2k+1) — the engine's
+    fourth iterative algorithm (k-means, power iteration, BPE training,
+    now graph centrality), in the same exact-integer recipe: ranks in
+    micro-units, per-edge contributions ``pr // deg`` and the damped
+    update ``0.15 + 0.85 * inflow`` all truncating integer arithmetic, so
+    four unrolled iterations replay bit-identically in the SQL oracle.
+
+    Scale shape: the edge list (the ONLY corpus-sized object) builds once
+    and persists; each iteration is one join of compact (node, contrib)
+    pairs against edges and one map-side-combined sum per destination —
+    the standard message-passing round, cost proportional to |E| with
+    lineage cut per round (``localCheckpoint``, like
+    :func:`...operators.graph.connected_components`). Top-20 emits via
+    TakeOrdered. The hub structure shows immediately: supplier nodes
+    (~500 edges each) dominate the head over ~30-edge customers."""
+    cat = catalog(spark, sf_dir)
+    e0 = (
+        cat.lineitem.join(
+            cat.orders, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .select(
+            (2 * F.col("l_suppkey")).alias("u"),
+            (2 * F.col("o_custkey") + 1).alias("v"),
+        )
+        .distinct()
+    )
+    ed = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("d")).persist()
+    pr = deg.select(F.col("u").alias("node"), F.lit(_PR_SCALE).cast("long").alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = pr.join(deg, pr["node"] == deg["u"]).select(
+            F.col("node"), F.expr("pr div d").alias("c")
+        )
+        pr = (
+            ed.join(contrib, ed["u"] == contrib["node"])
+            .groupBy(ed["v"])
+            .agg(F.sum("c").alias("inflow"))
+            .select(
+                F.col("v").alias("node"),
+                (
+                    F.lit(_PR_TELEPORT)
+                    + F.expr(f"({_PR_DAMP} * inflow) div {_PR_SCALE}")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.orderBy(F.col("pr").desc(), "node").limit(20)

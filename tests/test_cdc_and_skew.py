@@ -237,3 +237,16 @@ def test_lc_set_algebra_bounds(spark):
     assert max(r.occ_h1, r.occ_h2) <= r.occ_union <= r.occ_h1 + r.occ_h2
     assert 0 <= r.overlap_registers <= min(r.occ_h1, r.occ_h2)
     assert r.exact_overlap_users >= 0
+
+
+def test_pagerank_hubs_dominate(spark):
+    """PageRank semantics on the trade graph: the entire top-20 is
+    supplier nodes (even encodings — ~500-edge hubs vs ~30-edge
+    customers), every rank is positive, and the head ranks exceed the
+    teleport floor by a wide margin (inflow actually flows)."""
+    rows = REGISTRY["pagerank_trade_network"].fn(spark, SF_MED).collect()
+    assert len(rows) == 20
+    assert all(r.node % 2 == 0 for r in rows), "head must be suppliers"
+    prs = [r.pr for r in rows]
+    assert prs == sorted(prs, reverse=True)
+    assert all(p > 1000000 for p in prs), "hubs must beat the uniform mass"
