@@ -152,6 +152,8 @@ _GATE_PRIORITY = [
     "pagerank_trade_network",       # sibling: dedup_components (r1; same
                                     # message-passing + localCheckpoint
                                     # iteration recipe)
+    "trade_graph_butterflies",      # sibling: pagerank_trade_network
+                                    # (same edge derivation; wedge join)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

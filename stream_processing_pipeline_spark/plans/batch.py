@@ -2782,3 +2782,64 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return pr.orderBy(F.col("pr").desc(), "node").limit(20)
+
+
+@register(
+    "trade_graph_butterflies",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    p AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS shared
+      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT s1, s2, shared,
+           (shared * (shared - 1)) // 2 AS butterflies
+    FROM p ORDER BY shared DESC, s1, s2 LIMIT 20
+    """,
+    tags=("batch", "graph", "bipartite", "butterfly-counting"),
+)
+def trade_graph_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly counting — the bipartite graph's cohesion metric
+    (triangles cannot exist in a bipartite graph; the 4-cycle
+    supplier-customer-supplier-customer is its smallest cohesive motif):
+    for the top supplier pairs by shared customers, the number of
+    butterflies they span, ``C(shared, 2)``. High-butterfly pairs are
+    co-competing suppliers with interchangeable customer bases — the
+    signal market-structure and fraud-ring analyses read off trade
+    graphs. Shape: the wedge join (edge table self-joined on the
+    customer) generates one row per co-purchasing wedge, grouped
+    map-side into per-pair shared counts; wedge volume is
+    sum-of-degree-squared, so at 100 TB the standard cap applies —
+    drop/vertex-sample celebrity customers whose degree exceeds a bound
+    (exactly the hot-band df-cap SCALING.md measures for dedup), which
+    removes quadratic blowup while biasing only the pairs everyone
+    already knows are dense. TakeOrdered emits the head."""
+    cat = catalog(spark, sf_dir)
+    e = (
+        cat.lineitem.join(
+            cat.orders, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    a = e.select(F.col("s").alias("s1"), "c")
+    b = e.select(F.col("s").alias("s2"), F.col("c").alias("c2"))
+    pairs = (
+        a.join(b, (F.col("c") == F.col("c2")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.select(
+            "s1",
+            "s2",
+            "shared",
+            F.expr("(shared * (shared - 1)) div 2").alias("butterflies"),
+        )
+        .orderBy(F.col("shared").desc(), "s1", "s2")
+        .limit(20)
+    )

@@ -64,6 +64,7 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
         "sim_margin_mined_pairs",
         "lc_register_set_algebra",
         "pagerank_trade_network",
+        "trade_graph_butterflies",
         "partition_pruned_daily_stats",
         "array_functions_showcase",
         "minhash_jaccard_calibration",
