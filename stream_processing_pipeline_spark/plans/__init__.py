@@ -154,6 +154,9 @@ _GATE_PRIORITY = [
                                     # iteration recipe)
     "trade_graph_butterflies",      # sibling: pagerank_trade_network
                                     # (same edge derivation; wedge join)
+    "user_growth_accounting",       # sibling: user_retention_cohorts (in
+                                    # prefix; same distinct-(user,day) +
+                                    # per-user window contract)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

@@ -2843,3 +2843,93 @@ def trade_graph_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shared").desc(), "s1", "s2")
         .limit(20)
     )
+
+
+# -------------------------------------------------------- growth accounting
+
+@register(
+    "user_growth_accounting",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    st AS (
+      SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS first_day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+      FROM ud
+    ),
+    daily AS (
+      SELECT day,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(sum(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+             CAST(sum(CASE WHEN day <> first_day
+                            AND (prev_day IS NULL OR prev_day < day - 1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM st GROUP BY day
+    )
+    SELECT day, n_active, n_new, n_retained, n_resurrected,
+           CAST(COALESCE(lag(n_active) OVER (ORDER BY day), 0) - n_retained
+                AS BIGINT) AS n_churned
+    FROM daily
+    """,
+    tags=("batch", "growth-accounting", "retention", "dashboard"),
+)
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the standard DAU decomposition every product
+    dashboard runs: each day's actives split into NEW (first-ever day),
+    RETAINED (also active yesterday), and RESURRECTED (returning after a
+    gap), plus CHURNED = yesterday's actives who didn't retain (so
+    active(d) = retained(d) + new(d) + resurrected(d), and
+    churned(d) = active(d-1) - retained(d) — the identity that makes the
+    four series reconcile, pinned by test). Shape: events reduce to
+    distinct (user, day) — the only corpus-sized shuffle; the per-user
+    lag/min window runs over user-day rows (bounded by days per user),
+    and the day-level series is a ~30-row window. At 100 TB this is
+    map-side distinct + one user-keyed exchange, same scaling contract as
+    :func:`user_retention_cohorts`."""
+    ev = catalog(spark, sf_dir).events
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("day")
+    st = ud.select(
+        "user_id",
+        "day",
+        F.min("day").over(wu).alias("first_day"),
+        F.lag("day").over(wo).alias("prev_day"),
+    )
+    daily = st.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum((F.col("day") == F.col("first_day")).cast("long")).alias("n_new"),
+        # when/otherwise, not a bare boolean cast: on the corpus's first
+        # day every prev_day is NULL, so the comparison is NULL and a
+        # sum of casts would return NULL where the oracle's CASE gives 0.
+        F.sum(
+            F.when(
+                F.col("prev_day") == F.date_sub(F.col("day"), 1), 1
+            ).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            (
+                (F.col("day") != F.col("first_day"))
+                & (
+                    F.col("prev_day").isNull()
+                    | (F.col("prev_day") < F.date_sub(F.col("day"), 1))
+                )
+            ).cast("long")
+        ).alias("n_resurrected"),
+    )
+    wd = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (
+            F.coalesce(F.lag("n_active").over(wd), F.lit(0)) - F.col("n_retained")
+        ).cast("long").alias("n_churned"),
+    )

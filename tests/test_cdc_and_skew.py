@@ -250,3 +250,20 @@ def test_pagerank_hubs_dominate(spark):
     prs = [r.pr for r in rows]
     assert prs == sorted(prs, reverse=True)
     assert all(p > 1000000 for p in prs), "hubs must beat the uniform mass"
+
+
+def test_growth_accounting_reconciles(spark):
+    """The growth-accounting identity per day: active = new + retained +
+    resurrected, and churned(d) = active(d-1) - retained(d); day one is
+    all-new."""
+    rows = sorted(
+        REGISTRY["user_growth_accounting"].fn(spark, SF_MED).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows[0].n_new == rows[0].n_active and rows[0].n_churned == 0
+    prev_active = None
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected, r
+        if prev_active is not None:
+            assert r.n_churned == prev_active - r.n_retained, r
+        prev_active = r.n_active

@@ -65,6 +65,7 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
         "lc_register_set_algebra",
         "pagerank_trade_network",
         "trade_graph_butterflies",
+        "user_growth_accounting",
         "partition_pruned_daily_stats",
         "array_functions_showcase",
         "minhash_jaccard_calibration",
