@@ -157,6 +157,8 @@ _GATE_PRIORITY = [
     "user_growth_accounting",       # sibling: user_retention_cohorts (in
                                     # prefix; same distinct-(user,day) +
                                     # per-user window contract)
+    "event_transition_matrix",      # sibling: user_event_type_signature /
+                                    # user_funnel (per-user-timeline lag)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

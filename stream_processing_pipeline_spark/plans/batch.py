@@ -2933,3 +2933,61 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.lag("n_active").over(wd), F.lit(0)) - F.col("n_retained")
         ).cast("long").alias("n_churned"),
     )
+
+
+# ------------------------------------------------------ sequence analytics
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           (1000 * n) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+             AS p_permille
+    FROM t
+    """,
+    tags=("batch", "sequence", "markov", "behavior"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    (from event type -> to event type) pair, the observed transition count
+    within per-user timelines and its row-normalized probability in
+    permille — the session-modeling primitive behind next-action
+    prediction, anomaly scoring (improbable transition chains), and
+    funnel-shortcut discovery. Shape: ONE user-keyed exchange feeds the
+    lag window (the same per-user-timeline contract every sessionization
+    op here carries); the matrix itself is |types|^2 = 25 cells, so the
+    row-normalization window is over a constant-size aggregate —
+    corpus-size-independent, like the skew audit's count-of-counts.
+    Integer permille via truncating division keeps both engines
+    bit-identical."""
+    ev = catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return (
+        t.withColumn("row_total", F.sum("n").over(wrow))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("(1000 * n) div row_total").alias("p_permille"),
+        )
+    )

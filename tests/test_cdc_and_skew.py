@@ -267,3 +267,24 @@ def test_growth_accounting_reconciles(spark):
         if prev_active is not None:
             assert r.n_churned == prev_active - r.n_retained, r
         prev_active = r.n_active
+
+
+def test_transition_matrix_rows_normalize(spark):
+    """Matrix semantics: 25 cells max (5x5 types), per-row permille sums
+    land in (1000 - 25, 1000] (truncation loses < 1 permille per cell),
+    and total transitions = total events - active users (each user's
+    timeline contributes len-1 transitions)."""
+    ev = _events(spark)
+    rows = REGISTRY["event_transition_matrix"].fn(spark, SF_MED).collect()
+    assert len(rows) <= 25
+    from collections import defaultdict
+
+    by_from = defaultdict(list)
+    for r in rows:
+        by_from[r.from_type].append(r)
+    for ft, cells in by_from.items():
+        s = sum(c.p_permille for c in cells)
+        assert 1000 - len(cells) < s <= 1000, (ft, s)
+    n_trans = sum(r.n for r in rows)
+    n_users = ev.select("user_id").distinct().count()
+    assert n_trans == ev.count() - n_users

@@ -66,6 +66,7 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
         "pagerank_trade_network",
         "trade_graph_butterflies",
         "user_growth_accounting",
+        "event_transition_matrix",
         "partition_pruned_daily_stats",
         "array_functions_showcase",
         "minhash_jaccard_calibration",
