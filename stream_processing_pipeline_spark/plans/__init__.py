@@ -159,6 +159,10 @@ _GATE_PRIORITY = [
                                     # per-user window contract)
     "event_transition_matrix",      # sibling: user_event_type_signature /
                                     # user_funnel (per-user-timeline lag)
+    "order_to_ship_latency",        # sibling: value_mad_outliers (central-
+                                    # rank picks) + tpch q4/q12 (latency)
+    "revenue_concentration_hhi",    # sibling: revenue_by_nation (r1) +
+                                    # join_key_skew_audit (share math)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

@@ -2991,3 +2991,144 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * n) div row_total").alias("p_permille"),
         )
     )
+
+
+# --------------------------------------------------- fulfillment & market
+
+@register(
+    "order_to_ship_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    r AS (
+      SELECT priority, days,
+             row_number() OVER (PARTITION BY priority ORDER BY days) AS rn,
+             count(*) OVER (PARTITION BY priority) AS m
+      FROM lat
+    )
+    SELECT priority,
+           CAST(max(m) AS BIGINT) AS n_items,
+           CAST(max(CASE WHEN rn = (m + 1) // 2 THEN days END) AS BIGINT)
+             AS p50_days,
+           CAST(max(CASE WHEN rn = (9 * m + 9) // 10 THEN days END) AS BIGINT)
+             AS p90_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM r GROUP BY priority
+    """,
+    tags=("batch", "latency", "percentile", "fulfillment"),
+)
+def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA report per order priority: exact
+    p50/p90/max days from order date to each line's ship date, via the
+    central-rank picks (``rn == ceil(q*m)`` over a per-priority sort
+    window) that keep both engines integer-identical — the fulfillment
+    dashboard that answers 'does URGENT actually ship faster?'. One
+    broadcast join (orders dim side per lineitem), one per-priority
+    sort-window exchange of (priority, days) pairs; at 100 TB the
+    histogram path (:func:`hist_value_quantiles`) replaces the exact sort
+    exactly as documented for value_mad_outliers."""
+    cat = catalog(spark, sf_dir)
+    lat = cat.lineitem.join(
+        F.broadcast(
+            cat.orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+        ),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("days"),
+    )
+    wr = Window.partitionBy("priority").orderBy("days")
+    wm = Window.partitionBy("priority")
+    r = lat.select(
+        "priority",
+        "days",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wm).alias("m"),
+    )
+    return r.groupBy("priority").agg(
+        F.max("m").alias("n_items"),
+        F.max(F.when(F.col("rn") == F.expr("(m + 1) div 2"), F.col("days"))).alias(
+            "p50_days"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * m + 9) div 10"), F.col("days"))
+        ).alias("p90_days"),
+        F.max("days").alias("max_days"),
+    )
+
+
+@register(
+    "revenue_concentration_hhi",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation, l.l_suppkey,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    sh AS (
+      SELECT nation, l_suppkey,
+             (10000 * cents) // CAST(sum(cents) OVER (PARTITION BY nation)
+                                     AS BIGINT) AS share_bp
+      FROM rev
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(share_bp * share_bp) // 10000 AS BIGINT) AS hhi_bp,
+           CAST(max(share_bp) AS BIGINT) AS top_share_bp
+    FROM sh GROUP BY nation
+    """,
+    tags=("batch", "market-structure", "hhi", "concentration"),
+)
+def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per nation: each
+    supplier's share of its nation's discounted revenue in integer basis
+    points, HHI = sum of squared shares (basis-point scale: 10000 =
+    monopoly, ~10000/n = perfect competition), plus the top supplier's
+    share — the antitrust-style dashboard over the trade data, and a
+    direct read on which nations' supply chains have a single point of
+    failure. Exact integer cents -> truncating basis points keep both
+    engines bit-identical. Shape: one supplier-grain aggregation (the
+    only corpus shuffle), then nation-partitioned windows over
+    supplier-grain rows."""
+    cat = catalog(spark, sf_dir)
+    rev = (
+        cat.lineitem.join(
+            F.broadcast(cat.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    wn = Window.partitionBy("nation")
+    sh = rev.select(
+        "nation",
+        "l_suppkey",
+        F.expr("10000 * cents").alias("_num"),
+        F.sum("cents").over(wn).alias("_tot"),
+    ).select("nation", "l_suppkey", F.expr("_num div _tot").alias("share_bp"))
+    return sh.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.expr("sum(share_bp * share_bp) div 10000").alias("hhi_bp"),
+        F.max("share_bp").alias("top_share_bp"),
+    )

@@ -288,3 +288,20 @@ def test_transition_matrix_rows_normalize(spark):
     n_trans = sum(r.n for r in rows)
     n_users = ev.select("user_id").distinct().count()
     assert n_trans == ev.count() - n_users
+
+
+def test_latency_and_hhi_bounds(spark):
+    """Percentile ordering per priority; HHI within [10000/n, 10000] up to
+    truncation, top share <= HHI's implied max."""
+    lat = REGISTRY["order_to_ship_latency"].fn(spark, SF_MED).collect()
+    assert lat
+    for r in lat:
+        assert 0 <= r.p50_days <= r.p90_days <= r.max_days
+    hhi = REGISTRY["revenue_concentration_hhi"].fn(spark, SF_MED).collect()
+    assert hhi
+    for r in hhi:
+        lower = 10000 // r.n_suppliers - r.n_suppliers  # truncation slack
+        assert lower <= r.hhi_bp <= 10000
+        assert 0 < r.top_share_bp <= 10000
+        # HHI >= top_share^2 / 10000 (one term of the sum)
+        assert r.hhi_bp >= (r.top_share_bp * r.top_share_bp) // 10000 - 1

@@ -67,6 +67,8 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
         "trade_graph_butterflies",
         "user_growth_accounting",
         "event_transition_matrix",
+        "order_to_ship_latency",
+        "revenue_concentration_hhi",
         "partition_pruned_daily_stats",
         "array_functions_showcase",
         "minhash_jaccard_calibration",
