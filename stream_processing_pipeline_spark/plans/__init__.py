@@ -163,6 +163,8 @@ _GATE_PRIORITY = [
                                     # rank picks) + tpch q4/q12 (latency)
     "revenue_concentration_hhi",    # sibling: revenue_by_nation (r1) +
                                     # join_key_skew_audit (share math)
+    "part_affinity_pairs",          # sibling: trade_graph_butterflies
+                                    # (same wedge join, order-keyed)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

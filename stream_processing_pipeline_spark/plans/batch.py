@@ -3132,3 +3132,71 @@ def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(share_bp * share_bp) div 10000").alias("hhi_bp"),
         F.max("share_bp").alias("top_share_bp"),
     )
+
+
+@register(
+    "part_affinity_pairs",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+    pc AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY p),
+    pp AS (
+      SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS support
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    )
+    SELECT pp.p1, pp.p2, pp.support,
+           (1000 * pp.support * t.n_orders) / (c1.n * c2.n) AS lift_permille
+    FROM pp
+    JOIN pc c1 ON c1.p = pp.p1 JOIN pc c2 ON c2.p = pp.p2
+    CROSS JOIN tot t
+    ORDER BY pp.support DESC, pp.p1, pp.p2 LIMIT 20
+    """.replace("/ (c1.n * c2.n)", "// (c1.n * c2.n)"),
+    tags=("batch", "market-basket", "affinity", "lift"),
+)
+def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top co-ordered part pairs by support,
+    with LIFT in integer permille — ``lift = P(a,b) / (P(a) P(b))``
+    computed as ``(1000 * support * n_orders) div (n_a * n_b)``, > 1000
+    meaning the pair co-occurs more than independence predicts (the
+    recommender / cross-sell primitive). Shape: distinct (order, part)
+    pairs once, then the same wedge self-join as
+    :func:`trade_graph_butterflies` keyed on the order — pair volume is
+    sum over orders of C(parts_per_order, 2), bounded here by ~4-line
+    orders and at scale by the same celebrity-basket degree cap; the part
+    marginals broadcast back onto the pair table. TakeOrdered emits the
+    head with a total tie-break."""
+    cat = catalog(spark, sf_dir)
+    op = cat.lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = op.select("o").distinct().count()  # scalar: one count action
+    pc = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    a = op.select(F.col("o"), F.col("p").alias("p1"))
+    b = op.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    pp = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    out = (
+        pp.join(
+            F.broadcast(pc.select(F.col("p").alias("p1"), F.col("n").alias("n1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(pc.select(F.col("p").alias("p2"), F.col("n").alias("n2"))),
+            "p2",
+        )
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.expr(f"(1000 * support * {n_orders}L) div (n1 * n2)").alias(
+                "lift_permille"
+            ),
+        )
+    )
+    return out.orderBy(F.col("support").desc(), "p1", "p2").limit(20)
