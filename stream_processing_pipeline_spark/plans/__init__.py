@@ -165,6 +165,8 @@ _GATE_PRIORITY = [
                                     # join_key_skew_audit (share math)
     "part_affinity_pairs",          # sibling: trade_graph_butterflies
                                     # (same wedge join, order-keyed)
+    "open_orders_over_time",        # sibling: hourly_purchases_gapfill /
+                                    # scd2 spans (day-grain window passes)
     "partition_pruned_daily_stats", # plan contract pinned by its own test;
                                     # layout siblings zorder/bucketing in prefix
     "array_functions_showcase",     # sibling: string/datetime showcases (r1)

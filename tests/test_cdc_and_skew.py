@@ -305,3 +305,25 @@ def test_latency_and_hhi_bounds(spark):
         assert 0 < r.top_share_bp <= 10000
         # HHI >= top_share^2 / 10000 (one term of the sum)
         assert r.hhi_bp >= (r.top_share_bp * r.top_share_bp) // 10000 - 1
+
+
+def test_open_orders_sweep_conserves(spark):
+    """Sweep-line invariants: backlog never negative, final backlog zero
+    (every order ships), total opened == total closed == order count."""
+    rows = sorted(
+        REGISTRY["open_orders_over_time"].fn(spark, SF_MED).collect(),
+        key=lambda r: r.day,
+    )
+    assert all(r.open_eod >= 0 for r in rows)
+    assert rows[-1].open_eod == 0
+    # conservation is over orders WITH lineitems (an order that never
+    # shipped anything has no interval; the fixture has 257 such orders)
+    spark_s = _events(spark).sparkSession
+    n_shippable = (
+        spark_s.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_opened for r in rows) == n_shippable
+    assert sum(r.n_closed for r in rows) == n_shippable

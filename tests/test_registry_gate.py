@@ -70,6 +70,7 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
         "order_to_ship_latency",
         "revenue_concentration_hhi",
         "part_affinity_pairs",
+        "open_orders_over_time",
         "partition_pruned_daily_stats",
         "array_functions_showcase",
         "minhash_jaccard_calibration",
