@@ -34,150 +34,70 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # each round records exactly the first ~50 registrations, so the gate
 # effectively checks a prefix. Registration order is therefore part of the
 # verification contract: queries whose driver-side evidence is newest-needed
-# come first. Round-3 ordering (VERDICT.md r2 "Next round" #1):
-#   1. the 23 queries never gated in r1 or r2 (CORRECTNESS_r01/r02 union);
-#   2. mm_format_stats — oracle changed this round (CAST fix for the one r2
-#      hash FAIL);
-#   3. the trained-IVF pair, which gains value-hash oracles this round
-#      (previously rows-only);
-#   4. queries NEW in round 3 (inserted at the marker below as added);
-#   5. rotation fill: queries whose only green row is from r1 (oldest
-#      evidence first);
-#   6. everything r2-green sits past the prefix — their green rows describe
-#      unchanged code, and the local mirror re-verifies them continuously.
-# With r1 ∪ r2 ∪ r3 this makes every registered query driver-verified at
-# least once.
+# come first. Round-4 ordering (VERDICT.md r3 "Next round" #1-#3):
+#   1. the 34 queries deferred past the r3 prefix (never driver-gated;
+#      pinned in tests/test_registry_gate.py) — mirror-green all round 3,
+#      now rotated to the head for their first external row;
+#   2. the four TPC-H queries whose plans CHANGE this round (forced
+#      broadcast of sf-proportional sides removed, VERDICT r3 "What's
+#      wrong" #1) — re-gated on the new plans. The other four changed
+#      queries (order_to_ship_latency, open_orders_over_time,
+#      part_affinity_pairs, trade_graph_butterflies) are already in set 1;
+#   3. queries NEW in round 4 (inserted at the marker below as added);
+#   4. rotation fill: oldest-evidence r1-green queries;
+#   5. everything r2/r3-green sits past the prefix — their green rows
+#      describe unchanged code, and the local mirror re-verifies them
+#      continuously.
+# NOTE: hll_sketch_rollup / approx_distinct_users are deliberately OUT of
+# the prefix — they are rows-only by design (no_oracle) and can never
+# produce a green hash row; spending gate slots on them is waste
+# (VERDICT r3 "Next round" #1).
 _GATE_PRIORITY = [
-    # -- never driver-gated in r1 or r2 (VERDICT r2 "What's missing" #1)
-    "user_value_minmax_pandas",
-    "asof_cogrouped_pandas",
-    "text_bpe_token_stats_pandas",
-    "mm_decode_arrow",
-    "recent_errors_before_purchase",
-    "hll_sketch_rollup",
-    "user_value_minmax_arrow",
-    "user_funnel",
-    "rollup_incremental_merge",
-    "scd2_user_value_bands",
-    "user_retention_cohorts",
-    "hourly_purchases_gapfill",
-    "event_props_variant",
-    "dedup_span_chunks",
-    "corpus_pack_sequences",
-    "corpus_epoch_shuffle",
-    "text_pii_redact",
-    "quality_weighted_sample",
-    "mixture_token_budget",
-    "text_chunks_udtf",
-    "sim_recall_lsh_at_k",
-    "sim_recall_ivf_static_at_k",
-    "tpch_q15_top_supplier",
-    # -- changed in round 3: oracle CAST fix for the one r2 hash FAIL
-    "mm_format_stats",
-    # -- trained-IVF pair: value-hash oracles added in round 3 (were
-    #    rows-only no_oracle in r2)
-    "sim_ivf_assignments",
-    "sim_topk_ivf",
-    # -- NEW in round 3 (insert additions here, newest first)
-    "trailing_week_active_users",
-    "stream_hourly_topk_users",
-    "scd2_point_in_time_join",
-    "user_value_trend",
-    "value_mad_outliers",
-    "dedup_edit_distance",
-    "user_value_ewma",
-    "stream_click_purchase_outer",
-    "bucketed_join_revenue",
-    "sim_ivfpq_codes",
-    "sim_topk_ivfpq",
-    "value_outliers_exact",
-    "emb_top_pc_power_iteration",
-    "sql_recursive_click_streak",
-    "stream_session_windows",
-    "text_clean_html",
-    "heavy_hitters_tokens",
-    "layout_zorder_stats",
-    "stream_dedup_events",
-    "stream_click_purchase_join",
-    "hist_value_rollup",
-    "bloom_semijoin_nation_suppliers",
-    "salted_join_type_stats",
-    "text_oov_stats",
-    # -- r4 rotation: new-in-r3 queries DEFERRED past the 50-slot gate
-    #    prefix (26 carry-over slots + 24 new > 50, so something had to
-    #    wait). Each deferred query shares its verified machinery with an
-    #    in-prefix sibling gated this round or earlier, and all are green
-    #    in the local mirror; they rotate to the r4 prefix head.
-    #    (test_registry_gate pins this exact set.)
-    "cms_token_freq",               # sibling: heavy_hitters_tokens (in
-                                    # prefix; same sketch family + tokenizer)
-    "text_bigram_coverage",         # sibling: contamination_bench_overlap
-                                    # (same posting-aggregation machinery)
-    "cdc_apply_snapshot",           # sibling: scd2_point_in_time_join /
-                                    # rollup_incremental_merge (in prefix)
-    "cdc_snapshot_diff",            # sibling: cdc_apply_snapshot (same
-                                    # max_by LWW core, oracle-pinned as-of)
-    "join_key_skew_audit",          # sibling: salted_join_type_stats (in
-                                    # prefix; the audit that motivates it)
-    "bpe_train_merges",             # sibling: bpe_pair_counts (round-one
-                                    # twin) / text_bpe_token_stats (r2)
-    "stream_cdc_apply",             # sibling: stream_user_stats (same
-                                    # applyInPandasWithState harness, r1)
-    "dpp_promo_day_revenue",        # sibling: partition_pruned_daily_stats
-                                    # (same partitioned store; DPP is the
-                                    # runtime half, plan-pinned)
-    "quality_filter_funnel",        # sibling: text_quality /
-                                    # corpus_clean_train_sample (r2; same
-                                    # metric kernels, new attribution)
-    "mm_shard_manifest",            # sibling: corpus_pack_sequences (same
-                                    # running-sum packing contract, bytes
-                                    # over payloads) + mm_metadata (r2)
-    "sim_recall_pq_at_k",           # sibling: sim_recall_ivf_static_at_k
-                                    # (in prefix; same eval composition)
-    "hourly_anomaly_vs_baseline",   # sibling: value_mad_outliers (in
-                                    # prefix; same central-rank median)
-    "llm_corpus_stage_report",      # composition of verified kernels:
-                                    # dedup_exact + minhash bands +
-                                    # quality + split (all gated r1/r2)
-    "lc_distinct_users_daily",      # sibling: daily_distinct_users (r1) /
-                                    # hll pair (the oracle-able register
-                                    # form of the same sketch family)
-    "bloom_source_membership_audit", # sibling: bloom_semijoin_nation_
-                                    # suppliers (in prefix; this is the
-                                    # materialized/verified bitmap form)
-    "sim_margin_mined_pairs",       # sibling: sim_topk_bruteforce (r2;
-                                    # same broadcast-query scan + window)
-    "lc_register_set_algebra",      # sibling: lc_distinct_users_daily
-                                    # (same registers; set-op layer)
-    "pagerank_trade_network",       # sibling: dedup_components (r1; same
-                                    # message-passing + localCheckpoint
-                                    # iteration recipe)
-    "trade_graph_butterflies",      # sibling: pagerank_trade_network
-                                    # (same edge derivation; wedge join)
-    "user_growth_accounting",       # sibling: user_retention_cohorts (in
-                                    # prefix; same distinct-(user,day) +
-                                    # per-user window contract)
-    "event_transition_matrix",      # sibling: user_event_type_signature /
-                                    # user_funnel (per-user-timeline lag)
-    "order_to_ship_latency",        # sibling: value_mad_outliers (central-
-                                    # rank picks) + tpch q4/q12 (latency)
-    "revenue_concentration_hhi",    # sibling: revenue_by_nation (r1) +
-                                    # join_key_skew_audit (share math)
-    "part_affinity_pairs",          # sibling: trade_graph_butterflies
-                                    # (same wedge join, order-keyed)
-    "open_orders_over_time",        # sibling: hourly_purchases_gapfill /
-                                    # scd2 spans (day-grain window passes)
-    "partition_pruned_daily_stats", # plan contract pinned by its own test;
-                                    # layout siblings zorder/bucketing in prefix
-    "array_functions_showcase",     # sibling: string/datetime showcases (r1)
-    "minhash_jaccard_calibration",  # sibling: dedup_minhash_bands/_lsh (r1)
-    "dedup_rate_by_source",         # sibling: dedup_exact machinery (r1)
-    "lineitem_measures_unpivot",    # sibling: daily_counts_pivoted (r1)
-    "cube_daily_type_counts",       # sibling: rollup/grouping-sets (r1)
-    "hist_value_quantiles",         # sibling: hist_value_rollup (in prefix)
-    "weighted_priority_sample",     # sibling: stratified/quality samples (r2)
-    "bpe_pair_counts",              # sibling: text_bpe_token_stats (r2)
-    # -- rotation fill: last green row is from r1; re-verify oldest evidence
+    # -- the 34 queries deferred past the r3 gate prefix (first external row)
+    "cms_token_freq",
+    "text_bigram_coverage",
+    "cdc_apply_snapshot",
+    "cdc_snapshot_diff",
+    "join_key_skew_audit",
+    "bpe_train_merges",
+    "stream_cdc_apply",
+    "dpp_promo_day_revenue",
+    "quality_filter_funnel",
+    "mm_shard_manifest",
+    "sim_recall_pq_at_k",
+    "hourly_anomaly_vs_baseline",
+    "llm_corpus_stage_report",
+    "lc_distinct_users_daily",
+    "bloom_source_membership_audit",
+    "sim_margin_mined_pairs",
+    "lc_register_set_algebra",
+    "pagerank_trade_network",
+    "trade_graph_butterflies",
+    "user_growth_accounting",
+    "event_transition_matrix",
+    "order_to_ship_latency",
+    "revenue_concentration_hhi",
+    "part_affinity_pairs",
+    "open_orders_over_time",
+    "partition_pruned_daily_stats",
+    "array_functions_showcase",
+    "minhash_jaccard_calibration",
+    "dedup_rate_by_source",
+    "lineitem_measures_unpivot",
+    "cube_daily_type_counts",
+    "hist_value_quantiles",
+    "weighted_priority_sample",
+    "bpe_pair_counts",
+    # -- plans changed in round 4: forced broadcasts of sf-proportional
+    #    sides removed (VERDICT r3 "What's wrong" #1) — re-gate on the
+    #    new physical plans
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_supplier_customer_volume",
+    "tpch_q8_market_share",
+    "tpch_q18_large_volume_customers",
+    # -- NEW in round 4 (insert additions here, newest first)
+    # -- rotation fill: oldest-evidence (r1) green rows, re-verified if
+    #    the prefix reaches them
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "revenue_by_nation",
@@ -185,7 +105,6 @@ _GATE_PRIORITY = [
     "user_running_value",
     "engaged_users_set_ops",
     "daily_distinct_users",
-    "approx_distinct_users",
     "rollup_revenue",
     "customers_without_orders",
     "parts_with_lineitems",
@@ -196,14 +115,11 @@ _GATE_PRIORITY = [
     "user_event_type_signature",
     "sql_api_revenue_summary",
     "tpch_q4_order_priority",
-    "tpch_q7_supplier_customer_volume",
     "tpch_q14_promo_revenue",
     "dq_lineitem_report",
     "dq_referential_integrity",
     "string_functions_showcase",
     "datetime_functions_showcase",
-    # ---- slot ~50 boundary: r1-green continuation (rotates into the r4
-    #      prefix if not reached this round)
     "grouping_sets_revenue",
     "value_rank_family",
     "sliding_window_counts",
