@@ -136,6 +136,10 @@ def main() -> None:
     _bench_streaming_topology(spark, sf_dir)
     streaming = _bench_streaming_topology(spark, sf_dir)
     sustained = _bench_streaming_sustained(spark, sf_dir)
+    sustained_rocks = _bench_streaming_sustained(
+        spark, sf_dir, state_store="rocksdb",
+        prefix="streaming_sustained_rocksdb",
+    )
 
     out = {
         "metric": "total_query_wall_seconds",
@@ -148,6 +152,7 @@ def main() -> None:
         "failures": failures,
         **streaming,
         **sustained,
+        **sustained_rocks,
     }
     print(json.dumps(out))
     spark.stop()
@@ -183,7 +188,10 @@ def _bench_streaming_topology(spark, sf_dir: str) -> dict:
             min(spark.sparkContext.defaultParallelism, n_events // (4 * 3000) or 4),
         )
         topo = Topology(
-            spark, checkpoint_root=work + "/ckpt", state_partitions=state_parts
+            spark,
+            checkpoint_root=work + "/ckpt",
+            state_partitions=state_parts,
+            state_store=state_store,
         )
         EventsTopologyBuilder(
             events_stream=stream,
@@ -228,7 +236,12 @@ def _bench_streaming_topology(spark, sf_dir: str) -> dict:
 
 
 def _bench_streaming_sustained(
-    spark, sf_dir: str, replicas: int = 3, n_chunks: int = 12
+    spark,
+    sf_dir: str,
+    replicas: int = 3,
+    n_chunks: int = 12,
+    state_store: str | None = None,
+    prefix: str = "streaming_sustained",
 ) -> dict:
     """Sustained-rate run at ``replicas``x the event volume: time-shifted
     event replicas replayed as ``n_chunks`` one-file micro-batches (same
@@ -239,7 +252,12 @@ def _bench_streaming_sustained(
     advancing across the replicas, so the 60-minute watermark must keep
     evicting closed windows and the per-batch state footprint must stay
     FLAT — the property that lets the same topology run forever at 100 TB
-    (state ~ open windows x keys, never ~ events seen)."""
+    (state ~ open windows x keys, never ~ events seen).
+
+    ``state_store="rocksdb"`` repeats the run on Spark's bundled RocksDB
+    provider — the 100 TB production choice (state spills to local disk
+    instead of the JVM heap) — so BENCH records both providers' throughput
+    and eviction behavior side by side (VERDICT r3 "Next round" #6)."""
     import json as _json
     import shutil
     import tempfile
@@ -289,7 +307,10 @@ def _bench_streaming_sustained(
             ),
         )
         topo = Topology(
-            spark, checkpoint_root=work + "/ckpt", state_partitions=state_parts
+            spark,
+            checkpoint_root=work + "/ckpt",
+            state_partitions=state_parts,
+            state_store=state_store,
         )
         EventsTopologyBuilder(
             events_stream=stream,
@@ -330,14 +351,14 @@ def _bench_streaming_sustained(
         wall = time.perf_counter() - t0
         shutil.rmtree(work, ignore_errors=True)
         return {
-            "streaming_sustained_events": n_events,
-            "streaming_sustained_sec": round(wall, 3),
+            f"{prefix}_events": n_events,
+            f"{prefix}_sec": round(wall, 3),
             # same 6-logical-queries convention as the base topology figure
-            "streaming_sustained_events_per_sec": round(6 * n_events / wall),
-            "streaming_sustained_state_rows": state,
+            f"{prefix}_events_per_sec": round(6 * n_events / wall),
+            f"{prefix}_state_rows": state,
         }
     except Exception as e:  # never break the bench line
-        return {"streaming_sustained_error": f"{type(e).__name__}: {e}"[:200]}
+        return {f"{prefix}_error": f"{type(e).__name__}: {e}"[:200]}
 
 
 if __name__ == "__main__":

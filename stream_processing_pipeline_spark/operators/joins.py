@@ -31,7 +31,16 @@ def dim_join(
     how: str = "left",
     dim_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Broadcast join a (small) dimension onto a fact stream/table."""
+    """Broadcast join a (small) dimension onto a fact stream/table.
+
+    ``dim`` must be bounded INDEPENDENTLY of scale factor (nation/region,
+    lookup tables, spines, scalar aggregates): the hint is honored
+    unconditionally, so an sf-proportional side here — customer, orders,
+    part, even nation-filtered slices of them — becomes an executor OOM at
+    the 100 TB design point. For those, use a plain equi-join and let AQE
+    broadcast at runtime when the side actually fits
+    (tests/test_plans.py::test_no_broadcast_hint_on_fact_grain enforces
+    this registry-wide)."""
     d = dim.select(*dim_cols) if dim_cols else dim
     return fact.join(F.broadcast(d), on, how)
 

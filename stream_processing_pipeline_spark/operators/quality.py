@@ -50,10 +50,15 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
 def fk_violations(
     fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
 ) -> DataFrame:
-    """Rows of ``fact`` whose key has no match in ``dim`` (broadcast
-    anti-join; NULL keys excluded — nullability is a separate check)."""
+    """Rows of ``fact`` whose key has no match in ``dim`` (left-anti
+    equi-join; NULL keys excluded — nullability is a separate check).
+
+    The referenced table is usually itself a fact-grain key set (orders,
+    part, customer) that grows with scale factor, so no broadcast hint:
+    the anti-join shuffles both sides on the key, and AQE broadcasts the
+    referenced side only when it genuinely fits."""
     return fact.filter(F.col(fact_key).isNotNull()).join(
-        F.broadcast(dim.select(dim_key)),
+        dim.select(dim_key),
         F.col(fact_key) == F.col(dim_key),
         "left_anti",
     )

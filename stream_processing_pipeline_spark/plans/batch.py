@@ -7,10 +7,15 @@ set operations over the fixture star schema. Every money aggregate goes
 through exact integer cents (functions.money) so distributed sums are
 deterministic; every top-k has a unique total order (tie-broken by key).
 
-Scale notes: the join trees below put the small side in a ``broadcast()``
-(dimensions: region/nation/customer at catalog scale) so the fact tables
-(orders/lineitem) are joined without shuffling; the final groupBy is the only
-shuffle. Top-k uses ``orderBy().limit(k)`` which Spark executes as
+Scale notes: broadcast hints go ONLY on sides bounded independently of
+scale factor — nation/region (25/5 rows), scalar/per-event-type aggregates,
+calendar spines, LUTs. customer/orders/lineitem/supplier/part grow linearly
+with SF, so they shuffle-join on their keys even when a filter makes them
+small at test scale: AQE broadcasts such a side at runtime when it fits and
+falls back to shuffle when it doesn't, whereas a forced hint is honored
+unconditionally and OOMs at the 100 TB design point (VERDICT r3; enforced
+registry-wide by tests/test_plans.py::test_no_broadcast_hint_on_fact_grain).
+Top-k uses ``orderBy().limit(k)`` which Spark executes as
 TakeOrderedAndProject — per-partition heaps + driver merge of k rows, no
 global sort.
 """
@@ -89,10 +94,12 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("batch", "join", "topk"),
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style: selective dimension broadcast-joined to facts, then
+    """TPC-H Q3-style: selective customer filter joined to facts, then
     top-k by aggregated revenue. Tie-break on the unique orderkey makes the
-    k-set deterministic. Plan: BroadcastHashJoin (customer) -> shuffle join
-    on orderkey -> agg -> TakeOrderedAndProject."""
+    k-set deterministic. Customer is sf-proportional even after the
+    segment filter, so no forced broadcast — AQE broadcasts it at small SF
+    and shuffle-joins at scale. Plan: custkey join -> orderkey join -> agg
+    -> TakeOrderedAndProject."""
     cat = catalog(spark, sf_dir)
     cust = cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
     orders = cat.orders.filter(
@@ -102,8 +109,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = dim_join(orders, cust, on=F.col("c_custkey") == F.col("o_custkey"), how="inner",
-                      dim_cols=["c_custkey"]).join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    joined = orders.join(
+        cust.select("c_custkey"), F.col("c_custkey") == F.col("o_custkey"), "inner"
+    ).join(li, F.col("l_orderkey") == F.col("o_orderkey"))
     return (
         joined.groupBy("l_orderkey", "o_orderdate")
         .agg(sum_money(disc_price, 4).alias("revenue"))
@@ -130,10 +138,11 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("batch", "join", "star-schema"),
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style star join: region->nation->customer broadcast onto the
-    orders/lineitem facts. All dimension joins broadcast (zero fact shuffle);
-    the only shuffles are the orders⋈lineitem key join and the tiny final
-    aggregation."""
+    """TPC-H Q5-style star join: region->nation filter onto customer, then
+    orders/lineitem facts. Nation/region broadcast (bounded); the
+    region-filtered customer projection is still sf-proportional, so it
+    shuffle-joins on the customer key (AQE broadcasts it only when it
+    actually fits); orders⋈lineitem joins on the order key."""
     cat = catalog(spark, sf_dir)
     dims = (
         cat.region.filter(F.col("r_name") == "ASIA")
@@ -146,8 +155,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = dim_join(
-        orders, dims, on=F.col("o_custkey") == F.col("c_custkey"), how="inner"
+    joined = orders.join(
+        dims, F.col("o_custkey") == F.col("c_custkey"), "inner"
     ).join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
     return joined.groupBy("n_name").agg(sum_money(disc_price, 4).alias("revenue"))
 
@@ -174,10 +183,13 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     supplier in the customer's own nation (``c_nationkey = s_nationkey``),
     so the fact row joins two dimensions that must agree. Unlike
     ``revenue_by_nation`` (customer-side star only), this is the 6-table
-    shape with a cross-dimension equality. Plan: all four dimensions
-    broadcast; the non-equi part of the supplier condition rides the
-    broadcast join's residual filter; the only big shuffles are
-    orders⋈lineitem and the tiny final aggregate."""
+    shape with a cross-dimension equality. Plan: only the genuinely bounded
+    dimensions (nation⋈region, 25/5 rows) broadcast; orders, customer and
+    supplier are sf-proportional, so they shuffle-join on their keys and
+    AQE is left free to pick broadcast when a filtered side is under
+    threshold — a forced hint here would OOM at the 100 TB design point
+    (VERDICT r3). The supplier condition's cross-dimension equality rides
+    the suppkey join as a residual filter."""
     cat = catalog(spark, sf_dir)
     nat = (
         cat.region.filter(F.col("r_name") == "ASIA")
@@ -196,10 +208,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         cat.lineitem.select("l_orderkey", "l_suppkey", disc_price.alias("dp"))
-        .join(F.broadcast(orders.join(F.broadcast(cust),
-                                      F.col("o_custkey") == F.col("c_custkey"))),
+        .join(orders.join(cust, F.col("o_custkey") == F.col("c_custkey")),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp),
+        .join(supp,
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
     )
@@ -238,8 +249,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     of yearly revenue in a customer region — two roles of the nation
     dimension plus a conditional-over-total ratio. Both sums run on exact
     integer cents, so the ratio is deterministic under any aggregation
-    order; every dimension broadcasts and lineitem⋈orders is the only big
-    shuffle."""
+    order. Plan: nation/region broadcast (bounded); orders, customer and
+    supplier shuffle-join on their keys — they grow with scale factor, so
+    no forced broadcast hints (AQE broadcasts a filtered side only when it
+    is actually under threshold)."""
     cat = catalog(spark, sf_dir)
     cn = (
         cat.region.filter(F.col("r_name") == "ASIA")
@@ -263,11 +276,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = (
         cat.lineitem.select("l_orderkey", "l_suppkey", dp.alias("dp"))
         .join(
-            F.broadcast(orders.join(F.broadcast(cust),
-                                    F.col("o_custkey") == F.col("c_custkey"))),
+            orders.join(cust, F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     share = F.floor(
         F.sum(F.when(F.col("supp_nation") == "NATION_9", F.col("dp")))
@@ -989,8 +1001,11 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q7_supplier_customer_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-style bilateral volume: the supplier dimension joins in
-    (two roles of the nation table via aliases). Every dimension broadcasts;
-    the lineitem⋈orders key join is the only large shuffle."""
+    (two roles of the nation table via aliases). Only the nation aliases
+    (25 rows each) broadcast; supplier and customer are nation-FILTERED but
+    still sf-proportional (~8% of a linearly-growing table), so they
+    shuffle-join on their keys — AQE broadcasts them at small SF where they
+    fit, and falls back to shuffle at scale (VERDICT r3)."""
     cat = catalog(spark, sf_dir)
     nations = ["NATION_9", "NATION_3"]  # fixture nation names are synthetic
     sn = cat.nation.select(
@@ -1008,10 +1023,10 @@ def tpch_q7_supplier_customer_volume(spark: SparkSession, sf_dir: str) -> DataFr
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        dim_join(li, supp, on=F.col("s_suppkey") == F.col("l_suppkey"), how="inner")
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"), "inner")
         .join(cat.orders.select("o_orderkey", "o_custkey"),
               F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return joined.groupBy(
@@ -1033,8 +1048,10 @@ def tpch_q7_supplier_customer_volume(spark: SparkSession, sf_dir: str) -> DataFr
     tags=("batch", "join", "conditional-agg"),
 )
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14-style promo share: broadcast part dimension + conditional
-    revenue sums (exact cents). One month of lineitem, predicate pushed."""
+    """TPC-H Q14-style promo share: partkey join + conditional revenue sums
+    (exact cents). One month of lineitem, predicate pushed. Part is
+    sf-proportional — no forced broadcast; the partkey equi-join shuffles
+    at scale (AQE broadcasts at small SF)."""
     cat = catalog(spark, sf_dir)
     li = cat.lineitem.filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
@@ -1042,8 +1059,8 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
-    joined = dim_join(li, cat.part.select("p_partkey", "p_type"),
-                      on=F.col("p_partkey") == F.col("l_partkey"), how="inner")
+    joined = li.join(cat.part.select("p_partkey", "p_type"),
+                     F.col("p_partkey") == F.col("l_partkey"), "inner")
     return joined.agg(
         sum_money(promo, 4).alias("promo_revenue"),
         sum_money(disc_price, 4).alias("total_revenue"),
@@ -1657,11 +1674,10 @@ def sql_recursive_click_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CLICKS-ONLY slice (numbering stays over all events, so a non-click
     predecessor simply ends the streak by producing no successor) — per
     iteration that is one join of a shrinking frontier against the static
-    persisted slice, never a rescan of the raw table. The BROADCAST hint
-    sizes for the fixture (the clicks slice is small here, and it halves
-    the per-iteration overhead); on a corpus where the slice outgrows the
-    broadcast threshold, drop the hint and each level is a shuffle join of
-    the geometrically-shrinking frontier against the co-partitioned slice."""
+    persisted slice, never a rescan of the raw table. No broadcast hint on
+    the clicks slice — it is sf-proportional (~40% of events), so each
+    level is a join of the geometrically-shrinking frontier against the
+    persisted slice, broadcast by AQE only while it actually fits."""
     cat = catalog(spark, sf_dir)
     cat.register_all()
     ev = spark.sql(
@@ -1684,8 +1700,7 @@ def sql_recursive_click_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT user_id, event_id AS purchase_id, rn - 1 AS cur, 0 AS streak
           FROM _streak_purchases
           UNION ALL
-          SELECT /*+ BROADCAST(e) */
-                 w.user_id, w.purchase_id, w.cur - 1, w.streak + 1
+          SELECT w.user_id, w.purchase_id, w.cur - 1, w.streak + 1
           FROM walk w JOIN _streak_clicks e
             ON e.user_id = w.user_id AND e.rn = w.cur
           WHERE w.streak < 50
@@ -2784,16 +2799,62 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.col("pr").desc(), "node").limit(20)
 
 
+#: Celebrity cap for the butterfly wedge join: customers with more than
+#: this many distinct suppliers are dropped before wedges are generated.
+#: Wedge volume is sum over customers of C(degree, 2), so one hot customer
+#: contributes quadratically; the cap bounds per-customer wedge output at
+#: C(256, 2) ≈ 33k rows. 256 sits ~2.5x above the max observed fixture
+#: degree (10 at sf0.001, 67 at sf0.01, 102 at sf0.1), so at test SFs the
+#: cap admits everything (pinned by test) while the planted-celebrity test
+#: proves it actually drops a hot key.
+_BUTTERFLY_MAX_DEGREE = 256
+
+
+def butterfly_pairs(e: DataFrame, max_degree: int = _BUTTERFLY_MAX_DEGREE) -> DataFrame:
+    """Top supplier pairs by shared customers over a bipartite edge table
+    ``e(s, c)`` (distinct rows), with the celebrity-degree cap applied
+    BEFORE the wedge join. Degree count, semi-join, and wedge join all key
+    on ``c``, so the three stages reuse one hash partitioning of the edge
+    table — the cap costs no extra shuffle."""
+    deg = e.groupBy(F.col("c").alias("dc")).agg(F.count(F.lit(1)).alias("deg"))
+    keep = deg.filter(F.col("deg") <= max_degree).select("dc")
+    ek = e.join(keep, e["c"] == keep["dc"], "left_semi")
+    a = ek.select(F.col("s").alias("s1"), "c")
+    b = ek.select(F.col("s").alias("s2"), F.col("c").alias("c2"))
+    pairs = (
+        a.join(b, (F.col("c") == F.col("c2")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.select(
+            "s1",
+            "s2",
+            "shared",
+            F.expr("(shared * (shared - 1)) div 2").alias("butterflies"),
+        )
+        .orderBy(F.col("shared").desc(), "s1", "s2")
+        .limit(20)
+    )
+
+
 @register(
     "trade_graph_butterflies",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     ),
+    deg AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY c
+    ),
+    ek AS (
+      SELECT e.s, e.c FROM e JOIN deg ON deg.c = e.c
+      WHERE deg.d <= {_BUTTERFLY_MAX_DEGREE}
+    ),
     p AS (
       SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS shared
-      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+      FROM ek a JOIN ek b ON a.c = b.c AND a.s < b.s
       GROUP BY a.s, b.s
     )
     SELECT s1, s2, shared,
@@ -2813,10 +2874,12 @@ def trade_graph_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs. Shape: the wedge join (edge table self-joined on the
     customer) generates one row per co-purchasing wedge, grouped
     map-side into per-pair shared counts; wedge volume is
-    sum-of-degree-squared, so at 100 TB the standard cap applies —
-    drop/vertex-sample celebrity customers whose degree exceeds a bound
-    (exactly the hot-band df-cap SCALING.md measures for dedup), which
-    removes quadratic blowup while biasing only the pairs everyone
+    sum-of-degree-squared, so :func:`butterfly_pairs` DROPS celebrity
+    customers above ``_BUTTERFLY_MAX_DEGREE`` distinct suppliers before
+    the wedge join (r4: the cap moved from prose to code; the oracle
+    applies the identical cap, and the planted-celebrity test in
+    tests/test_cdc_and_skew.py proves a hot key is excluded). The cap
+    removes the quadratic blowup while biasing only the pairs everyone
     already knows are dense. TakeOrdered emits the head."""
     cat = catalog(spark, sf_dir)
     e = (
@@ -2826,23 +2889,7 @@ def trade_graph_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
     )
-    a = e.select(F.col("s").alias("s1"), "c")
-    b = e.select(F.col("s").alias("s2"), F.col("c").alias("c2"))
-    pairs = (
-        a.join(b, (F.col("c") == F.col("c2")) & (F.col("s1") < F.col("s2")))
-        .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    return (
-        pairs.select(
-            "s1",
-            "s2",
-            "shared",
-            F.expr("(shared * (shared - 1)) div 2").alias("butterflies"),
-        )
-        .orderBy(F.col("shared").desc(), "s1", "s2")
-        .limit(20)
-    )
+    return butterfly_pairs(e)
 
 
 # -------------------------------------------------------- growth accounting
@@ -3026,16 +3073,16 @@ def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50/p90/max days from order date to each line's ship date, via the
     central-rank picks (``rn == ceil(q*m)`` over a per-priority sort
     window) that keep both engines integer-identical — the fulfillment
-    dashboard that answers 'does URGENT actually ship faster?'. One
-    broadcast join (orders dim side per lineitem), one per-priority
+    dashboard that answers 'does URGENT actually ship faster?'. Orders is
+    a fact table (sf-proportional), so lineitem⋈orders is a shuffle
+    equi-join on the order key — no broadcast hint (VERDICT r3; the hint
+    would OOM at the 100 TB design point). Then one per-priority
     sort-window exchange of (priority, days) pairs; at 100 TB the
     histogram path (:func:`hist_value_quantiles`) replaces the exact sort
     exactly as documented for value_mad_outliers."""
     cat = catalog(spark, sf_dir)
     lat = cat.lineitem.join(
-        F.broadcast(
-            cat.orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
-        ),
+        cat.orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
         F.col("o_orderkey") == F.col("l_orderkey"),
     ).select(
         F.col("o_orderpriority").alias("priority"),
@@ -3097,13 +3144,14 @@ def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     share — the antitrust-style dashboard over the trade data, and a
     direct read on which nations' supply chains have a single point of
     failure. Exact integer cents -> truncating basis points keep both
-    engines bit-identical. Shape: one supplier-grain aggregation (the
-    only corpus shuffle), then nation-partitioned windows over
-    supplier-grain rows."""
+    engines bit-identical. Shape: lineitem⋈supplier shuffles on the
+    supplier key (supplier is sf-proportional — no broadcast hint), nation
+    broadcasts (bounded), then one supplier-grain aggregation and
+    nation-partitioned windows over supplier-grain rows."""
     cat = catalog(spark, sf_dir)
     rev = (
         cat.lineitem.join(
-            F.broadcast(cat.supplier.select("s_suppkey", "s_nationkey")),
+            cat.supplier.select("s_suppkey", "s_nationkey"),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .join(
@@ -3166,8 +3214,9 @@ def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`trade_graph_butterflies` keyed on the order — pair volume is
     sum over orders of C(parts_per_order, 2), bounded here by ~4-line
     orders and at scale by the same celebrity-basket degree cap; the part
-    marginals broadcast back onto the pair table. TakeOrdered emits the
-    head with a total tie-break."""
+    marginals (one row per part — sf-proportional, so NOT broadcast)
+    shuffle-join back onto the pair table on its grouping keys. TakeOrdered
+    emits the head with a total tie-break."""
     cat = catalog(spark, sf_dir)
     op = cat.lineitem.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -3183,11 +3232,11 @@ def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         pp.join(
-            F.broadcast(pc.select(F.col("p").alias("p1"), F.col("n").alias("n1"))),
+            pc.select(F.col("p").alias("p1"), F.col("n").alias("n1")),
             "p1",
         )
         .join(
-            F.broadcast(pc.select(F.col("p").alias("p2"), F.col("n").alias("n2"))),
+            pc.select(F.col("p").alias("p2"), F.col("n").alias("n2")),
             "p2",
         )
         .select(
@@ -3239,14 +3288,16 @@ def open_orders_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     this naively — per-day count of covering intervals — is a range join
     that explodes quadratically; the sweep reduces it to one aggregation
     plus a window over the ~2,400-row day series, the
-    corpus-size-independent shape. The per-order end date rides the same
-    orderkey aggregation the max-ship lookup needs anyway; the day-grain
-    window is the only ordered pass. Backlog never negative and final
+    corpus-size-independent shape. The lineitem⋈orders equi-join shuffles
+    on the order key (orders is sf-proportional — no broadcast hint,
+    VERDICT r3); the per-order end date rides the same orderkey
+    aggregation the max-ship lookup needs anyway; the day-grain window is
+    the only ordered pass. Backlog never negative and final
     backlog zero (every order eventually ships) are pinned by test."""
     cat = catalog(spark, sf_dir)
     iv = (
         cat.lineitem.join(
-            F.broadcast(cat.orders.select("o_orderkey", "o_orderdate")),
+            cat.orders.select("o_orderkey", "o_orderdate"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate")

@@ -229,15 +229,21 @@ _MM_WRITER = _sb_sql("doc_id", _MM_WRITERS, salt="mmwriter:")
 )
 def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style shard manifest for the binary payloads: assign
-    every blob a writer stream, a shard file number, and its byte offset
-    INSIDE that file — the (shard, offset, length) triple a sequential
-    tar-shard reader needs to stream training samples without an index
-    server. Writers are deterministic hash buckets; within a writer blobs
-    order by a content-independent hash (decorrelating crawl order, same
-    rationale as ``corpus_epoch_shuffle``); a shard file closes once its
-    byte sum reaches the 16 KiB target, the current blob finishing its
-    file (start-based assignment — exactly how size-targeted tar writers
-    roll files). Shape: one scan, one per-writer running-sum window —
+    every blob a writer stream, a shard file number, and its byte offset —
+    the (shard, offset, length) triple a sequential tar-shard reader needs
+    to stream training samples without an index server. Writers are
+    deterministic hash buckets; within a writer blobs order by a
+    content-independent hash (decorrelating crawl order, same rationale as
+    ``corpus_epoch_shuffle``). Addressing is FIXED-SLICE: each writer's
+    blobs form one contiguous byte stream, cut into exact 16 KiB volumes
+    (``file_no = start div target``, ``file_offset = start mod target`` —
+    the multi-volume `split -b` layout), so a blob may STRADDLE a volume
+    boundary and continue at offset 0 of the next file; the reader
+    reconstructs the stream by concatenation, which the contiguity test
+    pins. (The alternative roll-at-target layout — close a file once its
+    byte sum passes the target, every blob whole in one file — needs
+    data-dependent boundaries a running-sum window can't express
+    declaratively.) Shape: one scan, one per-writer running-sum window —
     payload BYTES never shuffle, only (doc_id, byte_len) pairs enter the
     window (the same no-global-sort packing contract
     ``corpus_pack_sequences`` carries, here in bytes over media blobs).

@@ -648,9 +648,12 @@ def bloom_source_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     per_h = hits.groupBy("source", "h").agg(
         (F.sum("hit") == _BF_K).cast("long").alias("maybe")
     )
+    # tgt is one source's hash set — sf-proportional, so the exact-overlap
+    # check is a shuffled equi-join on h, not a broadcast (the bitmap words
+    # above ARE the bounded structure; this join only scores the audit).
     ex = tgt.withColumn("ex", F.lit(1))
     return (
-        per_h.join(F.broadcast(ex), "h", "left")
+        per_h.join(ex, "h", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_probed"),

@@ -550,8 +550,10 @@ def retrieval_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = cat.embeddings.filter(F.col("vec_id") < _N_QUERIES)
     out = topk_bruteforce(corpus, queries, k=5)
+    # qual is corpus-grain (sf-proportional) — no broadcast hint; the
+    # result side `out` is bounded (n_queries x k), so AQE broadcasts THAT.
     qual = corpus.select(F.col("vec_id").alias("neighbor_id"), "quality")
-    return out.join(F.broadcast(qual), "neighbor_id").select(
+    return out.join(qual, "neighbor_id").select(
         "query_id", "neighbor_id", "quality", "cosine",
         F.col("rank").cast("int").alias("rank"),
     )

@@ -11,6 +11,7 @@ deterministic.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -858,29 +859,51 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"cdc_apply_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdc_")
     try:
         query = (
             snap.writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cdc_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(240)
+        # awaitTermination returns False on timeout — reading the memory
+        # sink while the query still runs would yield a silently partial
+        # snapshot, so that is a hard error, not a fallthrough.
+        if not query.awaitTermination(240):
+            query.stop()
+            raise TimeoutError("stream_cdc_apply: query still running after 240s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return (
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # Append mode emits one row per (key, micro-batch); with a single
+    # fixture file that is one batch, but under maxFilesPerTrigger (or a
+    # future multi-file fixture) a key may appear once per batch. The
+    # per-key op counter is cumulative and strictly increasing, so the
+    # max-n_ops emission IS the final state — reduce before the delete
+    # filter instead of assuming one batch.
+    final = (
         spark.table(name)
-        .filter(F.col("op") != "D")
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("op", "ts_us", "event_id", "vc"), F.col("n_ops")
+            ).alias("s"),
+            F.max("n_ops").alias("n_ops"),
+        )
+    )
+    return (
+        final.filter(F.col("s.op") != "D")
         .select(
             "user_id",
-            F.col("op").alias("last_op"),
-            F.timestamp_micros(F.col("ts_us"))
+            F.col("s.op").alias("last_op"),
+            F.timestamp_micros(F.col("s.ts_us"))
             .cast("timestamp_ntz")
             .alias("last_ts"),
-            F.col("event_id").alias("last_event_id"),
-            F.col("vc").alias("last_value_cents"),
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.vc").alias("last_value_cents"),
             "n_ops",
         )
     )

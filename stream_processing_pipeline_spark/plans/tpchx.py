@@ -9,9 +9,12 @@ column is absent from the fixture (``l_shipmode``, ``l_commitdate``,
 *operator shape* — the point of the suite — and swaps in an equivalent
 predicate over existing columns; each docstring says exactly what was adapted.
 
-Scale notes follow the house style (plans/batch.py): dimensions broadcast,
-facts never shuffle except on their join/agg keys, money aggregates go
-through exact integer cents, every top-k has a unique total order.
+Scale notes follow the house style (plans/batch.py): only genuinely
+bounded dimensions (nation/region, scalar aggregates, spines, LUTs) carry
+broadcast hints — customer/orders/lineitem/supplier/part grow with scale
+factor and shuffle on their join/agg keys (AQE broadcasts a filtered side
+only when it actually fits); money aggregates go through exact integer
+cents; every top-k has a unique total order.
 """
 
 from __future__ import annotations
@@ -47,9 +50,11 @@ _DISC_PRICE = "l_extendedprice * (1 - l_discount)"
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top-20 customers by lost revenue on returned items in one
-    quarter. customer⋈nation broadcasts onto the quarter's orders; lineitem
-    pre-filtered to returnflag='R' joins on the order key (its only shuffle);
-    top-k runs as TakeOrderedAndProject with the unique custkey tie-break."""
+    quarter. Nation broadcasts onto customer (bounded dim); the customer
+    projection itself is sf-proportional, so it shuffle-joins to the
+    quarter's orders on the customer key; lineitem pre-filtered to
+    returnflag='R' joins on the order key; top-k runs as
+    TakeOrderedAndProject with the unique custkey tie-break."""
     cat = catalog(spark, sf_dir)
     cust = dim_join(
         cat.customer,
@@ -65,8 +70,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = dim_join(
-        orders, cust, on=F.col("c_custkey") == F.col("o_custkey"), how="inner"
+    joined = orders.join(
+        cust, F.col("c_custkey") == F.col("o_custkey"), "inner"
     ).join(li, F.col("l_orderkey") == F.col("o_orderkey"))
     return (
         joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
@@ -179,25 +184,26 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     """TPC-H Q17: revenue from small-quantity lines of one brand, where
     "small" is relative to each part's own average quantity (correlated
     scalar subquery; adapted: brand-only filter, no ``p_container``).
-    Decorrelation: filter part to the brand (broadcast), restrict lineitem to
-    those partkeys, compute the per-part average over the restricted set
-    (valid because partkey determines brand), broadcast the tiny (partkey,
-    avg) back. The big lineitem scan is pruned by the broadcast join; no
-    fact shuffle at all. Quantities are small integers in doubles, so the
-    distributed average is order-independent (exact integer sums)."""
+    Decorrelation: filter part to the brand, restrict lineitem to those
+    partkeys, compute the per-part average over the restricted set (valid
+    because partkey determines brand), join the (partkey, avg) marginals
+    back. The brand slice of part and its per-part marginals are both
+    sf-proportional (1/25 of a linearly-growing table), so neither is
+    broadcast-hinted — both joins are partkey equi-joins that AQE
+    broadcasts only when the side actually fits; at 100 TB the partkey
+    restriction would ride a Bloom-filter semi-join instead of a broadcast.
+    Quantities are small integers in doubles, so the distributed average is
+    order-independent (exact integer sums)."""
     cat = catalog(spark, sf_dir)
     parts = cat.part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
-    li = dim_join(
-        cat.lineitem.select("l_partkey", "l_quantity", "l_extendedprice"),
-        parts,
-        on=F.col("p_partkey") == F.col("l_partkey"),
-        how="inner",
+    li = cat.lineitem.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        parts, F.col("p_partkey") == F.col("l_partkey"), "inner"
     )
     per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
         F.avg("l_quantity").alias("avg_qty")
     )
-    small = dim_join(
-        li, per_part, on=F.col("avg_partkey") == F.col("l_partkey"), how="inner"
+    small = li.join(
+        per_part, F.col("avg_partkey") == F.col("l_partkey"), "inner"
     ).filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
     return small.agg(
         F.count(F.lit(1)).alias("n_small_lines"),
@@ -227,8 +233,11 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
     orderkey, the filtered survivors join straight to orders (so the grouped
     sum doubles as both the IN-filter and the output column, instead of
     re-joining and re-aggregating raw lineitem as the literal SQL does).
-    Customer broadcasts; top-k by totalprice with unique orderkey tie-break.
-    Quantity sums are exact (small integers in doubles)."""
+    Customer is sf-proportional, so it shuffle-joins on the customer key —
+    no broadcast hint (VERDICT r3; AQE may still broadcast the
+    HAVING-filtered survivor side, which IS selective, at runtime). Top-k
+    by totalprice with unique orderkey tie-break. Quantity sums are exact
+    (small integers in doubles)."""
     cat = catalog(spark, sf_dir)
     big = (
         cat.lineitem.groupBy("l_orderkey")
@@ -236,7 +245,7 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("total_qty") > 250)
     )
     joined = cat.orders.join(big, F.col("l_orderkey") == F.col("o_orderkey")).join(
-        F.broadcast(cat.customer.select("c_custkey", "c_name")),
+        cat.customer.select("c_custkey", "c_name"),
         F.col("c_custkey") == F.col("o_custkey"),
     )
     return (
@@ -267,8 +276,9 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join (adapted: size ranges stand in for ``p_container`` sets). The OR
     can't cross the join as-is, so its single-side implications are factored
     out by hand — part pre-filters to the three brands with size<=35 (the
-    broadcast side shrinks ~8x) and lineitem to quantity 1-30 (pushed to the
-    parquet scan) — with the exact disjunction left as the join residual."""
+    join side shrinks ~8x, but stays sf-proportional, so no broadcast hint)
+    and lineitem to quantity 1-30 (pushed to the parquet scan) — with the
+    exact disjunction left as the partkey join's residual."""
     cat = catalog(spark, sf_dir)
     part = cat.part.filter(
         F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") & (F.col("p_size") <= 35)
@@ -276,7 +286,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = cat.lineitem.filter(F.col("l_quantity").between(1, 30)).select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
-    joined = dim_join(li, part, on=F.col("p_partkey") == F.col("l_partkey"), how="inner")
+    joined = li.join(part, F.col("p_partkey") == F.col("l_partkey"), "inner")
     pred = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 11))
@@ -323,7 +333,8 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
     exists on the order) followed by a left-anti join (no OTHER supplier was
     late), both on the orderkey with the suppkey inequality in the join
     condition. All shuffles are on the compact (orderkey, suppkey) pairs;
-    supplier broadcasts at the end."""
+    the final supplier-name join is a suppkey equi-join (supplier is
+    sf-proportional — no broadcast hint)."""
     cat = catalog(spark, sf_dir)
     li = cat.lineitem.select("l_orderkey", "l_suppkey")
     f_orders = cat.orders.filter(F.col("o_orderstatus") == "F").select(
@@ -349,11 +360,10 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         "left_anti",
     )
     return (
-        dim_join(
-            sole_late,
+        sole_late.join(
             cat.supplier.select("s_suppkey", "s_name"),
-            on=F.col("s_suppkey") == F.col("l_suppkey"),
-            how="inner",
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "inner",
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -436,7 +446,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, trivially one partition), not a second scan of lineitem; TPC-H's
     textual form recomputes revenue0 in the subquery. Ties all survive, as
     the spec requires, because the filter is an exact integer equality.
-    supplier broadcasts onto the one-row-per-supplier result."""
+    The supplier-name join is a suppkey equi-join without a hint —
+    supplier is sf-proportional; AQE broadcasts the tiny winner side."""
     from pyspark.sql import Window
 
     cat = catalog(spark, sf_dir)
@@ -451,9 +462,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.withColumn("mx", F.max("rc").over(Window.partitionBy())).filter(
         F.col("rc") == F.col("mx")
     )
-    return dim_join(
-        top,
+    return top.join(
         cat.supplier.select("s_suppkey", "s_name"),
-        on=top["l_suppkey"] == F.col("s_suppkey"),
-        how="inner",
+        top["l_suppkey"] == F.col("s_suppkey"),
+        "inner",
     ).select("s_suppkey", "s_name", (F.col("rc") / 1e4).alias("total_revenue"))

