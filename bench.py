@@ -188,10 +188,7 @@ def _bench_streaming_topology(spark, sf_dir: str) -> dict:
             min(spark.sparkContext.defaultParallelism, n_events // (4 * 3000) or 4),
         )
         topo = Topology(
-            spark,
-            checkpoint_root=work + "/ckpt",
-            state_partitions=state_parts,
-            state_store=state_store,
+            spark, checkpoint_root=work + "/ckpt", state_partitions=state_parts
         )
         EventsTopologyBuilder(
             events_stream=stream,

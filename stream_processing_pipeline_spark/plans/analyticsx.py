@@ -1,0 +1,837 @@
+"""Round-4 extension suite: robust statistics, time-series diagnostics,
+sequential funnels, mixture weighting, sketch-accuracy audits, and
+embedding fidelity.
+
+Widens the engine past round 3 along axes the reference workload implies
+but never reaches (SURVEY.md §2.5-2.6 names only plain windowed counts):
+trimmed/winsorized robust aggregates, autocorrelation and CUSUM drift over
+the daily series, a strictly-ordered conversion funnel, inter-purchase
+interval quantiles, temperature-scaled mixture weights (the data-mixture
+knob every LLM pretraining run tunes), a histogram-vs-exact quantile
+calibration audit, exact-integer TF-IDF, per-source distribution shift,
+and Matryoshka truncation fidelity over the embedding table.
+
+House rules throughout: money/values through exact integer cents; ranks by
+ceil-threshold integer arithmetic (``(q*m + 99) div 100``); the only float
+ops are final ratios/sqrt on identical integer operands, pinned with
+``pround`` in BOTH engines; day-grain windows are calendar-bounded, never
+corpus-sized; no broadcast hints on sf-proportional sides (audit.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, cents_sql
+from ..functions.rounding import pround, pround_sql
+from ..operators.histogram import DEFAULT_WIDTH_CENTS
+from ..operators.text import (
+    normalize_text,
+    normalize_text_sql,
+    token_count,
+    token_count_sql,
+    tokens,
+    tokens_sql,
+)
+from .common import catalog
+from .registry import register
+
+_CV = cents_sql("value")
+
+
+# ------------------------------------------------------- robust statistics
+
+@register(
+    "trimmed_mean_value_by_type",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, event_id, {_CV} AS cv FROM events
+    ),
+    r AS (
+      SELECT event_type, cv,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cv, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM c
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(cv) AS BIGINT) AS kept_sum_cents,
+           CAST(sum(cv) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS trimmed_mean_cents
+    FROM r
+    WHERE rn > m // 10 AND rn <= m - (m // 10)
+    GROUP BY event_type
+    """,
+    tags=("batch", "robust-stats", "trimmed-mean"),
+)
+def trimmed_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per event type: drop the lowest and highest decile
+    by rank (ties broken by the unique event_id, so the kept set is
+    deterministic), then an exact integer mean over the survivors — the
+    robust location estimate that one outlier can't move, in the same
+    central-rank recipe as :func:`..batch.value_mad_outliers`. Shape: one
+    per-type sort window + one aggregate; at 100 TB the rank pass becomes
+    the histogram path exactly as documented for the MAD query."""
+    ev = catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("cv", "event_id")
+    wm = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type", "event_id", cents("value").alias("cv")
+    ).select(
+        "event_type",
+        "cv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wm).alias("m"),
+    )
+    kept = r.filter(
+        (F.col("rn") > F.expr("m div 10"))
+        & (F.col("rn") <= F.expr("m - (m div 10)"))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("cv").alias("kept_sum_cents"),
+        )
+        .withColumn(
+            "trimmed_mean_cents", F.expr("kept_sum_cents div n_kept")
+        )
+    )
+
+
+@register(
+    "value_winsorized_stats",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, event_id, {_CV} AS cv FROM events
+    ),
+    r AS (
+      SELECT event_type, cv,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cv, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM c
+    ),
+    b AS (
+      SELECT event_type, cv,
+             max(CASE WHEN rn = (5 * m + 99) // 100 THEN cv END)
+               OVER (PARTITION BY event_type) AS p05,
+             max(CASE WHEN rn = (95 * m + 99) // 100 THEN cv END)
+               OVER (PARTITION BY event_type) AS p95
+      FROM r
+    )
+    SELECT event_type,
+           CAST(max(p05) AS BIGINT) AS p05_cents,
+           CAST(max(p95) AS BIGINT) AS p95_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(least(greatest(cv, p05), p95)) AS BIGINT)
+             AS winsorized_sum_cents
+    FROM b GROUP BY event_type
+    """,
+    tags=("batch", "robust-stats", "winsorize"),
+)
+def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized sums per event type: clamp every value into the exact
+    [p05, p95] central-rank band, then aggregate — the tail-robust
+    companion to the trimmed mean (values are capped, not dropped, so
+    counts are preserved; the standard pre-step before fitting anything to
+    heavy-tailed spend data). Both rank picks ride the SAME per-type sort
+    window as the clamp pass — one exchange, two window frames."""
+    ev = catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("cv", "event_id")
+    wm = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type", "event_id", cents("value").alias("cv")
+    ).select(
+        "event_type",
+        "cv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wm).alias("m"),
+    )
+    b = r.select(
+        "event_type",
+        "cv",
+        F.max(
+            F.when(F.col("rn") == F.expr("(5 * m + 99) div 100"), F.col("cv"))
+        ).over(wm).alias("p05"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(95 * m + 99) div 100"), F.col("cv"))
+        ).over(wm).alias("p95"),
+    )
+    return b.groupBy("event_type").agg(
+        F.max("p05").alias("p05_cents"),
+        F.max("p95").alias("p95_cents"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.least(F.greatest(F.col("cv"), F.col("p05")), F.col("p95"))
+        ).alias("winsorized_sum_cents"),
+    )
+
+
+# ------------------------------------------------- time-series diagnostics
+
+def _autocorr_sql(k: int) -> str:
+    return f"""
+    SELECT {k} AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {pround_sql(
+               "CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)"
+               " / sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)"
+               " * CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE))",
+               6,
+           )} AS r_autocorr
+    FROM (
+      SELECT CAST(c AS BIGINT) AS y,
+             CAST(lag(c, {k}) OVER (ORDER BY day) AS BIGINT) AS x
+      FROM daily
+    ) WHERE x IS NOT NULL
+    """
+
+
+@register(
+    "daily_counts_autocorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS c
+      FROM events GROUP BY 1
+    )
+    {_autocorr_sql(1)}
+    UNION ALL
+    {_autocorr_sql(7)}
+    """,
+    tags=("batch", "time-series", "autocorrelation"),
+)
+def daily_counts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 Pearson autocorrelation of the daily event count —
+    the two numbers that say whether traffic has day-over-day momentum and
+    a weekly seasonality worth modeling. All five sufficient statistics
+    (Σx, Σy, Σxy, Σx², Σy²) are exact integer sums over the ~30-row day
+    series; only the final ratio touches doubles (identical operands in
+    both engines, pinned by pround). The unpartitioned lag window is over
+    the calendar-bounded daily aggregate, never event rows."""
+    ev = catalog(spark, sf_dir).events
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wd = Window.orderBy("day")
+    outs = []
+    for k in (1, 7):
+        pairs = daily.select(
+            F.col("c").alias("y"), F.lag("c", k).over(wd).alias("x")
+        ).filter(F.col("x").isNotNull())
+        num = F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y")) - F.sum(
+            "x"
+        ) * F.sum("y")
+        denx = F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x")) - F.sum(
+            "x"
+        ) * F.sum("x")
+        deny = F.count(F.lit(1)) * F.sum(F.col("y") * F.col("y")) - F.sum(
+            "y"
+        ) * F.sum("y")
+        outs.append(
+            pairs.agg(
+                F.lit(k).alias("lag"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                pround(
+                    num.cast("double")
+                    / F.sqrt(denx.cast("double") * deny.cast("double")),
+                    6,
+                ).alias("r_autocorr"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+@register(
+    "revenue_cusum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum({_CV}) AS BIGINT) AS rev_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    m AS (
+      SELECT day, rev_cents,
+             CAST(sum(rev_cents) OVER () AS BIGINT)
+               // CAST(count(*) OVER () AS BIGINT) AS mean_cents
+      FROM daily
+    )
+    SELECT day, rev_cents,
+           rev_cents - mean_cents AS dev_cents,
+           CAST(sum(rev_cents - mean_cents) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_cents,
+           CASE WHEN abs(CAST(sum(rev_cents - mean_cents) OVER (ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT))
+                     > mean_cents THEN 1 ELSE 0 END AS breach
+    FROM m
+    """,
+    tags=("batch", "time-series", "cusum", "drift"),
+)
+def revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift monitor over daily purchase revenue: cumulative
+    deviation from the run's mean day, flagging days where |cusum| exceeds
+    one mean day's revenue — the classic change-point screen (a sustained
+    small shift accumulates where per-day thresholds stay silent). Exact
+    integer cents throughout — mean by truncating division, so cusum and
+    the breach flag replay bit-identically. One corpus aggregation to day
+    grain; both windows run over the bounded day series."""
+    ev = catalog(spark, sf_dir).events
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents("value")).alias("rev_cents"))
+    )
+    wall = Window.partitionBy()
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    m = daily.select(
+        "day",
+        "rev_cents",
+        (
+            F.sum("rev_cents").over(wall) / F.count(F.lit(1)).over(wall)
+        ).cast("long").alias("_div_placeholder"),
+        F.expr(
+            "sum(rev_cents) OVER () div count(*) OVER ()"
+        ).alias("mean_cents"),
+    ).drop("_div_placeholder")
+    dev = F.col("rev_cents") - F.col("mean_cents")
+    out = m.select(
+        "day",
+        "rev_cents",
+        dev.alias("dev_cents"),
+        F.sum(dev).over(wc).alias("cusum_cents"),
+    )
+    return out.withColumn(
+        "breach",
+        F.when(
+            F.abs(F.col("cusum_cents")) > F.col("rev_cents") - F.col("dev_cents"),
+            1,
+        ).otherwise(0),
+    )
+
+
+# ------------------------------------------------------ sequential funnels
+
+@register(
+    "strict_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.tv
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.tc
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    n AS (
+      SELECT (SELECT count(*) FROM v) AS n1,
+             (SELECT count(*) FROM c) AS n2,
+             (SELECT count(*) FROM p) AS n3
+    )
+    SELECT 1 AS stage, CAST(n1 AS BIGINT) AS n_users,
+           CAST(1000 AS BIGINT) AS conv_permille FROM n
+    UNION ALL
+    SELECT 2, CAST(n2 AS BIGINT),
+           CASE WHEN n1 = 0 THEN NULL
+                ELSE CAST((1000 * n2) // n1 AS BIGINT) END FROM n
+    UNION ALL
+    SELECT 3, CAST(n3 AS BIGINT),
+           CASE WHEN n2 = 0 THEN NULL
+                ELSE CAST((1000 * n3) // n2 AS BIGINT) END FROM n
+    """,
+    tags=("batch", "funnel", "sequential"),
+)
+def strict_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ORDERED funnel view -> click -> purchase: a user converts a
+    stage only with an event strictly after their first event of the
+    previous stage (``user_funnel`` counts per-type presence; this demands
+    the sequence). Per-stage user counts plus step conversion in integer
+    permille. Shape: three user-grain aggregations chained by user-keyed
+    joins — each stage's table shrinks, all joins are on the same user key
+    (one partitioning reused), and the three scalar counts assemble
+    driver-free via a 1-row cross join (bounded; BNLJ-allowlisted)."""
+    ev = catalog(spark, sf_dir).events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    n = (
+        v.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n2"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n3"))))
+    )
+    return n.select(
+        F.expr(
+            """stack(3,
+               1, CAST(n1 AS BIGINT), CAST(1000 AS BIGINT),
+               2, CAST(n2 AS BIGINT),
+                  CASE WHEN n1 = 0 THEN NULL
+                       ELSE (1000 * n2) div n1 END,
+               3, CAST(n3 AS BIGINT),
+                  CASE WHEN n2 = 0 THEN NULL
+                       ELSE (1000 * n3) div n2 END
+            ) AS (stage, n_users, conv_permille)"""
+        )
+    ).select(
+        F.col("stage").cast("int").alias("stage"),
+        "n_users",
+        "conv_permille",
+    )
+
+
+@register(
+    "orders_reorder_interval",
+    oracle="""
+    WITH g AS (
+      SELECT date_diff('day',
+                       CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS DATE),
+                       CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    ),
+    h AS (
+      SELECT gap, CAST(count(*) AS BIGINT) AS n FROM g
+      WHERE gap IS NOT NULL GROUP BY gap
+    ),
+    cum AS (
+      SELECT gap, n,
+             CAST(sum(n) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS c,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+      FROM h
+    )
+    SELECT CAST(max(total) AS BIGINT) AS n_intervals,
+           CAST(min(CASE WHEN c >= (50 * total + 99) // 100 THEN gap END)
+                AS BIGINT) AS p50_days,
+           CAST(min(CASE WHEN c >= (90 * total + 99) // 100 THEN gap END)
+                AS BIGINT) AS p90_days,
+           CAST(max(gap) AS BIGINT) AS max_days
+    FROM cum
+    """,
+    tags=("batch", "intervals", "histogram-quantile", "retention"),
+)
+def orders_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval quantiles — how many days pass between a
+    customer's consecutive orders (the repeat-purchase cadence behind
+    retention forecasting). EXACT p50/p90/max with NO corpus-sized sort:
+    gaps are integer day counts bounded by the calendar, so aggregating to
+    a (gap, count) histogram first makes the quantile a cumulative-sum
+    walk over <= ~2,400 distinct values — the small-integer-domain case
+    where the histogram trick is exact, not approximate (compare
+    :func:`..histq.hist_value_quantiles`, which documents its bin-width
+    error). One per-customer lag window (orders grain), one day-grain
+    aggregation, one bounded window."""
+    o = catalog(spark, sf_dir).orders
+    wu = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(wu),
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    h = g.groupBy("gap").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = h.select(
+        "gap",
+        F.sum("n").over(wc).alias("c"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    return cum.agg(
+        F.max("total").alias("n_intervals"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(50 * total + 99) div 100"), F.col("gap"))
+        ).alias("p50_days"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(90 * total + 99) div 100"), F.col("gap"))
+        ).alias("p90_days"),
+        F.max("gap").alias("max_days"),
+    )
+
+
+# -------------------------------------------------- mixture & distribution
+
+@register(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum({token_count_sql('text')}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wgt
+      FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST((1000 * n_tokens) // (sum(n_tokens) OVER ()) AS BIGINT)
+             AS raw_permille,
+           CAST((1000 * wgt) // (sum(wgt) OVER ()) AS BIGINT)
+             AS temp_permille
+    FROM w
+    """,
+    tags=("batch", "llm-pipeline", "mixture", "temperature-sampling"),
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source — the pretraining
+    data-mixture knob: sampling proportional to ``n_tokens^0.5`` (alpha =
+    1/2) upweights small sources relative to raw token share, the standard
+    fix for majority-language/source domination. ``floor(sqrt(n))`` is the
+    one float op (IEEE sqrt of the same integer is bit-identical across
+    engines); shares are then truncating-integer permille. Complements
+    :func:`..textq.mixture_token_budget` (which allocates a budget given
+    weights — this derives the weights). One source-grain aggregation;
+    the share window runs over source-count rows."""
+    d = catalog(spark, sf_dir).documents
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "wgt", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    )
+    wall = Window.partitionBy()
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(1000 * n_tokens) div (sum(n_tokens) OVER ())").alias(
+            "raw_permille"
+        ),
+        F.expr("(1000 * wgt) div (sum(wgt) OVER ())").alias("temp_permille"),
+    )
+
+
+@register(
+    "source_token_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({tokens_sql(normalize_text_sql('text'))}) AS term
+      FROM documents
+    ),
+    st AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY source, term
+    ),
+    t AS (
+      SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY term
+    ),
+    ns AS (
+      SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM t),
+    j AS (
+      SELECT st.source,
+             CAST(sum(abs(st.c_st * tot.n - t.c_t * ns.n_s)) AS BIGINT)
+               AS present_num,
+             CAST(sum(t.c_t) AS BIGINT) AS present_ct
+      FROM st JOIN t ON t.term = st.term
+              JOIN ns ON ns.source = st.source
+              CROSS JOIN tot
+      GROUP BY st.source
+    )
+    SELECT j.source, ns.n_s AS n_tokens,
+           CAST((1000 * (j.present_num + ns.n_s * (tot.n - j.present_ct)))
+                // (2 * ns.n_s * tot.n) AS BIGINT) AS tv_permille
+    FROM j JOIN ns ON ns.source = j.source CROSS JOIN tot
+    """,
+    tags=("batch", "llm-pipeline", "distribution-shift", "total-variation"),
+)
+def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution shift: total-variation distance between each
+    source's token distribution and the whole corpus, in exact integer
+    permille — the audit that says WHICH source a mixture reweight or a
+    contamination hunt should look at first. The common-denominator form
+    ``|c_st * N - c_t * n_s|`` keeps everything integer, and terms absent
+    from a source contribute ``n_s * (N - Σ_present c_t)`` in closed form —
+    no source x vocabulary materialization. Shape: one token explode +
+    (source, term) aggregation (the corpus shuffle), a term-grain join of
+    compact counts, and source-grain assembly; the scalar totals ride a
+    bounded cross join."""
+    d = catalog(spark, sf_dir).documents
+    tok = d.select(
+        "source", F.explode(tokens(normalize_text("text"))).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    st = st.persist()
+    t = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tot = t.agg(F.sum("c_t").alias("n"))
+    j = (
+        st.join(t, "term")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(F.col("c_st") * F.col("n") - F.col("c_t") * F.col("n_s"))
+            ).alias("present_num"),
+            F.sum("c_t").alias("present_ct"),
+        )
+    )
+    return (
+        j.join(ns, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.expr(
+                "(1000 * (present_num + n_s * (n - present_ct)))"
+                " div (2 * n_s * n)"
+            ).alias("tv_permille"),
+        )
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql(normalize_text_sql('text'))}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * ((n.n_docs * 1000) // df.df) AS score
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, CAST(score AS BIGINT) AS score,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("batch", "llm-pipeline", "tfidf", "text"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document in EXACT integer arithmetic:
+    ``idf_permille = (N * 1000) div df`` (the monotone rational form — for
+    ranking, the log in textbook IDF only compresses the scale, and the
+    integer form makes the whole keyword extraction value-hash-verifiable),
+    ``score = tf * idf_permille``, ties broken lexically. The per-doc
+    keyword primitive under corpus search/labeling. Shape: token explode ->
+    (doc, term) counts -> vocabulary-grain df join -> per-doc top-3 window
+    over ~terms-per-doc rows; the scalar N rides a bounded cross join."""
+    d = catalog(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", F.explode(tokens(normalize_text("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.col("tf") * F.expr("(n_docs * 1000) div df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
+# ------------------------------------------------- sketch-accuracy audits
+
+_W = DEFAULT_WIDTH_CENTS
+
+
+@register(
+    "hist_quantile_calibration",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, event_id, {_CV} AS cv FROM events
+    ),
+    r AS (
+      SELECT event_type, cv,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cv, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM c
+    ),
+    exact AS (
+      SELECT event_type,
+             CAST(max(CASE WHEN rn = (50 * m + 99) // 100 THEN cv END)
+                  AS BIGINT) AS exact50_cents,
+             CAST(max(CASE WHEN rn = (90 * m + 99) // 100 THEN cv END)
+                  AS BIGINT) AS exact90_cents
+      FROM r GROUP BY event_type
+    ),
+    h AS (
+      SELECT event_type, cv // {_W} AS bin, CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY event_type, bin
+    ),
+    cum AS (
+      SELECT event_type, bin,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cu,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM h
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(min(CASE WHEN cu >= (50 * total + 99) // 100
+                           THEN (bin + 1) * {_W} - 1 END) AS BIGINT)
+               AS est50_cents,
+             CAST(min(CASE WHEN cu >= (90 * total + 99) // 100
+                           THEN (bin + 1) * {_W} - 1 END) AS BIGINT)
+               AS est90_cents
+      FROM cum GROUP BY event_type
+    )
+    SELECT e.event_type, x.exact50_cents, e.est50_cents,
+           e.est50_cents - x.exact50_cents AS err50_cents,
+           x.exact90_cents, e.est90_cents,
+           e.est90_cents - x.exact90_cents AS err90_cents
+    FROM est e JOIN exact x ON x.event_type = e.event_type
+    """,
+    tags=("batch", "sketch-accuracy", "histogram", "calibration"),
+)
+def hist_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-vs-exact quantile calibration per event type: the
+    $5-bin estimate (:func:`..histq.hist_value_quantiles`'s rule — upper
+    edge of the first bin whose cumulative count crosses the ceil
+    threshold) next to the true central-rank pick, with the signed error
+    in cents. The audit one runs before trusting the sort-free histogram
+    path at scale; the bin-width error bound (err in [0, width)) is pinned
+    by test. Same shape economics as the minhash calibration: the exact
+    side exists only to score the sketch."""
+    ev = catalog(spark, sf_dir).events
+    c = ev.select("event_type", "event_id", cents("value").alias("cv"))
+    w = Window.partitionBy("event_type").orderBy("cv", "event_id")
+    wm = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wm).alias("m"),
+    )
+    exact = r.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(50 * m + 99) div 100"), F.col("cv"))
+        ).alias("exact50_cents"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(90 * m + 99) div 100"), F.col("cv"))
+        ).alias("exact90_cents"),
+    )
+    h = c.groupBy(
+        "event_type", F.expr(f"cv div {_W}").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(wcum).alias("cu"),
+        F.sum("n").over(wm).alias("total"),
+    )
+    edge = F.expr(f"(bin + 1) * {_W} - 1")
+    est = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cu") >= F.expr("(50 * total + 99) div 100"), edge)
+        ).alias("est50_cents"),
+        F.min(
+            F.when(F.col("cu") >= F.expr("(90 * total + 99) div 100"), edge)
+        ).alias("est90_cents"),
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact50_cents",
+        "est50_cents",
+        (F.col("est50_cents") - F.col("exact50_cents")).alias("err50_cents"),
+        "exact90_cents",
+        "est90_cents",
+        (F.col("est90_cents") - F.col("exact90_cents")).alias("err90_cents"),
+    )
+
+
+# ---------------------------------------------------- embedding fidelity
+
+def _ss_prefix(col: str, k: int):
+    xd = F.transform(F.col(col), lambda x: x.cast("double"))
+    return F.aggregate(
+        F.slice(xd, 1, k), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+
+
+def _ss_prefix_sql(expr: str, k: int) -> str:
+    sl = f"CAST(({expr})[1:{k}] AS DOUBLE[])"
+    return f"list_dot_product({sl}, {sl})"
+
+
+@register(
+    "emb_matryoshka_fidelity",
+    oracle=f"""
+    SELECT vec_id, label,
+           {pround_sql(f"sqrt({_ss_prefix_sql('embedding', 16)} / {_ss_prefix_sql('embedding', 64)})", 6)}
+             AS fidelity16,
+           {pround_sql(f"sqrt({_ss_prefix_sql('embedding', 32)} / {_ss_prefix_sql('embedding', 64)})", 6)}
+             AS fidelity32
+    FROM embeddings
+    """,
+    tags=("similarity", "matryoshka", "quantization", "fidelity"),
+)
+def emb_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation fidelity per vector: cosine similarity between
+    the full 64-d embedding and its zero-padded 16-d / 32-d prefix, which
+    algebraically reduces to ``sqrt(||x[:k]||^2 / ||x||^2)`` — the energy
+    ratio the MRL (Matryoshka Representation Learning) serving trade-off
+    reads: how much of each vector survives storing only the prefix.
+    Per-row doubles on identical left-to-right folds (same order as
+    DuckDB's list_dot_product), pinned with pround — no cross-row float
+    aggregation anywhere. A pure scan query: at 100 TB it reads the
+    embedding column once, no shuffle at all."""
+    emb = catalog(spark, sf_dir).embeddings
+    full = _ss_prefix("embedding", 64)
+    return emb.select(
+        "vec_id",
+        "label",
+        pround(F.sqrt(_ss_prefix("embedding", 16) / full), 6).alias(
+            "fidelity16"
+        ),
+        pround(F.sqrt(_ss_prefix("embedding", 32) / full), 6).alias(
+            "fidelity32"
+        ),
+    )
