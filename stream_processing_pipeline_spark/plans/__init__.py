@@ -8,6 +8,8 @@ verbatim. Modules:
   the synthetic ``events`` star schema
 - :mod:`.batch`      — batch analytics widening the operator surface: TPC-H-
   style aggregation/join/top-k, analytic window functions, set ops
+- :mod:`.analyticsx` — round-4 extensions: robust stats, time-series
+  diagnostics, strict funnels, mixture weighting, calibration audits
 - :mod:`.dedupq`     — deduplication suite over ``documents``
 - :mod:`.textq`      — text-analysis suite over ``documents``
 - :mod:`.similarq`   — embedding similarity search over ``embeddings``
@@ -26,6 +28,7 @@ from . import multimodalq  # noqa: E402,F401
 from . import tpchx  # noqa: E402,F401
 from . import histq  # noqa: E402,F401
 from . import scalex  # noqa: E402,F401
+from . import analyticsx  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 
@@ -96,6 +99,18 @@ _GATE_PRIORITY = [
     "tpch_q8_market_share",
     "tpch_q18_large_volume_customers",
     # -- NEW in round 4 (insert additions here, newest first)
+    "trimmed_mean_value_by_type",
+    "value_winsorized_stats",
+    "daily_counts_autocorr",
+    "revenue_cusum",
+    "strict_funnel_conversion",
+    "orders_reorder_interval",
+    "mixture_temperature_weights",
+    "source_token_divergence",
+    "text_tfidf_top_terms",
+    "hist_quantile_calibration",
+    "emb_matryoshka_fidelity",
+    "dedup_containment_pairs",
     # -- rotation fill: oldest-evidence (r1) green rows, re-verified if
     #    the prefix reaches them
     "tpch_q1_pricing_summary",

@@ -282,18 +282,14 @@ def revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ts").cast("date").alias("day"))
         .agg(F.sum(cents("value")).alias("rev_cents"))
     )
-    wall = Window.partitionBy()
     wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     m = daily.select(
         "day",
         "rev_cents",
-        (
-            F.sum("rev_cents").over(wall) / F.count(F.lit(1)).over(wall)
-        ).cast("long").alias("_div_placeholder"),
         F.expr(
             "sum(rev_cents) OVER () div count(*) OVER ()"
         ).alias("mean_cents"),
-    ).drop("_div_placeholder")
+    )
     dev = F.col("rev_cents") - F.col("mean_cents")
     out = m.select(
         "day",
@@ -513,7 +509,6 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = s.withColumn(
         "wgt", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
     )
-    wall = Window.partitionBy()
     return w.select(
         "source",
         "n_docs",

@@ -18,6 +18,7 @@ from ..functions.hashing import h60, h60_sql
 from ..operators import text as T
 from ..operators.dedup import (
     exact_groups,
+    shingles,
     jaccard_pairs,
     lsh_bands,
     lsh_candidate_pairs,
@@ -656,4 +657,91 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.n_chars").alias("len_a"),
             F.col("c.n_chars").alias("len_b"),
         )
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""{_BANDS_CTE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd
+              GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+      FROM cand c JOIN shd x ON x.doc_id = c.doc_a
+                  JOIN shd y ON y.doc_id = c.doc_b AND y.g = x.g
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             COALESCE(i.i, 0) AS inter_sh, sa.n AS na, sb.n AS nb,
+             (100 * COALESCE(i.i, 0)) // sa.n AS cont_a_pct,
+             (100 * COALESCE(i.i, 0)) // sb.n AS cont_b_pct
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, inter_sh, na, nb,
+           CAST(cont_a_pct AS BIGINT) AS cont_a_pct,
+           CAST(cont_b_pct AS BIGINT) AS cont_b_pct,
+           CASE WHEN greatest(cont_a_pct, cont_b_pct) >= 90
+                THEN 1 ELSE 0 END AS subset_dup
+    FROM scored
+    """,
+    tags=("dedup", "containment", "asymmetric"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT for LSH candidate pairs — the asymmetric dedup
+    metric Jaccard misses: a short document fully embedded in a long one
+    has low Jaccard (union is big) but containment |A∩B|/|A| ≈ 1, which is
+    why production pipelines (the SlimPajama/RefinedWeb recipe) score both
+    directions and flag ``max(cont_a, cont_b) >= 90%`` as a subset
+    duplicate. Integer percent by truncating division — no floats. Same
+    candidate-bounded shape as :func:`minhash_jaccard_calibration`: exact
+    shingle joins run ONLY over LSH candidates, never all pairs; shingle
+    sets shuffle as 8-byte grams keyed by doc."""
+    docs = catalog(spark, sf_dir).documents
+    cands = lsh_candidate_pairs(docs)
+    shd = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("g")
+    ).distinct().persist()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cands.join(shd.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(shd.select(F.col("doc_id").alias("doc_b"), "g"), ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    scored = (
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("i"), F.lit(0)).alias("inter_sh"),
+            "na",
+            "nb",
+            F.expr("(100 * coalesce(i, 0)) div na").alias("cont_a_pct"),
+            F.expr("(100 * coalesce(i, 0)) div nb").alias("cont_b_pct"),
+        )
+    )
+    return scored.withColumn(
+        "subset_dup",
+        F.when(
+            F.greatest(F.col("cont_a_pct"), F.col("cont_b_pct")) >= 90, 1
+        ).otherwise(0),
     )

@@ -284,6 +284,9 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "llm_corpus_stage_report",      # broadcast 1-row stage aggregates
         "sim_margin_mined_pairs",       # broadcast query set (_MINE_N rows)
         "lc_register_set_algebra",      # broadcast 1-row exact-overlap agg
+        "strict_funnel_conversion",     # broadcast 1-row stage counts x2
+        "source_token_divergence",      # broadcast 1-row corpus total x2
+        "text_tfidf_top_terms",         # broadcast 1-row doc count
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
