@@ -24,11 +24,11 @@ HEADLINERS = {
     "dedup_minhash_lsh": "explode/agg MinHash + band self-join on compact keys",
     "sim_topk_bruteforce": "broadcast query set x partitioned corpus + ranked window",
     "customers_without_orders": "broadcast LeftAnti with pushed date predicate",
-    "tpch_q5_local_supplier_volume": "6-table join; cross-dimension equality fused into a compound broadcast key — lineitem never shuffles",
+    "tpch_q5_local_supplier_volume": "6-table join; nation/region broadcast, sf-proportional sides key-shuffled (AQE broadcasts them only under threshold) — r4 de-hinted",
     "user_value_minmax_scaled": "per-user min-max scaling as a JVM window expression (no Python workers)",
     "user_value_trailing_hour": "RANGE-frame trailing-hour window over epoch seconds",
     "tpch_q8_market_share": "two nation roles + conditional/total ratio on exact cents",
-    "tpch_q18_large_volume_customers": "HAVING-subquery computed once (agg reused as filter and output) + broadcast customer + top-k",
+    "tpch_q18_large_volume_customers": "HAVING-subquery computed once (agg reused as filter and output) + custkey shuffle join (r4 de-hinted) + top-k",
     "tpch_q21_suppliers_kept_waiting": "EXISTS/NOT-EXISTS double correlation as left-semi + left-anti on compact (orderkey, suppkey) pairs",
     "contamination_bench_overlap": "single-pass gram-hash postings (one corpus scan) + two-level aggregation (no multi-distinct Expand)",
     "sim_topk_int8": "int8 codes: one max-reduce for scales, broadcast query codes, exact integer dot ranking",
@@ -58,6 +58,12 @@ HEADLINERS = {
     "cdc_snapshot_diff": "two as-of snapshots from one groupBy (second max_by's order key NULLed past T1) — single scan, single shuffle",
     "join_key_skew_audit": "exact skew percentiles over the cumulative count-of-counts — the window never sees per-key rows",
     "cms_token_freq": "Count-Min build as one map-side-combined agg (<= depth*width cells/task); broadcast probe join for the estimates",
+    "orders_reorder_interval": "exact interval quantiles via a (gap, count) histogram walk — small-integer domain, no corpus sort",
+    "source_token_divergence": "TV distance on common-denominator integers; absent terms contribute in closed form — no source x vocab blowup",
+    "value_winsorized_stats": "both rank picks and the clamp pass ride ONE per-type sort window (1 exchange)",
+    "strict_funnel_conversion": "three shrinking user-grain stages chained on one reused user-key partitioning",
+    "emb_matryoshka_fidelity": "pure embedding-column scan, zero shuffle — per-row energy-ratio fold",
+    "trade_graph_butterflies": "celebrity degree cap BEFORE the wedge join; deg-count, semi-join and wedge share one customer-keyed exchange (r4)",
     "bpe_train_merges": "six-round BPE training as one DAG: vocab-bounded word table, TakeOrdered(1) argmax, broadcast-winner replace, localCheckpoint lineage cuts",
     "text_bigram_coverage": "one corpus scan -> gram-hash posting agg (collect_set dedups in-aggregate) -> per-doc coverage roll-up",
 }

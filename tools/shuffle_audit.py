@@ -29,8 +29,8 @@ UI_PORT = 4046
 AUDITED = {
     "tpch_q1_pricing_summary": "partial/final agg only: shuffle = 6 groups of partial sums",
     "tpch_q3_shipping_priority": "broadcast dims; shuffle = orderkey join + per-order partials",
-    "revenue_by_nation": "star join, all dims broadcast; shuffle = orderkey join + 5 groups",
-    "tpch_q18_large_volume_customers": "one lineitem agg on orderkey; survivors join orders",
+    "revenue_by_nation": "star join, nation/region broadcast; custkey + orderkey shuffle joins (r4 de-hinted) + 5 groups",
+    "tpch_q18_large_volume_customers": "one lineitem agg on orderkey; survivors join orders, then custkey shuffle join (r4 de-hinted)",
     "tpch_q21_suppliers_kept_waiting": "semi/anti joins on compact (orderkey, suppkey) pairs",
     "dedup_exact": "16 B/doc = one (h60, id) pair per ~600 B document; text never moves",
     "dedup_minhash_lsh": "4 bands x (band_hash, id) per ~600 B doc; signatures, never shingles",
@@ -64,6 +64,10 @@ AUDITED = {
     "bloom_source_membership_audit": "bitmap build shuffles <= n_bits position rows; probes shuffle (source, h, hit) triples, text never moves",
     "mm_shard_manifest": "one per-writer running-sum window over (doc_id, byte_len) pairs — payload bytes never shuffle",
     "sim_margin_mined_pairs": "broadcast query side x corpus partition; shuffle = top-2 (query, cos) rows into the window",
+    "source_token_divergence": "(source, term, count) partials after map-side combine; term-grain join of compact counts — raw text never moves",
+    "orders_reorder_interval": "per-customer lag window on (custkey, date, orderkey) rows; quantile walk shuffles only the <=2,400-row gap histogram",
+    "trade_graph_butterflies": "deg-count, cap semi-join and wedge join all hash on the customer key — one edge-table exchange serves all three (r4)",
+    "emb_matryoshka_fidelity": "zero shuffle: per-row energy ratios computed in the scan stage",
 }
 
 
