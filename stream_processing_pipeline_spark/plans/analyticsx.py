@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import h60, h60_sql
 from ..functions.money import cents, cents_sql
 from ..functions.rounding import pround, pround_sql
 from ..operators.histogram import DEFAULT_WIDTH_CENTS
@@ -828,5 +829,389 @@ def emb_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         pround(F.sqrt(_ss_prefix("embedding", 32) / full), 6).alias(
             "fidelity32"
+        ),
+    )
+
+
+# ----------------------------------------------- r5-prep batch (deferred)
+# Registered past the 50-slot r4 gate prefix; mirror-verified at all three
+# SFs this round and pinned in tests/test_registry_gate.py::
+# deferred_past_prefix for rotation to the r5 prefix head.
+
+
+@register(
+    "text_rarity_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql(normalize_text_sql('text'))}) AS term
+      FROM documents
+    ),
+    t AS (SELECT term, CAST(count(*) AS BIGINT) AS c_t FROM tok GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(n.n // t.c_t) AS BIGINT) AS rarity_sum,
+           CAST(sum(n.n // t.c_t) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS rarity_per_token
+    FROM tok JOIN t ON t.term = tok.term CROSS JOIN n
+    GROUP BY tok.doc_id
+    """,
+    tags=("batch", "llm-pipeline", "rarity", "text"),
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token rarity — the integer-exact stand-in for a
+    unigram-LM surprisal score: each token contributes ``N div c_t``
+    (inverse corpus frequency; a hapax is worth N, the top token ~1), so
+    high-rarity documents are the OOV/noise/technical tail a quality
+    filter wants to look at, without the float log that would break
+    value-hash verification. Shape: token explode -> vocabulary counts ->
+    term-grain join back to token instances -> per-doc sum; the scalar
+    total rides a bounded cross join."""
+    d = catalog(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", F.explode(tokens(normalize_text("text"))).alias("term")
+    )
+    tok = tok.persist()
+    t = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(t, "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.expr("n div c_t")).alias("rarity_sum"),
+        )
+        .withColumn("rarity_per_token", F.expr("rarity_sum div n_tokens"))
+    )
+
+
+_CHUNK_W, _CHUNK_S = 16, 8  # window / stride (tokens)
+
+
+@register(
+    "text_chunks_overlapping",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {tokens_sql(normalize_text_sql('text'))} AS t
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CASE WHEN len(t) <= {_CHUNK_W} THEN 1
+                             ELSE 1 + (len(t) - {_CHUNK_W} + {_CHUNK_S} - 1)
+                                      // {_CHUNK_S} END),
+               k -> struct_pack(
+                 chunk_no := k,
+                 txt := array_to_string(t[k * {_CHUNK_S} + 1 :
+                                          k * {_CHUNK_S} + {_CHUNK_W}], ' '))
+             )) AS c
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(c.chunk_no AS BIGINT) AS chunk_no,
+           CAST(len(string_split(c.txt, ' ')) AS BIGINT) AS n_chunk_tokens,
+           {h60_sql("c.txt")} AS chunk_hash
+    FROM ch
+    """,
+    tags=("batch", "llm-pipeline", "chunking", "overlap"),
+)
+def text_chunks_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping training-chunk materialization: window 16 tokens,
+    stride 8 (each chunk shares half its tokens with the previous one —
+    the standard context-window chunking that avoids splitting semantic
+    units at hard boundaries; ``dedup_span_chunks`` is the
+    non-overlapping special case). One row per (doc, chunk) with the
+    chunk's token count and content hash — the table a chunk-level dedup
+    or embedding pass consumes. The token array binds ONCE per row
+    (transform-over-array trick from operators/dedup.shingles); chunk
+    text never shuffles, only (doc_id, chunk_no, n, h60) tuples leave the
+    scan stage."""
+    d = catalog(spark, sf_dir).documents
+    toks = tokens(normalize_text("text"))
+
+    def _chunks(t):
+        n = F.size(t)
+        nc = F.when(n <= _CHUNK_W, F.lit(1)).otherwise(
+            F.lit(1)
+            + F.floor((n - _CHUNK_W + _CHUNK_S - 1) / F.lit(_CHUNK_S)).cast(
+                "int"
+            )
+        )
+        return F.transform(
+            F.sequence(F.lit(0), nc - 1),
+            lambda k: F.struct(
+                k.alias("chunk_no"),
+                F.array_join(
+                    F.slice(t, k * _CHUNK_S + 1, _CHUNK_W), " "
+                ).alias("txt"),
+            ),
+        )
+
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.element_at(F.transform(F.array(toks), _chunks), 1)
+        ).alias("c"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_no").cast("long").alias("chunk_no"),
+        F.size(F.split(F.col("c.txt"), " ")).cast("long").alias(
+            "n_chunk_tokens"
+        ),
+        h60(F.col("c.txt")).alias("chunk_hash"),
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.tv
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.tc
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    g AS (
+      SELECT p.user_id,
+             (epoch_us(p.tp) - epoch_us(v.tv)) // 60000000 AS mins
+      FROM p JOIN v ON v.user_id = p.user_id
+    ),
+    h AS (SELECT mins, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY mins),
+    cum AS (
+      SELECT mins, n,
+             CAST(sum(n) OVER (ORDER BY mins ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS c,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+      FROM h
+    )
+    SELECT CAST(max(total) AS BIGINT) AS n_converters,
+           CAST(min(CASE WHEN c >= (50 * total + 99) // 100 THEN mins END)
+                AS BIGINT) AS p50_minutes,
+           CAST(min(CASE WHEN c >= (90 * total + 99) // 100 THEN mins END)
+                AS BIGINT) AS p90_minutes,
+           CAST(max(mins) AS BIGINT) AS max_minutes
+    FROM cum
+    """,
+    tags=("batch", "funnel", "latency", "histogram-quantile"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for the strict funnel: minutes from a converting
+    user's first view to their first qualifying purchase, with
+    p50/p90/max computed the sort-free way — integer minute gaps are
+    calendar-bounded, so the (gap, count) histogram walk is EXACT (the
+    :func:`orders_reorder_interval` trick applied to funnel latency).
+    Same chained user-grain aggregations as
+    :func:`strict_funnel_conversion`; one extra user-keyed join recovers
+    the view timestamp for converters only."""
+    ev = catalog(spark, sf_dir).events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    us = F.unix_micros(F.col("tp").cast("timestamp")) - F.unix_micros(
+        F.col("tv").cast("timestamp")
+    )
+    g = p.join(v, "user_id").select(us.alias("us")).select(
+        F.expr("us div 60000000").alias("mins")
+    )
+    h = g.groupBy("mins").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.orderBy("mins").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = h.select(
+        "mins",
+        F.sum("n").over(wc).alias("c"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    return cum.agg(
+        F.max("total").alias("n_converters"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(50 * total + 99) div 100"), F.col("mins"))
+        ).alias("p50_minutes"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(90 * total + 99) div 100"), F.col("mins"))
+        ).alias("p90_minutes"),
+        F.max("mins").alias("max_minutes"),
+    )
+
+
+@register(
+    "monthly_revenue_trend",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 23941
+                  AS BIGINT) AS x,
+             CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)', 4)})
+                  AS BIGINT) // 100 AS y
+      FROM lineitem GROUP BY x
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(min(y) AS BIGINT) AS min_month_cents2,
+             CAST(max(y) AS BIGINT) AS max_month_cents2
+      FROM m
+    )
+    SELECT n AS n_months,
+           (n * sxy - sx * sy) // (n * sxx - sx * sx)
+             AS slope_cents2_per_month,
+           min_month_cents2, max_month_cents2
+    FROM s
+    """,
+    tags=("batch", "time-series", "regression", "trend"),
+)
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares revenue trend: slope of monthly discounted
+    revenue against the month index, entirely in integer arithmetic (the
+    OLS slope is a ratio of integer sufficient statistics; y is revenue
+    in hundredths-of-dollars to keep n*Σxy inside int64 at 100x scale).
+    The month index pins to a fixed epoch (1995-01) so both engines
+    agree. One scan -> month-grain aggregate (~84 rows) -> one scalar
+    row; the regression itself costs nothing at any scale."""
+    li = catalog(spark, sf_dir).lineitem
+    dp = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    # month index anchored at 1995-01 (year*12 + month - 23941) — integer
+    # boundary months in BOTH engines; months_between() is fractional and
+    # would diverge from DuckDB's month arithmetic.
+    m = (
+        li.select(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 23941)
+            .cast("long").alias("x"),
+            dp.alias("cv4"),
+        )
+        .groupBy("x")
+        .agg(F.expr("sum(cv4) div 100").alias("y"))
+    )
+    s = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.min("y").alias("min_month_cents2"),
+        F.max("y").alias("max_month_cents2"),
+    )
+    return s.select(
+        F.col("n").alias("n_months"),
+        F.expr("(n * sxy - sx * sy) div (n * sxx - sx * sx)").alias(
+            "slope_cents2_per_month"
+        ),
+        "min_month_cents2",
+        "max_month_cents2",
+    )
+
+
+@register(
+    "brand_share_drift",
+    oracle=f"""
+    WITH mb AS (
+      SELECT CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) - 23941
+                  AS BIGINT) AS m,
+             p.p_brand AS brand,
+             CAST(sum({cents_sql('l.l_extendedprice * (1 - l.l_discount)', 4)})
+                  AS BIGINT) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY m, brand
+    ),
+    sh AS (
+      SELECT m, brand,
+             (1000 * rev) // CAST(sum(rev) OVER (PARTITION BY m) AS BIGINT)
+               AS share_pm
+      FROM mb
+    ),
+    d AS (
+      SELECT brand, m, share_pm,
+             lag(share_pm) OVER (PARTITION BY brand ORDER BY m) AS prev_pm
+      FROM sh
+    )
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(min(CASE WHEN m = (SELECT min(m) FROM sh) THEN share_pm END)
+                AS BIGINT) AS first_share_pm,
+           CAST(min(CASE WHEN m = (SELECT max(m) FROM sh) THEN share_pm END)
+                AS BIGINT) AS last_share_pm,
+           CAST(max(abs(share_pm - prev_pm)) AS BIGINT) AS max_drift_pm
+    FROM d GROUP BY brand
+    """,
+    tags=("batch", "market-structure", "share-drift", "time-series"),
+)
+def brand_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue-share drift: each brand's integer-permille share of
+    monthly revenue, its first/last-month share, and the largest
+    month-over-month move — the category-mix shift monitor (a sudden
+    share jump is either a promo or a data bug; both deserve a look).
+    Shape: lineitem⋈part shuffles on the part key (sf-proportional — no
+    hint), one (month, brand) aggregate, then windows over the bounded
+    months x brands grid only."""
+    cat = catalog(spark, sf_dir)
+    dp = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    mb = (
+        cat.lineitem.join(
+            cat.part.select("p_partkey", "p_brand"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 23941)
+            .cast("long").alias("m"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.sum(dp).alias("rev"))
+    )
+    sh = mb.select(
+        "m",
+        "brand",
+        F.expr("(1000 * rev) div (sum(rev) OVER (PARTITION BY m))").alias(
+            "share_pm"
+        ),
+    ).persist()
+    bounds = sh.agg(
+        F.min("m").alias("m_first"), F.max("m").alias("m_last")
+    )
+    wb = Window.partitionBy("brand").orderBy("m")
+    d = sh.crossJoin(F.broadcast(bounds)).select(
+        "brand",
+        "m",
+        "share_pm",
+        "m_first",
+        "m_last",
+        F.lag("share_pm").over(wb).alias("prev_pm"),
+    )
+    return d.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.min(
+            F.when(F.col("m") == F.col("m_first"), F.col("share_pm"))
+        ).alias("first_share_pm"),
+        F.min(
+            F.when(F.col("m") == F.col("m_last"), F.col("share_pm"))
+        ).alias("last_share_pm"),
+        F.max(F.abs(F.col("share_pm") - F.col("prev_pm"))).alias(
+            "max_drift_pm"
         ),
     )

@@ -183,3 +183,113 @@ def test_containment_dominates_jaccard_and_flags_subsets(spark):
         assert max(r.cont_a_pct, r.cont_b_pct) >= j_pct
         assert r.subset_dup == (1 if max(r.cont_a_pct, r.cont_b_pct) >= 90 else 0)
         assert 0 <= r.cont_a_pct <= 100 and 0 <= r.cont_b_pct <= 100
+
+
+# ----------------------------- late-r4 batch (deferred past the r4 prefix)
+
+
+def test_rarity_score_identities(spark):
+    """Σ n_tokens over docs = corpus N; a hapax-holding doc's rarity_sum
+    >= N (the hapax alone contributes N div 1); rarity_per_token is the
+    truncating per-token mean."""
+    rows = REGISTRY["text_rarity_score"].fn(spark, SF_MED).collect()
+    from stream_processing_pipeline_spark.operators.text import (
+        normalize_text,
+        tokens,
+    )
+    from stream_processing_pipeline_spark.plans.common import catalog
+
+    d = catalog(spark, SF_MED).documents
+    n_corpus = d.select(
+        F.explode(tokens(normalize_text("text"))).alias("t")
+    ).count()
+    assert sum(r.n_tokens for r in rows) == n_corpus
+    for r in rows:
+        assert r.rarity_per_token == r.rarity_sum // r.n_tokens
+        # every token contributes at least N div c_max >= 1
+        assert r.rarity_sum >= r.n_tokens
+
+
+def test_overlapping_chunks_cover_and_overlap(spark):
+    """Per doc: chunk 0 starts the doc, consecutive chunks overlap by
+    window - stride tokens (except a short tail), and the chunk count
+    matches the stride formula on the doc's token count."""
+    from stream_processing_pipeline_spark.operators.text import (
+        normalize_text,
+        token_count,
+    )
+    from stream_processing_pipeline_spark.plans.common import catalog
+
+    d = catalog(spark, SF_MED).documents
+    n_by_doc = {
+        r.doc_id: r.n
+        for r in d.select(
+            "doc_id", token_count(normalize_text("text")).alias("n")
+        ).collect()
+    }
+    rows = REGISTRY["text_chunks_overlapping"].fn(spark, SF_MED).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    W, S = 16, 8
+    for doc, rs in by_doc.items():
+        n = n_by_doc[doc]
+        expect = 1 if n <= W else 1 + -(-(n - W) // S)
+        assert len(rs) == expect, (doc, n)
+        rs.sort(key=lambda r: r.chunk_no)
+        assert [r.chunk_no for r in rs] == list(range(len(rs)))
+        for i, r in enumerate(rs):
+            assert r.n_chunk_tokens == min(W, n - S * i)
+
+
+def test_time_to_convert_consistent_with_funnel(spark):
+    """n_converters equals the strict funnel's stage-3 count; quantiles
+    ordered and positive (strictly-after semantics forbid zero-minute
+    equality only when sub-minute, so >= 0)."""
+    f = {r.stage: r for r in REGISTRY["strict_funnel_conversion"].fn(spark, SF_MED).collect()}
+    r = REGISTRY["funnel_time_to_convert"].fn(spark, SF_MED).collect()[0]
+    assert r.n_converters == f[3].n_users
+    assert 0 <= r.p50_minutes <= r.p90_minutes <= r.max_minutes
+
+
+def test_monthly_trend_matches_numpy_ols(spark):
+    """The integer OLS slope equals floor-div of the numpy-exact rational
+    slope computed from the same month aggregate."""
+    from stream_processing_pipeline_spark.plans.common import catalog
+
+    li = catalog(spark, SF_MED).lineitem
+    m = (
+        li.select(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 23941)
+            .cast("long").alias("x"),
+            F.round(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+            ).cast("long").alias("cv4"),
+        )
+        .groupBy("x")
+        .agg(F.expr("sum(cv4) div 100").alias("y"))
+        .collect()
+    )
+    xs = [r.x for r in m]
+    ys = [r.y for r in m]
+    n = len(xs)
+    num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(a * a for a in xs) - sum(xs) ** 2
+    r = REGISTRY["monthly_revenue_trend"].fn(spark, SF_MED).collect()[0]
+    assert r.n_months == n
+    # Spark/DuckDB `div` truncates toward zero; Python // floors — align.
+    q = abs(num) // den * (1 if num >= 0 else -1)
+    assert r.slope_cents2_per_month == q
+    assert r.min_month_cents2 == min(ys) and r.max_month_cents2 == max(ys)
+
+
+def test_brand_share_drift_shares_and_bounds(spark):
+    """Per month, shares are <= 1000 permille each; drift bounded by the
+    max share; every brand row carries first/last shares."""
+    rows = REGISTRY["brand_share_drift"].fn(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert r.n_months >= 1
+        for v in (r.first_share_pm, r.last_share_pm):
+            assert v is None or 0 <= v <= 1000
+        assert r.max_drift_pm is None or 0 <= r.max_drift_pm <= 1000

@@ -287,6 +287,8 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "strict_funnel_conversion",     # broadcast 1-row stage counts x2
         "source_token_divergence",      # broadcast 1-row corpus total x2
         "text_tfidf_top_terms",         # broadcast 1-row doc count
+        "text_rarity_score",            # broadcast 1-row corpus total
+        "brand_share_drift",            # broadcast 1-row month bounds
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():

@@ -25,12 +25,24 @@ def test_gate_priority_is_registry_prefix():
 
 
 #: Queries deferred past the round-4 gate prefix without a prior driver row.
-#: Empty as of r4: the 34 queries deferred in round 3 now lead the prefix,
-#: so everything past slot 50 has a green row from r1/r2/r3. If a future
-#: round again registers more new queries than the prefix can hold, pin the
-#: overflow here (each entry must be mirror-green and share machinery with
-#: an in-prefix sibling — see the _GATE_PRIORITY comment).
-deferred_past_prefix: set[str] = set()
+#: The 34 r3-deferred queries lead the r4 prefix (with the 4 re-gated TPC-H
+#: and the 12 r4 headline additions filling it to exactly 50); this set is
+#: the r4 LATE batch — registered after the prefix was full, mirror-green
+#: at all three SFs, each sharing verified machinery with an in-prefix
+#: sibling — rotating to the r5 prefix head:
+deferred_past_prefix: set[str] = {
+    "text_rarity_score",        # sibling: text_tfidf_top_terms (same
+                                # token-explode + vocab-count + scalar-N)
+    "text_chunks_overlapping",  # sibling: dedup_span_chunks (same chunk
+                                # materialization, stride added)
+    "funnel_time_to_convert",   # sibling: strict_funnel_conversion (same
+                                # chained stages) + orders_reorder_interval
+                                # (same histogram-quantile walk)
+    "monthly_revenue_trend",    # sibling: daily_counts_autocorr (same
+                                # integer sufficient-statistics recipe)
+    "brand_share_drift",        # sibling: revenue_concentration_hhi
+                                # (share permille) + tpch_q14 (part join)
+}
 
 
 def test_queries_past_gate_prefix_have_prior_driver_rows():
