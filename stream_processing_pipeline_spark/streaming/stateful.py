@@ -40,6 +40,10 @@ __all__ = [
     "cdc_champion_update",
     "HAS_TWS_RUNTIME",
     "RunningStatsProcessor",
+    "SESSION_GAP_US",
+    "SESSION_OUT_SCHEMA",
+    "SESSION_STATE_SCHEMA",
+    "session_timeout_update",
     "user_stats_transform_with_state",
 ]
 
@@ -190,3 +194,104 @@ def cdc_champion_update(key, pdfs, state):
             "n_ops": [best[4]],
         }
     )
+
+
+# ------------------------------------------- event-time-timeout sessions
+
+#: inactivity gap that closes a session (microseconds)
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("closed_by", StringType()),  # "gap" | "timeout"
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def session_timeout_update(key, pdfs, state):
+    """GroupState update for TIMER-DRIVEN sessionization
+    (``GroupStateTimeout.EventTimeTimeout``) — the streaming surface the
+    windowed forms can't express: a session must CLOSE (and emit exactly
+    once) when the watermark passes ``last_event + gap``, i.e. when the
+    stream has proven no more events can join it — without waiting for
+    the user's next event, which may never come. ``session_window``
+    aggregation emits on the same condition but can't attach arbitrary
+    per-session state or side effects; this operator is the template for
+    ones that do (abandoned-cart alerts, SLA breach emission, device
+    offline detection).
+
+    Contract per micro-batch:
+
+    - timed-out invocation (``state.hasTimedOut``): emit the carried
+      session tagged ``closed_by='timeout'`` and drop state — the
+      exactly-once close;
+    - data invocation: merge carried state with the batch's rows in
+      event-time order; every gap > ``SESSION_GAP_US`` inside the merged
+      timeline closes a session immediately (``closed_by='gap'``); the
+      trailing open session goes back into state with its event-time
+      timer re-armed at ``last_us + gap`` (via
+      ``state.setTimeoutTimestamp``, milliseconds), so inactivity closes
+      it in a later batch.
+
+    Sessions still open when the stream ends stay in state (a restart
+    with more data resumes them) — tests pin that they are NOT emitted.
+    State per key is one 24-byte tuple; emission is one row per closed
+    session. Module-level so multi-batch timeout semantics are
+    unit-testable (tests/test_stateful_tws.py)."""
+    import pandas as pd
+
+    def emit(start, last, n, how):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start_us": [start],
+                "session_last_us": [last],
+                "n_events": [n],
+                "closed_by": [how],
+            }
+        )
+
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield emit(start, last, n, "timeout")
+        return
+
+    times: list[int] = []
+    for pdf in pdfs:
+        if len(pdf):
+            times.extend(int(v) for v in pdf["ts_us"])
+    if not times:
+        return  # nothing new; any armed timer stays armed
+    times.sort()
+
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start, last, n = times[0], times[0], 0
+
+    for t in times:
+        if t - last > SESSION_GAP_US:
+            yield emit(start, last, n, "gap")
+            start, n = t, 0
+        last = t
+        n += 1
+    state.update((start, last, n))
+    # Event-time timers take MILLISECONDS and must be set ABOVE the
+    # current watermark (Spark rejects a stale timer); a session whose
+    # gap already expired relative to arriving data times out at the
+    # next watermark tick instead.
+    timeout_ms = (last + SESSION_GAP_US) // 1000
+    state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))

@@ -127,3 +127,98 @@ def test_tws_stream_equals_batch(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_event_time_timeout_closes_sessions_exactly_once(spark, tmp_path):
+    """Timer-driven sessionization (GroupStateTimeout.EventTimeTimeout):
+
+    - a gap INSIDE a batch closes a session immediately (closed_by=gap);
+    - inactivity closes a session when the WATERMARK passes last+gap —
+      the timed-out invocation path, which only fires because another
+      key's later events advanced the watermark (closed_by=timeout);
+    - a session still under its timer when the stream ends is NOT
+      emitted (stays in state for a resumed run).
+
+    Two one-file micro-batches (maxFilesPerTrigger=1, lexicographic file
+    order) make watermark movement deterministic: after batch 1 the
+    watermark is 50,000 s (user 9's event), so batch 2 fires the timers
+    user 7 and user 8 armed in batch 1."""
+    import pandas as pd  # noqa: F401 - exercised inside the operator
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from stream_processing_pipeline_spark.streaming.stateful import (
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        session_timeout_update,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id long, sec long"
+    batches = [
+        [  # batch 0: wm starts at 0
+            (7, 1000), (7, 1600),       # one open session; timer at 3400s
+            (8, 1000), (8, 10000),      # in-batch gap -> [1000,1000] closes
+            (9, 50000),                 # advances wm to 50000s after batch 0
+        ],
+        [  # batch 1: wm=50000s -> timers for 7 (3400s) and 8 (11800s) fire
+            (9, 51000),                 # 9 continues; timer re-armed 52800s
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .select(
+            "user_id",
+            F.timestamp_seconds(F.col("sec")).alias("ts"),
+            (F.col("sec") * 1_000_000).alias("ts_us"),
+        )
+        .withWatermark("ts", "0 seconds")
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        session_timeout_update,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    import uuid
+
+    name = f"sess_timeout_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    rows = {
+        (r.user_id, r.session_start_us): r for r in spark.table(name).collect()
+    }
+    S = 1_000_000
+    # in-batch gap close (batch 0)
+    r8a = rows[(8, 1000 * S)]
+    assert (r8a.session_last_us, r8a.n_events, r8a.closed_by) == (
+        1000 * S, 1, "gap",
+    )
+    # timer closes after watermark advance (batch 1)
+    r7 = rows[(7, 1000 * S)]
+    assert (r7.session_last_us, r7.n_events, r7.closed_by) == (
+        1600 * S, 2, "timeout",
+    )
+    r8b = rows[(8, 10000 * S)]
+    assert (r8b.session_last_us, r8b.n_events, r8b.closed_by) == (
+        10000 * S, 1, "timeout",
+    )
+    # user 9's session is still open under its timer -> never emitted
+    assert not [k for k in rows if k[0] == 9]
+    assert len(rows) == 3
