@@ -246,3 +246,141 @@ def test_cms_dominates_and_merges(keys, depth, width):
     for cell, n in sketch(keys[half:]).items():
         merged[cell] += n
     assert merged == whole
+
+
+# ---------------------------------------- r4: session merge + butterflies
+
+
+def _py_sessions(times: list[int], gap: int) -> list[tuple[int, int, int]]:
+    """Reference gaps-and-islands: (start, last, n) per closed+open session."""
+    out = []
+    start = last = times[0]
+    n = 0
+    for t in times:
+        if t - last > gap:
+            out.append((start, last, n))
+            start, n = t, 0
+        last = t
+        n += 1
+    out.append((start, last, n))
+    return out
+
+
+class _FakeState:
+    """Minimal GroupState double for driving session_timeout_update."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**7), min_size=1, max_size=40
+    ),
+    st.integers(min_value=1, max_value=10**6),
+)
+def test_session_update_matches_gaps_and_islands(times, gap):
+    """Feeding ANY event multiset through the stateful session operator in
+    one batch must emit exactly the reference gaps-and-islands closed
+    sessions, leave the trailing open session in state, and arm its timer
+    at last+gap."""
+    import importlib
+
+    import pandas as pd
+
+    import stream_processing_pipeline_spark.streaming.stateful as sf
+
+    importlib.reload  # no-op; keeps linters quiet about the module alias
+    orig_gap = sf.SESSION_GAP_US
+    sf.SESSION_GAP_US = gap
+    try:
+        state = _FakeState()
+        pdf = pd.DataFrame({"ts_us": times})
+        emitted = list(sf.session_timeout_update((42,), [pdf], state))
+    finally:
+        sf.SESSION_GAP_US = orig_gap
+    ref = _py_sessions(sorted(times), gap)
+    got = [
+        (int(r.session_start_us[0]), int(r.session_last_us[0]),
+         int(r.n_events[0]))
+        for r in emitted
+    ]
+    assert got == ref[:-1]  # all but the trailing session emitted (gap-closed)
+    assert state.get == ref[-1]  # trailing session carried in state
+    assert state.timeout_ms == max((ref[-1][1] + gap) // 1000, 1)
+    assert all(r.closed_by[0] == "gap" for r in emitted)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),   # supplier
+            st.integers(min_value=1, max_value=10),  # customer
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_butterfly_pairs_equal_bruteforce_under_cap(spark, edges, max_degree):
+    """butterfly_pairs on ANY small bipartite edge multiset equals the
+    brute-force pair count computed in Python after dropping customers
+    whose distinct-supplier degree exceeds the cap."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from stream_processing_pipeline_spark.plans.batch import butterfly_pairs
+
+    e = sorted(set(edges))
+    by_c = defaultdict(set)
+    for s, c in e:
+        by_c[c].add(s)
+    ref = defaultdict(int)
+    for c, ss in by_c.items():
+        if len(ss) > max_degree:
+            continue
+        for a, b in combinations(sorted(ss), 2):
+            ref[(a, b)] += 1
+    df = spark.createDataFrame(e, "s long, c long")
+    got = {
+        (r.s1, r.s2): (r.shared, r.butterflies)
+        for r in butterfly_pairs(df, max_degree).collect()
+    }
+    expect = {
+        k: (v, v * (v - 1) // 2)
+        for k, v in sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    }
+    # butterfly_pairs limits to top-20 by (shared desc, s1, s2); with <=
+    # C(8,2)=28 possible pairs ties can make the exact top-20 set
+    # ambiguous, so compare on the values for keys present in both and
+    # the pair-count totals when under the limit.
+    if len(ref) <= 20:
+        assert got == expect
+    else:
+        for k, v in got.items():
+            assert ref[k] == v[0] and v[1] == v[0] * (v[0] - 1) // 2
