@@ -292,18 +292,14 @@ def revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_cents"),
     )
     dev = F.col("rev_cents") - F.col("mean_cents")
-    out = m.select(
+    return m.select(
         "day",
         "rev_cents",
         dev.alias("dev_cents"),
         F.sum(dev).over(wc).alias("cusum_cents"),
-    )
-    return out.withColumn(
-        "breach",
-        F.when(
-            F.abs(F.col("cusum_cents")) > F.col("rev_cents") - F.col("dev_cents"),
-            1,
-        ).otherwise(0),
+        F.when(F.abs(F.sum(dev).over(wc)) > F.col("mean_cents"), 1)
+        .otherwise(0)
+        .alias("breach"),
     )
 
 

@@ -286,7 +286,13 @@ def session_timeout_update(key, pdfs, state):
         if t - last > SESSION_GAP_US:
             yield emit(start, last, n, "gap")
             start, n = t, 0
-        last = t
+        # Late rows (t <= last) can reach arbitrary stateful operators —
+        # watermark filtering only drops input for built-in aggregations —
+        # so merge them conservatively: they extend the current session's
+        # bounds instead of moving `last` backwards (which would corrupt
+        # the gap check and re-arm the timer too early).
+        start = min(start, t)
+        last = max(last, t)
         n += 1
     state.update((start, last, n))
     # Event-time timers take MILLISECONDS and must be set ABOVE the
