@@ -3570,3 +3570,39 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_overlap",
         )
     )
+
+
+@register(
+    "sql_lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+    tags=("batch", "sql-api", "lateral", "correlated-topk"),
+)
+def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    top-N-per-group SQL surface in its correlated form (each customer's
+    two largest orders), registered as raw SQL in BOTH engines so the
+    LATERAL decorrelation path itself is what's verified: Spark's
+    optimizer rewrites the correlated limit into a window/rank plan over
+    ONE custkey-partitioned pass (DecorrelateInnerQuery — no per-customer
+    re-execution, which is what the textual form appears to demand and
+    what would be quadratic at scale). Exact integer cents output; ties
+    broken by the unique orderkey."""
+    cat = catalog(spark, sf_dir)
+    cat.register_all()
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )

@@ -300,3 +300,12 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
             undocumented.append(name)
     assert not offenders, f"CartesianProduct in: {offenders}"
     assert not undocumented, f"undocumented BNLJ in: {undocumented}"
+
+
+def test_lateral_topk_decorrelates_to_one_window_pass(spark):
+    """The correlated LATERAL LIMIT must compile to a windowed rank over
+    ONE custkey-partitioned pass — not a per-customer re-execution (no
+    CartesianProduct / nested-loop shape)."""
+    plan = plan_of(spark, "sql_lateral_top_orders")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan, plan[:1500]

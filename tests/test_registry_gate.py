@@ -46,6 +46,8 @@ deferred_past_prefix: set[str] = {
                                 # sketch-vs-exact contract, portable hash)
     "kmv_set_algebra",          # sibling: lc_register_set_algebra (same
                                 # split + exact-overlap audit)
+    "sql_lateral_top_orders",   # sibling: sql_api_revenue_summary /
+                                # top_events_per_user (decorrelated top-k)
 }
 
 
