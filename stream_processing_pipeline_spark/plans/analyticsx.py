@@ -1211,3 +1211,266 @@ def brand_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_drift_pm"
         ),
     )
+
+
+from .dedupq import _BANDS_CTE  # noqa: E402  (shared shingle/band CTEs)
+
+_H60NORM = "CAST(concat('0x', substr(md5(s.norm), 1, 15)) AS BIGINT)"
+
+@register(
+    "source_curation_report",
+    oracle=f"""{_BANDS_CTE},
+    bse AS (
+      SELECT s.doc_id, d.source,
+             {_H60NORM} AS h,
+             len(string_split(s.norm, ' ')) AS nt,
+             s.norm
+      FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    exact AS (
+      SELECT source,
+             CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup
+      FROM (SELECT doc_id, source,
+                   min(doc_id) OVER (PARTITION BY h) AS keeper
+            FROM bse)
+      GROUP BY source
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd
+              GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+      FROM cand c JOIN shd x ON x.doc_id = c.doc_a
+                  JOIN shd y ON y.doc_id = c.doc_b AND y.g = x.g
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    subset AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE greatest((100 * COALESCE(i.i, 0)) // sa.n,
+                     (100 * COALESCE(i.i, 0)) // sb.n) >= 90
+    ),
+    sub_docs AS (
+      SELECT b2.source, CAST(count(*) AS BIGINT) AS n_subset_dup FROM (
+        SELECT doc_a AS doc_id FROM subset
+        UNION SELECT doc_b FROM subset
+      ) sd JOIN bse b2 ON b2.doc_id = sd.doc_id
+      GROUP BY b2.source
+    ),
+    tk AS (
+      SELECT source, unnest(string_split(norm, ' ')) AS term FROM bse
+    ),
+    st AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+      FROM tk GROUP BY source, term
+    ),
+    t AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY term),
+    ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st
+           GROUP BY source),
+    tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM t),
+    rar AS (
+      SELECT j.source,
+             CAST(j.rarity_sum // ns.n_s AS BIGINT) AS mean_rarity_per_token,
+             CAST((1000 * (j.present_num + ns.n_s * (tot.n - j.present_ct)))
+                  // (2 * ns.n_s * tot.n) AS BIGINT) AS tv_permille
+      FROM (
+        SELECT st.source,
+               CAST(sum(st.c_st * (tot.n // t.c_t)) AS BIGINT) AS rarity_sum,
+               CAST(sum(abs(st.c_st * tot.n - t.c_t * ns.n_s)) AS BIGINT)
+                 AS present_num,
+               CAST(sum(t.c_t) AS BIGINT) AS present_ct
+        FROM st JOIN t ON t.term = st.term
+                JOIN ns ON ns.source = st.source
+                CROSS JOIN tot
+        GROUP BY st.source
+      ) j JOIN ns ON ns.source = j.source CROSS JOIN tot
+    ),
+    per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN nt <= {_CHUNK_W} THEN 1
+                           ELSE 1 + (nt - {_CHUNK_W} + {_CHUNK_S} - 1)
+                                    // {_CHUNK_S} END) AS BIGINT) AS n_chunks,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM bse GROUP BY source
+    ),
+    weights AS (
+      SELECT source, n_docs, n_chunks,
+             CAST((1000 * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))
+                               AS BIGINT))
+                  // (sum(CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))
+                               AS BIGINT)) OVER ()) AS BIGINT)
+               AS temp_permille
+      FROM per_src
+    )
+    SELECT w.source, w.n_docs, e.n_exact_dup,
+           CAST(COALESCE(sd.n_subset_dup, 0) AS BIGINT) AS n_subset_dup,
+           r.mean_rarity_per_token, w.n_chunks, w.temp_permille, r.tv_permille
+    FROM weights w
+    JOIN exact e ON e.source = w.source
+    LEFT JOIN sub_docs sd ON sd.source = w.source
+    JOIN rar r ON r.source = w.source
+    """,
+    tags=("batch", "llm-pipeline", "report", "composition"),
+)
+def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r4 capstone composition — one curation-dashboard row per source
+    built from this round's verified kernels (the
+    :func:`..batch.llm_corpus_stage_report` pattern applied to the new
+    family): document count, EXACT-duplicate count (non-keeper docs by
+    normalized-content hash), SUBSET-duplicate count (docs on either side
+    of a >=90% containment pair — the asymmetric dups Jaccard misses),
+    mean token rarity (corpus-frequency-weighted, exact integers),
+    overlapping-chunk yield (window 16 / stride 8, closed form), the
+    sqrt-temperature mixture weight, and total-variation divergence from
+    the corpus token distribution. Every column reuses a kernel whose
+    standalone query is value-hash-verified; the oracle recomposes the
+    identical CTEs, so the REPORT itself is hash-verified too — the
+    dashboard one actually runs before deciding which source to
+    re-filter, re-weight, or drop. Eval/report query: candidate-bounded
+    containment, token-grain shuffles, everything else source-grain."""
+    from ..functions.hashing import h60
+    from ..operators.dedup import lsh_candidate_pairs, shingles
+    from ..operators.text import normalize_text, tokens
+
+    docs = catalog(spark, sf_dir).documents
+    norm = normalize_text("text")
+    toks = tokens(norm)
+    base = docs.select(
+        "doc_id",
+        "source",
+        h60(norm).alias("h"),
+        F.size(toks).alias("nt"),
+    ).persist()
+
+    # exact duplicates: every doc in a hash group except the min-id keeper
+    wdup = Window.partitionBy("h")
+    exact = (
+        base.withColumn("keeper", F.min("doc_id").over(wdup))
+        .select(
+            "source",
+            F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0).alias(
+                "is_dup"
+            ),
+        )
+        .groupBy("source")
+        .agg(F.sum("is_dup").alias("n_exact_dup"))
+    )
+
+    # subset duplicates via shingle containment over LSH candidates
+    cands = lsh_candidate_pairs(docs)
+    shd = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("g")
+    ).distinct().persist()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cands.join(shd.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(shd.select(F.col("doc_id").alias("doc_b"), "g"), ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    subset_pairs = (
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            F.greatest(
+                F.expr("(100 * coalesce(i, 0)) div na"),
+                F.expr("(100 * coalesce(i, 0)) div nb"),
+            )
+            >= 90
+        )
+    )
+    sub_docs = (
+        subset_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(subset_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .join(base.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_subset_dup"))
+    )
+
+    # rarity + divergence share the token-instance table
+    tok = docs.select("source", F.explode(toks).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    st = st.persist()
+    t = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tot = t.agg(F.sum("c_t").alias("n"))
+    rar = (
+        st.join(t, "term")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("c_st") * F.expr("n div c_t")).alias("rarity_sum"),
+            F.sum(
+                F.abs(F.col("c_st") * F.col("n") - F.col("c_t") * F.col("n_s"))
+            ).alias("present_num"),
+            F.sum("c_t").alias("present_ct"),
+        )
+        .join(ns, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr("rarity_sum div n_s").alias("mean_rarity_per_token"),
+            F.expr(
+                "(1000 * (present_num + n_s * (n - present_ct)))"
+                " div (2 * n_s * n)"
+            ).alias("tv_permille"),
+        )
+    )
+
+    # chunk yield (closed form of text_chunks_overlapping's count) +
+    # temperature weight on the SAME normalized token counts
+    nc = F.when(F.col("nt") <= _CHUNK_W, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (F.col("nt") - _CHUNK_W + _CHUNK_S - 1) / F.lit(_CHUNK_S)
+        ).cast("long")
+    )
+    per_src = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(nc).alias("n_chunks"),
+        F.sum("nt").alias("n_tokens"),
+    )
+    weights = per_src.withColumn(
+        "wgt", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    ).select(
+        "source",
+        "n_docs",
+        "n_chunks",
+        F.expr("(1000 * wgt) div (sum(wgt) OVER ())").alias("temp_permille"),
+    )
+
+    return (
+        weights.join(exact, "source")
+        .join(sub_docs, "source", "left")
+        .join(rar, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dup",
+            F.coalesce(F.col("n_subset_dup"), F.lit(0)).alias("n_subset_dup"),
+            "mean_rarity_per_token",
+            "n_chunks",
+            "temp_permille",
+            "tv_permille",
+        )
+    )

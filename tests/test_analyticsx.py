@@ -293,3 +293,39 @@ def test_brand_share_drift_shares_and_bounds(spark):
         for v in (r.first_share_pm, r.last_share_pm):
             assert v is None or 0 <= v <= 1000
         assert r.max_drift_pm is None or 0 <= r.max_drift_pm <= 1000
+
+
+def test_curation_report_consistent_with_standalone_kernels(spark):
+    """Every column of the per-source curation report must agree with the
+    standalone verified query it composes (same definitions, same
+    numbers) — the property that makes the dashboard trustworthy."""
+    rep = {
+        r.source: r
+        for r in REGISTRY["source_curation_report"].fn(spark, SF_MED).collect()
+    }
+    div = {
+        r.source: r
+        for r in REGISTRY["source_token_divergence"].fn(spark, SF_MED).collect()
+    }
+    wts = {
+        r.source: r
+        for r in REGISTRY["mixture_temperature_weights"].fn(spark, SF_MED).collect()
+    }
+    assert set(rep) == set(div) == set(wts)
+    # containment-side consistency: total subset-dup docs across sources
+    # equals the distinct docs in subset pairs of the standalone query
+    pairs = REGISTRY["dedup_containment_pairs"].fn(spark, SF_MED).collect()
+    sub_docs = {
+        d for r in pairs if r.subset_dup for d in (r.doc_a, r.doc_b)
+    }
+    assert sum(r.n_subset_dup for r in rep.values()) == len(sub_docs)
+    for src, r in rep.items():
+        assert r.tv_permille == div[src].tv_permille
+        assert r.n_docs == wts[src].n_docs
+        # weights here are over normalized-token counts (vs raw-token in
+        # the standalone) — same ordering, not necessarily same value
+        assert 0 <= r.temp_permille <= 1000
+        assert 0 <= r.n_exact_dup < r.n_docs
+        assert 0 <= r.n_subset_dup <= r.n_docs
+        assert r.mean_rarity_per_token >= 1
+        assert r.n_chunks >= r.n_docs  # every doc yields >= 1 chunk

@@ -48,6 +48,9 @@ deferred_past_prefix: set[str] = {
                                 # split + exact-overlap audit)
     "sql_lateral_top_orders",   # sibling: sql_api_revenue_summary /
                                 # top_events_per_user (decorrelated top-k)
+    "source_curation_report",   # composition of r4-verified kernels:
+                                # dedup_exact + containment + rarity +
+                                # temperature weights + TV divergence
 }
 
 
