@@ -290,6 +290,7 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "text_rarity_score",            # broadcast 1-row corpus total
         "brand_share_drift",            # broadcast 1-row month bounds
         "kmv_set_algebra",              # broadcast k-row/1-row sketch frames
+        "source_curation_report",       # broadcast 1-row corpus totals x2
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
