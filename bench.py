@@ -137,8 +137,16 @@ def main() -> None:
     streaming = _bench_streaming_topology(spark, sf_dir)
     sustained = _bench_streaming_sustained(spark, sf_dir)
     sustained_rocks = _bench_streaming_sustained(
-        spark, sf_dir, state_store="rocksdb",
+        spark, sf_dir, state_store="rocksdb", changelog=False,
         prefix="streaming_sustained_rocksdb",
+    )
+    # Third variant (VERDICT r4 #5): RocksDB + changelog checkpointing —
+    # per-batch changelog upload instead of full snapshots, the mode that
+    # amortizes checkpoint cost at 100 TB state. Same workload, so the
+    # state-row eviction traces must match the other two providers'.
+    sustained_rocks_cl = _bench_streaming_sustained(
+        spark, sf_dir, state_store="rocksdb", changelog=True,
+        prefix="streaming_sustained_rocksdb_changelog",
     )
 
     out = {
@@ -153,6 +161,7 @@ def main() -> None:
         **streaming,
         **sustained,
         **sustained_rocks,
+        **sustained_rocks_cl,
     }
     print(json.dumps(out))
     spark.stop()
@@ -238,6 +247,7 @@ def _bench_streaming_sustained(
     replicas: int = 3,
     n_chunks: int = 12,
     state_store: str | None = None,
+    changelog: bool | None = None,
     prefix: str = "streaming_sustained",
 ) -> dict:
     """Sustained-rate run at ``replicas``x the event volume: time-shifted
@@ -308,6 +318,7 @@ def _bench_streaming_sustained(
             checkpoint_root=work + "/ckpt",
             state_partitions=state_parts,
             state_store=state_store,
+            changelog_checkpointing=changelog,
         )
         EventsTopologyBuilder(
             events_stream=stream,

@@ -17,13 +17,26 @@ schemas, so table signatures always show):
 - a Limit / Sample bounds everything beneath it;
 - an Aggregate / Deduplicate bounds its subtree unless it groups by a
   fact-grain id (custkey / orderkey / partkey / suppkey / user_id / doc_id
-  / vec_id / event_id) — per-key marginals are as big as the key space;
+  / vec_id / event_id) or a DERIVED per-entity column (content hashes:
+  ``text_hash`` / ``*_fingerprint``) — per-key marginals are as big as
+  the key space;
 - a Filter of the form ``vec_id < <literal>`` bounds (the similarity
   family's fixed query workload is declared exactly this way);
 - an Inner join with a bounded side is bounded (enriching a bounded key
   set via an equi-join on this engine's unique ids keeps its cardinality);
   Left* joins take the left side's boundedness;
 - any other node is unbounded iff some child is.
+
+Known false-negative classes (heuristic, not a proof — ADVICE r4): the
+inner-join rule assumes equi-joins on UNIQUE entity ids, which holds for
+every registered query today; a many-to-many inner join (non-unique key,
+e.g. a token- or shingle-grain self-join) with one bounded side is
+sf-proportional yet would pass. Likewise a grouping by a derived
+per-entity column not matched by the regexes below (a novel hash/bucket
+name at entity grain) would read as bounded. When adding queries with
+such shapes, extend ``_ID_GROUP_RE`` (entity-grain derived columns) or
+add the query to the violation allowlist with a reason — don't rely on
+the guard silently covering them.
 """
 
 from __future__ import annotations
@@ -50,9 +63,12 @@ FACT_SIGNATURES = (
     "vec_id",      # embeddings
 )
 
-#: grouping by any of these keeps fact grain (one row per entity)
+#: grouping by any of these keeps fact grain (one row per entity) —
+#: including DERIVED per-entity columns (content hashes / fingerprints,
+#: which have ~one distinct value per document)
 _ID_GROUP_RE = re.compile(
     r"custkey|orderkey|partkey|suppkey|user_id|doc_id|vec_id|event_id"
+    r"|text_hash|content_hash|fingerprint"
 )
 
 #: a literal upper bound on the embedding/query id — the similarity

@@ -38,6 +38,7 @@ from .text import normalize_text, tokens
 __all__ = [
     "exact_groups",
     "shingles",
+    "shingles_of_tokens",
     "shingles_sql",
     "minhash_table",
     "minhash_sql_exprs",
@@ -88,7 +89,15 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     4-gram explode). The fallback rebuilds normalized text as
     ``array_join(t, ' ')``, an exact inverse of the single-space split.
     """
-    toks = tokens(normalize_text(col))
+    return shingles_of_tokens(tokens(normalize_text(col)), n)
+
+
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """:func:`shingles` over an ALREADY-tokenized column (the array
+    :func:`..operators.text.tokens` produces). Compositions that persist a
+    shared normalize->tokenize base (e.g. ``source_curation_report``) call
+    this directly so the shingle build reads the cached token arrays
+    instead of re-running the regex normalizer over raw text."""
 
     def _grams(t: Column) -> Column:
         sz = F.size(t)
@@ -141,6 +150,8 @@ def minhash_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 16,
+    *,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature as columns ``mh0..mh{n-1}``.
 
@@ -155,8 +166,13 @@ def minhash_table(
     n times with md5 made the hash the bottleneck (observed: 16x md5 cost
     dominated the sf0.1 run). The affine family needs one strong hash per
     shingle and pennies per extra signature dimension.
+
+    ``shingle_col`` names a PRE-COMPUTED shingle-array column to explode
+    instead of deriving shingles from ``text_col`` — the hook compositions
+    use to share one normalize->tokenize->shingle pass across kernels.
     """
-    ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s"))
+    sh = F.col(shingle_col) if shingle_col else shingles(F.col(text_col))
+    ex = df.select(F.col(id_col), F.explode(sh).alias("s"))
     base = ex.select(F.col(id_col), (h60("s") % _MERSENNE_P).alias("h"))
     aggs = [
         F.min((F.col("h") * a + b) % _MERSENNE_P).alias(f"mh{j}")
@@ -210,15 +226,18 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     n_bands: int = 4,
+    *,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs (doc_a < doc_b, deduped).
 
     Plan shape: project (id, band_idx, band_hash) -> explode bands ->
     self-join on (band_idx, band_hash) -> distinct pairs. Only 16-byte rows
-    shuffle; bucket sizes bound the join fan-out.
+    shuffle; bucket sizes bound the join fan-out. ``shingle_col`` forwards
+    to :func:`minhash_table` (pre-computed shingles).
     """
     rows_per_band = n_hashes // n_bands
-    sig = minhash_table(df, text_col, id_col, n_hashes)
+    sig = minhash_table(df, text_col, id_col, n_hashes, shingle_col=shingle_col)
     banded = lsh_bands(sig, id_col, n_bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")

@@ -37,81 +37,55 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # each round records exactly the first ~50 registrations, so the gate
 # effectively checks a prefix. Registration order is therefore part of the
 # verification contract: queries whose driver-side evidence is newest-needed
-# come first. Round-4 ordering (VERDICT.md r3 "Next round" #1-#3):
-#   1. the 34 queries deferred past the r3 prefix (never driver-gated;
-#      pinned in tests/test_registry_gate.py) — mirror-green all round 3,
-#      now rotated to the head for their first external row;
-#   2. the four TPC-H queries whose plans CHANGE this round (forced
-#      broadcast of sf-proportional sides removed, VERDICT r3 "What's
-#      wrong" #1) — re-gated on the new plans. The other four changed
-#      queries (order_to_ship_latency, open_orders_over_time,
-#      part_affinity_pairs, trade_graph_butterflies) are already in set 1;
-#   3. queries NEW in round 4 (inserted at the marker below as added);
-#   4. rotation fill: oldest-evidence r1-green queries;
-#   5. everything r2/r3-green sits past the prefix — their green rows
+# come first. Round-5 ordering (VERDICT.md r4 "Next round" #1):
+#   1. the 9 queries registered past the full r4 prefix (never driver-
+#      gated; were pinned in tests/test_registry_gate.py) — mirror-green
+#      all round 4 and independently re-run by the r4 judge (9/9 MATCH),
+#      now rotated to the head for their first external row. NOTE
+#      source_curation_report's plan ALSO changes this round (shared
+#      token base persisted — VERDICT r4 "What's wrong" #1), so its
+#      first external row lands on the new plan;
+#   2. queries NEW in round 5 (bpe_encode_fertility — the trained-
+#      tokenizer encode step; insert further additions at the marker);
+#   3. queries whose plans CHANGE in round 5: the two ADVICE-r4 NULL-vs-
+#      NaN guards (nullif on degenerate denominators in both engines);
+#   4. the reference-parity six q1-q6 (SURVEY §2.10) — oldest external
+#      rows on the board (r2); re-gated for a fresh row on the reference
+#      surface itself, as VERDICT r4 asked;
+#   5. rotation fill: oldest-evidence r1-green rows (32 of the 41 — the
+#      r1 set minus the designed-no-oracle approx_distinct_users);
+#   6. everything r2+-green sits past the prefix — their green rows
 #      describe unchanged code, and the local mirror re-verifies them
 #      continuously.
 # NOTE: hll_sketch_rollup / approx_distinct_users are deliberately OUT of
 # the prefix — they are rows-only by design (no_oracle) and can never
-# produce a green hash row; spending gate slots on them is waste
-# (VERDICT r3 "Next round" #1).
+# produce a green hash row; spending gate slots on them is waste.
 _GATE_PRIORITY = [
-    # -- the 34 queries deferred past the r3 gate prefix (first external row)
-    "cms_token_freq",
-    "text_bigram_coverage",
-    "cdc_apply_snapshot",
-    "cdc_snapshot_diff",
-    "join_key_skew_audit",
-    "bpe_train_merges",
-    "stream_cdc_apply",
-    "dpp_promo_day_revenue",
-    "quality_filter_funnel",
-    "mm_shard_manifest",
-    "sim_recall_pq_at_k",
-    "hourly_anomaly_vs_baseline",
-    "llm_corpus_stage_report",
-    "lc_distinct_users_daily",
-    "bloom_source_membership_audit",
-    "sim_margin_mined_pairs",
-    "lc_register_set_algebra",
-    "pagerank_trade_network",
-    "trade_graph_butterflies",
-    "user_growth_accounting",
-    "event_transition_matrix",
-    "order_to_ship_latency",
-    "revenue_concentration_hhi",
-    "part_affinity_pairs",
-    "open_orders_over_time",
-    "partition_pruned_daily_stats",
-    "array_functions_showcase",
-    "minhash_jaccard_calibration",
-    "dedup_rate_by_source",
-    "lineitem_measures_unpivot",
-    "cube_daily_type_counts",
-    "hist_value_quantiles",
-    "weighted_priority_sample",
-    "bpe_pair_counts",
-    # -- plans changed in round 4: forced broadcasts of sf-proportional
-    #    sides removed (VERDICT r3 "What's wrong" #1) — re-gate on the
-    #    new physical plans
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_supplier_customer_volume",
-    "tpch_q8_market_share",
-    "tpch_q18_large_volume_customers",
-    # -- NEW in round 4 (insert additions here, newest first)
-    "trimmed_mean_value_by_type",
-    "value_winsorized_stats",
+    # -- the 9 late-r4 queries (first external row)
+    "kmv_distinct_users_daily",
+    "kmv_set_algebra",
+    "sql_lateral_top_orders",
+    "text_rarity_score",
+    "text_chunks_overlapping",
+    "funnel_time_to_convert",
+    "monthly_revenue_trend",
+    "brand_share_drift",
+    "source_curation_report",
+    # -- NEW in round 5 (insert additions here, newest first)
+    "bpe_encode_fertility",
+    # -- plans changed in round 5 (ADVICE r4: degenerate-denominator
+    #    nullif guards, identical values on non-degenerate data)
     "daily_counts_autocorr",
-    "revenue_cusum",
-    "strict_funnel_conversion",
-    "orders_reorder_interval",
-    "mixture_temperature_weights",
-    "source_token_divergence",
-    "text_tfidf_top_terms",
-    "hist_quantile_calibration",
     "emb_matryoshka_fidelity",
-    "dedup_containment_pairs",
-    # -- rotation fill: oldest-evidence (r1) green rows, re-verified if
+    # -- reference-parity six: freshest external row was r2 (entry()
+    #    smoke re-runs q6 every round, but the value-hash rows age)
+    "q1_typed_events",
+    "q2_abnormal_minutes",
+    "q3_value_discrepancy",
+    "q4_avg_value_per_hour",
+    "q5_event_counts_per_hour",
+    "q6_counts_by_segment",
+    # -- rotation fill: oldest-evidence (r1) green rows, re-verified as
     #    the prefix reaches them
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -145,18 +119,9 @@ _GATE_PRIORITY = [
     "dedup_minhash_bands",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality",
-    "text_fingerprints",
-    "quality_by_source",
 ]
-# Queries not named above (the r2-green set) keep registration order after
-# the list — their driver rows are freshest, and every one is still
+# Queries not named above (r1-tail/r2/r3/r4-green) keep registration order
+# after the list — every one has a prior driver row, and every one is still
 # re-verified per-commit by the local mirror (tools/driver_sim.py /
 # tests/test_oracle_correctness.py).
 

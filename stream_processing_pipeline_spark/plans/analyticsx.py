@@ -178,8 +178,10 @@ def _autocorr_sql(k: int) -> str:
            CAST(count(*) AS BIGINT) AS n_pairs,
            {pround_sql(
                "CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)"
-               " / sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)"
-               " * CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE))",
+               " / nullif(sqrt("
+               "CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)"
+               " * CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)"
+               "), 0.0)",
                6,
            )} AS r_autocorr
     FROM (
@@ -209,8 +211,12 @@ def daily_counts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     a weekly seasonality worth modeling. All five sufficient statistics
     (Σx, Σy, Σxy, Σx², Σy²) are exact integer sums over the ~30-row day
     series; only the final ratio touches doubles (identical operands in
-    both engines, pinned by pround). The unpartitioned lag window is over
-    the calendar-bounded daily aggregate, never event rows."""
+    both engines, pinned by pround). A nullif guards the degenerate
+    constant-series case (variance 0): Spark's Divide yields NULL on a
+    zero divisor where DuckDB's IEEE division yields NaN, so the guard
+    makes the undefined correlation NULL in BOTH engines. The
+    unpartitioned lag window is over the calendar-bounded daily
+    aggregate, never event rows."""
     ev = catalog(spark, sf_dir).events
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("c")
@@ -236,7 +242,10 @@ def daily_counts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_pairs"),
                 pround(
                     num.cast("double")
-                    / F.sqrt(denx.cast("double") * deny.cast("double")),
+                    / F.nullif(
+                        F.sqrt(denx.cast("double") * deny.cast("double")),
+                        F.lit(0.0),
+                    ),
                     6,
                 ).alias("r_autocorr"),
             )
@@ -562,7 +571,19 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     no source x vocabulary materialization. Shape: one token explode +
     (source, term) aggregation (the corpus shuffle), a term-grain join of
     compact counts, and source-grain assembly; the scalar totals ride a
-    bounded cross join."""
+    bounded cross join.
+
+    Integer headroom (the exactness/scale trade, stated explicitly): each
+    ``|c_st*N - c_t*n_s|`` term is <= c_st*N + c_t*n_s, so per source
+    ``present_num <= 2*n_s*N`` and the scaled numerator
+    ``1000*(present_num + n_s*(N - present_ct)) <= 3000*n_s*N``. int64
+    therefore requires ``n_s*N < 3.07e15`` — e.g. any corpus up to ~3e9
+    total tokens, or ~3e12 tokens when no single source exceeds ~1e9.
+    Beyond that bound the exact-permille contract must be relaxed: pre-
+    scale c_st/c_t by 10^ceil(log10(n_s*N / 3e15)) (a <=±1-permille
+    estimate) or switch the final ratio to one pround-pinned IEEE divide.
+    Kept exact here because the value-hash verification contract is the
+    point of this query family."""
     d = catalog(spark, sf_dir).documents
     tok = d.select(
         "source", F.explode(tokens(normalize_text("text"))).alias("term")
@@ -797,9 +818,9 @@ def _ss_prefix_sql(expr: str, k: int) -> str:
     "emb_matryoshka_fidelity",
     oracle=f"""
     SELECT vec_id, label,
-           {pround_sql(f"sqrt({_ss_prefix_sql('embedding', 16)} / {_ss_prefix_sql('embedding', 64)})", 6)}
+           {pround_sql(f"sqrt({_ss_prefix_sql('embedding', 16)} / nullif({_ss_prefix_sql('embedding', 64)}, 0.0))", 6)}
              AS fidelity16,
-           {pround_sql(f"sqrt({_ss_prefix_sql('embedding', 32)} / {_ss_prefix_sql('embedding', 64)})", 6)}
+           {pround_sql(f"sqrt({_ss_prefix_sql('embedding', 32)} / nullif({_ss_prefix_sql('embedding', 64)}, 0.0))", 6)}
              AS fidelity32
     FROM embeddings
     """,
@@ -816,7 +837,10 @@ def emb_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation anywhere. A pure scan query: at 100 TB it reads the
     embedding column once, no shuffle at all."""
     emb = catalog(spark, sf_dir).embeddings
-    full = _ss_prefix("embedding", 64)
+    # nullif guards the all-zero-vector edge: Spark's Divide yields NULL on
+    # a 0.0 divisor where DuckDB's IEEE division yields NaN — with the
+    # guard the degenerate row is NULL in BOTH engines.
+    full = F.nullif(_ss_prefix("embedding", 64), F.lit(0.0))
     return emb.select(
         "vec_id",
         "label",
@@ -1338,20 +1362,35 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical CTEs, so the REPORT itself is hash-verified too — the
     dashboard one actually runs before deciding which source to
     re-filter, re-weight, or drop. Eval/report query: candidate-bounded
-    containment, token-grain shuffles, everything else source-grain."""
+    containment, token-grain shuffles, everything else source-grain.
+
+    Shared token base (r5, VERDICT r4 "What's wrong" #1): the six columns
+    all start from normalize->tokenize over ``documents``; computing that
+    per kernel re-ran the regex normalizer over the raw corpus FOUR times
+    (exact-hash base, minhash shingles, containment shingles, token
+    instances). Now ONE persisted frame ``pre(doc_id, source, toks)``
+    feeds everything: the exact hash is ``h60(array_join(toks, ' '))``
+    (array_join is the exact inverse of the single-space split, so the
+    hash is bit-identical to ``h60(normalize_text(text))``), shingles
+    build from the cached arrays via ``shingles_of_tokens``, and token
+    instances explode them. MEMORY_AND_DISK persist, so at 100 TB the
+    base spills rather than OOMs — and one corpus scan replaces four.
+    Measured isolated at sf0.1: 8.4 s -> see COVERAGE.md for the after
+    number."""
     from ..functions.hashing import h60
-    from ..operators.dedup import lsh_candidate_pairs, shingles
+    from ..operators.dedup import lsh_candidate_pairs, shingles_of_tokens
     from ..operators.text import normalize_text, tokens
 
     docs = catalog(spark, sf_dir).documents
-    norm = normalize_text("text")
-    toks = tokens(norm)
-    base = docs.select(
+    pre = docs.select(
+        "doc_id", "source", tokens(normalize_text("text")).alias("toks")
+    ).persist()
+    base = pre.select(
         "doc_id",
         "source",
-        h60(norm).alias("h"),
-        F.size(toks).alias("nt"),
-    ).persist()
+        h60(F.array_join("toks", " ")).alias("h"),
+        F.size("toks").alias("nt"),
+    )
 
     # exact duplicates: every doc in a hash group except the min-id keeper
     wdup = Window.partitionBy("h")
@@ -1367,10 +1406,12 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("is_dup").alias("n_exact_dup"))
     )
 
-    # subset duplicates via shingle containment over LSH candidates
-    cands = lsh_candidate_pairs(docs)
-    shd = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("g")
+    # subset duplicates via shingle containment over LSH candidates —
+    # shingles derive from the cached token arrays, not raw text
+    shx = pre.select("doc_id", shingles_of_tokens(F.col("toks")).alias("sh"))
+    cands = lsh_candidate_pairs(shx, shingle_col="sh")
+    shd = shx.select(
+        "doc_id", F.explode("sh").alias("g")
     ).distinct().persist()
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
@@ -1406,8 +1447,8 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_subset_dup"))
     )
 
-    # rarity + divergence share the token-instance table
-    tok = docs.select("source", F.explode(toks).alias("term"))
+    # rarity + divergence share the token-instance table (cached arrays)
+    tok = pre.select("source", F.explode("toks").alias("term"))
     st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
     st = st.persist()
     t = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))

@@ -1251,11 +1251,14 @@ def _bpe_apply_merge(words: DataFrame, best: DataFrame) -> DataFrame:
     pair fusion, as a literal ``replace`` over the double-space-wrapped
     symbol encoding (each symbol is stored as ``' sym '``, so the pattern
     ``' l  r '`` matches exactly one adjacent (l, r) symbol boundary and
-    ``replace``'s leftmost-non-overlapping scan IS the BPE greedy rule)."""
+    ``replace``'s leftmost-non-overlapping scan IS the BPE greedy rule).
+    Non-``seq`` columns (e.g. ``source`` in the per-source encode table)
+    pass through untouched."""
     pat = F.concat(F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" "))
     rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
+    others = [c for c in words.columns if c != "seq"]
     return words.crossJoin(F.broadcast(best)).select(
-        F.replace(F.col("seq"), pat, rep).alias("seq"), "cnt"
+        F.replace(F.col("seq"), pat, rep).alias("seq"), *others
     )
 
 
@@ -1330,6 +1333,139 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """DuckDB twin of :func:`bpe_encode_fertility`: replay the unrolled
+    training levels (identical to :func:`_bpe_train_oracle`), then thread a
+    per-SOURCE word table through the same six wrapped-replace merges and
+    reduce to fertility. Self-computing — each level's argmax feeds the
+    next via scalar subqueries, no literals."""
+    parts = [
+        f"""WITH pre AS (
+      SELECT source, unnest(regexp_extract_all(text, '{T._BPE_PATTERN}')) AS tok
+      FROM documents
+    ), sw0 AS (
+      SELECT source, regexp_replace(tok, '(.)', ' \\1 ', 'g') AS seq,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pre GROUP BY 1, 2
+    ), w0 AS (
+      SELECT seq, CAST(sum(cnt) AS BIGINT) AS cnt FROM sw0 GROUP BY seq
+    )"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f""", p{k} AS (
+      SELECT t.s[g.i] AS l, t.s[g.i + 1] AS r, CAST(sum(t.cnt) AS BIGINT) AS n
+      FROM (SELECT string_split(trim(seq), '  ') AS s, cnt FROM w{k}) t
+      CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.s))) AS i) g
+      GROUP BY 1, 2
+    ), b{k} AS (
+      SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1
+    ), sw{k + 1} AS (
+      SELECT source,
+             replace(seq, (SELECT ' ' || l || '  ' || r || ' ' FROM b{k}),
+                          (SELECT ' ' || l || r || ' ' FROM b{k})) AS seq,
+             cnt
+      FROM sw{k}
+    )"""
+        )
+        if k < n_merges - 1:
+            parts.append(
+                f""", w{k + 1} AS (
+      SELECT replace(seq, (SELECT ' ' || l || '  ' || r || ' ' FROM b{k}),
+                          (SELECT ' ' || l || r || ' ' FROM b{k})) AS seq,
+             cnt
+      FROM w{k}
+    )"""
+            )
+    parts.append(
+        f""", enc AS (
+      SELECT source, CAST(len(string_split(trim(seq), '  ')) AS BIGINT)
+               AS n_syms, cnt
+      FROM sw{n_merges}
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * n_syms) AS BIGINT) AS n_tokens,
+           CAST((1000 * sum(cnt * n_syms)) // sum(cnt) AS BIGINT)
+             AS fertility_permille
+    FROM enc GROUP BY source"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "bpe_encode_fertility",
+    oracle=_bpe_encode_oracle(_BPE_N_MERGES),
+    tags=("text", "tokenizer", "bpe", "encode", "iterative"),
+)
+def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE under the trained tokenizer — the step every real pipeline
+    runs after :func:`bpe_train_merges`: apply the six learned merges, in
+    rank order, to the whole corpus and report per-source fertility
+    (trained-BPE tokens per pretoken word, exact integer permille). The
+    number that says which source will cost more sequence length per word
+    at training time — the trained-tokenizer twin of
+    ``text_bpe_token_stats``'s pretokenizer fertility.
+
+    Spark-first shape, same discipline as training: the corpus collapses
+    ONCE into a per-(source, pretoken) frequency table (the only
+    corpus-sized shuffle; encode cost is then sources x vocab however
+    large the corpus — the word-frequency-dict trick applied to encoding
+    too). Training replays on the source-marginalized vocab (identical
+    argmax DAG to ``bpe_train_merges``, so both queries learn the SAME
+    merge table), and each 1-row winner broadcasts into the literal
+    wrapped-``replace`` fusion — encoding IS the training operator
+    re-applied, which is exactly BPE's contract. The TRAINING loop
+    localCheckpoints per round (its lineage embeds each round's plan in
+    the next — the documented doubling); the ENCODE chain does NOT: the
+    six winners are already truncated 1-row frames, so composing their
+    replaces over the per-source table is a LINEAR plan — one job, six
+    tiny broadcast joins, no per-round materialization. The oracle
+    replays training AND encoding self-computingly, so the fertility
+    table is value-hash-verified end to end."""
+    docs = catalog(spark, sf_dir).documents
+    pre = docs.select(
+        "source", F.explode(T.bpe_pretokens("text")).alias("tok")
+    )
+    swords = (
+        pre.groupBy(
+            "source", F.regexp_replace("tok", "(.)", " $1 ").alias("seq")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    words = (
+        swords.groupBy("seq").agg(F.sum("cnt").alias("cnt")).localCheckpoint()
+    )
+    enc = swords.select("seq", "source", "cnt")
+    for k in range(_BPE_N_MERGES):
+        best = (
+            _bpe_pair_counts_of(words)
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .localCheckpoint()
+        )
+        enc = _bpe_apply_merge(enc, best)
+        if k < _BPE_N_MERGES - 1:
+            words = _bpe_apply_merge(words, best).localCheckpoint()
+    n_syms = F.size(F.split(F.trim(F.col("seq")), "  ")).cast("long")
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * n_syms).alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            F.expr("(1000 * n_tokens) div n_words").alias(
+                "fertility_permille"
+            ),
+        )
+    )
 
 
 # ----------------------------------------------------- filter-cascade funnel

@@ -60,6 +60,16 @@ class Topology:
     # Applied to the session at start_all — the provider is read when a
     # query starts and is pinned into its checkpoint thereafter.
     state_store: str | None = None
+    # RocksDB changelog checkpointing: instead of uploading a full state
+    # snapshot per checkpoint, upload the per-batch CHANGELOG and snapshot
+    # in the background — the knob that amortizes checkpoint upload cost
+    # when state is large (the 100 TB question; recovery replays changelog
+    # onto the last snapshot). None leaves Spark's default (off). Only
+    # meaningful with state_store="rocksdb". Through r4 this was
+    # hard-wired ON whenever rocksdb was selected; it is now an explicit
+    # knob so the bench can measure the provider and the checkpoint mode
+    # separately (VERDICT r4 #5).
+    changelog_checkpointing: bool | None = None
     # Number of shuffle/state partitions for the topology's stateful
     # operators (``spark.sql.shuffle.partitions`` at first start, pinned
     # into each query's checkpoint thereafter). The session default is
@@ -95,11 +105,11 @@ class Topology:
         self.spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", provider
         )
-        if provider == ROCKSDB_PROVIDER:
+        if self.changelog_checkpointing is not None:
             self.spark.conf.set(
                 "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
                 ".enabled",
-                "true",
+                "true" if self.changelog_checkpointing else "false",
             )
 
     def _apply_state_partitions(self) -> None:

@@ -298,6 +298,9 @@ def session_timeout_update(key, pdfs, state):
     # Event-time timers take MILLISECONDS and must be set ABOVE the
     # current watermark (Spark rejects a stale timer); a session whose
     # gap already expired relative to arriving data times out at the
-    # next watermark tick instead.
-    timeout_ms = (last + SESSION_GAP_US) // 1000
+    # next watermark tick instead. The division rounds UP: the gap check
+    # treats t - last == SESSION_GAP_US as inside the session, so a
+    # floor-truncated timer (up to 999 us early) could close the session
+    # before an event landing exactly on the inclusive boundary arrives.
+    timeout_ms = -(-(last + SESSION_GAP_US) // 1000)
     state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))

@@ -291,6 +291,8 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "brand_share_drift",            # broadcast 1-row month bounds
         "kmv_set_algebra",              # broadcast k-row/1-row sketch frames
         "source_curation_report",       # broadcast 1-row corpus totals x2
+        "bpe_encode_fertility",         # broadcast 1-row merge winners x6
+                                        # (each a truncated localCheckpoint)
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():

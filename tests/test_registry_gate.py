@@ -24,34 +24,13 @@ def test_gate_priority_is_registry_prefix():
     assert names[: len(_GATE_PRIORITY)] == list(_GATE_PRIORITY)
 
 
-#: Queries deferred past the round-4 gate prefix without a prior driver row.
-#: The 34 r3-deferred queries lead the r4 prefix (with the 4 re-gated TPC-H
-#: and the 12 r4 headline additions filling it to exactly 50); this set is
-#: the r4 LATE batch — registered after the prefix was full, mirror-green
-#: at all three SFs, each sharing verified machinery with an in-prefix
-#: sibling — rotating to the r5 prefix head:
-deferred_past_prefix: set[str] = {
-    "text_rarity_score",        # sibling: text_tfidf_top_terms (same
-                                # token-explode + vocab-count + scalar-N)
-    "text_chunks_overlapping",  # sibling: dedup_span_chunks (same chunk
-                                # materialization, stride added)
-    "funnel_time_to_convert",   # sibling: strict_funnel_conversion (same
-                                # chained stages) + orders_reorder_interval
-                                # (same histogram-quantile walk)
-    "monthly_revenue_trend",    # sibling: daily_counts_autocorr (same
-                                # integer sufficient-statistics recipe)
-    "brand_share_drift",        # sibling: revenue_concentration_hhi
-                                # (share permille) + tpch_q14 (part join)
-    "kmv_distinct_users_daily", # sibling: lc_distinct_users_daily (same
-                                # sketch-vs-exact contract, portable hash)
-    "kmv_set_algebra",          # sibling: lc_register_set_algebra (same
-                                # split + exact-overlap audit)
-    "sql_lateral_top_orders",   # sibling: sql_api_revenue_summary /
-                                # top_events_per_user (decorrelated top-k)
-    "source_curation_report",   # composition of r4-verified kernels:
-                                # dedup_exact + containment + rarity +
-                                # temperature weights + TV divergence
-}
+#: Queries registered past the current gate prefix without a prior driver
+#: row. Round 5 rotated the entire r4 late batch (9 queries) plus the one
+#: r5 addition (bpe_encode_fertility) INTO the prefix head, so nothing is
+#: deferred this round — the set stays as the documented mechanism for any
+#: future late-round registration (each entry must name its verified
+#: in-prefix sibling).
+deferred_past_prefix: set[str] = set()
 
 
 def test_queries_past_gate_prefix_have_prior_driver_rows():

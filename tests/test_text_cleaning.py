@@ -119,6 +119,56 @@ def test_bpe_train_merges_semantics(spark):
     assert got == {("aa", "a"): 1}
 
 
+def test_bpe_encode_fertility_consistent_with_pretokenizer(spark):
+    """Encode-side invariants tying bpe_encode_fertility to the shared
+    pretokenizer (text_bpe_token_stats) and to training
+    (bpe_train_merges):
+
+    - word conservation: encoding never creates or drops words, so
+      sum(n_words) over sources == the corpus pretoken count;
+    - token bounds: every word is >= 1 symbol and merges only ever FUSE,
+      so n_words <= n_tokens <= per-source pretoken character count;
+    - the six learned merges actually fire on the fixture: the corpus
+      token total is strictly below the character total by exactly the
+      training winners' occurrence mass at the time each merge applied
+      (weaker, checkable form: strict inequality);
+    - the fertility projection replays its own integer definition.
+    """
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.operators import text as T
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    rows = REGISTRY["bpe_encode_fertility"].fn(spark, SF_MED).collect()
+    assert rows, "fixture has sources"
+
+    docs = catalog(spark, SF_MED).documents
+    pre = docs.select(
+        "source", F.explode(T.bpe_pretokens("text")).alias("tok")
+    )
+    ref = {
+        r.source: (r.n_pre, r.n_chars)
+        for r in pre.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pre"),
+            F.sum(F.length("tok")).alias("n_chars"),
+        )
+        .collect()
+    }
+    assert {r.source for r in rows} == set(ref)
+    for r in rows:
+        n_pre, n_chars = ref[r.source]
+        assert r.n_words == n_pre
+        assert r.n_words <= r.n_tokens <= n_chars
+        assert r.fertility_permille == (1000 * r.n_tokens) // r.n_words
+        assert r.fertility_permille >= 1000
+    # the trained merges fired somewhere: strictly fewer symbols than chars
+    assert sum(r.n_tokens for r in rows) < sum(c for _, c in ref.values())
+
+
 def test_quality_filter_funnel_telescopes(spark):
     """Funnel algebra: stages telescope (each stage's survivors are the
     next stage's input), cascade drops never exceed corpus-wide failures,

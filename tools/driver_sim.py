@@ -1,4 +1,4 @@
-"""Simulate the external driver gate locally (.claude/skills/verify recipe).
+"""Simulate the external driver gate locally (see Usage below).
 
 Builds a PLAIN SparkSession (no engine configs — exactly like the external
 harness), imports ``__spark_entry__``, smoke-runs ``entry()``, then runs each

@@ -177,6 +177,34 @@ def main() -> None:
     timed("fact_join_plain_aqe_off", lambda: with_conf(off, plain_join))
     timed("fact_join_plain_aqe_on", lambda: with_conf(on, plain_join))
     timed("fact_join_salted_aqe_off", lambda: with_conf(off, salted))
+
+    # --- same join at NATURAL (1x) skew ------------------------------------
+    # The decision-table baseline (SCALING.md r5): identical join, no
+    # planted hot key — measures what each strategy costs when there is
+    # nothing to fix (salting's explode+wider-key overhead shows here).
+    ev.write.mode("overwrite").parquet("/tmp/skew_events_1x.parquet")
+    fact1 = spark.read.parquet("/tmp/skew_events_1x.parquet")
+    dim1 = fact1.groupBy("user_id").agg(F.avg("value").alias("user_avg"))
+    dim1.write.mode("overwrite").parquet("/tmp/skew_dim_1x.parquet")
+    dim1 = spark.read.parquet("/tmp/skew_dim_1x.parquet")
+
+    def plain_join_1x():
+        return (
+            fact1.join(dim1.hint("shuffle_hash"), "user_id")
+            .filter(F.col("value") > F.col("user_avg"))
+            .count()
+        )
+
+    def salted_1x():
+        return (
+            salted_join(fact1, dim1, on="user_id", n_salts=32)
+            .filter(F.col("value") > F.col("user_avg"))
+            .count()
+        )
+
+    timed("fact_join_1x_plain_aqe_off", lambda: with_conf(off, plain_join_1x))
+    timed("fact_join_1x_plain_aqe_on", lambda: with_conf(on, plain_join_1x))
+    timed("fact_join_1x_salted_aqe_off", lambda: with_conf(off, salted_1x))
     spark.stop()
 
 
