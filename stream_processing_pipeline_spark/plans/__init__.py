@@ -72,6 +72,7 @@ _GATE_PRIORITY = [
     "brand_share_drift",
     "source_curation_report",
     # -- NEW in round 5 (insert additions here, newest first)
+    "zorder_layout_audit",
     "bpe_encode_fertility",
     # -- plans changed in round 5 (ADVICE r4: degenerate-denominator
     #    nullif guards, identical values on non-degenerate data)

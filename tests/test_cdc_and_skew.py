@@ -86,6 +86,36 @@ def test_skew_audit_orderings_and_totals(spark):
     assert rows["etype"].top_share_permille > rows["user"].top_share_permille
 
 
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """The layout audit's headline property: under the z-order layout a
+    slice predicate on EITHER dimension prunes most files, under the
+    linear (day-major) layout only the day slice prunes — the part slice
+    touches every file. Also pins the bookkeeping: both layouts bucket
+    the same rows into the same number of files, spans never exceed the
+    16-bit domain, and linear's day span per file is far tighter than
+    z-order's (the cost it pays for part-blindness)."""
+    rows = {
+        r.layout: r
+        for r in REGISTRY["zorder_layout_audit"].fn(spark, SF_MED).collect()
+    }
+    assert set(rows) == {"zorder", "linear"}
+    z, li = rows["zorder"], rows["linear"]
+    assert z.n_files == li.n_files
+    for r in (z, li):
+        assert 0 <= r.avg_day_span <= 65535 and 0 <= r.avg_part_span <= 65535
+        assert 0 <= r.files_hit_part_slice <= r.n_files
+        assert 0 <= r.files_hit_day_slice <= r.n_files
+    # linear: perfect day clustering, zero part clustering
+    assert li.files_hit_part_slice == li.n_files
+    assert li.files_hit_day_slice <= z.files_hit_day_slice
+    assert li.avg_day_span < z.avg_day_span
+    # z-order: both dimensions prunable (a 1/16 slice touches well under
+    # half the files) and part span per file far below linear's
+    assert z.files_hit_part_slice <= z.n_files // 4
+    assert z.files_hit_day_slice <= z.n_files // 2
+    assert z.avg_part_span < li.avg_part_span // 4
+
+
 def test_aqe_skew_join_splits_planted_hot_key(spark):
     """Plan-pin for the engine's default skew defense (SCALING.md decision
     table; VERDICT r4 #4): with ``spark.sql.adaptive.skewJoin`` on — the

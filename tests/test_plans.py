@@ -293,6 +293,7 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "source_curation_report",       # broadcast 1-row corpus totals x2
         "bpe_encode_fertility",         # broadcast 1-row merge winners x6
                                         # (each a truncated localCheckpoint)
+        "zorder_layout_audit",          # broadcast 1-row quantization bounds
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
