@@ -107,7 +107,12 @@ def subtree_is_unbounded(jnode) -> bool:
     if name in ("Aggregate", "Deduplicate"):
         # head = "Aggregate [groupExprs], [aggExprs]" / "Deduplicate [keys]"
         # — test the grouping/key segment only (aggregate exprs may mention
-        # id columns harmlessly)
+        # id columns harmlessly). A SCALAR aggregate prints with a single
+        # bracket list (just the agg exprs, e.g. "Aggregate [max(doc_id)
+        # AS n]") — one output row, bounded regardless of which columns
+        # the expressions mention (the max-of-id bounds pattern).
+        if name == "Aggregate" and "], [" not in head:
+            return False
         group_seg = head.split("], [")[0]
         if not _ID_GROUP_RE.search(group_seg):
             return False  # bounded-cardinality grouping (or scalar agg)

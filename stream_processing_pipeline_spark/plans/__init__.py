@@ -72,6 +72,8 @@ _GATE_PRIORITY = [
     "brand_share_drift",
     "source_curation_report",
     # -- NEW in round 5 (insert additions here, newest first)
+    "sim_recall_int8_at_k",
+    "vocab_growth_by_shard",
     "zorder_layout_audit",
     "bpe_encode_fertility",
     # -- plans changed in round 5 (ADVICE r4: degenerate-denominator

@@ -1194,6 +1194,62 @@ def sim_recall_pq_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_recall_int8_at_k",
+    oracle=f"""
+    WITH {int8_codes_sql_cte()},
+    i8 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM __codes q JOIN __codes c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_dot_product(q.codes, c.codes) DESC, c.vec_id
+      ) <= {_K}
+    ),
+    bf AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+      ) <= {_K}
+    )
+    SELECT bf.query_id,
+           CAST(count(i8.neighbor_id) AS BIGINT) AS n_hits,
+           count(i8.neighbor_id) / {_K}.0 AS recall_at_k
+    FROM bf LEFT JOIN i8
+      ON bf.query_id = i8.query_id AND bf.neighbor_id = i8.neighbor_id
+    GROUP BY bf.query_id
+    """,
+    tags=("similarity", "quantization", "int8", "recall", "evaluation"),
+)
+def sim_recall_int8_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the int8 scalar-quantized scan against the exact float
+    baseline — the FOURTH index-quality number, completing the audit
+    family (LSH = pruning loss, IVF = pruning loss, PQ = 32x coding loss,
+    int8 = 4x coding loss). SQ8 scans every code like PQ does, so any miss
+    here is pure scalar-quantization error; the expected reading is
+    near-1.0 recall at 4x compression vs PQ's drop at 32x — the
+    compression/recall trade a serving team actually chooses on. Composes
+    two registered pipelines (brute-force float top-k, integer-dot int8
+    top-k) and reduces with one bounded join over query x k rows; the
+    whole evaluation is value-hash-checked end to end."""
+    emb = catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    bf = topk_bruteforce(emb, queries, k=_K).select("query_id", "neighbor_id")
+    i8 = sim_topk_int8(spark, sf_dir).select(
+        F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
+    )
+    joined = bf.join(
+        i8, (bf.query_id == i8.i_qid) & (bf.neighbor_id == i8.i_nid), "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("i_nid").alias("n_hits"),
+        (F.count("i_nid") / float(_K)).alias("recall_at_k"),
+    )
+
+
 # --------------------------------------------------- margin-based mining
 
 from ..functions.rounding import pround_sql as _pround_sql_fn

@@ -1727,3 +1727,96 @@ def llm_corpus_stage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionAll(stage(i, nm, ids))
     return out
+
+
+# ----------------------------------------------- vocabulary growth (Heaps)
+
+_VG_SHARDS = 16
+
+
+@register(
+    "vocab_growth_by_shard",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM documents
+    ),
+    tok AS (
+      SELECT (CAST(doc_id AS BIGINT) * {_VG_SHARDS}) // bounds.n AS shard,
+             unnest({T.tokens_sql(T.normalize_text_sql('text'))}) AS term
+      FROM documents CROSS JOIN bounds
+    ),
+    st AS (
+      SELECT shard, term, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY shard, term
+    ),
+    per_shard AS (
+      SELECT shard, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct_terms
+      FROM st GROUP BY shard
+    ),
+    first AS (
+      SELECT term, min(shard) AS s0 FROM st GROUP BY term
+    ),
+    news AS (
+      SELECT s0 AS shard, CAST(count(*) AS BIGINT) AS n_new_terms
+      FROM first GROUP BY s0
+    )
+    SELECT p.shard, p.n_tokens, p.n_distinct_terms,
+           CAST(COALESCE(w.n_new_terms, 0) AS BIGINT) AS n_new_terms,
+           CAST(sum(COALESCE(w.n_new_terms, 0)) OVER (
+             ORDER BY p.shard ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_vocab
+    FROM per_shard p LEFT JOIN news w ON w.shard = p.shard
+    """,
+    tags=("text", "llm-pipeline", "vocabulary", "heaps-law", "diversity"),
+)
+def vocab_growth_by_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth across 16 sequential ingestion shards — the
+    Heaps-law readout a curation run checks before ingesting the next
+    crawl snapshot: per shard, total token instances, distinct terms
+    PRESENT, terms seen for the FIRST time (novelty), and the cumulative
+    vocabulary. A flattening new-terms curve says later shards repeat the
+    corpus (diversity exhausted — more data, no new signal); a linear one
+    says the source still surprises. Scale shape: ONE token explode into a
+    (shard, term) aggregation (the corpus shuffle, map-side combined),
+    then everything runs at vocabulary grain — first-appearance is a
+    16-value min per term, the rollups are shard-grain, and the cumulative
+    window orders a 16-row frame. Shard assignment is value-range
+    bucketing on doc_id (the bound rides a broadcast 1-row aggregate), so
+    no global sort anywhere."""
+    from pyspark.sql import Window
+
+    d = catalog(spark, sf_dir).documents
+    bounds = d.agg((F.max("doc_id") + 1).cast("long").alias("n"))
+    tok = d.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"(CAST(doc_id AS BIGINT) * {_VG_SHARDS}) div n").alias(
+            "shard"
+        ),
+        F.explode(T.tokens(T.normalize_text("text"))).alias("term"),
+    )
+    st = tok.groupBy("shard", "term").agg(F.count(F.lit(1)).alias("c"))
+    st = st.persist()
+    per_shard = st.groupBy("shard").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_terms"),
+    )
+    news = (
+        st.groupBy("term")
+        .agg(F.min("shard").alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_new_terms"))
+    )
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_shard.join(news, "shard", "left")
+        .select(
+            "shard",
+            "n_tokens",
+            "n_distinct_terms",
+            F.coalesce(F.col("n_new_terms"), F.lit(0)).alias("n_new_terms"),
+        )
+        # 16-row frame: the unpartitioned window is over the shard spine,
+        # never document rows (the bounded-domain invariant the r3/r4
+        # audits require stated in-code)
+        .withColumn("cum_vocab", F.sum("n_new_terms").over(w))
+    )

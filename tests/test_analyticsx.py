@@ -329,3 +329,58 @@ def test_curation_report_consistent_with_standalone_kernels(spark):
         assert 0 <= r.n_subset_dup <= r.n_docs
         assert r.mean_rarity_per_token >= 1
         assert r.n_chunks >= r.n_docs  # every doc yields >= 1 chunk
+
+
+def test_int8_recall_beats_pq_recall(spark):
+    """The compression/recall trade the two coding audits exist to expose:
+    SQ8 (4x compression) must recover most of the exact float top-10 where
+    PQ (32x) collapses on this near-uniform fixture — per-query hit counts
+    stay in [0, k], recall replays n_hits/k exactly, and mean int8 recall
+    strictly dominates mean PQ recall with room to spare."""
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    i8 = REGISTRY["sim_recall_int8_at_k"].fn(spark, SF_MED).collect()
+    pq = REGISTRY["sim_recall_pq_at_k"].fn(spark, SF_MED).collect()
+    assert len(i8) == len(pq) > 0
+    for r in i8 + pq:
+        assert 0 <= r.n_hits <= 10
+        assert abs(r.recall_at_k - r.n_hits / 10.0) < 1e-12
+    mean_i8 = sum(r.recall_at_k for r in i8) / len(i8)
+    mean_pq = sum(r.recall_at_k for r in pq) / len(pq)
+    assert mean_i8 >= 0.5, mean_i8          # 4x coding keeps the ranking
+    assert mean_i8 > mean_pq + 0.3, (mean_i8, mean_pq)
+
+
+def test_vocab_growth_bookkeeping(spark):
+    """Heaps-law audit algebra: 16 shards partition the corpus, novelty
+    sums to the corpus vocabulary (= the final cumulative value), the
+    first shard's terms are all new, per-shard novelty never exceeds the
+    terms present, the cumulative curve is nondecreasing, and token
+    instances reconcile with a direct corpus count. (On this fixture the
+    31-term synthetic vocabulary saturates at shard 0 — the flat curve IS
+    the 'diversity exhausted' reading the query exists to expose.)"""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.operators import text as T
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    rows = sorted(
+        REGISTRY["vocab_growth_by_shard"].fn(spark, SF_MED).collect(),
+        key=lambda r: r.shard,
+    )
+    assert [r.shard for r in rows] == sorted({r.shard for r in rows})
+    assert rows[0].n_new_terms == rows[0].n_distinct_terms
+    cum = 0
+    for r in rows:
+        assert 0 <= r.n_new_terms <= r.n_distinct_terms <= r.n_tokens
+        cum += r.n_new_terms
+        assert r.cum_vocab == cum
+    d = catalog(spark, SF_MED).documents
+    tok = d.select(F.explode(T.tokens(T.normalize_text("text"))).alias("t"))
+    assert sum(r.n_tokens for r in rows) == tok.count()
+    assert cum == tok.select("t").distinct().count()

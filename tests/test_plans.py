@@ -294,6 +294,8 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "bpe_encode_fertility",         # broadcast 1-row merge winners x6
                                         # (each a truncated localCheckpoint)
         "zorder_layout_audit",          # broadcast 1-row quantization bounds
+        "sim_recall_int8_at_k",         # broadcast query set (N_QUERIES rows)
+        "vocab_growth_by_shard",        # broadcast 1-row doc-id bound
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():

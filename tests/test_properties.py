@@ -307,7 +307,9 @@ def test_session_update_matches_gaps_and_islands(times, gap):
     """Feeding ANY event multiset through the stateful session operator in
     one batch must emit exactly the reference gaps-and-islands closed
     sessions, leave the trailing open session in state, and arm its timer
-    at last+gap."""
+    at last+gap, rounded UP to the next millisecond (ADVICE r4: a
+    floor-truncated timer could fire up to 999 us before the inclusive
+    gap boundary)."""
     import importlib
 
     import pandas as pd
@@ -331,7 +333,7 @@ def test_session_update_matches_gaps_and_islands(times, gap):
     ]
     assert got == ref[:-1]  # all but the trailing session emitted (gap-closed)
     assert state.get == ref[-1]  # trailing session carried in state
-    assert state.timeout_ms == max((ref[-1][1] + gap) // 1000, 1)
+    assert state.timeout_ms == max(-(-(ref[-1][1] + gap) // 1000), 1)
     assert all(r.closed_by[0] == "gap" for r in emitted)
 
 

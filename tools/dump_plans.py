@@ -58,6 +58,7 @@ HEADLINERS = {
     "cdc_snapshot_diff": "two as-of snapshots from one groupBy (second max_by's order key NULLed past T1) — single scan, single shuffle",
     "join_key_skew_audit": "exact skew percentiles over the cumulative count-of-counts — the window never sees per-key rows",
     "cms_token_freq": "Count-Min build as one map-side-combined agg (<= depth*width cells/task); broadcast probe join for the estimates",
+    "zorder_layout_audit": "comparative 2-D layout audit: Morton interleave as shift/mask codegen, ONE aggregation to the bounded (z-file, linear-file) pair grain — no global sort",
     "orders_reorder_interval": "exact interval quantiles via a (gap, count) histogram walk — small-integer domain, no corpus sort",
     "source_token_divergence": "TV distance on common-denominator integers; absent terms contribute in closed form — no source x vocab blowup",
     "value_winsorized_stats": "both rank picks and the clamp pass ride ONE per-type sort window (1 exchange)",

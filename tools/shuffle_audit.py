@@ -68,6 +68,8 @@ AUDITED = {
     "orders_reorder_interval": "per-customer lag window on (custkey, date, orderkey) rows; quantile walk shuffles only the <=2,400-row gap histogram",
     "trade_graph_butterflies": "deg-count, cap semi-join and wedge join all hash on the customer key — one edge-table exchange serves all three (r4)",
     "emb_matryoshka_fidelity": "zero shuffle: per-row energy ratios computed in the scan stage",
+    "zorder_layout_audit": "ONE fact exchange to (z-file, linear-file) pair grain (<=1024 partial rows after map-side combine); both layout rollups re-aggregate the bounded pair table",
+    "bpe_encode_fertility": "corpus collapses once to (source, pretoken-seq, count) partials; all 12 merge/encode steps run at vocab grain, raw text never re-shuffles",
 }
 
 
