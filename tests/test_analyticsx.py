@@ -384,3 +384,37 @@ def test_vocab_growth_bookkeeping(spark):
     tok = d.select(F.explode(T.tokens(T.normalize_text("text"))).alias("t"))
     assert sum(r.n_tokens for r in rows) == tok.count()
     assert cum == tok.select("t").distinct().count()
+
+
+def test_bootstrap_ci_brackets_and_narrows(spark):
+    """Poisson-bootstrap CI invariants: the interval is ordered and
+    brackets the point estimate at both fixture SFs, the replicate count
+    is the constant, n reconciles with a direct purchase count, repeated
+    evaluation is bit-identical (derandomized draws), and the interval
+    NARROWS with ~10x more samples — the 1/sqrt(n) behavior that makes
+    the number worth publishing next to the metric."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED, SF_SMALL
+
+    out = {}
+    for sf in (SF_SMALL, SF_MED):
+        (row,) = REGISTRY["metric_bootstrap_ci"].fn(spark, sf).collect()
+        n_direct = (
+            catalog(spark, sf).events
+            .filter(F.col("event_type") == "purchase")
+            .count()
+        )
+        assert row.n_samples == n_direct
+        assert row.n_boot == 32
+        assert row.ci_lo_cents <= row.point_mean_cents <= row.ci_hi_cents
+        assert row.ci_lo_cents < row.ci_hi_cents
+        out[sf] = row
+        (again,) = REGISTRY["metric_bootstrap_ci"].fn(spark, sf).collect()
+        assert again == row  # deterministic end to end
+    w_small = out[SF_SMALL].ci_hi_cents - out[SF_SMALL].ci_lo_cents
+    w_med = out[SF_MED].ci_hi_cents - out[SF_MED].ci_lo_cents
+    assert w_med < w_small  # ~10x the samples -> visibly tighter interval

@@ -296,6 +296,7 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "zorder_layout_audit",          # broadcast 1-row quantization bounds
         "sim_recall_int8_at_k",         # broadcast query set (N_QUERIES rows)
         "vocab_growth_by_shard",        # broadcast 1-row doc-id bound
+        "metric_bootstrap_ci",          # broadcast 1-row CI bounds
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
