@@ -316,3 +316,107 @@ def test_lateral_topk_decorrelates_to_one_window_pass(spark):
     plan = plan_of(spark, "sql_lateral_top_orders")
     assert "CartesianProduct" not in plan
     assert "Window" in plan, plan[:1500]
+
+
+def _with_confs(spark, confs):
+    """Set runtime confs, return a restore callable."""
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+
+    def restore():
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return restore
+
+
+def test_parquet_aggregate_pushdown_reads_footers_only(spark):
+    """count/min/max with no filter must push INTO the parquet scan under
+    the v2 reader (`spark.sql.parquet.aggregatePushdown`): the BatchScan
+    itself returns the aggregate columns, so at 100 TB the query reads
+    file FOOTER STATS, not data pages — the metadata-only fast path for
+    "how many rows / key range" operational checks. Values cross-checked
+    against the default (data-scanning) path."""
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_MED
+
+    restore = _with_confs(spark, {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    })
+    try:
+        df = spark.read.parquet(f"{SF_MED}/lineitem.parquet")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("mn"),
+            F.max("l_orderkey").alias("mx"),
+        )
+        (row) = agg.collect()[0]
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [l for l in plan.splitlines() if "BatchScan" in l]
+        assert scan_lines, plan[:1500]
+        assert any("count(*)" in l and "min(l_orderkey)" in l for l in scan_lines), (
+            scan_lines[0][:300]
+        )
+    finally:
+        restore()
+    base = spark.read.parquet(f"{SF_MED}/lineitem.parquet").agg(
+        F.count(F.lit(1)), F.min("l_orderkey"), F.max("l_orderkey")
+    ).collect()[0]
+    assert (row.n, row.mn, row.mx) == tuple(base)
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """Spark's runtime row-level bloom filter must inject on a shuffle
+    join whose build side carries a selective filter: the creation side
+    plans a `bloom_filter_agg`, the application side a `might_contain`
+    probe — the optimizer-injected form of the explicit
+    `bloom_semijoin_nation_suppliers` operator, pruning fact rows BEFORE
+    the join shuffle. Thresholds lowered because the heuristic is sized
+    for cluster-scale scans (application side must normally exceed 10 GB
+    for the filter to pay for itself)."""
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_MED
+
+    restore = _with_confs(spark, {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    })
+    try:
+        li = spark.read.parquet(f"{SF_MED}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_MED}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        (n,) = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "might_contain" in plan, plan[:1500]
+    finally:
+        restore()
+    base = (
+        spark.read.parquet(f"{SF_MED}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{SF_MED}/orders.parquet").filter(
+                "o_orderpriority = '1-URGENT'"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert n == base
