@@ -40,6 +40,7 @@ __all__ = [
     "shingles",
     "shingles_of_tokens",
     "shingles_sql",
+    "cdc_chunks",
     "minhash_table",
     "minhash_sql_exprs",
     "lsh_bands",
@@ -124,6 +125,43 @@ def shingles_sql(expr: str, n: int = 3) -> str:
         f"(SELECT CASE WHEN len(__t) >= {n} THEN {grams} ELSE [{norm}] END "
         f"FROM (SELECT {toks} AS __t))"
     )
+
+
+# ----------------------------------------------- content-defined chunks
+
+def cdc_chunks(col: Column | str, d: int = 16) -> Column:
+    """Content-defined chunks of normalized text (array of chunk strings).
+
+    A chunk boundary falls after any token whose md5-backed hash is
+    ``0 mod d`` (expected chunk length ~d tokens), so the boundary
+    decision depends only on LOCAL content: inserting or deleting a token
+    re-chunks only the chunk it touches, and every other chunk survives
+    byte-identical — the rsync/LBFS shift-robustness property that fixed-
+    stride chunking lacks. Pure array expressions (filter / zip_with /
+    slice) inside whole-stage codegen; the DuckDB twin lives in
+    ``plans/dedupq._cdc_chunks_cte``."""
+    toks = tokens(normalize_text(col))
+
+    def _chunks(t: Column) -> Column:
+        n = F.size(t)
+        bnd = F.array_sort(
+            F.array_union(
+                F.filter(
+                    F.sequence(F.lit(1), n),
+                    lambda i: h60(F.element_at(t, i)) % d == 0,
+                ),
+                F.array(n),
+            )
+        )
+        starts = F.concat(F.array(F.lit(0)), F.slice(bnd, 1, F.size(bnd) - 1))
+        return F.zip_with(
+            starts, bnd, lambda a, b: F.array_join(F.slice(t, a + 1, b - a), " ")
+        )
+
+    # bind the token array ONCE as a lambda variable (same CSE trick as
+    # shingles(): higher-order-function args are not common-subexpression-
+    # eliminated, and `toks` appears many times in the chunk expression)
+    return F.element_at(F.transform(F.array(toks), _chunks), 1)
 
 
 # ---------------------------------------------------------------- MinHash

@@ -72,6 +72,7 @@ _GATE_PRIORITY = [
     "brand_share_drift",
     "source_curation_report",
     # -- NEW in round 5 (insert additions here, newest first)
+    "dedup_cdc_chunk_pairs",
     "metric_bootstrap_ci",
     "sim_recall_int8_at_k",
     "vocab_growth_by_shard",

@@ -745,3 +745,137 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("cont_a_pct"), F.col("cont_b_pct")) >= 90, 1
         ).otherwise(0),
     )
+
+
+# --------------------------------------- content-defined chunking (CDC)
+
+_CDC_D = 16       # boundary after token t iff h60(t) % D == 0 -> ~16-token chunks
+_CDC_DF_CAP = 16  # chunks present in more docs than this are stop-chunks
+_CDC_MIN_PCT = 50  # report pairs where the smaller doc is >=50% covered
+
+
+def _cdc_chunks_cte() -> str:
+    h_tok = h60_sql("__t[i]")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS __t FROM documents
+    ),
+    b AS (
+      SELECT doc_id, __t,
+             list_sort(list_distinct(
+               list_append(list_filter(range(1, len(__t) + 1),
+                                       i -> {h_tok} % {_CDC_D} = 0),
+                           len(__t))
+             )) AS bnd
+      FROM toks
+    ),
+    s AS (
+      SELECT doc_id, __t, bnd,
+             list_prepend(0, bnd[1:len(bnd) - 1]) AS starts
+      FROM b
+    ),
+    ch AS (
+      SELECT DISTINCT doc_id,
+             {h60_sql("x.c")} AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(bnd) + 1),
+                 k -> array_to_string(__t[starts[k] + 1 : bnd[k]], ' ')))
+                 AS c
+        FROM s
+      ) x
+    ),
+    kept AS (
+      SELECT h, doc_id FROM ch
+      QUALIFY count(*) OVER (PARTITION BY h) <= {_CDC_DF_CAP}
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id
+    )"""
+
+
+@register(
+    "dedup_cdc_chunk_pairs",
+    oracle=f"""{_cdc_chunks_cte()},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.shared,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST((100 * p.shared) // least(sa.n, sb.n) AS BIGINT)
+             AS containment_pct
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE (100 * p.shared) // least(sa.n, sb.n) >= {_CDC_MIN_PCT}
+    """,
+    tags=("dedup", "cdc-chunking", "shift-robust", "llm-pipeline"),
+)
+def dedup_cdc_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by CONTENT-DEFINED chunking — the rsync/LBFS
+    boundary trick at token granularity: a chunk boundary falls after any
+    token whose hash is 0 mod {D}, so boundaries depend only on LOCAL
+    content and an insertion/deletion re-chunks ONLY the chunk it touches
+    — every other chunk hash survives the shift. Fixed-stride chunking
+    (``dedup_span_chunks`` / ``text_chunks_overlapping``) loses all
+    alignment after one inserted token; shingle MinHash recovers it
+    probabilistically; CDC recovers it EXACTLY, which is why dedup
+    storage and delta-sync systems use it. Reported: doc pairs where the
+    smaller doc's distinct chunks are >= 50% shared.
+
+    Scale shape: the boundary decision and chunk assembly are pure array
+    expressions inside one scan (no explode until chunks are hashed);
+    the shuffle carries (chunk_hash, doc_id) pairs — 16 B/row, text never
+    moves; the pair join runs on an inverted index with a stop-chunk df
+    cap (> {cap} docs), the same hot-bucket guard the LSH band join uses,
+    so one boilerplate chunk cannot emit a quadratic pair block. Window
+    over chunk-hash groups is the df count itself — bounded by the cap
+    at emission."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import cdc_chunks
+
+    docs = catalog(spark, sf_dir).documents
+    ch = (
+        docs.select("doc_id", F.explode(cdc_chunks("text", _CDC_D)).alias("c"))
+        .select("doc_id", h60("c").alias("h"))
+        .distinct()
+    ).persist()
+    kept = ch.withColumn(
+        "df_", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("df_") <= _CDC_DF_CAP).drop("df_")
+    sizes = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "h")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .filter(
+            F.expr(f"(100 * shared) div least(n_a, n_b) >= {_CDC_MIN_PCT}")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.expr("(100 * shared) div least(n_a, n_b)").alias(
+                "containment_pct"
+            ),
+        )
+    )

@@ -418,3 +418,55 @@ def test_bootstrap_ci_brackets_and_narrows(spark):
     w_small = out[SF_SMALL].ci_hi_cents - out[SF_SMALL].ci_lo_cents
     w_med = out[SF_MED].ci_hi_cents - out[SF_MED].ci_lo_cents
     assert w_med < w_small  # ~10x the samples -> visibly tighter interval
+
+
+def test_cdc_chunks_survive_insertion_where_fixed_stride_does_not(spark):
+    """The property content-defined chunking exists for: after inserting
+    one token at the FRONT of a document, (a) almost all CDC chunk hashes
+    survive (only the chunk containing the edit re-hashes), while (b) a
+    fixed-stride chunking of the same pair shares almost nothing (every
+    window shifts by one). Also pins the chunk algebra: chunks concatenate
+    back to the normalized text, and boundaries land only on tokens whose
+    hash is 0 mod d (or the final token)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.operators.dedup import cdc_chunks
+
+    def h60_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    d = 4  # small modulus so a ~200-token doc has many chunks
+    words = [f"w{h60_py(str(i)) % 9973}" for i in range(200)]
+    base = " ".join(words)
+    shifted = "inserted " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id", cdc_chunks("text", d).alias("ch"), F.col("text")
+    ).collect()
+    ch = {r.doc_id: r.ch for r in rows}
+    # chunk algebra: concatenation restores the normalized text
+    for r in rows:
+        assert " ".join(ch[r.doc_id]) == r.text.lower()
+    # every chunk's LAST token is a boundary token (hash 0 mod d), except
+    # possibly the final chunk
+    for doc_chunks in ch.values():
+        for c in doc_chunks[:-1]:
+            assert h60_py(c.split(" ")[-1]) % d == 0
+    a, b = set(ch[1]), set(ch[2])
+    assert len(a) > 20  # the modulus actually chunked the doc
+    # (a) CDC: all of the base doc's chunks except (at most) the first
+    # survive the front insertion
+    assert len(a & b) >= len(a) - 1
+    # (b) fixed stride 8: the same pair shares (almost) no chunks
+    fixed = {
+        doc: {
+            " ".join(toks[i : i + 8])
+            for i in range(0, len(toks), 8)
+        }
+        for doc, toks in ((1, words), (2, ["inserted"] + words))
+    }
+    assert len(fixed[1] & fixed[2]) <= 1

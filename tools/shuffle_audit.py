@@ -70,6 +70,7 @@ AUDITED = {
     "emb_matryoshka_fidelity": "zero shuffle: per-row energy ratios computed in the scan stage",
     "zorder_layout_audit": "ONE fact exchange to (z-file, linear-file) pair grain (<=1024 partial rows after map-side combine); both layout rollups re-aggregate the bounded pair table",
     "bpe_encode_fertility": "corpus collapses once to (source, pretoken-seq, count) partials; all 12 merge/encode steps run at vocab grain, raw text never re-shuffles",
+    "dedup_cdc_chunk_pairs": "chunk assembly is in-scan array algebra; shuffle carries (chunk_hash, doc_id) 16 B rows into the df-capped inverted-index join — chunk text never moves",
 }
 
 
