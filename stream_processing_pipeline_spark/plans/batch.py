@@ -3606,3 +3606,69 @@ def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         """
     )
+
+
+@register(
+    "sql_pipe_heavy_purchasers",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum({cents_sql('value')}) AS BIGINT) AS spend_cents
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    HAVING count(*) >= 3
+    """,
+    tags=("batch", "sql-api", "pipe-syntax"),
+)
+def sql_pipe_heavy_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax, registered as raw pipe SQL so the parser
+    surface itself is verified: ``FROM ... |> WHERE ... |> AGGREGATE ...
+    |> WHERE`` — the post-aggregation WHERE stage is pipe syntax's
+    replacement for HAVING, and the linear top-to-bottom dataflow is the
+    form large analytics SQL is migrating to (the oracle states the
+    classic GROUP BY/HAVING equivalent, so the round trip between the two
+    dialects is value-hash-checked). Compiles to the identical
+    partial/final hash aggregation; exact integer cents throughout."""
+    catalog(spark, sf_dir).register_all()  # bind views to THIS sf_dir
+    return spark.sql(
+        f"""
+        FROM events
+        |> WHERE event_type = 'purchase'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_purchases,
+                     CAST(sum({cents_sql('value')}) AS BIGINT) AS spend_cents
+           GROUP BY user_id
+        |> WHERE n_purchases >= 3
+        """
+    )
+
+
+@register(
+    "props_variant_topk",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1 ORDER BY n DESC, k LIMIT 10
+    """,
+    tags=("batch", "sql-api", "variant", "json"),
+)
+def props_variant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of the semi-structured payload column:
+    ``parse_json`` decodes each ``props`` string ONCE into the binary
+    VARIANT encoding and ``variant_get`` does a typed path read — the
+    open-format answer to repeated ``get_json_object`` re-parsing (the
+    sibling ``event_props_extract`` keeps the classic string-path form for
+    comparison). Top-10 payload keys by frequency; the oracle reads the
+    same path with DuckDB's JSON extraction, so the VARIANT decode path is
+    value-hash-verified against an independent JSON parser."""
+    ev = catalog(spark, sf_dir).events
+    return (
+        ev.select(
+            F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "k")
+        .limit(10)
+    )

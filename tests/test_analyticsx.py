@@ -470,3 +470,51 @@ def test_cdc_chunks_survive_insertion_where_fixed_stride_does_not(spark):
         for doc, toks in ((1, words), (2, ["inserted"] + words))
     }
     assert len(fixed[1] & fixed[2]) <= 1
+
+
+def test_pipe_syntax_and_variant_match_classic_paths(spark):
+    """The two Spark 4 SQL-surface queries must agree with their classic
+    equivalents computed through the DataFrame API: pipe syntax's
+    post-aggregation WHERE == groupBy().filter() (HAVING), and the VARIANT
+    typed path read == get_json_object string extraction — same engine,
+    two front-ends, identical rows."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.functions.money import cents
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    ev = catalog(spark, SF_MED).events
+
+    pipe = {
+        r.user_id: (r.n_purchases, r.spend_cents)
+        for r in REGISTRY["sql_pipe_heavy_purchasers"].fn(spark, SF_MED).collect()
+    }
+    classic = {
+        r.user_id: (r.n, r.s)
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("s"))
+        .filter(F.col("n") >= 3)
+        .collect()
+    }
+    assert pipe == classic and len(pipe) > 0
+
+    var = {
+        r.k: r.n
+        for r in REGISTRY["props_variant_topk"].fn(spark, SF_MED).collect()
+    }
+    gjo = {
+        r.k: r.n
+        for r in ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "k")
+        .limit(10)
+        .collect()
+    }
+    assert var == gjo and len(var) == 10
