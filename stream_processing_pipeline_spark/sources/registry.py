@@ -68,9 +68,20 @@ class TableCatalog:
         raise AttributeError(name)
 
     def register_all(self) -> None:
+        """Bind every table's temp view to THIS catalog's directory.
+
+        Views are session-global while catalogs are per-(session, sf_dir),
+        so another catalog may have taken a view name since this catalog
+        first loaded the table (``table()`` registers only on first load).
+        Raw-SQL queries call this before ``spark.sql``, so it must
+        re-register unconditionally — a cached table whose view now points
+        at a different scale factor is exactly the cross-SF staleness bug
+        the multi-session oracle mirror caught in round 5."""
         for name in TABLES:
             if os.path.exists(self.path(name)):
-                self.table(name)
+                df = self.table(name)
+                if self.register_views:
+                    df.createOrReplaceTempView(name)
 
     @staticmethod
     def _normalize(name: str, df: DataFrame) -> DataFrame:

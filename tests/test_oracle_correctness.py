@@ -45,3 +45,28 @@ def test_mirror_catches_decimal_vs_int64(spark):
         "SELECT CAST(sum(x) AS BIGINT) AS total FROM (VALUES (1), (2)) t(x)"
     )
     assert not compare_arrow_types(spark_schema, cast.fetch_arrow_table().schema)
+
+
+def test_raw_sql_views_rebind_across_scale_factors(spark):
+    """Regression (r5): temp views are session-global but catalogs are
+    per-(session, sf_dir), so accessing another SF's catalog rebinds the
+    view names; a raw-SQL query that then runs at the original SF must
+    NOT read the other SF's data. register_all() re-registers
+    unconditionally, so after deliberately poisoning the session with the
+    sf0.001 views, every raw-SQL query still matches its oracle at
+    sf0.01."""
+    from stream_processing_pipeline_spark.plans.common import catalog
+
+    from .conftest import SF_SMALL
+    from .oracle_harness import check_query
+
+    catalog(spark, SF_MED).events.count()    # cache SF_MED tables
+    catalog(spark, SF_SMALL).events.count()  # poison: views -> sf0.001
+    for name in (
+        "sql_pipe_heavy_purchasers",
+        "sql_recursive_click_streak",
+        "sql_api_revenue_summary",
+        "sql_lateral_top_orders",
+    ):
+        problems = check_query(spark, name, SF_MED)
+        assert not problems, f"{name}: " + "; ".join(problems)
