@@ -1661,3 +1661,160 @@ def metric_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_cents",
         )
     )
+
+
+# ------------------------------------------------------- RFM segmentation
+
+_RFM_MON_W = 100  # monetary histogram bin = 1 dollar (100 cents)
+
+
+def _rfm_thr_sql(src: str, col: str, width: int, prefix: str) -> str:
+    """4 quintile upper-edge thresholds of ``col`` read off a fixed-width
+    histogram of the per-user table — bounded bins, no user-grain sort."""
+    edges = ", ".join(
+        f"min(CASE WHEN cum >= (total * {k} + 4) // 5 "
+        f"THEN (bin + 1) * {width} - 1 END) AS {prefix}{k}"
+        for k in (1, 2, 3, 4)
+    )
+    return f"""
+    {prefix}_h AS (
+      SELECT {col} // {width} AS bin, count(*) AS n FROM {src} GROUP BY 1
+    ),
+    {prefix}_c AS (
+      SELECT bin, sum(n) OVER (ORDER BY bin) AS cum,
+             sum(n) OVER () AS total
+      FROM {prefix}_h
+    ),
+    {prefix}_t AS (SELECT {edges} FROM {prefix}_c)"""
+
+
+_RFM_LABEL_SQL = (
+    "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4"
+    " THEN 'champion'"
+    " WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'"
+    " WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'"
+    " ELSE 'core' END"
+)
+
+
+@register(
+    "user_rfm_segments",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, {_CV} AS c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ref AS (SELECT max(day) AS ref_day FROM p),
+    u AS (
+      SELECT user_id,
+             CAST(date_diff('day', max(day), (SELECT ref_day FROM ref))
+                  AS BIGINT) AS rec,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(c) AS BIGINT) AS mon
+      FROM p GROUP BY user_id
+    ),
+    {_rfm_thr_sql('u', 'rec', 1, 'r')},
+    {_rfm_thr_sql('u', 'freq', 1, 'f')},
+    {_rfm_thr_sql('u', 'mon', _RFM_MON_W, 'm')},
+    scored AS (
+      SELECT CAST(5 - (CAST(rec > r1 AS INTEGER) + CAST(rec > r2 AS INTEGER) + CAST(rec > r3 AS INTEGER) + CAST(rec > r4 AS INTEGER))
+                  AS BIGINT) AS r_score,
+             CAST(1 + (CAST(freq > f1 AS INTEGER) + CAST(freq > f2 AS INTEGER) + CAST(freq > f3 AS INTEGER) + CAST(freq > f4 AS INTEGER))
+                  AS BIGINT) AS f_score,
+             CAST(1 + (CAST(mon > m1 AS INTEGER) + CAST(mon > m2 AS INTEGER) + CAST(mon > m3 AS INTEGER) + CAST(mon > m4 AS INTEGER))
+                  AS BIGINT) AS m_score,
+             mon
+      FROM u CROSS JOIN r_t CROSS JOIN f_t CROSS JOIN m_t
+    )
+    SELECT r_score, f_score, m_score,
+           {_RFM_LABEL_SQL} AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(mon) AS BIGINT) AS monetary_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    tags=("batch", "rfm", "segmentation", "histogram", "exact-arithmetic"),
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid, built without a
+    single user-grain sort: recency (days since last purchase, against the
+    corpus max day), frequency (purchase count), monetary (exact cents)
+    reduce per user in ONE aggregation; each dimension's quintile
+    thresholds read off a fixed-width HISTOGRAM of the user table (bins
+    bounded by the value domain — days observed / distinct counts / dollar
+    bins — never by user count, the same upper-edge walk as
+    hist_value_quantiles); scores are threshold comparisons against a
+    broadcast 1-row threshold frame; the output is the <=125-cell
+    (R, F, M) grid with marketing labels. Recency is inverted (recent =
+    5) per RFM convention; ties score by the upper-edge rule identically
+    in both engines. Shape: one purchase scan -> user grain, three
+    bounded-bin histograms, one broadcast join back — no ntile, no global
+    sort, nothing user-count-sized shuffles twice."""
+    ev = catalog(spark, sf_dir).events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("day"), cents("value").alias("c")
+    )
+    ref = p.agg(F.max("day").alias("ref_day"))
+    u = (
+        p.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.first("ref_day"), F.max("day"))
+            .cast("long")
+            .alias("rec"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("c").alias("mon"),
+        )
+        .persist()
+    )
+
+    def thresholds(col: str, width: int, prefix: str):
+        h = u.groupBy(F.expr(f"{col} div {width}").alias("bin")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        # bounded window: bins span the VALUE domain, not the user count
+        c = h.select(
+            "bin",
+            F.sum("n").over(wc).alias("cum"),
+            F.sum("n").over(Window.partitionBy()).alias("total"),
+        )
+        return c.agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"(total * {k} + 4) div 5"),
+                        (F.col("bin") + 1) * width - 1,
+                    )
+                ).alias(f"{prefix}{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+
+    thr = (
+        thresholds("rec", 1, "r")
+        .crossJoin(thresholds("freq", 1, "f"))
+        .crossJoin(thresholds("mon", _RFM_MON_W, "m"))
+    )
+    r_sc = sum(
+        (F.when(F.col("rec") > F.col(f"r{k}"), 1).otherwise(0) for k in (1, 2, 3, 4)),
+        F.lit(0),
+    )
+    f_sc = sum(
+        (F.when(F.col("freq") > F.col(f"f{k}"), 1).otherwise(0) for k in (1, 2, 3, 4)),
+        F.lit(0),
+    )
+    m_sc = sum(
+        (F.when(F.col("mon") > F.col(f"m{k}"), 1).otherwise(0) for k in (1, 2, 3, 4)),
+        F.lit(0),
+    )
+    scored = u.crossJoin(F.broadcast(thr)).select(
+        (F.lit(5) - r_sc).cast("long").alias("r_score"),
+        (F.lit(1) + f_sc).cast("long").alias("f_score"),
+        (F.lit(1) + m_sc).cast("long").alias("m_score"),
+        "mon",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.expr(_RFM_LABEL_SQL).alias("segment"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("mon").alias("monetary_cents"),
+    )

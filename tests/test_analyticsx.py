@@ -518,3 +518,50 @@ def test_pipe_syntax_and_variant_match_classic_paths(spark):
         .collect()
     }
     assert var == gjo and len(var) == 10
+
+
+def test_rfm_segments_reconcile_and_quintile(spark):
+    """RFM grid bookkeeping: scores live in 1..5, user and money totals
+    reconcile with direct purchase aggregates, the segment label replays
+    the score rule, and each dimension's histogram-walk thresholds
+    produce roughly-quintile marginals (<=50% in any one score — ties on
+    the coarse recency domain chunk buckets, which is the documented
+    upper-edge behavior, but no bucket may swallow the population)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.functions.money import cents
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    rows = REGISTRY["user_rfm_segments"].fn(spark, SF_MED).collect()
+    assert rows
+    p = catalog(spark, SF_MED).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    (direct,) = p.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.sum(cents("value")).alias("m"),
+    ).collect()
+    assert sum(r.n_users for r in rows) == direct.u
+    assert sum(r.monetary_cents for r in rows) == direct.m
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        if r.r_score >= 4 and r.f_score >= 4 and r.m_score >= 4:
+            want = "champion"
+        elif r.r_score <= 2 and r.f_score >= 4:
+            want = "at_risk_loyal"
+        elif r.r_score <= 2 and r.f_score <= 2:
+            want = "hibernating"
+        else:
+            want = "core"
+        assert r.segment == want
+    for dim in ("r_score", "f_score", "m_score"):
+        marg = Counter()
+        for r in rows:
+            marg[getattr(r, dim)] += r.n_users
+        assert len(marg) >= 3
+        assert max(marg.values()) <= direct.u // 2

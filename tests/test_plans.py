@@ -297,6 +297,8 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "sim_recall_int8_at_k",         # broadcast query set (N_QUERIES rows)
         "vocab_growth_by_shard",        # broadcast 1-row doc-id bound
         "metric_bootstrap_ci",          # broadcast 1-row CI bounds
+        "user_rfm_segments",            # broadcast 1-row ref-day + the
+                                        # 1-row quintile-threshold frame
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
