@@ -72,6 +72,7 @@ _GATE_PRIORITY = [
     "brand_share_drift",
     "source_curation_report",
     # -- NEW in round 5 (insert additions here, newest first)
+    "part_affinity_triangles",
     "user_rfm_segments",
     "sql_pipe_heavy_purchasers",
     "props_variant_topk",

@@ -3672,3 +3672,131 @@ def props_variant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "k")
         .limit(10)
     )
+
+
+_TRI_MIN_SUPPORT = 2  # co-purchase edge := parts co-ordered at least twice
+
+
+@register(
+    "part_affinity_triangles",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+      SELECT a.p AS x, b.p AS y
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING count(*) >= {_TRI_MIN_SUPPORT}
+    ),
+    deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT x AS n FROM edges UNION ALL SELECT y FROM edges
+      ) GROUP BY n
+    ),
+    oriented AS (
+      SELECT CASE WHEN (da < db) OR (da = db AND x < y) THEN x ELSE y END AS u,
+             CASE WHEN (da < db) OR (da = db AND x < y) THEN y ELSE x END AS v,
+             CASE WHEN (da < db) OR (da = db AND x < y) THEN db ELSE da END AS dv
+      FROM (SELECT e.x, e.y, dx.d AS da, dy.d AS db
+            FROM edges e JOIN deg dx ON dx.n = e.x JOIN deg dy ON dy.n = e.y)
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM oriented e1
+      JOIN oriented e2 ON e2.u = e1.u
+        AND ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))
+      JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    w AS (
+      SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT m.n_edges, w.n_wedges, tri.n_triangles,
+           CASE WHEN w.n_wedges = 0 THEN NULL
+                ELSE CAST((3000 * tri.n_triangles) // w.n_wedges AS BIGINT)
+           END AS transitivity_permille
+    FROM m CROSS JOIN w CROSS JOIN tri
+    """,
+    tags=("batch", "graph", "triangles", "market-basket"),
+)
+def part_affinity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count and global transitivity of the co-purchase graph
+    (parts co-ordered >= 2 times), via DEGREE-ORDERED orientation — the
+    classic scalable triangle algorithm: orient every edge from its
+    (degree, id)-smaller endpoint, enumerate wedges only between a node's
+    ORIENTED out-neighbors, and close them against the oriented edge set.
+    Orientation bounds every node's out-degree by ~sqrt(2m) whatever its
+    real degree, so wedge volume is O(m^1.5) even with celebrity parts —
+    the same quadratic-explosion defense as the butterfly degree cap, but
+    exact instead of capped. Transitivity (3*triangles / wedges, integer
+    permille) is the clustering number a recommender checks before
+    trusting co-purchase neighborhoods. Shape: one distinct (order, part)
+    projection, the order-keyed pair join with a support threshold, then
+    degree join + two compact self-joins on 16-byte oriented edges; a
+    1-row assembly cross join carries the three scalars."""
+    cat = catalog(spark, sf_dir)
+    op = cat.lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("x"))
+    b = op.select(F.col("o").alias("o2"), F.col("p").alias("y"))
+    edges = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= _TRI_MIN_SUPPORT)
+        .select("x", "y")
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("x").alias("n"))
+        .unionAll(edges.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        edges.join(deg.select(F.col("n").alias("x"), F.col("d").alias("da")), "x")
+        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("db")), "y")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("x") < F.col("y"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).persist()
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("dv").alias("d2")
+    )
+    wedges = e1.join(
+        e2,
+        (F.col("u") == F.col("u2"))
+        & (
+            (F.col("d1") < F.col("d2"))
+            | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+        ),
+    ).select("v1", "v2")
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    w = deg.agg(F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"))
+    m = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        m.crossJoin(F.broadcast(w))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN NULL"
+                " ELSE (3000 * n_triangles) div n_wedges END"
+            ).alias("transitivity_permille"),
+        )
+    )

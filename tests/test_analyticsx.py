@@ -565,3 +565,56 @@ def test_rfm_segments_reconcile_and_quintile(spark):
             marg[getattr(r, dim)] += r.n_users
         assert len(marg) >= 3
         assert max(marg.values()) <= direct.u // 2
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-ordered triangle counting verified against an independent
+    brute-force count in plain Python over the same thresholded edge set
+    (sf0.001: ~2.3k edges, 3.3k triangles — big enough to exercise real
+    orientation ties, small enough to enumerate): triangle total, wedge
+    total (sum of C(d,2)), and the transitivity identity must all agree
+    exactly."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_SMALL
+
+    (row,) = REGISTRY["part_affinity_triangles"].fn(spark, SF_SMALL).collect()
+
+    op = (
+        catalog(spark, SF_SMALL).lineitem
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = op.select("o", F.col("p").alias("x"))
+    b = op.select(F.col("o").alias("o2"), F.col("p").alias("y"))
+    edges = {
+        (r.x, r.y)
+        for r in a.join(
+            b, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y"))
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .collect()
+    }
+    assert row.n_edges == len(edges)
+    adj: dict = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    assert row.n_wedges == sum(
+        len(ns) * (len(ns) - 1) // 2 for ns in adj.values()
+    )
+    tri = sum(
+        1
+        for u, ns in adj.items()
+        for v, w in combinations(sorted(n for n in ns if n > u), 2)
+        if w in adj[v]
+    )
+    assert row.n_triangles == tri
+    assert row.transitivity_permille == (3000 * tri) // row.n_wedges

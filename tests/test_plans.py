@@ -299,6 +299,7 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "metric_bootstrap_ci",          # broadcast 1-row CI bounds
         "user_rfm_segments",            # broadcast 1-row ref-day + the
                                         # 1-row quintile-threshold frame
+        "part_affinity_triangles",      # broadcast 1-row scalar assembly x2
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
