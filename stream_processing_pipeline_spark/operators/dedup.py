@@ -44,7 +44,9 @@ __all__ = [
     "minhash_table",
     "minhash_sql_exprs",
     "lsh_bands",
+    "cap_posting_lists",
     "lsh_candidate_pairs",
+    "lsh_candidate_pairs_capped",
     "simhash_table",
     "simhash_sql",
     "simhash_pairs",
@@ -277,6 +279,71 @@ def lsh_candidate_pairs(
     rows_per_band = n_hashes // n_bands
     sig = minhash_table(df, text_col, id_col, n_hashes, shingle_col=shingle_col)
     banded = lsh_bands(sig, id_col, n_bands, rows_per_band)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def cap_posting_lists(
+    banded: DataFrame, cap: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Hot-band guard: truncate every (band_idx, band_hash) posting list to
+    its ``cap`` id-smallest members — DETERMINISTIC (id-ordered), so the
+    capped pipeline stays oracle-able, unlike a sampled cap.
+
+    Rationale (SCALING.md, measured round 2): a band bucket with thousands
+    of members carries no *near*-dup information — its documents are exact
+    or overwhelming duplicates, which the always-run-first exact pass
+    already groups. On the planted 4,000-doc hot band the cap removed 97%
+    of the join output and 4x the wall time (1.93 s vs 7.71 s; 227k pairs
+    vs 8.2M). Recall trade: pairs BOTH of whose endpoints rank past ``cap``
+    in every shared band are lost — on the driver fixtures the largest
+    bucket is 4 docs, so the cap sacrifices zero pairs there; at scale the
+    lost pairs are intra-mega-cluster links the exact/connected-components
+    pass recovers. Window cost is bounded: each partition is one posting
+    list, and the rank never exceeds the list length.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
+    return (
+        banded.withColumn("rn_", F.row_number().over(w))
+        .filter(F.col("rn_") <= cap)
+        .drop("rn_")
+    )
+
+
+def lsh_candidate_pairs_capped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    cap: int = 64,
+    *,
+    shingle_col: str | None = None,
+) -> DataFrame:
+    """:func:`lsh_candidate_pairs` with the :func:`cap_posting_lists`
+    hot-band guard applied before the self-join — the production shape for
+    corpora that plant mega-buckets (boilerplate pages, mirrored sites).
+    Same output schema; at fixture scale (max bucket 4 < cap) the output is
+    value-identical to the uncapped join."""
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_table(df, text_col, id_col, n_hashes, shingle_col=shingle_col)
+    banded = cap_posting_lists(
+        lsh_bands(sig, id_col, n_bands, rows_per_band), cap, id_col
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -37,88 +37,30 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # each round records exactly the first ~50 registrations, so the gate
 # effectively checks a prefix. Registration order is therefore part of the
 # verification contract: queries whose driver-side evidence is newest-needed
-# come first. Round-5 ordering (VERDICT.md r4 "Next round" #1):
-#   1. the 9 queries registered past the full r4 prefix (never driver-
-#      gated; were pinned in tests/test_registry_gate.py) — mirror-green
-#      all round 4 and independently re-run by the r4 judge (9/9 MATCH),
-#      now rotated to the head for their first external row. NOTE
-#      source_curation_report's plan ALSO changes this round (shared
-#      token base persisted — VERDICT r4 "What's wrong" #1), so its
-#      first external row lands on the new plan;
-#   2. queries NEW in round 5 (bpe_encode_fertility — the trained-
-#      tokenizer encode step; insert further additions at the marker);
-#   3. queries whose plans CHANGE in round 5: the two ADVICE-r4 NULL-vs-
-#      NaN guards (nullif on degenerate denominators in both engines);
-#   4. the reference-parity six q1-q6 (SURVEY §2.10) — oldest external
-#      rows on the board (r2); re-gated for a fresh row on the reference
-#      surface itself, as VERDICT r4 asked;
-#   5. rotation fill: oldest-evidence r1-green rows (32 of the 41 — the
-#      r1 set minus the designed-no-oracle approx_distinct_users);
-#   6. everything r2+-green sits past the prefix — their green rows
-#      describe unchanged code, and the local mirror re-verifies them
-#      continuously.
+# come first. Round-6 ordering (VERDICT.md r5 "Next round" #2):
+#   1. queries NEW in round 6 (the hot-band-CAPPED LSH join — VERDICT r5
+#      #1 — and later additions at the marker);
+#   2. queries whose plans CHANGE in round 6: llm_corpus_stage_report
+#      (near-dup stage switched to the capped band join),
+#      part_affinity_triangles (basket-size cap in edge generation,
+#      VERDICT r5 #3), metric_bootstrap_ci (ADVICE r5: explicit NULLS
+#      LAST in the replicate rank window);
+#   3. the 9 rotation-fill entries declared last round that missed the
+#      r5 50-slot cutoff (VERDICT r5 "What's wrong" #3);
+#   4. the 9 queries whose newest external row is still r1 vintage;
+#   5. the 38 r2-vintage queries in registration order — the prefix cut
+#      lands inside this block; whatever misses carries to the r7 head.
 # NOTE: hll_sketch_rollup / approx_distinct_users are deliberately OUT of
 # the prefix — they are rows-only by design (no_oracle) and can never
 # produce a green hash row; spending gate slots on them is waste.
 _GATE_PRIORITY = [
-    # -- the 9 late-r4 queries (first external row)
-    "kmv_distinct_users_daily",
-    "kmv_set_algebra",
-    "sql_lateral_top_orders",
-    "text_rarity_score",
-    "text_chunks_overlapping",
-    "funnel_time_to_convert",
-    "monthly_revenue_trend",
-    "brand_share_drift",
-    "source_curation_report",
-    # -- NEW in round 5 (insert additions here, newest first)
+    # -- NEW in round 6 (insert additions here, newest first)
+    "dedup_minhash_lsh_capped",
+    # -- plans changed in round 6
+    "llm_corpus_stage_report",
     "part_affinity_triangles",
-    "user_rfm_segments",
-    "sql_pipe_heavy_purchasers",
-    "props_variant_topk",
-    "dedup_cdc_chunk_pairs",
     "metric_bootstrap_ci",
-    "sim_recall_int8_at_k",
-    "vocab_growth_by_shard",
-    "zorder_layout_audit",
-    "bpe_encode_fertility",
-    # -- plans changed in round 5 (ADVICE r4: degenerate-denominator
-    #    nullif guards, identical values on non-degenerate data)
-    "daily_counts_autocorr",
-    "emb_matryoshka_fidelity",
-    # -- reference-parity six: freshest external row was r2 (entry()
-    #    smoke re-runs q6 every round, but the value-hash rows age)
-    "q1_typed_events",
-    "q2_abnormal_minutes",
-    "q3_value_discrepancy",
-    "q4_avg_value_per_hour",
-    "q5_event_counts_per_hour",
-    "q6_counts_by_segment",
-    # -- rotation fill: oldest-evidence (r1) green rows, re-verified as
-    #    the prefix reaches them
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "revenue_by_nation",
-    "top_events_per_user",
-    "user_running_value",
-    "engaged_users_set_ops",
-    "daily_distinct_users",
-    "rollup_revenue",
-    "customers_without_orders",
-    "parts_with_lineitems",
-    "user_value_deltas",
-    "tpch_q6_forecast_revenue",
-    "value_percentiles_by_type",
-    "daily_counts_pivoted",
-    "user_event_type_signature",
-    "sql_api_revenue_summary",
-    "tpch_q4_order_priority",
-    "tpch_q14_promo_revenue",
-    "dq_lineitem_report",
-    "dq_referential_integrity",
-    "string_functions_showcase",
-    "datetime_functions_showcase",
-    "grouping_sets_revenue",
+    # -- the 9 fill entries that missed the r5 cutoff
     "value_rank_family",
     "sliding_window_counts",
     "session_windows",
@@ -128,9 +70,59 @@ _GATE_PRIORITY = [
     "dedup_minhash_bands",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # -- newest external row r1 (oldest evidence on the board)
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality",
+    "text_fingerprints",
+    "quality_by_source",
+    # -- newest external row r2, registration order; the 50-slot prefix
+    #    cut falls in this block and the tail rolls into the r7 head
+    "user_value_trailing_hour",
+    "user_value_minmax_scaled",
+    "event_props_extract",
+    "dedup_embedding_cosine_lsh",
+    "dedup_incremental",
+    "dedup_keep_best_quality",
+    "text_bpe_token_stats",
+    "top_tokens",
+    "token_stats_by_lang",
+    "corpus_train_test_split",
+    "mixture_downsample",
+    "corpus_clean_train_sample",
+    "stratified_sample_exact",
+    "text_repetition_stats",
+    "contamination_bench_overlap",
+    "sim_topk_bruteforce",
+    "sim_lsh_buckets",
+    "sim_topk_lsh",
+    "sim_topk_lsh_multiprobe",
+    "sim_label_centroid_norms",
+    "sim_ivf_static_assignments",
+    "sim_topk_ivf_static",
+    "emb_int8_quantize",
+    "sim_topk_int8",
+    "retrieval_quality_topk",
+    "sim_pq_codes",
+    "sim_topk_pq",
+    "mm_metadata",
+    "mm_frame_offsets",
+    "mm_decode",
+    "mm_resize",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_dormant_accounts",
 ]
-# Queries not named above (r1-tail/r2/r3/r4-green) keep registration order
-# after the list — every one has a prior driver row, and every one is still
+# Queries not named above (r3/r4/r5-green) keep registration order after
+# the list — every one has a prior driver row, and every one is still
 # re-verified per-commit by the local mirror (tools/driver_sim.py /
 # tests/test_oracle_correctness.py).
 

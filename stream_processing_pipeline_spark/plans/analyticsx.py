@@ -1634,9 +1634,12 @@ def metric_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # 32-row frame: the unpartitioned window orders the replicate spine,
-    # never event rows (bounded-domain invariant)
+    # never event rows (bounded-domain invariant). NULLS LAST explicitly:
+    # Spark's ascending default is NULLS FIRST while DuckDB's is NULLS
+    # LAST, so a degenerate sum(w)=0 replicate (NULL mean, toy fixtures
+    # only) must be pinned to rank identically in both engines (ADVICE r5).
     rk = m.withColumn(
-        "rn", F.row_number().over(Window.orderBy("mean_c", "b"))
+        "rn", F.row_number().over(Window.orderBy(F.asc_nulls_last("mean_c"), "b"))
     )
     ci = rk.agg(
         F.min(F.when(F.col("rn") == _BOOT_LO, F.col("mean_c"))).alias(

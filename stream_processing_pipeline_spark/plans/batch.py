@@ -3675,13 +3675,23 @@ def props_variant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRI_MIN_SUPPORT = 2  # co-purchase edge := parts co-ordered at least twice
+_TRI_BASKET_CAP = 32  # per-order basket cap before the pair self-join: the
+                      # |basket|^2/2 edge-gen explosion guard (a 10k-item bot
+                      # cart would emit 50M pairs from ONE order); TPC-H
+                      # baskets are <= 7 items, so the cap is a no-op on the
+                      # fixtures and the capped plan hashes identically
 
 
 @register(
     "part_affinity_triangles",
     oracle=f"""
-    WITH op AS (
+    WITH op0 AS (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    op AS (
+      SELECT o, p FROM op0
+      QUALIFY row_number() OVER (PARTITION BY o ORDER BY p)
+        <= {_TRI_BASKET_CAP}
     ),
     edges AS (
       SELECT a.p AS x, b.p AS y
@@ -3732,13 +3742,31 @@ def part_affinity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact instead of capped. Transitivity (3*triangles / wedges, integer
     permille) is the clustering number a recommender checks before
     trusting co-purchase neighborhoods. Shape: one distinct (order, part)
-    projection, the order-keyed pair join with a support threshold, then
-    degree join + two compact self-joins on 16-byte oriented edges; a
-    1-row assembly cross join carries the three scalars."""
+    projection CAPPED at 32 partkey-smallest items per order (the edge-
+    GENERATION guard — the pair self-join emits |basket|^2/2 rows per
+    order before any support filter, so one 10k-item bot cart would emit
+    50M pairs; the cap bounds that at 512, the same one-stage-earlier
+    defense the butterfly degree cap applies, VERDICT r5 #3), then the
+    order-keyed pair join with a support threshold, degree join + two
+    compact self-joins on 16-byte oriented edges; a 1-row assembly cross
+    join carries the three scalars. Exactness trade is explicit: an edge
+    loses a supporting order only when an endpoint ranks past 32 in that
+    order's partkey order — a no-op on TPC-H (baskets <= 7, hash
+    unchanged at every SF) and deterministic everywhere, so the oracle
+    replays the identical truncation."""
+    from pyspark.sql import Window
+
     cat = catalog(spark, sf_dir)
-    op = cat.lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    wb = Window.partitionBy("o").orderBy("p")
+    op = (
+        cat.lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .withColumn("rn_", F.row_number().over(wb))
+        .filter(F.col("rn_") <= _TRI_BASKET_CAP)
+        .drop("rn_")
+    )
     a = op.select("o", F.col("p").alias("x"))
     b = op.select(F.col("o").alias("o2"), F.col("p").alias("y"))
     edges = (

@@ -95,6 +95,20 @@ class Topology:
         return self
 
     def _apply_state_store(self) -> None:
+        changelog_key = (
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+            ".enabled"
+        )
+        if self.changelog_checkpointing is not None:
+            self.spark.conf.set(
+                changelog_key,
+                "true" if self.changelog_checkpointing else "false",
+            )
+        else:
+            # The conf is session-global and sticky: without this unset, a
+            # None topology would silently inherit whatever a prior topology
+            # set on the same session instead of Spark's default (ADVICE r5).
+            self.spark.conf.unset(changelog_key)
         if self.state_store is None:
             return
         provider = {
@@ -105,12 +119,6 @@ class Topology:
         self.spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", provider
         )
-        if self.changelog_checkpointing is not None:
-            self.spark.conf.set(
-                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
-                ".enabled",
-                "true" if self.changelog_checkpointing else "false",
-            )
 
     def _apply_state_partitions(self) -> None:
         if self.state_partitions is None:

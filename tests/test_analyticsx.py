@@ -618,3 +618,36 @@ def test_triangle_count_matches_bruteforce(spark):
     )
     assert row.n_triangles == tri
     assert row.transitivity_permille == (3000 * tri) // row.n_wedges
+
+
+def test_triangle_basket_cap_bounds_bot_cart(spark, tmp_path):
+    """Planted bot cart (VERDICT r5 #3): two identical 50-item orders would
+    emit C(50,2)=1225 edges (and C(50,2) pairs per order in the edge-gen
+    join) without the cap; with the 32-item basket cap the query must see
+    exactly the 32 partkey-smallest items per order — C(32,2)=496 edges,
+    C(32,3)=4960 triangles — and the truncation must pick the SMALLEST
+    partkeys (deterministic), not an arbitrary subset."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stream_processing_pipeline_spark.plans.batch import (
+        _TRI_BASKET_CAP,
+        part_affinity_triangles,
+    )
+
+    parts = [100 + 3 * i for i in range(50)]  # 50 distinct partkeys
+    ok, pk = [], []
+    for o in (1, 2):  # two identical carts -> every pair has support 2
+        ok += [o] * len(parts)
+        pk += parts
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(ok, pa.int64()),
+                  "l_partkey": pa.array(pk, pa.int64())}),
+        tmp_path / "lineitem.parquet",
+    )
+    (row,) = part_affinity_triangles(spark, str(tmp_path)).collect()
+    cap = _TRI_BASKET_CAP
+    assert row.n_edges == cap * (cap - 1) // 2
+    assert row.n_triangles == cap * (cap - 1) * (cap - 2) // 6
+    # complete graph on the cap-smallest parts: transitivity = 1000 permille
+    assert row.transitivity_permille == 1000

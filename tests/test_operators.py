@@ -179,3 +179,60 @@ def test_contract_malformed_json_resilience(spark):
     assert out[1].vendor_id is None  # malformed -> all-NULL row
     assert out[2].vendor_id is None
     assert out[3].vendor_id == 7 and out[3].fare_amount is None
+
+
+def test_cap_posting_lists_hot_band_truncation_matches_duckdb(spark):
+    """Planted hot band (VERDICT r5 #1): 200 identical documents collapse
+    into ONE posting list per band; the capped join must emit exactly
+    C(cap,2) pairs among the cap id-smallest members — not C(200,2) — and
+    the truncation must be engine-identical: DuckDB replaying the same
+    QUALIFY row_number() cut over the same banded table yields the same
+    pair set. (The driver fixtures never exceed 4 docs/bucket, so this is
+    the test that actually exercises the cut.)"""
+    from stream_processing_pipeline_spark.operators.dedup import (
+        cap_posting_lists,
+        lsh_bands,
+        lsh_candidate_pairs_capped,
+        minhash_table,
+    )
+
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, hot) for i in range(200)] + [
+        (200 + i, f"unique filler document number {i} with words {i * 7}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 8
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs_capped(docs, cap=cap).collect()
+    }
+    hot_pairs = {p for p in got if p[0] < 200 and p[1] < 200}
+    assert hot_pairs == {
+        (i, j) for i in range(cap) for j in range(i + 1, cap)
+    }  # exactly C(8,2)=28 pairs, all among the 8 id-smallest members
+
+    # engine parity of the truncation itself: replay the identical cut in
+    # DuckDB over the same banded table
+    banded = lsh_bands(minhash_table(docs), n_bands=4, rows_per_band=4)
+    pdf = banded.toPandas()
+    con = duckdb.connect()
+    con.register("bands", pdf)
+    want = set(
+        con.execute(f"""
+        WITH capped AS (
+          SELECT doc_id, band_idx, band_hash FROM bands
+          QUALIFY row_number() OVER (
+            PARTITION BY band_idx, band_hash ORDER BY doc_id) <= {cap}
+        )
+        SELECT DISTINCT a.doc_id, b.doc_id FROM capped a JOIN capped b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        """).fetchall()
+    )
+    assert got == want
+
+    # sanity: the capped banded table really is truncated
+    n_capped = cap_posting_lists(banded, cap=cap).count()
+    assert n_capped < banded.count()
