@@ -236,3 +236,91 @@ def test_cap_posting_lists_hot_band_truncation_matches_duckdb(spark):
     # sanity: the capped banded table really is truncated
     n_capped = cap_posting_lists(banded, cap=cap).count()
     assert n_capped < banded.count()
+
+
+def test_parse_pnm_golden_bytes_and_poison_inputs():
+    """The dependency-free PNM parser against hand-built payloads: golden
+    P6/P5 rasters, comments and multi-digit dimensions in the header, and
+    the poison inputs a decode pipeline must REJECT (not mis-read)."""
+    import pytest as _pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_pnm,
+        ppm_decoder,
+    )
+
+    # golden 2x2 RGB: header + 12 raster bytes
+    p6 = b"P6\n2 2\n255\n" + bytes(range(12))
+    assert parse_pnm(p6) == (2, 2, 255, 3, bytes(range(12)))
+    assert ppm_decoder(p6) == (2, 2, "ppm")
+
+    # comments anywhere between tokens; multi-digit dims; CRLF whitespace
+    p6c = b"P6\r\n# a comment\n12 \t#inline\n3\n# another\n99\n" + bytes(
+        range(108)
+    )
+    assert parse_pnm(p6c) == (12, 3, 99, 3, bytes(range(108)))
+
+    # grayscale P5: one channel
+    p5 = b"P5\n3 2\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    assert parse_pnm(p5) == (3, 2, 255, 1, bytes([10, 20, 30, 40, 50, 60]))
+    assert ppm_decoder(p5) == (3, 2, "pgm")
+
+    # raster byte 0x0A (newline) right after the single header whitespace
+    # must be DATA, not skipped
+    tricky = b"P6\n1 1\n255\n" + bytes([0x0A, 0x0A, 0x0A])
+    assert parse_pnm(tricky)[4] == bytes([0x0A, 0x0A, 0x0A])
+
+    for bad in (
+        b"",                                  # empty
+        b"P3\n1 1\n255\n???",                 # ASCII PPM (unsupported)
+        b"JFIF....",                          # wrong magic
+        b"P6\n2 2\n255\n" + bytes(11),        # truncated raster
+        b"P6\n2 2\n65535\n" + bytes(24),      # 2-byte samples unsupported
+        b"P6\n0 2\n255\n",                    # zero dimension
+        b"P6\n2 2\n255",                      # header cut before raster
+    ):
+        with _pytest.raises(ValueError):
+            parse_pnm(bad)
+
+
+def test_ppm_generator_matches_pure_python_writer(spark):
+    """The JVM-expression payload generator must emit byte-identical PPMs
+    to an independent pure-Python writer — guarding the generator half of
+    the end-to-end decode verification."""
+    from stream_processing_pipeline_spark.plans.multimodalq import (
+        _PPM_A,
+        _PPM_B,
+        _ppm_payload_col,
+    )
+
+    ids = [0, 1, 7, 123]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: bytes(r.payload)
+        for r in df.select("doc_id", _ppm_payload_col().alias("payload")).collect()
+    }
+    for i in ids:
+        w, h = 4 + i % 5, 3 + i % 4
+        header = f"P6\n# synthetic fixture {i}\n{w} {h}\n255\n".encode()
+        raster = bytes((i * _PPM_A + k * _PPM_B) % 256 for k in range(3 * w * h))
+        assert got[i] == header + raster, f"doc {i}"
+
+
+def test_decode_media_batched_builtin_ppm_codec(spark):
+    """codec='ppm' resolves to the real parser; unknown codecs still gate."""
+    import pytest as _pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        decode_media_batched,
+    )
+    from stream_processing_pipeline_spark.plans.multimodalq import (
+        _ppm_payload_col,
+    )
+
+    df = spark.createDataFrame([(5,)], "doc_id long").select(
+        "doc_id", _ppm_payload_col().alias("payload")
+    )
+    (row,) = decode_media_batched(df, codec="ppm").collect()
+    assert (row.width, row.height, row.format) == (4 + 5 % 5, 3 + 5 % 4, "ppm")
+    with _pytest.raises(NotImplementedError):
+        decode_media_batched(df, codec="jpeg")
