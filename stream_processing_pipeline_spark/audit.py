@@ -22,21 +22,26 @@ schemas, so table signatures always show):
   the key space;
 - a Filter of the form ``vec_id < <literal>`` bounds (the similarity
   family's fixed query workload is declared exactly this way);
-- an Inner join with a bounded side is bounded (enriching a bounded key
-  set via an equi-join on this engine's unique ids keeps its cardinality);
-  Left* joins take the left side's boundedness;
+- an Inner join with a bounded side is bounded ONLY when every column in
+  its join condition is a catalog-declared unique key
+  (``sources.registry.UNIQUE_KEYS`` — VERDICT r5 #7): each bounded-side
+  row then matches <= 1 row of the unique side, so enrichment preserves
+  cardinality. An inner join on any non-unique column (a token / shingle
+  hash / band grain, or lineitem's non-unique ``l_orderkey``) is treated
+  as multiplying even with a bounded side — the many-to-many false
+  negative this rule closes used to be only a docstring caveat. Left*
+  joins take the left side's boundedness;
 - any other node is unbounded iff some child is.
 
-Known false-negative classes (heuristic, not a proof — ADVICE r4): the
-inner-join rule assumes equi-joins on UNIQUE entity ids, which holds for
-every registered query today; a many-to-many inner join (non-unique key,
-e.g. a token- or shingle-grain self-join) with one bounded side is
-sf-proportional yet would pass. Likewise a grouping by a derived
-per-entity column not matched by the regexes below (a novel hash/bucket
-name at entity grain) would read as bounded. When adding queries with
-such shapes, extend ``_ID_GROUP_RE`` (entity-grain derived columns) or
-add the query to the violation allowlist with a reason — don't rely on
-the guard silently covering them.
+Known false-negative classes (heuristic, not a proof): a grouping by a
+derived per-entity column not matched by the regexes below (a novel
+hash/bucket name at entity grain) would read as bounded. When adding
+queries with such shapes, extend ``_ID_GROUP_RE`` (entity-grain derived
+columns) or add the query to the violation allowlist with a reason —
+don't rely on the guard silently covering them. The unique-key rule is
+name-based: a join on a RENAMED unique key (``doc_a``/``db``) reads as
+multiplying — conservative by design (a false positive is an allowlist
+entry with a reason; a false negative is a silent OOM at scale).
 """
 
 from __future__ import annotations
@@ -44,6 +49,8 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame
+
+from .sources.registry import UNIQUE_KEY_COLUMNS
 
 __all__ = [
     "BROADCAST_HINT_ALLOWED",
@@ -87,6 +94,22 @@ BROADCAST_HINT_ALLOWED = {
 }
 
 
+_ATTR_REF_RE = re.compile(r"(\w+)#\d+")
+
+
+def _join_condition_on_unique_keys(head: str) -> bool:
+    """True iff EVERY attribute referenced in the join condition is a
+    catalog-declared unique-key column (``sources.registry.UNIQUE_KEYS``).
+    The condition is the segment after the join type in the node head
+    (``Join Inner, ((doc_id#3L = doc_id#17L))``). Attribute extraction is
+    deliberately blunt — any non-key column anywhere in the condition
+    (including inside casts or coalesce wrappers) disqualifies, and a
+    condition-less inner join (cross product) returns False."""
+    _, _, cond = head.partition(", ")
+    names = set(_ATTR_REF_RE.findall(cond))
+    return bool(names) and names <= UNIQUE_KEY_COLUMNS
+
+
 def _children(jnode):
     seq = jnode.children()
     return [seq.apply(i) for i in range(seq.size())]
@@ -121,11 +144,17 @@ def subtree_is_unbounded(jnode) -> bool:
     kids = _children(jnode)
     if name == "Join" and len(kids) == 2:
         # "Join Inner, (cond)" / "Join LeftSemi, ..." — an inner equi-join
-        # with a bounded side stays bounded (the engine's join keys are
-        # unique entity ids, so enrichment doesn't multiply cardinality);
-        # Left* joins are bounded iff their left (row-preserved) side is.
+        # with a bounded side stays bounded ONLY on catalog-declared unique
+        # keys (each bounded row matches <= 1 unique-side row); any other
+        # key is treated as many-to-many and multiplies. Left* joins are
+        # bounded iff their left (row-preserved) side is.
         if "Inner" in head:
-            return all(subtree_is_unbounded(c) for c in kids)
+            unbounded = [subtree_is_unbounded(c) for c in kids]
+            if not any(unbounded):
+                return False
+            if all(unbounded):
+                return True
+            return not _join_condition_on_unique_keys(head)
         if any(t in head for t in ("LeftSemi", "LeftAnti", "LeftOuter")):
             return subtree_is_unbounded(kids[0])
         return any(subtree_is_unbounded(c) for c in kids)

@@ -31,7 +31,46 @@ from pyspark.sql.types import LongType, TimestampType
 
 from .. import TABLES
 
-__all__ = ["TableCatalog"]
+__all__ = [
+    "TableCatalog",
+    "UNIQUE_KEYS",
+    "UNIQUE_KEY_ALIASES",
+    "UNIQUE_KEY_COLUMNS",
+]
+
+#: catalog-declared single-column unique keys per table (VERDICT r5 #7).
+#: These are the engine's PRIMARY-KEY contracts: an inner equi-join whose
+#: key set is drawn from these columns cannot multiply a bounded side's
+#: cardinality (each bounded row matches <= 1 row of the unique side), which
+#: is what lets the plan audit (audit.py) treat such joins as bounded.
+#: Deliberately ABSENT: lineitem (its key is the COMPOSITE (l_orderkey,
+#: l_linenumber); l_orderkey alone is ~7-to-1) and every derived grain
+#: (term, shingle/band/chunk hashes) — joins on those are many-to-many and
+#: must read as unbounded.
+UNIQUE_KEYS: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+#: engine-convention RENAMES that carry the same uniqueness contract as the
+#: column they alias. ``query_id`` is the similarity family's rename of
+#: ``vec_id`` for the declared query workload (the plan audit already
+#: recognizes ``query_id < <literal>`` as the bounded-workload filter) —
+#: one query vector per query_id, so joins on it cannot multiply. Keep this
+#: list SHORT and literal: every entry widens what the audit accepts.
+UNIQUE_KEY_ALIASES: frozenset[str] = frozenset({"query_id"})
+
+#: the set of column names that carry a uniqueness contract
+UNIQUE_KEY_COLUMNS: frozenset[str] = (
+    frozenset(UNIQUE_KEYS.values()) | UNIQUE_KEY_ALIASES
+)
 
 
 class TableCatalog:

@@ -423,3 +423,39 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
         .count()
     )
     assert n == base
+
+
+def test_unique_key_rule_catches_many_to_many_inner_join(spark):
+    """Planted guard test (VERDICT r5 #7): an inner join of a BOUNDED side
+    against a fact-grain frame is bounded only on a catalog-declared
+    unique key. A token-grain self-join (non-unique key, many-to-many)
+    with one bounded side is sf-proportional — before the unique-key rule
+    it read as bounded (the documented false negative); now it must read
+    unbounded, while the doc_id-keyed enrichment keeps reading bounded."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.audit import subtree_is_unbounded
+    from stream_processing_pipeline_spark.plans.common import catalog
+
+    docs = catalog(spark, SF_MED).documents
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+
+    def unbounded(df):
+        return subtree_is_unbounded(df._jdf.queryExecution().analyzed())
+
+    # many-to-many: bounded 5-row token set joined back on non-unique term
+    m2m = tok.limit(5).select("term").join(tok, "term")
+    assert unbounded(m2m), "token-grain inner join must read sf-proportional"
+
+    # one-to-one enrichment: bounded id set joined back on the unique key
+    enrich = docs.limit(5).select("doc_id").join(docs, "doc_id")
+    assert not unbounded(enrich), "unique-key enrichment must stay bounded"
+
+    # composite trap: lineitem's l_orderkey alone is NOT unique (~7 lines
+    # per order) — a bounded order set fanning out over lineitem reads
+    # unbounded under the name-based rule (conservative, documented)
+    li = catalog(spark, SF_MED).lineitem
+    fan = li.select("l_orderkey").limit(5).join(li, "l_orderkey")
+    assert unbounded(fan)
