@@ -743,7 +743,12 @@ def pq_codebooks_int(
     the k sub-vectors of subspace j in integer micro-units. A fixed rule
     over the data (no training iterations), so the whole PQ construction is
     SQL-expressible and value-hash verifiable. One bounded driver roundtrip
-    (k * dim ints)."""
+    (k * dim ints).
+
+    ASSUMES the catalog's dense-id contract (vec_id ~ 0..N-1): the seeds
+    are the vectors at id multiples of (max_id+1)//k. A sparse id space
+    (holes wider than the step) can yield fewer than k seeds — seed by
+    rank (row_number over vec_id) instead if ingesting non-dense ids."""
     step = (corpus.agg(F.max(id_col)).first()[0] + 1) // k
     cid = (F.col(id_col) / step).cast("int")
     rows = (

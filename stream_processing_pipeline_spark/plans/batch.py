@@ -3674,6 +3674,40 @@ def props_variant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_groupby_all_daily_mix",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({cents_sql('value')}) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY day, event_type
+    """,
+    tags=("batch", "sql-api", "group-by-all"),
+)
+def sql_groupby_all_daily_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``GROUP BY ALL`` / ``ORDER BY ALL`` surface, registered as
+    raw SQL so the parser path itself is verified (the third SQL-dialect
+    pair after pipe syntax and VARIANT): every non-aggregate select item
+    becomes a grouping key implicitly — the form analysts write and the
+    form LLM-generated SQL overwhelmingly emits, so an engine claiming
+    drop-in SQL compatibility needs it green. The oracle states the
+    explicit GROUP BY, pinning that the implicit and explicit forms
+    compile to the same aggregation. Exact integer cents; the ORDER BY
+    ALL is parser exercise only (the compare hash is order-insensitive)."""
+    catalog(spark, sf_dir).register_all()  # bind views to THIS sf_dir
+    return spark.sql(
+        f"""
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum({cents_sql('value')}) AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
 _TRI_MIN_SUPPORT = 2  # co-purchase edge := parts co-ordered at least twice
 _TRI_BASKET_CAP = 32  # per-order basket cap before the pair self-join: the
                       # |basket|^2/2 edge-gen explosion guard (a 10k-item bot

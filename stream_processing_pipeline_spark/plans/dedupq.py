@@ -161,6 +161,108 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_TRUE_J = 0.5  # "true near-dup" := 3-gram Jaccard >= 0.5
+
+
+@register(
+    "lsh_cap_recall_audit",
+    oracle=f"""{_BANDS_CTE},
+    d AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+    true_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE floor((len(list_intersect(a.s, b.s)) * 1.0 /
+                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
+                  * 10000.0 + 0.5) / 10000.0 >= {_RECALL_TRUE_J}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+    ),
+    bcap AS (
+      SELECT doc_id, band_idx, band_hash FROM bands
+      QUALIFY row_number() OVER (
+        PARTITION BY band_idx, band_hash ORDER BY doc_id) <= {_LSH_CAP}
+    ),
+    candc AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bcap a JOIN bcap b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM true_pairs),
+    c0 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+    c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand_capped FROM candc),
+    g0 AS (SELECT CAST(count(*) AS BIGINT) AS caught FROM true_pairs t
+           JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+    g1 AS (SELECT CAST(count(*) AS BIGINT) AS caught_capped FROM true_pairs t
+           JOIN candc c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+    SELECT n.n_true, c0.n_cand, c1.n_cand_capped, g0.caught, g1.caught_capped,
+           CASE WHEN n.n_true = 0 THEN NULL
+                ELSE CAST((1000 * g0.caught) // n.n_true AS BIGINT)
+           END AS recall_permille,
+           CASE WHEN n.n_true = 0 THEN NULL
+                ELSE CAST((1000 * g1.caught_capped) // n.n_true AS BIGINT)
+           END AS recall_capped_permille
+    FROM n CROSS JOIN c0 CROSS JOIN c1 CROSS JOIN g0 CROSS JOIN g1
+    """,
+    tags=("dedup", "lsh", "recall-audit", "hot-key-guard"),
+)
+def lsh_cap_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECALL NOTE for the hot-band cap, as a verified query instead of
+    prose (VERDICT r5 #1 done-criterion): against ground truth (exact
+    3-gram Jaccard >= 0.5 via the inverted-index similarity join — never
+    all-pairs engine-side), report how many true near-dup pairs the LSH
+    candidate join catches UNCAPPED vs CAPPED at 64. On the driver
+    fixtures the largest band bucket holds 4 docs, so the two recalls are
+    IDENTICAL — the number that justifies shipping the capped join as the
+    production default. Publishing the audit keeps the trade honest the
+    same way the int8-vs-PQ recall pair does: if a future corpus plants a
+    mega-bucket, the capped recall visibly drops and the delta is the
+    price being paid. Shape: three bounded pair tables (blocked/banded
+    joins), two semi-join counts, 1-row assembly via broadcast cross
+    joins; empty-fixture denominators are NULL-guarded identically in
+    both engines."""
+    docs = catalog(spark, sf_dir).documents
+    true_pairs = jaccard_pairs(docs, threshold=_RECALL_TRUE_J).select(
+        "doc_a", "doc_b"
+    ).persist()
+    cand = lsh_candidate_pairs(docs)
+    candc = lsh_candidate_pairs_capped(docs, cap=_LSH_CAP)
+    n = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    c0 = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    c1 = candc.agg(F.count(F.lit(1)).alias("n_cand_capped"))
+    g0 = true_pairs.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("caught")
+    )
+    g1 = true_pairs.join(candc, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("caught_capped")
+    )
+    return (
+        n.crossJoin(F.broadcast(c0))
+        .crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(g0))
+        .crossJoin(F.broadcast(g1))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_cand_capped",
+            "caught",
+            "caught_capped",
+            F.expr(
+                "CASE WHEN n_true = 0 THEN NULL"
+                " ELSE (1000 * caught) div n_true END"
+            ).alias("recall_permille"),
+            F.expr(
+                "CASE WHEN n_true = 0 THEN NULL"
+                " ELSE (1000 * caught_capped) div n_true END"
+            ).alias("recall_capped_permille"),
+        )
+    )
+
+
 _W_HASH = h60_sql("w")
 _SIMHASH_CTE = f"""
 WITH base AS (SELECT doc_id, {_NORM} AS norm FROM documents),

@@ -311,6 +311,60 @@ def sim_topk_ivf_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf(emb, queries, _static_cent(spark, sf_dir), k=_K, n_probe=2)
 
 
+@register(
+    "sim_ivf_cell_balance",
+    oracle=f"""{_STATIC_ASSIGN_CTE},
+    ca AS (
+      SELECT vec_id, cid FROM d
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+    ),
+    occ AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM ca GROUP BY cid)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells_used,
+           CAST({_K_STATIC} - count(*) AS BIGINT) AS n_cells_empty,
+           CAST(sum(n) AS BIGINT) AS n_vectors,
+           CAST(min(n) AS BIGINT) AS min_occ,
+           CAST(max(n) AS BIGINT) AS max_occ,
+           CASE WHEN sum(n) = 0 THEN NULL
+                ELSE CAST((1000 * max(n) * {_K_STATIC}) // sum(n) AS BIGINT)
+           END AS imbalance_permille
+    FROM occ
+    """,
+    tags=("similarity", "ivf", "static", "load-balance", "audit"),
+)
+def sim_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell LOAD-BALANCE audit — the number a deployment checks before
+    trusting probe-cost estimates: an n_probe-cell scan costs ~n_probe/k of
+    the corpus ONLY if cells are balanced; a hot cell (imbalance >> 1000
+    permille, i.e. max_occ >> mean) makes every probe that touches it a
+    straggler, the ANN-index analog of the hot LSH band. Reports cells
+    used/empty, min/max occupancy, and max/mean in permille over the
+    sampled-seed quantizer's assignment (the deployed static index). One
+    aggregation to cell grain (k rows) then a 1-row rollup — the audit
+    costs one assignment pass regardless of corpus size; empty-corpus
+    denominator NULL-guarded identically in both engines."""
+    from ..operators.similarity import assign_clusters_static
+
+    emb = catalog(spark, sf_dir).embeddings
+    occ = (
+        assign_clusters_static(emb, _static_cent(spark, sf_dir))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return occ.agg(
+        F.count(F.lit(1)).alias("n_cells_used"),
+        (F.lit(_K_STATIC) - F.count(F.lit(1))).cast("long").alias(
+            "n_cells_empty"
+        ),
+        F.sum("n").alias("n_vectors"),
+        F.min("n").alias("min_occ"),
+        F.max("n").alias("max_occ"),
+        F.expr(
+            f"CASE WHEN sum(n) = 0 THEN NULL"
+            f" ELSE (1000 * max(n) * {_K_STATIC}) div sum(n) END"
+        ).alias("imbalance_permille"),
+    )
+
+
 _CENTROIDS: dict[tuple[int, str], list[tuple[int, list[int]]]] = {}
 
 

@@ -651,3 +651,68 @@ def test_triangle_basket_cap_bounds_bot_cart(spark, tmp_path):
     assert row.n_triangles == cap * (cap - 1) * (cap - 2) // 6
     # complete graph on the cap-smallest parts: transitivity = 1000 permille
     assert row.transitivity_permille == 1000
+
+
+def test_lsh_cap_recall_audit_invariants(spark):
+    """Recall-audit consistency: candidate and caught counts nest
+    (capped <= uncapped <= everything), and on the driver fixtures —
+    where no band bucket exceeds the 64 cap — the capped join must
+    sacrifice EXACTLY zero true pairs (the registered justification for
+    shipping the capped join as the production default)."""
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    (r,) = REGISTRY["lsh_cap_recall_audit"].fn(spark, SF_MED).collect()
+    assert r.caught <= r.n_true
+    assert r.n_cand_capped <= r.n_cand
+    assert r.caught_capped <= r.caught
+    assert r.n_true > 0  # the fixture plants real near-dups
+    # fixture buckets max out at 4 << 64: cap is a provable no-op here
+    assert r.n_cand_capped == r.n_cand
+    assert r.recall_capped_permille == r.recall_permille
+
+
+def test_ivf_cell_balance_reconciles_with_assignments(spark):
+    """Load-balance audit must reconcile with the assignment table it
+    audits: vector total equals the corpus, used+empty equals k, min/max
+    bracket every observed occupancy, imbalance >= 1000 permille (max is
+    at least the mean by definition)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+    from stream_processing_pipeline_spark.plans.similarq import _K_STATIC
+
+    (r,) = REGISTRY["sim_ivf_cell_balance"].fn(spark, SF_MED).collect()
+    n_emb = catalog(spark, SF_MED).embeddings.count()
+    assert r.n_vectors == n_emb
+    assert r.n_cells_used + r.n_cells_empty == _K_STATIC
+    assert 0 < r.min_occ <= r.max_occ
+    assert r.imbalance_permille >= 1000
+
+    occ = (
+        REGISTRY["sim_ivf_static_assignments"].fn(spark, SF_MED)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("lo"), F.max("n").alias("hi"))
+        .collect()[0]
+    )
+    assert (occ.lo, occ.hi) == (r.min_occ, r.max_occ)
+
+
+def test_groupby_all_reconciles_with_event_totals(spark):
+    """GROUP BY ALL surface: grouping must be exactly (day, event_type) —
+    row count equals the distinct pair count and n_events sums to the
+    full event total (nothing dropped or double-grouped)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["sql_groupby_all_daily_mix"].fn(spark, SF_MED)
+    rows = out.collect()
+    ev = catalog(spark, SF_MED).events
+    n_pairs = (
+        ev.select(F.to_date("ts").alias("d"), "event_type").distinct().count()
+    )
+    assert len(rows) == n_pairs
+    assert sum(r.n_events for r in rows) == ev.count()

@@ -300,6 +300,7 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "user_rfm_segments",            # broadcast 1-row ref-day + the
                                         # 1-row quintile-threshold frame
         "part_affinity_triangles",      # broadcast 1-row scalar assembly x2
+        "lsh_cap_recall_audit",         # broadcast 1-row count frames x4
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
