@@ -67,6 +67,13 @@ HEADLINERS = {
     "trade_graph_butterflies": "celebrity degree cap BEFORE the wedge join; deg-count, semi-join and wedge share one customer-keyed exchange (r4)",
     "bpe_train_merges": "six-round BPE training as one DAG: vocab-bounded word table, TakeOrdered(1) argmax, broadcast-winner replace, localCheckpoint lineage cuts",
     "text_bigram_coverage": "one corpus scan -> gram-hash posting agg (collect_set dedups in-aggregate) -> per-doc coverage roll-up",
+    "user_rfm_segments": "RFM grid from three fixed-width histograms + broadcast 1-row threshold frame — quintiles without a user-grain sort (the missing r5 snapshot)",
+    "part_affinity_triangles": "basket-capped edge gen -> degree-ordered orientation -> wedge + closing joins on 16 B edges; 1-row broadcast assembly (r6: cap added)",
+    "dedup_minhash_lsh_capped": "band self-join behind a posting-list row_number cap — deterministic hot-band guard, oracle-replayable (r6)",
+    "llm_corpus_stage_report": "five-stage funnel over one persisted meta/signature base; near-dup stage now the CAPPED band join (r6)",
+    "mm_ppm_decode_stats": "JVM-generated binary PPM -> zero-copy mapInArrow decode -> per-channel integer sums; no exchange in the plan (r6)",
+    "sim_ivf_cell_balance": "assignment pass -> k-row occupancy agg -> 1-row balance rollup (r6)",
+    "sql_groupby_all_daily_mix": "GROUP BY ALL raw-SQL surface compiling to the same partial/final hash agg as the explicit form (r6)",
 }
 
 

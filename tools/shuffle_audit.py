@@ -71,6 +71,11 @@ AUDITED = {
     "zorder_layout_audit": "ONE fact exchange to (z-file, linear-file) pair grain (<=1024 partial rows after map-side combine); both layout rollups re-aggregate the bounded pair table",
     "bpe_encode_fertility": "corpus collapses once to (source, pretoken-seq, count) partials; all 12 merge/encode steps run at vocab grain, raw text never re-shuffles",
     "dedup_cdc_chunk_pairs": "chunk assembly is in-scan array algebra; shuffle carries (chunk_hash, doc_id) 16 B rows into the df-capped inverted-index join — chunk text never moves",
+    "part_affinity_triangles": "basket-capped (order, part) pairs, then 16-24 B oriented-edge rows (u, v, dv) through the wedge/closing joins — per-order pair fan-out bounded at C(32,2), wedge volume O(m^1.5) by orientation (r6)",
+    "user_rfm_segments": "one purchase agg to user grain, then ONLY bounded-bin histogram partials shuffle (days/counts/dollar bins) — no user-grain sort anywhere (r6, the missing r5 row)",
+    "dedup_minhash_lsh_capped": "identical 16 B (band_hash, id) rows as the uncapped join plus one posting-list window on the same key — the cap bounds per-bucket join OUTPUT at C(64,2) (r6)",
+    "lsh_cap_recall_audit": "three pair tables (blocked/banded, never all-pairs) reduce to five 1-row counts; the shuffle is the pair tables' compact keys, the assembly is broadcast (r6)",
+    "mm_ppm_decode_stats": "ZERO shuffle: payloads are generated, decoded, and reduced to per-doc stats inside one scan stage — the binary bytes never leave their task (r6)",
 }
 
 
