@@ -167,13 +167,26 @@ _RECALL_TRUE_J = 0.5  # "true near-dup" := 3-gram Jaccard >= 0.5
 @register(
     "lsh_cap_recall_audit",
     oracle=f"""{_BANDS_CTE},
-    d AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+    shd AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd
+           GROUP BY doc_id),
+    it AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
     true_pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM d a JOIN d b ON a.doc_id < b.doc_id
-      WHERE floor((len(list_intersect(a.s, b.s)) * 1.0 /
-                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
-                  * 10000.0 + 0.5) / 10000.0 >= {_RECALL_TRUE_J}
+      -- inverted-index form, EXACT at this threshold: a pair with
+      -- jaccard >= 0.5 > 0 must share a shingle, so zero-intersection
+      -- pairs (the only ones the index never materializes) cannot
+      -- qualify. The naive all-pairs form is O(n^2) list_intersects and
+      -- took >19 min at sf0.1 in DuckDB — same lesson as the engine side.
+      SELECT it.doc_a, it.doc_b
+      FROM it JOIN sz sa ON sa.doc_id = it.doc_a
+              JOIN sz sb ON sb.doc_id = it.doc_b
+      WHERE floor((it.i * 1.0 / (sa.n + sb.n - it.i)) * 10000.0 + 0.5)
+              / 10000.0 >= {_RECALL_TRUE_J}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -306,15 +319,22 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""{_SHINGLE_CTE},
-    d AS (SELECT doc_id, list_distinct(s) AS s FROM sh)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           floor((len(list_intersect(a.s, b.s)) * 1.0 /
-                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
-                 * 10000.0 + 0.5) / 10000.0 AS jaccard
-    FROM d a JOIN d b ON a.doc_id < b.doc_id
-    WHERE floor((len(list_intersect(a.s, b.s)) * 1.0 /
-                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
-                * 10000.0 + 0.5) / 10000.0 >= 0.05
+    shd AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd
+           GROUP BY doc_id),
+    it AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT it.doc_a, it.doc_b,
+           floor((it.i * 1.0 / (sa.n + sb.n - it.i)) * 10000.0 + 0.5)
+             / 10000.0 AS jaccard
+    FROM it JOIN sz sa ON sa.doc_id = it.doc_a
+            JOIN sz sb ON sb.doc_id = it.doc_b
+    WHERE floor((it.i * 1.0 / (sa.n + sb.n - it.i)) * 10000.0 + 0.5)
+            / 10000.0 >= 0.05
     """,
     tags=("dedup", "jaccard"),
 )
@@ -322,8 +342,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard >= 0.05 over the whole corpus via an
     inverted-index similarity join (pairs sharing no shingle never
     materialize); finds the planted near-duplicates (max observed 0.989).
-    The oracle states the same result as a naive all-pairs query — fine at
-    oracle scale, which is exactly why the engine side doesn't do it."""
+    The oracle is the same inverted-index algebra (shared-shingle counts
+    + set sizes): EXACT at any threshold > 0, because a qualifying pair
+    must share a shingle — the r6 rewrite after the naive all-pairs
+    oracle form took >19 min of DuckDB time at sf0.1 (the engine side
+    never did all-pairs; now neither engine does)."""
     return jaccard_pairs(catalog(spark, sf_dir).documents, threshold=0.05)
 
 
