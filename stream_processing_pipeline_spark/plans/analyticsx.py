@@ -684,6 +684,131 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql(normalize_text_sql('text'))}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    uni AS (
+      SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM uni),
+    scored AS (
+      SELECT tf.doc_id, tf.tf,
+             CAST(length(bin(n.n_corpus)) - length(bin(uni.c)) AS BIGINT)
+               AS surp_bits
+      FROM tf JOIN uni ON uni.term = tf.term CROSS JOIN n
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(sum(tf * surp_bits) AS BIGINT) AS total_surprisal_bits,
+             CAST((1000 * sum(tf * surp_bits)) // sum(tf) AS BIGINT)
+               AS mean_surprisal_millibits
+      FROM scored GROUP BY doc_id
+    ),
+    corpus AS (
+      SELECT CAST((1000 * sum(total_surprisal_bits)) // sum(n_tokens)
+                  AS BIGINT) AS corpus_mean_millibits
+      FROM per_doc
+    )
+    SELECT p.doc_id, p.n_tokens, p.total_surprisal_bits,
+           p.mean_surprisal_millibits,
+           CASE WHEN p.mean_surprisal_millibits > c.corpus_mean_millibits
+                THEN 1 ELSE 0 END AS high_surprisal
+    FROM per_doc p CROSS JOIN corpus c
+    """,
+    tags=("batch", "llm-pipeline", "perplexity", "quality-filter", "text"),
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perplexity-filter shape (CCNet/Gopher lineage) in EXACT integer
+    arithmetic: per document, the summed unigram surprisal of its tokens
+    under the corpus's own unigram LM, with -log2 p(t) taken at FLOOR-LOG2
+    resolution — ``bits(N) - bits(c)`` where ``bits(x)`` is the binary
+    digit count (Spark ``length(conv(x,10,2))`` == DuckDB
+    ``length(bin(x))``, both exact integers). Production perplexity
+    filters use a float LM; libm ``ln`` differs across engines at the
+    last ulp, which would break value-hash verification — the 1-bit
+    resolution keeps the ENTIRE filter decision deterministic and
+    hash-verifiable while preserving what the filter is for: gibberish
+    and rare-token-dense documents score high, boilerplate scores low
+    (same monotone-integer-surrogate rule as ``text_tfidf_top_terms``'s
+    rational IDF). The flag is RELATIVE — above the corpus-mean
+    surprisal, computed in-query and broadcast as a 1-row frame — so the
+    gate adapts to any corpus rather than hard-coding a bits/token
+    constant (the fixture's near-uniform synthetic vocabulary compresses
+    the whole range into ~5.0-5.4 bits, where any fixed threshold is
+    degenerate). Shape: one token explode to (doc, term) counts,
+    vocabulary-grain LM join (unigram table is unique per term — no
+    fan-out), one doc-grain rollup; corpus totals ride broadcast 1-row
+    frames."""
+    d = catalog(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", F.explode(tokens(normalize_text("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()
+    uni = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    n = uni.agg(F.sum("c").alias("n_corpus"))
+    scored = (
+        tf.join(uni, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tf",
+            F.expr(
+                "CAST(length(conv(n_corpus, 10, 2)) - length(conv(c, 10, 2))"
+                " AS BIGINT)"
+            ).alias("surp_bits"),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("surp_bits")).alias(
+                "total_surprisal_bits"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "total_surprisal_bits",
+            F.expr("(1000 * total_surprisal_bits) div n_tokens").alias(
+                "mean_surprisal_millibits"
+            ),
+        )
+        .persist()
+    )
+    corpus = per_doc.agg(
+        F.expr(
+            "(1000 * sum(total_surprisal_bits)) div sum(n_tokens)"
+        ).alias("corpus_mean_millibits")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "total_surprisal_bits",
+            "mean_surprisal_millibits",
+            F.when(
+                F.col("mean_surprisal_millibits")
+                > F.col("corpus_mean_millibits"),
+                1,
+            )
+            .otherwise(0)
+            .alias("high_surprisal"),
+        )
+    )
+
+
 # ------------------------------------------------- sketch-accuracy audits
 
 _W = DEFAULT_WIDTH_CENTS

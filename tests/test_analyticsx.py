@@ -716,3 +716,89 @@ def test_groupby_all_reconciles_with_event_totals(spark):
     )
     assert len(rows) == n_pairs
     assert sum(r.n_events for r in rows) == ev.count()
+
+
+def test_unigram_surprisal_reconciles_and_bounds(spark):
+    """Surprisal reconciliation: per-doc token totals sum to the corpus
+    token count, every mean is inside the feasible [0, bits(N)*1000]
+    band, and the flag column replays the threshold exactly."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.operators.text import (
+        normalize_text,
+        tokens,
+    )
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["text_unigram_surprisal"].fn(spark, SF_MED).collect()
+    d = catalog(spark, SF_MED).documents
+    n_corpus = d.select(
+        F.explode(tokens(normalize_text("text")))
+    ).count()
+    assert sum(r.n_tokens for r in rows) == n_corpus
+    max_bits = n_corpus.bit_length()
+    corpus_mean = (
+        1000 * sum(r.total_surprisal_bits for r in rows)
+    ) // n_corpus
+    for r in rows:
+        assert 0 <= r.mean_surprisal_millibits <= max_bits * 1000
+        assert r.high_surprisal == (
+            1 if r.mean_surprisal_millibits > corpus_mean else 0
+        )
+    # both tails must exist on the fixture for the flag to mean anything
+    assert any(r.high_surprisal == 1 for r in rows)
+    assert any(r.high_surprisal == 0 for r in rows)
+
+
+def test_interval_bucket_join_is_complete(spark):
+    """The week-bucket candidate generator must be COMPLETE: the bucketed
+    plan's pair set equals the direct (s, p)-blocked range-predicate join
+    (the oracle form) computed independently in Spark — no overlapping
+    pair straddles buckets unseen, no double-match survives the
+    distinct."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    got = {
+        (r.suppkey, r.partkey, r.okey_a, r.line_a, r.okey_b, r.line_b,
+         r.overlap_days)
+        for r in REGISTRY["supplier_part_transit_overlaps"]
+        .fn(spark, SF_MED).collect()
+    }
+    cat = catalog(spark, SF_MED)
+    li = (
+        cat.lineitem.select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"),
+            F.col("l_orderkey").alias("o"),
+            F.col("l_linenumber").cast("long").alias("ln"),
+            F.to_date("l_shipdate").alias("d1"),
+        )
+        .join(
+            cat.orders.select(
+                F.col("o_orderkey").alias("o"),
+                F.to_date("o_orderdate").alias("d0"),
+            ),
+            "o",
+        )
+        .filter(F.col("d0") <= F.col("d1"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    direct = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s")) & (F.col("a.p") == F.col("b.p"))
+        & (
+            (F.col("a.o") < F.col("b.o"))
+            | ((F.col("a.o") == F.col("b.o")) & (F.col("a.ln") < F.col("b.ln")))
+        )
+        & (F.col("a.d0") <= F.col("b.d1")) & (F.col("b.d0") <= F.col("a.d1")),
+    ).select(
+        F.col("a.s"), F.col("a.p"), F.col("a.o"), F.col("a.ln"),
+        F.col("b.o").alias("ob"), F.col("b.ln").alias("lnb"),
+        (F.datediff(F.least("a.d1", "b.d1"), F.greatest("a.d0", "b.d0"))
+         .cast("long") + 1).alias("od"),
+    )
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want and len(got) > 0

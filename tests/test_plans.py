@@ -301,6 +301,8 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
                                         # 1-row quintile-threshold frame
         "part_affinity_triangles",      # broadcast 1-row scalar assembly x2
         "lsh_cap_recall_audit",         # broadcast 1-row count frames x4
+        "text_unigram_surprisal",       # broadcast 1-row corpus total +
+                                        # 1-row corpus-mean threshold
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():

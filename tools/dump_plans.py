@@ -74,6 +74,8 @@ HEADLINERS = {
     "mm_ppm_decode_stats": "JVM-generated binary PPM -> zero-copy mapInArrow decode -> per-channel integer sums; no exchange in the plan (r6)",
     "sim_ivf_cell_balance": "assignment pass -> k-row occupancy agg -> 1-row balance rollup (r6)",
     "sql_groupby_all_daily_mix": "GROUP BY ALL raw-SQL surface compiling to the same partial/final hash agg as the explicit form (r6)",
+    "text_unigram_surprisal": "integer floor-log2 surprisal: tf grain -> unigram LM join -> doc rollup; corpus totals broadcast (r6)",
+    "supplier_part_transit_overlaps": "interval-overlap via asymmetric bucket band join (cover explodes, probe start-bucket only) + exact predicate + distinct (r6)",
 }
 
 

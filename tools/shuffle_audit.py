@@ -76,6 +76,8 @@ AUDITED = {
     "dedup_minhash_lsh_capped": "identical 16 B (band_hash, id) rows as the uncapped join plus one posting-list window on the same key — the cap bounds per-bucket join OUTPUT at C(64,2) (r6)",
     "lsh_cap_recall_audit": "three pair tables (blocked/banded, never all-pairs) reduce to five 1-row counts; the shuffle is the pair tables' compact keys, the assembly is broadcast (r6)",
     "mm_ppm_decode_stats": "ZERO shuffle: payloads are generated, decoded, and reduced to per-doc stats inside one scan stage — the binary bytes never leave their task (r6)",
+    "text_unigram_surprisal": "(doc, term) count partials after map-side combine; the LM join moves compact (term, count) rows, never token instances; doc rollup re-shuffles the tf grain (r6)",
+    "supplier_part_transit_overlaps": "asymmetric band join: cover side ~span/28 bucket rows, probe side 1 row each — (s, p, bucket) keys + two dates, raw rows never replicate both-sided (r6)",
 }
 
 
