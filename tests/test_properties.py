@@ -386,3 +386,44 @@ def test_butterfly_pairs_equal_bruteforce_under_cap(spark, edges, max_degree):
     else:
         for k, v in got.items():
             assert ref[k] == v[0] and v[1] == v[0] * (v[0] - 1) // 2
+
+
+# ------------------------------------------------------ PNM decode round-trip
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(1, 24),            # width
+    st.integers(1, 18),            # height
+    st.integers(1, 255),           # maxval
+    st.booleans(),                 # color (P6) vs grayscale (P5)
+    st.randoms(use_true_random=False),
+)
+def test_parse_pnm_roundtrip_property(w, h, maxval, color, rnd):
+    """Round-trip property for the real PNM decoder: any well-formed
+    binary PPM/PGM payload — arbitrary dims, maxval, raster bytes, and
+    randomized header whitespace/comments — must parse back to exactly
+    the written (w, h, maxval, channels, raster). The raster may contain
+    bytes that LOOK like header whitespace (0x0A/0x20), which the parser
+    must treat as data once past the single post-maxval separator."""
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_pnm,
+    )
+
+    channels = 3 if color else 1
+    raster = bytes(rnd.randrange(0, 256) for _ in range(w * h * channels))
+    ws = rnd.choice([b"\n", b" ", b"\t", b"\r\n", b"\n# a comment\n"])
+    magic = b"P6" if color else b"P5"
+    payload = (
+        magic + ws + str(w).encode() + b" " + str(h).encode()
+        + ws + str(maxval).encode() + b"\n" + raster
+    )
+    assert parse_pnm(payload) == (w, h, maxval, channels, raster)
+    # trailing garbage after a complete raster is ignored (tar-style
+    # concatenated streams); one byte short must raise
+    assert parse_pnm(payload + b"xx")[4] == raster
+    if len(raster) > 0:
+        try:
+            parse_pnm(payload[:-1])
+            raise AssertionError("truncated raster must not parse")
+        except ValueError:
+            pass
