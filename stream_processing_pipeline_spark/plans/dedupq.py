@@ -237,13 +237,38 @@ def lsh_cap_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     price being paid. Shape: three bounded pair tables (blocked/banded
     joins), two semi-join counts, 1-row assembly via broadcast cross
     joins; empty-fixture denominators are NULL-guarded identically in
-    both engines."""
+    both engines. The banded signature table builds ONCE (persisted) and
+    feeds both the uncapped and capped joins instead of re-deriving
+    MinHash per entry point — measured honestly: NO wall change at sf0.1
+    (5.2 vs 5.6 s, within session noise — the audit's cost is the exact
+    ground-truth kernel, not the signature builds), kept for the single
+    derivation and the smaller plan."""
+    from ..operators.dedup import cap_posting_lists, lsh_bands
+
     docs = catalog(spark, sf_dir).documents
     true_pairs = jaccard_pairs(docs, threshold=_RECALL_TRUE_J).select(
         "doc_a", "doc_b"
     ).persist()
-    cand = lsh_candidate_pairs(docs)
-    candc = lsh_candidate_pairs_capped(docs, cap=_LSH_CAP)
+    banded = lsh_bands(minhash_table(docs), n_bands=4, rows_per_band=4).persist()
+
+    def band_pairs(b):
+        a2, b2 = b.alias("a"), b.alias("b")
+        return (
+            a2.join(
+                b2,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    cand = band_pairs(banded)
+    candc = band_pairs(cap_posting_lists(banded, cap=_LSH_CAP))
     n = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
     c0 = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     c1 = candc.agg(F.count(F.lit(1)).alias("n_cand_capped"))
