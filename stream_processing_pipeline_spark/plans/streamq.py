@@ -907,3 +907,117 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ops",
         )
     )
+
+
+from ..streaming.stateful import RATE_LIMIT_K as _RK  # noqa: E402
+from ..streaming.stateful import RATE_WIN_US as _RW  # noqa: E402
+
+
+@register(
+    "stream_rate_limited_users",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             epoch_us(ts) // {_RW} AS win
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, win,
+             row_number() OVER (PARTITION BY user_id, win
+                                ORDER BY ts_us, event_id) AS rn
+      FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (rn <= {_RK}) AS BIGINT) AS n_admitted,
+           CAST(count(*) FILTER (rn > {_RK}) AS BIGINT) AS n_suppressed,
+           CAST(max(win) AS BIGINT) AS last_win
+    FROM r GROUP BY user_id
+    """,
+    tags=("streaming-op", "stateful", "rate-limit", "applyInPandasWithState"),
+)
+def stream_rate_limited_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key FIXED-WINDOW rate limiting as a stateful streaming operator
+    (``streaming.stateful.rate_limit_update``): admit the first 5 events
+    of each (user, event-time minute), suppress the rest — the admission
+    primitive behind API quotas, alert throttling, and abuse damping.
+    Fixed windows are the limiter variant with a CLOSED FORM over the
+    event log (admission = rank within window), so the streaming run is
+    verified against the batch oracle the same way ``stream_cdc_apply``
+    is: replaying the log through O(1)-per-key GroupState must land on
+    the identical per-user admit/suppress totals the one-pass SQL
+    computes. At 100 TB/day state is (window, count, totals) per LIVE
+    key — independent of log length; the cross-batch exactness contract
+    (batches respect event-time window order) is stated on the update
+    function. Executed as a real availableNow run over the fixture."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType as _Long
+
+    from ..streaming.stateful import (
+        RATE_OUT_SCHEMA,
+        RATE_STATE_SCHEMA,
+        rate_limit_update,
+    )
+
+    cat = catalog(spark, sf_dir)
+    raw_schema = spark.read.parquet(cat.path("events")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, _Long):
+        ts_us = F.expr("ts div 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = stream.select(
+        "user_id", ts_us.alias("ts_us"), "event_id"
+    )
+
+    limited = ev.groupBy("user_id").applyInPandasWithState(
+        rate_limit_update, RATE_OUT_SCHEMA, RATE_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout,
+    )
+
+    name = f"rate_limit_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_rate_")
+    try:
+        query = (
+            limited.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(240):
+            query.stop()
+            raise TimeoutError(
+                "stream_rate_limited_users: query still running after 240s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # Cumulative totals are strictly increasing per key; the max-n_events
+    # emission is the final state (same multi-batch-safe reduce as
+    # stream_cdc_apply).
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_admitted", "n_suppressed", "last_win"),
+                F.col("n_events"),
+            ).alias("s"),
+            F.max("n_events").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("s.n_admitted").alias("n_admitted"),
+            F.col("s.n_suppressed").alias("n_suppressed"),
+            F.col("s.last_win").alias("last_win"),
+        )
+    )

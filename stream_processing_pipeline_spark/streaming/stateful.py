@@ -38,6 +38,11 @@ __all__ = [
     "CDC_OUT_SCHEMA",
     "CDC_STATE_SCHEMA",
     "cdc_champion_update",
+    "RATE_LIMIT_K",
+    "RATE_WIN_US",
+    "RATE_OUT_SCHEMA",
+    "RATE_STATE_SCHEMA",
+    "rate_limit_update",
     "HAS_TWS_RUNTIME",
     "RunningStatsProcessor",
     "SESSION_GAP_US",
@@ -304,3 +309,83 @@ def session_timeout_update(key, pdfs, state):
     # before an event landing exactly on the inclusive boundary arrives.
     timeout_ms = -(-(last + SESSION_GAP_US) // 1000)
     state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
+
+
+# ------------------------------------------- fixed-window rate limiting
+
+#: admissions allowed per key per window
+RATE_LIMIT_K = 5
+#: window width in event-time microseconds (1 minute)
+RATE_WIN_US = 60 * 1_000_000
+
+RATE_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_admitted", LongType()),
+        StructField("n_suppressed", LongType()),
+        StructField("last_win", LongType()),
+    ]
+)
+
+RATE_STATE_SCHEMA = StructType(
+    [
+        StructField("win", LongType()),       # newest window seen
+        StructField("n_in_win", LongType()),  # admits consumed in it
+        StructField("n_events", LongType()),  # cumulative totals
+        StructField("n_admitted", LongType()),
+    ]
+)
+
+
+def rate_limit_update(key, pdfs, state):
+    """GroupState update for FIXED-WINDOW per-key rate limiting — the
+    production-standard admission rule (API quotas, alert throttling,
+    abuse damping): admit the first ``RATE_LIMIT_K`` events of each
+    (key, event-time window), suppress the rest. Fixed windows are the
+    variant with a CLOSED FORM over the event log (admission = event's
+    rank within its window), which is what makes this streaming operator
+    batch-oracle-verifiable — token-bucket/sliding variants are
+    recursive in prior admissions and cannot be stated in one SQL pass.
+
+    State per key is O(1): (newest window, admits consumed in it,
+    cumulative totals). Within a batch, events are processed in
+    (ts_us, event_id) order — deterministic under any input file order.
+    Cross-batch contract: exact while batches respect event-time window
+    order per key (the fixture's availableNow run is one batch, so the
+    registered query is exact); an out-of-order LATE window arriving
+    after state advanced past it is re-counted from zero — the standard
+    limiter trade, stated rather than hidden (a watermark-keyed map
+    state would close it at the cost of unbounded window state)."""
+    import pandas as pd
+
+    if state.exists:
+        win0, n_in_win, n_events, n_admitted = state.get
+    else:
+        win0, n_in_win, n_events, n_admitted = -1, 0, 0, 0
+
+    rows = [p for p in pdfs if len(p)]
+    if not rows:
+        return
+    pdf = pd.concat(rows).sort_values(["ts_us", "event_id"])
+    wins = (pdf["ts_us"] // RATE_WIN_US).to_numpy()
+    rank_in_win = pd.Series(wins).groupby(wins).cumcount().to_numpy()
+    carried = (wins == win0) * n_in_win
+    admitted = (rank_in_win + carried) < RATE_LIMIT_K
+
+    n_events += len(pdf)
+    n_admitted += int(admitted.sum())
+    last_win = int(wins[-1])
+    admits_in_last = int(admitted[wins == last_win].sum()) + (
+        n_in_win if last_win == win0 else 0
+    )
+    state.update((last_win, admits_in_last, n_events, n_admitted))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n_events],
+            "n_admitted": [n_admitted],
+            "n_suppressed": [n_events - n_admitted],
+            "last_win": [last_win],
+        }
+    )

@@ -463,3 +463,67 @@ def test_butterfly_default_cap_admits_whole_fixture(spark):
         f"fixture max degree {max_deg} exceeds cap — query results would "
         "silently change at this SF"
     )
+
+
+def test_rate_limiter_state_survives_micro_batches(spark, tmp_path):
+    """Cross-batch rate-limit state: feed one user's events as TWO
+    micro-batches splitting a window mid-way — the carried (window,
+    admits) state must cap the window's TOTAL admissions at K across the
+    boundary, while a fresh window in batch 2 resets the budget. Also
+    pins within-batch (ts, event_id) ordering: the admitted events must
+    be each window's K earliest."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from stream_processing_pipeline_spark.streaming.stateful import (
+        RATE_LIMIT_K,
+        RATE_OUT_SCHEMA,
+        RATE_STATE_SCHEMA,
+        RATE_WIN_US,
+        rate_limit_update,
+    )
+
+    K, W = RATE_LIMIT_K, RATE_WIN_US
+    # batch 1: 3 events in window 0 (3 admitted, budget 3/K used)
+    b1 = [(1, 10, 1), (1, 20, 2), (1, 30, 3)]
+    # batch 2: 4 more in window 0 (only K-3=2 may be admitted) + K+1 in
+    # window 1 (K admitted, 1 suppressed)
+    b2 = [(1, 40 + i, 4 + i) for i in range(4)] + [
+        (1, W + i, 100 + i) for i in range(K + 1)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id long, ts_us long, event_id long"
+    for i, batch in enumerate((b1, b2)):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out_stream = stream.groupBy("user_id").applyInPandasWithState(
+        rate_limit_update, RATE_OUT_SCHEMA, RATE_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout,
+    )
+    import uuid as _uuid
+
+    name = f"rate_mb_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out_stream.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    out = spark.table(name).toPandas().sort_values("n_events")
+    assert len(out) == 2  # one emission per batch -> carried path exercised
+    first, last = out.iloc[0], out.iloc[1]
+    assert (first.n_events, first.n_admitted, first.n_suppressed) == (3, 3, 0)
+    # totals: 3 + 4 + (K+1) events; admitted 3 + 2 + K
+    assert last.n_events == 3 + 4 + (K + 1)
+    assert last.n_admitted == 3 + 2 + K
+    assert last.n_suppressed == last.n_events - last.n_admitted
+    assert last.last_win == 1

@@ -182,7 +182,9 @@ def test_python_nodes_only_in_declared_python_queries(spark):
     # whose batch *plan build* executes the stream eagerly (the plan string
     # is the finished memory-sink DataFrame's, the Python stateful hop ran
     # inside the streaming query)
-    assert set(missing_tag) <= {"stream_user_stats", "stream_cdc_apply"}, missing_tag
+    assert set(missing_tag) <= {
+        "stream_user_stats", "stream_cdc_apply", "stream_rate_limited_users"
+    }, missing_tag
 
 
 def test_scd2_windows_share_one_exchange(spark):

@@ -76,6 +76,7 @@ HEADLINERS = {
     "sql_groupby_all_daily_mix": "GROUP BY ALL raw-SQL surface compiling to the same partial/final hash agg as the explicit form (r6)",
     "text_unigram_surprisal": "integer floor-log2 surprisal: tf grain -> unigram LM join -> doc rollup; corpus totals broadcast (r6)",
     "supplier_part_transit_overlaps": "interval-overlap via asymmetric bucket band join (cover explodes, probe start-bucket only) + exact predicate + distinct (r6)",
+    "stream_rate_limited_users": "fixed-window rate limiter: FlatMapGroupsInPandasWithState over the event stream, batch-oracle-verified (r6)",
 }
 
 

@@ -78,6 +78,7 @@ AUDITED = {
     "mm_ppm_decode_stats": "ZERO shuffle: payloads are generated, decoded, and reduced to per-doc stats inside one scan stage — the binary bytes never leave their task (r6)",
     "text_unigram_surprisal": "(doc, term) count partials after map-side combine; the LM join moves compact (term, count) rows, never token instances; doc rollup re-shuffles the tf grain (r6)",
     "supplier_part_transit_overlaps": "asymmetric band join: cover side ~span/28 bucket rows, probe side 1 row each — (s, p, bucket) keys + two dates, raw rows never replicate both-sided (r6)",
+    "stream_rate_limited_users": "stateful stream: one (user_id, ts_us, event_id) exchange into the GroupState op; state is (win, count, totals) per live key, emissions 1 row/key/batch (r6)",
 }
 
 
