@@ -36,6 +36,9 @@ __all__ = [
     "ppm_decoder",
     "decode_ppm_stats_arrow",
     "thumbnail_dims",
+    "WAV_STATS_SCHEMA",
+    "parse_wav",
+    "decode_wav_stats_arrow",
 ]
 
 
@@ -382,3 +385,125 @@ def decode_ppm_stats_arrow(
             )
 
     return narrow.mapInArrow(batches, PPM_STATS_SCHEMA)
+
+
+# --------------------------------------------------------- RIFF/WAV (audio)
+#
+# Second real, dependency-free codec (after PNM): canonical RIFF/WAVE with
+# 16-bit little-endian PCM — the raw-audio layout every audio training
+# pipeline normalizes to before feature extraction. The parser walks the
+# RIFF chunk list (honoring the spec's even-byte chunk padding), so payloads
+# with extra metadata chunks (LIST/INFO, cue points) decode correctly —
+# that chunk walk is exactly what breaks naive header-offset readers on
+# real-world files.
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_pcm", LongType()),
+        StructField("sumsq_pcm", LongType()),
+        StructField("min_pcm", IntegerType()),
+        StructField("max_pcm", IntegerType()),
+    ]
+)
+
+
+def parse_wav(payload: bytes) -> tuple[int, int, tuple[int, ...]]:
+    """Decode a RIFF/WAVE payload with 16-bit PCM samples:
+    ``(sample_rate, n_channels, samples)``.
+
+    Validates the RIFF container (magic, declared size), walks chunks with
+    the mandatory even-byte padding between them, requires a ``fmt `` chunk
+    declaring PCM (format tag 1) at 16 bits/sample, and unpacks the
+    ``data`` chunk as little-endian signed int16. Unknown chunks (LIST,
+    cue, bext, ...) are skipped, as the RIFF spec requires."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    declared = struct.unpack("<I", payload[4:8])[0]
+    if declared + 8 != len(payload):
+        raise ValueError(
+            f"RIFF size mismatch: declared {declared + 8}, have {len(payload)}"
+        )
+    fmt_body: bytes | None = None
+    data_body: bytes | None = None
+    off = 12
+    while off + 8 <= len(payload):
+        tag = payload[off : off + 4]
+        (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
+        body = payload[off + 8 : off + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"chunk {tag!r} truncated: need {size} bytes")
+        if tag == b"fmt ":
+            fmt_body = body
+        elif tag == b"data":
+            data_body = body
+        off += 8 + size + (size & 1)  # chunks are padded to even offsets
+    if off != len(payload):
+        raise ValueError("trailing garbage after last RIFF chunk")
+    if fmt_body is None or data_body is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(fmt_body) < 16:
+        raise ValueError("fmt chunk too short")
+    audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = (
+        struct.unpack("<HHIIHH", fmt_body[:16])
+    )
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit PCM supported (format={audio_format}, bits={bits})"
+        )
+    if n_channels < 1 or block_align != 2 * n_channels:
+        raise ValueError(f"bad block alignment {block_align} for {n_channels}ch")
+    if len(data_body) % block_align:
+        raise ValueError("data chunk not frame-aligned")
+    samples = struct.unpack(f"<{len(data_body) // 2}h", data_body)
+    return sample_rate, n_channels, samples
+
+
+def decode_wav_stats_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL end-to-end audio decode: parse each RIFF/WAV payload with the
+    dependency-free :func:`parse_wav` and emit exact integer PCM statistics
+    (sum, sum of squares, min, max) — the normalization/clipping audit a
+    speech pipeline runs before feature extraction. Sum-of-squares is the
+    integer core of RMS energy; keeping it unscaled keeps the result
+    value-hash-verifiable. ``mapInArrow`` for zero-copy payload transfer,
+    same hot path as :func:`decode_ppm_stats_arrow`."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def batches(it: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            rate, nch, n, s1, s2, lo, hi = [], [], [], [], [], [], []
+            for p in payloads:
+                sample_rate, n_channels, pcm = parse_wav(bytes(p))
+                rate.append(sample_rate)
+                nch.append(n_channels)
+                n.append(len(pcm))
+                s1.append(sum(pcm))
+                s2.append(sum(x * x for x in pcm))
+                lo.append(min(pcm) if pcm else 0)
+                hi.append(max(pcm) if pcm else 0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(rate, pa.int32()),
+                    pa.array(nch, pa.int32()),
+                    pa.array(n, pa.int64()),
+                    pa.array(s1, pa.int64()),
+                    pa.array(s2, pa.int64()),
+                    pa.array(lo, pa.int32()),
+                    pa.array(hi, pa.int32()),
+                ],
+                names=[f.name for f in WAV_STATS_SCHEMA.fields],
+            )
+
+    return narrow.mapInArrow(batches, WAV_STATS_SCHEMA)

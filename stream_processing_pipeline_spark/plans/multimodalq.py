@@ -362,3 +362,111 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         file_no.alias("file_no"),
         (F.col("start_b") - file_no * _MM_TARGET).alias("file_offset"),
     )
+
+
+# ------------------------------------------------ real WAV/PCM decode (audio)
+#
+# Audio twin of mm_ppm_decode_stats: synthesize a REAL RIFF/WAVE payload per
+# document — canonical header, a fmt chunk declaring 16-bit mono PCM, an
+# odd-sized LIST metadata chunk (so the parser's even-byte chunk padding is
+# exercised end-to-end), and a data chunk of little-endian int16 samples
+# from a deterministic per-(doc, sample) formula — then decode it with the
+# dependency-free ``operators.multimodal.parse_wav`` chunk walker and emit
+# exact integer PCM stats. The oracle rederives the stats from the sample
+# formula without ever seeing the bytes: a mis-read chunk size, a skipped
+# pad byte, a wrong endianness or sign convention is a value-hash mismatch.
+
+_WAV_A = 151   # per-doc seed multiplier in the sample formula
+_WAV_B = 947   # per-sample stride (odd, so the int16 space is well mixed)
+
+_WAV_N = "(32 + doc_id % 64)"                 # samples per doc: 32..95
+_WAV_RATE = "(8000 + (doc_id % 4) * 4000)"    # 8/12/16/20 kHz
+_WAV_U = f"(doc_id * {_WAV_A} + k * {_WAV_B}) % 65536"  # unsigned int16
+
+
+def _le_hex_sql(expr: str, nbytes: int) -> str:
+    """SQL producing the little-endian hex encoding of ``expr`` (Spark and
+    DuckDB share the div/%/hex/lpad spellings used here)."""
+    parts = [
+        f"lpad(hex(({expr}) div {256 ** k} % 256), 2, '0')" for k in range(nbytes)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _wav_payload_col() -> F.Column:
+    """Binary RIFF/WAVE payload assembled entirely from JVM built-ins (hex
+    string concatenation + one unhex) — no Python in the generator, so
+    generation and decode are independent code paths.
+
+    Layout: RIFF(size) WAVE | fmt(16): PCM,1ch,rate,2*rate,2,16 |
+    LIST(5)+pad | data(2n): n LE int16 samples."""
+    n, rate = _WAV_N, _WAV_RATE
+    riff_size = f"(50 + 2 * {n})"  # WAVE tag + fmt(24) + LIST(14) + data(8+2n)
+    header_hex = "".join(
+        [
+            "'52494646', ",                      # 'RIFF'
+            f"{_le_hex_sql(riff_size, 4)}, ",
+            "'57415645', ",                      # 'WAVE'
+            "'666d7420', '10000000', ",          # 'fmt ', size 16
+            "'0100', '0100', ",                  # PCM, 1 channel
+            f"{_le_hex_sql(rate, 4)}, ",
+            f"{_le_hex_sql(f'2 * {rate}', 4)}, ",
+            "'0200', '1000', ",                  # block align 2, 16 bits
+            "'4c495354', '05000000', '6a756e6b2100', ",  # 'LIST'(5) 'junk!' +pad
+            "'64617461', ",                      # 'data'
+            f"{_le_hex_sql(f'2 * {n}', 4)}",
+        ]
+    )
+    samples_hex = (
+        f"concat_ws('', transform(sequence(0, {_WAV_N} - 1), "
+        f"k -> {_le_hex_sql(_WAV_U, 2)}))"
+    )
+    return F.expr(f"unhex(concat({header_hex}, {samples_hex}))")
+
+
+@register(
+    "mm_wav_pcm_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, CAST({_WAV_RATE} AS INTEGER) AS sample_rate,
+             {_WAV_N} AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, sample_rate, n,
+             list_transform(range(n), k -> CASE
+               WHEN {_WAV_U} >= 32768 THEN {_WAV_U} - 65536
+               ELSE {_WAV_U} END) AS pcm
+      FROM d
+    )
+    SELECT doc_id, sample_rate, CAST(1 AS INTEGER) AS n_channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(pcm) AS BIGINT) AS sum_pcm,
+           CAST(list_sum(list_transform(pcm, x -> x * x)) AS BIGINT)
+             AS sumsq_pcm,
+           CAST(list_min(pcm) AS INTEGER) AS min_pcm,
+           CAST(list_max(pcm) AS INTEGER) AS max_pcm
+    FROM s
+    """,
+    tags=("multimodal", "decode", "wav", "audio", "arrow-udf", "real-codec"),
+)
+def mm_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END verified AUDIO decode: synthesize a real RIFF/WAV 16-bit
+    PCM payload per document (JVM expressions only, including an odd-sized
+    metadata chunk that forces the spec's even-byte chunk padding), parse
+    it with the dependency-free chunk walker in
+    ``operators.multimodal.parse_wav`` inside a zero-copy ``mapInArrow``
+    stage, and report exact integer PCM statistics (sum, energy, min/max —
+    the clipping/normalization audit of a speech pipeline). The oracle
+    rederives every stat from the generative sample formula without seeing
+    the bytes, so container-parsing bugs (chunk sizes, pad bytes, LE int16
+    sign handling) are value-hash mismatches. Scale shape: payloads are
+    generated and consumed within one task (never shuffled); the Arrow hop
+    is the identical signature a real audio corpus would drive with a
+    library codec."""
+    from ..operators.multimodal import decode_wav_stats_arrow
+
+    docs = catalog(spark, sf_dir).documents.select(
+        "doc_id", _wav_payload_col().alias("payload")
+    )
+    return decode_wav_stats_arrow(docs)

@@ -324,3 +324,105 @@ def test_decode_media_batched_builtin_ppm_codec(spark):
     assert (row.width, row.height, row.format) == (4 + 5 % 5, 3 + 5 % 4, "ppm")
     with _pytest.raises(NotImplementedError):
         decode_media_batched(df, codec="jpeg")
+
+
+def test_parse_wav_golden_bytes_and_poison_inputs():
+    """The dependency-free RIFF/WAV parser: golden stdlib-written files,
+    chunk-walk cases (metadata chunks before data, odd sizes with pad
+    bytes), and poison inputs it must REJECT rather than mis-read."""
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_wav,
+    )
+
+    # golden: stdlib wave writer round-trip (no extra chunks)
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(44100)
+    pcm = [0, 1, -1, 32767, -32768, 1234]
+    w.writeframes(struct.pack("<6h", *pcm))
+    w.close()
+    assert parse_wav(buf.getvalue()) == (44100, 2, tuple(pcm))
+
+    def riff(*chunks: bytes) -> bytes:
+        body = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    fmt = chunk(b"fmt ", struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16))
+    data = chunk(b"data", struct.pack("<3h", 5, -5, 300))
+
+    # odd-sized metadata chunk BEFORE data: pad byte must be skipped
+    assert parse_wav(riff(fmt, chunk(b"LIST", b"junk!"), data)) == (
+        8000,
+        1,
+        (5, -5, 300),
+    )
+    # metadata chunk AFTER data is also legal
+    assert parse_wav(riff(fmt, data, chunk(b"cue ", b"x"))) == (
+        8000,
+        1,
+        (5, -5, 300),
+    )
+
+    ulaw_fmt = chunk(b"fmt ", struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8))
+    for bad in (
+        b"",                                    # empty
+        b"RIFX" + buf.getvalue()[4:],           # wrong magic
+        buf.getvalue()[:-1],                    # truncated (declared size off)
+        riff(fmt),                              # no data chunk
+        riff(data),                             # no fmt chunk
+        riff(ulaw_fmt, data),                   # mu-law (not 16-bit PCM)
+        riff(fmt, b"data" + struct.pack("<I", 99)),  # chunk body truncated
+    ):
+        with _pytest.raises(ValueError):
+            parse_wav(bad)
+
+
+def test_wav_generator_matches_pure_python_writer(spark):
+    """The JVM-expression WAV payload generator must emit byte-identical
+    RIFF files to an independent pure-Python struct writer — guarding the
+    generator half of the end-to-end audio decode verification."""
+    import struct
+
+    from stream_processing_pipeline_spark.plans.multimodalq import (
+        _WAV_A,
+        _WAV_B,
+        _wav_payload_col,
+    )
+
+    ids = [0, 1, 7, 123]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: bytes(r.payload)
+        for r in df.select("doc_id", _wav_payload_col().alias("payload")).collect()
+    }
+    for i in ids:
+        n = 32 + i % 64
+        rate = 8000 + (i % 4) * 4000
+        u = [(i * _WAV_A + k * _WAV_B) % 65536 for k in range(n)]
+        expected = (
+            b"RIFF"
+            + struct.pack("<I", 50 + 2 * n)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, 2 * rate, 2, 16)
+            + b"LIST"
+            + struct.pack("<I", 5)
+            + b"junk!\x00"
+            + b"data"
+            + struct.pack("<I", 2 * n)
+            + struct.pack(f"<{n}H", *u)
+        )
+        assert got[i] == expected, f"doc {i}"

@@ -427,3 +427,62 @@ def test_parse_pnm_roundtrip_property(w, h, maxval, color, rnd):
             raise AssertionError("truncated raster must not parse")
         except ValueError:
             pass
+
+
+# ------------------------------------------------------ WAV decode round-trip
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(1, 4),                       # channels
+    st.sampled_from([8000, 16000, 22050, 44100]),
+    st.lists(st.integers(-32768, 32767), max_size=64),
+    st.integers(0, 2),                       # extra metadata chunks
+    st.randoms(use_true_random=False),
+)
+def test_parse_wav_roundtrip_property(nch, rate, pcm, n_extra, rnd):
+    """Round-trip property for the real RIFF/WAV decoder: any well-formed
+    16-bit PCM file — arbitrary channel count, rate, sample values, and
+    randomly interleaved odd/even-sized metadata chunks (with the spec's
+    pad bytes) — must parse back to exactly the written samples. Sample
+    bytes may LOOK like chunk tags; the walker must be driven by declared
+    sizes, never by scanning."""
+    import struct
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_wav,
+    )
+
+    # frame-align the sample list to the channel count
+    pcm = pcm[: len(pcm) - (len(pcm) % nch)]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    fmt = chunk(
+        b"fmt ",
+        struct.pack("<HHIIHH", 1, nch, rate, 2 * nch * rate, 2 * nch, 16),
+    )
+    data = chunk(b"data", struct.pack(f"<{len(pcm)}h", *pcm))
+    extras = [
+        chunk(
+            rnd.choice([b"LIST", b"cue ", b"bext"]),
+            bytes(rnd.randrange(0, 256) for _ in range(rnd.randrange(0, 9))),
+        )
+        for _ in range(n_extra)
+    ]
+    chunks = [fmt, data]
+    for e in extras:
+        chunks.insert(rnd.randrange(0, len(chunks) + 1), e)
+    body = b"WAVE" + b"".join(chunks)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert parse_wav(payload) == (rate, nch, tuple(pcm))
+    # any truncation must raise, never silently mis-parse
+    if len(pcm) > 0:
+        try:
+            parse_wav(payload[:-1])
+            raise AssertionError("truncated WAV must not parse")
+        except ValueError:
+            pass
