@@ -802,3 +802,66 @@ def test_interval_bucket_join_is_complete(spark):
     )
     want = {tuple(r) for r in direct.collect()}
     assert got == want and len(got) > 0
+
+
+def test_kcore_peeling_matches_bruteforce(spark):
+    """k-core peeling verified against an independent plain-Python peel
+    over the same thresholded edge set at sf0.001 AND sf0.01 (the sf0.01
+    graph actually cascades: 1880 -> 1573 -> 1538 -> 1535 survivors) —
+    every round's (n_nodes, n_edges) must agree exactly, and once two
+    consecutive rounds agree the curve must be flat (peeling is
+    monotone: a fixpoint cannot un-fix)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans.batch import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+    )
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED, SF_SMALL
+
+    for sf in (SF_SMALL, SF_MED):
+        rows = REGISTRY["kcore_part_affinity"].fn(spark, sf).collect()
+        assert [r.round for r in rows] == list(range(_KCORE_ROUNDS + 1))
+
+        op = (
+            catalog(spark, sf).lineitem
+            .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+            .distinct()
+        )
+        a = op.select("o", F.col("p").alias("x"))
+        b = op.select(F.col("o").alias("o2"), F.col("p").alias("y"))
+        edges = {
+            (r.x, r.y)
+            for r in a.join(
+                b, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y"))
+            )
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .filter(F.col("s") >= 2)
+            .collect()
+        }
+        adj: dict = {}
+        for x, y in edges:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        cur = set(edges)
+        expect = [(len(adj), len(cur))]
+        nodes = set(adj)
+        for _ in range(_KCORE_ROUNDS):
+            deg: dict = {}
+            for x, y in cur:
+                deg[x] = deg.get(x, 0) + 1
+                deg[y] = deg.get(y, 0) + 1
+            nodes = {n for n in nodes if deg.get(n, 0) >= _KCORE_K}
+            cur = {(x, y) for x, y in cur if x in nodes and y in nodes}
+            expect.append((len(nodes), len(cur)))
+        got = [(r.n_nodes, r.n_edges) for r in rows]
+        assert got == expect, f"{sf}: {got} != {expect}"
+        # monotone fixpoint: once flat, stays flat
+        for i in range(1, len(got)):
+            if got[i] == got[i - 1]:
+                assert all(g == got[i] for g in got[i:])
+                break

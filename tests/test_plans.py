@@ -305,6 +305,8 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "lsh_cap_recall_audit",         # broadcast 1-row count frames x4
         "text_unigram_surprisal",       # broadcast 1-row corpus total +
                                         # 1-row corpus-mean threshold
+        "kcore_part_affinity",          # broadcast 1-row per-round edge
+                                        # counts (7 rounds x 1 row)
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
