@@ -1395,3 +1395,121 @@ def sim_margin_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("best_cos") >= _MINE_BEST) & (margin >= _MINE_MARGIN)
         ).cast("long").alias("accepted"),
     )
+
+
+# ----------------------------------------- JL random-projection fidelity
+
+_JL_DIM = 64    # source embedding dimension
+_JL_K = 16      # projected dimension (4x compression)
+_JL_SAMPLE = 64  # bounded pair-sample: vec_id < 64 -> C(64,2) = 2016 pairs
+
+
+def _jl_planes() -> list[list[float]]:
+    """Deterministic ±1 Rademacher projection rows (Achlioptas' JL
+    construction), seeded from the portable hash so the literal matrix is
+    identical on both engines."""
+    from ..operators.similarity import _h60_py
+
+    return [
+        [1.0 if _h60_py(f"jl:{j}:{i}") % 2 else -1.0 for i in range(_JL_DIM)]
+        for j in range(_JL_K)
+    ]
+
+
+def _jl_oracle() -> str:
+    from ..operators.similarity import hyperplane_sql_literal
+
+    proj = ", ".join(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{hyperplane_sql_literal(row)})"
+        for row in _jl_planes()
+    )
+    return f"""
+    WITH p AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, [{proj}] AS proj
+      FROM embeddings WHERE vec_id < {_JL_SAMPLE}
+    ),
+    pairs AS (
+      SELECT
+        list_dot_product(
+          list_transform(range(1, {_JL_K} + 1), j -> a.proj[j] - b.proj[j]),
+          list_transform(range(1, {_JL_K} + 1), j -> a.proj[j] - b.proj[j])
+        ) AS dp2,
+        list_dot_product(
+          list_transform(range(1, {_JL_DIM} + 1), i -> a.e[i] - b.e[i]),
+          list_transform(range(1, {_JL_DIM} + 1), i -> a.e[i] - b.e[i])
+        ) AS df2
+      FROM p a JOIN p b ON a.vec_id < b.vec_id
+    ),
+    r AS (
+      SELECT CAST(round(1000000 * dp2 / ({_JL_K} * df2)) AS BIGINT)
+               AS ratio_micro
+      FROM pairs
+    )
+    SELECT ratio_micro // 100000 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           min(ratio_micro) AS min_ratio_micro,
+           max(ratio_micro) AS max_ratio_micro
+    FROM r GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "emb_jl_distance_fidelity",
+    oracle=_jl_oracle(),
+    tags=("similarity", "jl-projection", "compression", "audit"),
+)
+def emb_jl_distance_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection fidelity audit: project embeddings
+    64d -> 16d with a deterministic ±1 Rademacher matrix and histogram the
+    per-pair squared-distance distortion ``d_proj² / (k · d_full²)``
+    (expectation exactly 1 for this construction) over a bounded pair
+    sample — the measurement that tells you whether 4x-compressed vectors
+    are still safe for range queries and clustering before committing the
+    corpus to the cheaper representation. Distortion is snapped to integer
+    micro-units per pair (identical left-to-right double folds in both
+    engines), then aggregated purely in integers — the same cross-engine
+    float discipline as emb_matryoshka_fidelity, extended to the audit
+    grain. Scale shape: projection is a per-row map (16 fused dot-folds
+    inside codegen, no shuffle — at 100 TB it's the cheap pass that
+    rewrites the corpus); the audit joins only the vec_id<64 sample with
+    both sides bounded by construction."""
+    from ..functions.vectors import dot_product
+    from ..operators.similarity import _plane_col
+
+    emb = catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") < _JL_SAMPLE)
+    projd = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+        F.array(
+            *[dot_product("embedding", _plane_col(row)) for row in _jl_planes()]
+        ).alias("proj"),
+    )
+    a = projd.select(
+        F.col("vec_id").alias("ida"), F.col("e").alias("ea"), F.col("proj").alias("pa")
+    )
+    b = projd.select(
+        F.col("vec_id").alias("idb"), F.col("e").alias("eb"), F.col("proj").alias("pb")
+    )
+
+    def sqdist(x, y):
+        diffsq = F.zip_with(F.col(x), F.col(y), lambda u, v: (u - v) * (u - v))
+        return F.aggregate(diffsq, F.lit(0.0), lambda acc, t: acc + t)
+
+    pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
+        sqdist("pa", "pb").alias("dp2"), sqdist("ea", "eb").alias("df2")
+    )
+    r = pairs.select(
+        F.round(1000000 * F.col("dp2") / (_JL_K * F.col("df2")))
+        .cast("long")
+        .alias("ratio_micro")
+    )
+    return (
+        r.groupBy(F.expr("ratio_micro div 100000").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("ratio_micro").alias("min_ratio_micro"),
+            F.max("ratio_micro").alias("max_ratio_micro"),
+        )
+        .orderBy("bucket")
+    )

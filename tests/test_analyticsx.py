@@ -865,3 +865,27 @@ def test_kcore_peeling_matches_bruteforce(spark):
             if got[i] == got[i - 1]:
                 assert all(g == got[i] for g in got[i:])
                 break
+
+
+def test_jl_projection_distortion_concentrates(spark):
+    """JL guarantee sanity on the fidelity audit: with k=16 Rademacher
+    projections the distortion ratio has mean 1 and std ~sqrt(2/k)=0.35,
+    so (a) the full C(64,2) pair sample must be accounted for, (b) the
+    count-weighted mean bucket must sit near 1.0, and (c) the extreme
+    ratio must respect the chi-square(k)/k tail: P(ratio > 3.5) ~ 5e-6,
+    so over 2016 pairs an excursion past 3.5 means the sign matrix or
+    the k-scaling is wrong, not bad luck (observed max on the fixture:
+    2.86)."""
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    rows = REGISTRY["emb_jl_distance_fidelity"].fn(spark, SF_MED).collect()
+    n = sum(r.n_pairs for r in rows)
+    assert n == 64 * 63 // 2
+    mean_micro = (
+        sum(r.n_pairs * (r.bucket * 100000 + 50000) for r in rows) // n
+    )
+    assert 800000 <= mean_micro <= 1200000, mean_micro
+    assert min(r.min_ratio_micro for r in rows) >= 0
+    assert max(r.max_ratio_micro for r in rows) <= 3500000
