@@ -1021,3 +1021,127 @@ def stream_rate_limited_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.last_win").alias("last_win"),
         )
     )
+
+
+@register(
+    "stream_scd2_temporal_join",
+    oracle=f"""
+    WITH banded AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value IS NULL THEN 'unknown'
+                  WHEN value < 20 THEN 'low'
+                  WHEN value < 100 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM events
+    ), changes AS (
+      SELECT user_id, ts, event_id, band,
+             lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_band
+      FROM banded
+    ), spans AS (
+      SELECT user_id, band, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes WHERE prev_band IS NULL OR band <> prev_band
+    )
+    SELECT s.band,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum({cents_sql('e.value')}) AS BIGINT) AS revenue_cents
+    FROM events e
+    JOIN spans s
+      ON s.user_id = e.user_id
+     AND e.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+    WHERE e.event_type = 'purchase'
+    GROUP BY s.band
+    """,
+    tags=("streaming", "temporal-join", "scd2", "stream-static", "executed"),
+)
+def stream_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL TABLE JOIN, actually executed as Structured Streaming: a
+    stream of purchase facts is enriched, per micro-batch, with the SCD2
+    dimension version valid AT each fact's event time — the operator
+    Flink ships as `FOR SYSTEM_TIME AS OF` and Spark expresses as a
+    stream-static join with an entity-key equi-condition plus a validity
+    range predicate. The static side is the change-compressed span table
+    (dozens of spans per key, never per-event grain), so per-batch join
+    fan-out is bounded by span count per key; the streaming aggregation
+    runs in complete mode at band grain (4 groups — state is O(bands),
+    not O(facts)). Run bounded with availableNow over the fixture file,
+    so the stream result is deterministic and equals the batch point-in-
+    time join the oracle states (the stream/batch equivalence contract of
+    scd2_point_in_time_join, now on the streaming engine itself). Note
+    count(DISTINCT) is structurally absent: distinct aggregation is
+    unsupported on streams, which is exactly why this variant reports
+    purchases and revenue only."""
+    cat = catalog(spark, sf_dir)
+    ev = cat.events
+    band = (
+        F.when(F.col("value").isNull(), "unknown")
+        .when(F.col("value") < 20, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    banded = ev.select("user_id", "ts", "event_id", band.alias("band"))
+    changes = banded.withColumn("prev_band", F.lag("band").over(w)).filter(
+        F.col("prev_band").isNull() | (F.col("band") != F.col("prev_band"))
+    )
+    spans = changes.select(
+        F.col("user_id").alias("s_user"),
+        "band",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+    raw_schema = spark.read.parquet(cat.path("events")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # same ns-long -> microsecond TIMESTAMP_NTZ normalization the catalog
+    # applies to the batch side, so the range predicate compares like types
+    # (under nanosAsLong the raw column is a LongType of nanoseconds;
+    # otherwise Spark already surfaces a TIMESTAMP_NTZ)
+    from pyspark.sql.types import LongType as _Long
+
+    if isinstance(raw_schema["ts"].dataType, _Long):
+        ts_col = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts_col = F.col("ts")
+    facts = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            ts_col.cast("timestamp_ntz").alias("ts"),
+            cents("value").alias("v"),
+        )
+    )
+    joined = facts.join(
+        spans,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    agg = joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("v").alias("revenue_cents"),
+    )
+
+    name = f"scd2_temporal_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_scd2_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(240)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).orderBy("band")
