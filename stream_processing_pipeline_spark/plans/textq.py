@@ -1835,3 +1835,80 @@ def vocab_growth_by_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # audits require stated in-code)
         .withColumn("cum_vocab", F.sum("n_new_terms").over(w))
     )
+
+
+@register(
+    "token_zipf_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split({T.normalize_text_sql('text')}, ' ')) AS token
+      FROM documents
+    ),
+    f AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM tok WHERE token != '' GROUP BY token
+    ),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rank
+      FROM f
+    ),
+    tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM ranked)
+    SELECT CAST(length(bin(rank)) AS INTEGER) AS rank_band,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(freq) AS BIGINT) AS band_freq,
+           max(freq) AS max_freq,
+           min(freq) AS min_freq,
+           CAST(1000 * CAST(sum(freq) AS BIGINT) // max(tot.n) AS BIGINT)
+             AS share_permille
+    FROM ranked, tot
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("text", "token-stats", "zipf", "exact-arithmetic"),
+)
+def token_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency (Zipf) curve of the corpus vocabulary in octave
+    bands: tokens are ranked by frequency and grouped by floor(log2(rank))
+    (binary digit count — Spark ``length(conv(rank,10,2))`` == DuckDB
+    ``length(bin(rank))``, exact integers), each band reporting term
+    count, mass, frequency extremes and corpus share in permille. A
+    Zipfian corpus shows near-constant mass per octave; a synthetic or
+    templated corpus (like this fixture's near-uniform vocabulary) shows
+    the mass piling into one band — the heavy-tail diagnostic read before
+    sizing a BPE vocabulary or trusting rarity-weighted sampling.
+
+    Scale shape: the corpus collapses to token grain in one map-side-
+    combined aggregation (the only corpus-sized pass); ranking then runs
+    on the VOCABULARY, which is the bounded-domain invariant the other
+    vocab-grain queries state — an unpartitioned window over distinct
+    terms, fine at 100 TB because vocabularies grow sub-linearly (Heaps'
+    law, measured by vocab_growth_by_shard). The 1-row total joins back
+    broadcast."""
+    from pyspark.sql import Window
+
+    docs = catalog(spark, sf_dir).documents
+    toks = F.explode(T.tokens(T.normalize_text("text"))).alias("token")
+    f = (
+        docs.select(toks)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # vocabulary-grain window: bounded domain (distinct tokens), see above
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    ranked = f.select("freq", F.row_number().over(w).alias("rank"))
+    tot = ranked.agg(F.sum("freq").cast("long").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr("CAST(length(conv(rank, 10, 2)) AS INT)").alias("rank_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("freq").cast("long").alias("band_freq"),
+            F.max("freq").alias("max_freq"),
+            F.min("freq").alias("min_freq"),
+            F.expr("1000 * sum(freq) div max(n)").alias("share_permille"),
+        )
+        .orderBy("rank_band")
+    )

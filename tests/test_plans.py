@@ -308,6 +308,7 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "kcore_part_affinity",          # broadcast 1-row per-round edge
                                         # counts (7 rounds x 1 row)
         "emb_jl_distance_fidelity",     # broadcast vec_id<64 pair sample
+        "token_zipf_curve",             # broadcast 1-row corpus total
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
