@@ -818,3 +818,105 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit_p).alias("files_hit_part_slice"),
         F.sum(hit_d).alias("files_hit_day_slice"),
     )
+
+
+# --------------------------------------------------- range-partition planner
+
+_RP_PARTS = 16  # target write partitions
+
+
+def _rp_oracle() -> str:
+    bcols = ", ".join(
+        f"min(CASE WHEN cum >= (n * {i} + {_RP_PARTS - 1}) // {_RP_PARTS}"
+        f" THEN c END) AS b{i}"
+        for i in range(1, _RP_PARTS)
+    )
+    pid = " + ".join(
+        f"(CASE WHEN g.c >= b.b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, _RP_PARTS)
+    )
+    return f"""
+    WITH g AS (
+      SELECT {cents_sql('value')} AS c FROM events WHERE value IS NOT NULL
+    ),
+    h AS (SELECT c, count(*) AS n FROM g GROUP BY c),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+    cc AS (
+      SELECT h.c, sum(h.n) OVER (ORDER BY h.c) AS cum, t.n AS n
+      FROM h, t
+    ),
+    b AS (SELECT {bcols} FROM cc),
+    p AS (SELECT g.c, CAST({pid} AS INTEGER) AS pid FROM g, b)
+    SELECT pid,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(p.c) AS min_cents,
+           max(p.c) AS max_cents,
+           CAST(1000 * count(*) * {_RP_PARTS} // max(t.n) AS BIGINT)
+             AS fill_permille
+    FROM p, t GROUP BY pid ORDER BY pid
+    """
+
+
+@register(
+    "range_partition_plan",
+    oracle=_rp_oracle(),
+    tags=("scale", "layout", "range-partition", "exact-arithmetic"),
+)
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced range-partition boundary planner — the write-path twin of
+    the z-order audit: derive {n}-way split points as exact quantiles of
+    the value distribution (what ``repartitionByRange`` estimates by
+    SAMPLING, here computed exactly from a value-grain histogram), assign
+    every row to its partition, and audit per-partition fill against the
+    ideal 1/{n} share in integer permille. The fill column is the skew
+    answer a 100 TB sorted-write job needs BEFORE launching: a boundary
+    set computed from a bad sample shows up as a 3000-permille partition
+    and a straggler task. Scale shape: the corpus collapses once to cents
+    grain (bounded domain — the histogram-family invariant); the
+    cumulative walk runs on that bounded grain; boundaries come back as
+    ONE broadcast row of 15 split points and assignment is a 15-compare
+    map — no sort, no sampling pass, no per-row shuffle beyond the final
+    16-group aggregation.""".replace("{n}", str(_RP_PARTS))
+    from pyspark.sql import Window
+
+    ev = catalog(spark, sf_dir).events
+    g = ev.filter(F.col("value").isNotNull()).select(cents("value").alias("c"))
+    h = g.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    tot = g.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # cents-grain cumulative walk: bounded domain, same invariant as histq
+    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cc = h.select("c", F.sum("n").over(wc).alias("cum")).crossJoin(
+        F.broadcast(tot)
+    )
+    bnd = cc.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"(n_total * {i} + {_RP_PARTS - 1}) div {_RP_PARTS}"),
+                    F.col("c"),
+                )
+            ).alias(f"b{i}")
+            for i in range(1, _RP_PARTS)
+        ]
+    )
+    pid = sum(
+        F.when(F.col("c") >= F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(1, _RP_PARTS)
+    )
+    p = g.crossJoin(F.broadcast(bnd)).select(
+        "c", pid.cast("int").alias("pid")
+    )
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+            F.expr(f"1000 * count(1) * {_RP_PARTS} div max(n_total)").alias(
+                "fill_permille"
+            ),
+        )
+        .orderBy("pid")
+    )

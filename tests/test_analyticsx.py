@@ -889,3 +889,31 @@ def test_jl_projection_distortion_concentrates(spark):
     assert 800000 <= mean_micro <= 1200000, mean_micro
     assert min(r.min_ratio_micro for r in rows) >= 0
     assert max(r.max_ratio_micro for r in rows) <= 3500000
+
+
+def test_range_partition_plan_balances(spark):
+    """The exact-quantile boundary planner must produce near-ideal fill:
+    every partition's permille share within [500, 1500] (cents ties can
+    skew individual partitions but not 1.5x on this distribution), all 16
+    partitions present, row counts summing to the non-null total, and
+    partition value ranges non-overlapping in pid order."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    rows = sorted(
+        REGISTRY["range_partition_plan"].fn(spark, SF_MED).collect(),
+        key=lambda r: r.pid,
+    )
+    assert [r.pid for r in rows] == list(range(16))
+    n_total = (
+        catalog(spark, SF_MED).events.filter(F.col("value").isNotNull()).count()
+    )
+    assert sum(r.n_rows for r in rows) == n_total
+    for r in rows:
+        assert 500 <= r.fill_permille <= 1500, (r.pid, r.fill_permille)
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_cents <= b.min_cents

@@ -309,6 +309,8 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
                                         # counts (7 rounds x 1 row)
         "emb_jl_distance_fidelity",     # broadcast vec_id<64 pair sample
         "token_zipf_curve",             # broadcast 1-row corpus total
+        "range_partition_plan",         # broadcast 1-row split points +
+                                        # 1-row total x2
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
