@@ -920,3 +920,116 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid")
     )
+
+
+# ------------------------------------------------------- bitmap user index
+
+_BM_WORD = 32  # bits per bitmap word (kept inside int64's positive range)
+
+
+@register(
+    "bitmap_user_type_index",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_type, user_id // {_BM_WORD} AS word_idx,
+             bit_or(1::BIGINT << CAST(user_id % {_BM_WORD} AS INTEGER))
+               AS bits
+      FROM events GROUP BY 1, 2
+    ),
+    card AS (
+      SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT) AS n_users
+      FROM w GROUP BY event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           ca.n_users AS n_a, cb.n_users AS n_b,
+           CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both,
+           ca.n_users + cb.n_users
+             - CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_either,
+           CAST(1000 * CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT)
+                // (ca.n_users + cb.n_users
+                    - CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT))
+             AS BIGINT) AS jaccard_permille
+    FROM w a
+    JOIN w b ON a.word_idx = b.word_idx AND a.event_type < b.event_type
+    JOIN card ca ON ca.event_type = a.event_type
+    JOIN card cb ON cb.event_type = b.event_type
+    GROUP BY 1, 2, ca.n_users, cb.n_users
+    ORDER BY 1, 2
+    """,
+    tags=("scale", "bitmap-index", "set-ops", "exact-arithmetic"),
+)
+def bitmap_user_type_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP-INDEX set algebra — the roaring-bitmap idea in engine
+    primitives: compress each event type's user set into 32-bit words
+    (``bit_or`` of one-hot bits over ``user_id`` buckets), then answer
+    every pairwise audience-overlap question with word-aligned AND +
+    popcount instead of distinct-joins over raw events. The exact
+    mergeable structure OLAP engines use for segment membership: the
+    bitmap build is one map-side-combined aggregation at (type, word)
+    grain, each word summarizing up to 32 users in 8 bytes; intersections
+    join word-to-word (co-partitioned on word_idx), so the set operation
+    cost is |user domain|/32 words per type regardless of event volume.
+    Reports overlap cardinality and Jaccard in integer permille for every
+    type pair — same answers as a distinct-join, at index cost. One
+    caveat stated plainly: positional bitmaps fit dense integer key
+    domains (user_id here); sparse domains need the roaring-style
+    container mix this query's word grain stands in for."""
+    ev = catalog(spark, sf_dir).events
+    w = (
+        ev.groupBy(
+            "event_type", F.expr(f"user_id div {_BM_WORD}").alias("word_idx")
+        )
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(1L, CAST(user_id % {_BM_WORD} AS INT)))"
+            ).alias("bits")
+        )
+    )
+    card = w.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_users")
+    )
+    a = w.select(
+        F.col("event_type").alias("type_a"),
+        "word_idx",
+        F.col("bits").alias("bits_a"),
+    )
+    b = w.select(
+        F.col("event_type").alias("type_b"),
+        F.col("word_idx").alias("word_b"),
+        F.col("bits").alias("bits_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("word_idx") == F.col("word_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("bits_a").bitwiseAND(F.col("bits_b")))).alias(
+                "n_both"
+            )
+        )
+    )
+    return (
+        inter.join(
+            card.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")),
+            "type_a",
+        )
+        .join(
+            card.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both")).alias("n_either"),
+            F.expr("1000 * n_both div (n_a + n_b - n_both)").alias(
+                "jaccard_permille"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

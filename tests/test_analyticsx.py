@@ -917,3 +917,43 @@ def test_range_partition_plan_balances(spark):
         assert 500 <= r.fill_permille <= 1500, (r.pid, r.fill_permille)
     for a, b in zip(rows, rows[1:]):
         assert a.max_cents <= b.min_cents
+
+
+def test_bitmap_index_matches_direct_distinct_join(spark):
+    """The bitmap set algebra must give the SAME cardinalities as the
+    naive distinct-set computation it replaces (the oracle replays the
+    bitmap algebra, so this is the independent check that the index is a
+    physical structure, not a different answer): per-type user counts and
+    every pairwise intersection recomputed from raw distinct sets."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    rows = REGISTRY["bitmap_user_type_index"].fn(spark, SF_MED).collect()
+    sets: dict = {}
+    for r in (
+        catalog(spark, SF_MED)
+        .events.select("event_type", "user_id")
+        .distinct()
+        .collect()
+    ):
+        sets.setdefault(r.event_type, set()).add(r.user_id)
+    expect = {
+        (a, b): (
+            len(sets[a]),
+            len(sets[b]),
+            len(sets[a] & sets[b]),
+            len(sets[a] | sets[b]),
+        )
+        for a, b in combinations(sorted(sets), 2)
+    }
+    got = {
+        (r.type_a, r.type_b): (r.n_a, r.n_b, r.n_both, r.n_either)
+        for r in rows
+    }
+    assert got == expect
