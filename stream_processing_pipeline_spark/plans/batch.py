@@ -4125,3 +4125,194 @@ def kcore_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rounds[1:]:
         out = out.unionAll(r)
     return out.orderBy("round")
+
+
+# ------------------------------------------------------ optimizer statistics
+
+_STATS_COLS = [
+    # (name, spark min/max cast, duckdb min/max cast) — all string-rendered
+    # through integer/date forms so cross-engine formatting is exact
+    ("l_orderkey", "CAST({c} AS STRING)", "CAST({c} AS VARCHAR)"),
+    ("l_partkey", "CAST({c} AS STRING)", "CAST({c} AS VARCHAR)"),
+    ("l_suppkey", "CAST({c} AS STRING)", "CAST({c} AS VARCHAR)"),
+    (
+        "l_quantity",
+        "CAST(CAST({c} AS BIGINT) AS STRING)",
+        "CAST(CAST({c} AS BIGINT) AS VARCHAR)",
+    ),
+    ("l_returnflag", "{c}", "{c}"),
+    (
+        "l_shipdate",
+        "CAST(CAST({c} AS DATE) AS STRING)",
+        "CAST(CAST({c} AS DATE) AS VARCHAR)",
+    ),
+]
+
+
+def _stats_oracle() -> str:
+    selects = []
+    for name, _, dcast in _STATS_COLS:
+        mn = dcast.format(c=f"min({name})")
+        mx = dcast.format(c=f"max({name})")
+        selects.append(f"""
+    SELECT '{name}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT {name}) AS BIGINT) AS ndv,
+           CAST(1000 * (count(*) - count({name})) // count(*) AS BIGINT)
+             AS null_permille,
+           {mn} AS min_value, {mx} AS max_value
+    FROM lineitem""")
+    return "\nUNION ALL".join(selects) + "\nORDER BY column_name"
+
+
+@register(
+    "table_stats_profile",
+    oracle=_stats_oracle(),
+    tags=("batch", "statistics", "analyze", "optimizer"),
+)
+def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style optimizer statistics for the fact table — exact row
+    count, NDV, null fraction (permille) and min/max per join/filter
+    column, in the long format a cost-based optimizer ingests. Six exact
+    count(DISTINCT)s compile to ONE scan with an Expand (6x row
+    multiplication before partial aggregation) — acceptable for a stats
+    job that runs rarely and whose output is 6 rows; the 100 TB
+    fast-path alternative is the engine's own HLL/KMV sketch family
+    (approx_distinct_users, kmv_*), which trades exactness for a single
+    unexpanded pass. Min/max render through integer/date forms so the
+    values are engine-exact strings (doubles never stringify)."""
+    cat = catalog(spark, sf_dir)
+    li = cat.lineitem
+    aggs = []
+    for name, scast, _ in _STATS_COLS:
+        mn = scast.format(c=f"min({name})")
+        mx = scast.format(c=f"max({name})")
+        aggs += [
+            F.expr(f"count({name})").alias(f"{name}__nn"),
+            F.expr(f"count(DISTINCT {name})").alias(f"{name}__ndv"),
+            F.expr(mn).alias(f"{name}__min"),
+            F.expr(mx).alias(f"{name}__max"),
+        ]
+    wide = li.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack = ", ".join(
+        f"'{name}', {name}__ndv, {name}__nn, {name}__min, {name}__max"
+        for name, _, _ in _STATS_COLS
+    )
+    return (
+        wide.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_STATS_COLS)}, {stack}) AS"
+                " (column_name, ndv, nn, min_value, max_value)"
+            ),
+        )
+        .select(
+            "column_name",
+            F.col("n_rows").cast("long"),
+            F.col("ndv").cast("long"),
+            F.expr("1000 * (n_rows - nn) div n_rows").alias("null_permille"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("column_name")
+    )
+
+
+# ------------------------------------- incremental view maintenance (retract)
+
+_IVM_BAND = (
+    "CASE WHEN {c} IS NULL THEN NULL"
+    " WHEN {c} < 2000 THEN 'low'"
+    " WHEN {c} < 10000 THEN 'mid'"
+    " ELSE 'high' END"
+)
+
+
+@register(
+    "ivm_retractable_rollup",
+    oracle=f"""
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 7 = 3 THEN 'D' ELSE 'U' END AS op,
+             {cents_sql('value')} AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    last AS (
+      SELECT user_id, op, c FROM log
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) = 1
+    ),
+    state AS (SELECT user_id, c FROM last WHERE op = 'U')
+    SELECT {_IVM_BAND.format(c='c')} AS band,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS total_cents
+    FROM state GROUP BY 1 ORDER BY 1
+    """,
+    tags=("batch", "ivm", "retraction", "cdc", "exact-arithmetic"),
+)
+def ivm_retractable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE with retractions — the retract-stream
+    algebra of Flink / differential dataflow, as a verified query: a keyed
+    upsert/delete log (derived deterministically from events: every
+    event_id%7==3 op deletes its key's row, the rest upsert the value)
+    maintains a banded rollup by emitting, per log entry, a RETRACTION
+    against the key's previous state and an ADDITION for its new state;
+    the view is the sum of all deltas, never a rescan of base state. The
+    oracle computes the view the opposite way — directly from each key's
+    FINAL state — so a green hash is the IVM correctness theorem
+    (per-key delta telescoping) checked value-for-value on real data.
+
+    Scale shape: one user_id-partitioned window pass derives each op's
+    previous state (in a live system this lookup is the keyed state
+    store); the delta stream then aggregates map-side-combined at band
+    grain. Nothing rescans history: this is why a retractable view stays
+    cheap when 100 TB of base data churns by small deltas."""
+    ev = catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CASE WHEN event_id % 7 = 3 THEN 'D' ELSE 'U' END").alias("op"),
+        cents("value").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # previous state = state after the prior op for this key (NULL if the
+    # prior op was a delete or this is the key's first op). lag over the
+    # state-after column, not over c, so deletes reset correctly.
+    state_after = F.when(F.col("op") == "U", F.col("c"))
+    st = log.select(
+        "user_id",
+        state_after.alias("new_c"),
+        F.lag(state_after, 1).over(w).alias("old_c"),
+    )
+    deltas = st.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.expr(_IVM_BAND.format(c="old_c")).alias("band"),
+                    F.lit(-1).alias("dk"),
+                    (-F.coalesce(F.col("old_c"), F.lit(0))).alias("dc"),
+                ),
+                F.struct(
+                    F.expr(_IVM_BAND.format(c="new_c")).alias("band"),
+                    F.lit(1).alias("dk"),
+                    F.coalesce(F.col("new_c"), F.lit(0)).alias("dc"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.band", "d.dk", "d.dc")
+    return (
+        deltas.filter(F.col("band").isNotNull())
+        .groupBy("band")
+        .agg(
+            F.sum("dk").cast("long").alias("n_keys"),
+            F.sum("dc").cast("long").alias("total_cents"),
+        )
+        # a band whose keys all retracted away telescopes to (0, 0); the
+        # maintained view must DROP the emptied group, exactly as a
+        # retract-stream consumer deletes a group on its last retraction
+        # (caught live by the sf0.001 mirror: one band emptied there)
+        .filter(F.col("n_keys") > 0)
+        .orderBy("band")
+    )
