@@ -1033,3 +1033,186 @@ def bitmap_user_type_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ------------------------------------------------------ Hilbert-curve layout
+
+_H_BITS = 8            # 8-bit quantization per dimension: 256x256 cells
+_H_N = 1 << _H_BITS
+_H_FILE_W = (_H_N * _H_N) // 32          # 32 equal-width "files"
+_H_SLICE_LO, _H_SLICE_HI = 96, 112       # a 1/16 slice of the 8-bit domain
+
+
+def _hilbert_level_exprs() -> list[tuple[str, str, str]]:
+    """Per-level (d, x, y) update expressions for the Hilbert walk —
+    plain CASE/bit-mask SQL, engine-portable verbatim (the quadrant digit
+    ``(3*rx) XOR ry`` is folded into CASE arms so no xor spelling is
+    needed). Verified bijective with unit-step adjacency for the full
+    256x256 grid in tests."""
+    out = []
+    for k in range(_H_BITS):
+        s = 1 << (_H_BITS - 1 - k)
+        a = f"((x & {s}) > 0)"   # rx
+        b = f"((y & {s}) > 0)"   # ry
+        digit = (
+            f"CASE WHEN {b} THEN (CASE WHEN {a} THEN 2 ELSE 1 END)"
+            f" ELSE (CASE WHEN {a} THEN 3 ELSE 0 END) END"
+        )
+        d = f"d + {s * s} * ({digit})"
+        x = (
+            f"CASE WHEN {b} THEN x WHEN {a} THEN {_H_N - 1} - y"
+            " ELSE y END"
+        )
+        y = (
+            f"CASE WHEN {b} THEN y WHEN {a} THEN {_H_N - 1} - x"
+            " ELSE x END"
+        )
+        out.append((d, x, y))
+    return out
+
+
+def _hilbert_audit_oracle() -> str:
+    from ..operators.sketch import morton_sql
+
+    levels = _hilbert_level_exprs()
+    ctes = [f"""
+    WITH b AS (
+      SELECT CAST(date_diff('day', DATE '1995-01-01',
+                   max(CAST(l_shipdate AS DATE))) AS BIGINT) AS dmax,
+             CAST(max(l_partkey) AS BIGINT) AS pmax
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT DISTINCT
+        (CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+          AS BIGINT) * {_H_N}) // (b.dmax + 1) AS dq,
+        (CAST(l_partkey AS BIGINT) * {_H_N}) // (b.pmax + 1) AS pq
+      FROM lineitem, b
+    ),
+    h0 AS (SELECT dq, pq, dq AS x, pq AS y, 0 AS d FROM cells)"""]
+    for k, (d, x, y) in enumerate(levels):
+        ctes.append(f""",
+    h{k + 1} AS (SELECT dq, pq, {x} AS x, {y} AS y, {d} AS d FROM h{k})""")
+    ctes.append(f""",
+    keyed AS (
+      SELECT dq, pq,
+             d // {_H_FILE_W} AS hf,
+             {morton_sql('dq', 'pq', _H_BITS)} // {_H_FILE_W} AS zf,
+             (dq * {_H_N} + pq) // {_H_FILE_W} AS lf
+      FROM h{_H_BITS}
+    ),
+    files AS (
+      SELECT 'hilbert' AS layout, hf AS f, min(dq) AS mnd, max(dq) AS mxd,
+             min(pq) AS mnp, max(pq) AS mxp FROM keyed GROUP BY hf
+      UNION ALL
+      SELECT 'zorder', zf, min(dq), max(dq), min(pq), max(pq)
+      FROM keyed GROUP BY zf
+      UNION ALL
+      SELECT 'linear', lf, min(dq), max(dq), min(pq), max(pq)
+      FROM keyed GROUP BY lf
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(mxd - mnd) // count(*) AS BIGINT) AS avg_day_span,
+           CAST(sum(mxp - mnp) // count(*) AS BIGINT) AS avg_part_span,
+           CAST(sum(CASE WHEN mnp < {_H_SLICE_HI} AND mxp >= {_H_SLICE_LO}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_part_slice,
+           CAST(sum(CASE WHEN mnd < {_H_SLICE_HI} AND mxd >= {_H_SLICE_LO}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_day_slice
+    FROM files GROUP BY layout ORDER BY layout""")
+    return "".join(ctes)
+
+
+@register(
+    "hilbert_layout_audit",
+    oracle=_hilbert_audit_oracle(),
+    tags=("batch", "scale", "layout", "hilbert", "zorder", "clustering"),
+)
+def hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way data-layout audit — HILBERT curve vs Morton (z-order) vs
+    linear sort — on the same (ship-day, partkey) grid: cluster into 32
+    equal-width files per layout and report per-file min-max spans and
+    how many files a 1/16-domain slice on each dimension touches. The
+    Hilbert curve is the stronger space-filling curve (every unit step is
+    axis-adjacent, no Morton 'seams'), which shows up as tighter per-file
+    rectangles at the same file count — the measurement behind choosing
+    CLUSTER BY (hilbert) over ZORDER when both are on the menu. The walk
+    is 8 chained integer CASE projections (one per bit level, linear plan
+    growth, no state machine), identical SQL text in both engines, and is
+    pinned bijective + unit-step-adjacent over the full 256x256 grid by a
+    property test.
+
+    Scale shape: the ONLY corpus-sized operation is one DISTINCT to the
+    quantized 8-bit cell grid (<= 65,536 rows whatever the fact size —
+    the bounded-domain invariant); the Hilbert chain, Morton interleave
+    and all three rollups run on that bounded cell table. Quantization
+    bounds ride a broadcast 1-row aggregate."""
+    from ..operators.sketch import morton_interleave
+
+    li = catalog(spark, sf_dir).lineitem
+    bounds = li.agg(
+        F.datediff(
+            F.max(F.col("l_shipdate").cast("date")),
+            F.lit("1995-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("dmax"),
+        F.max("l_partkey").cast("long").alias("pmax"),
+    )
+    cells = (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                "(CAST(datediff(CAST(l_shipdate AS DATE), DATE '1995-01-01')"
+                f" AS BIGINT) * {_H_N}) div (dmax + 1)"
+            ).alias("dq"),
+            F.expr(
+                f"(CAST(l_partkey AS BIGINT) * {_H_N}) div (pmax + 1)"
+            ).alias("pq"),
+        )
+        .distinct()
+    )
+    cur = cells.selectExpr("dq", "pq", "dq AS x", "pq AS y", "0 AS d")
+    for d, x, y in _hilbert_level_exprs():
+        cur = cur.selectExpr("dq", "pq", f"{x} AS x", f"{y} AS y", f"{d} AS d")
+    keyed = cur.select(
+        "dq",
+        "pq",
+        F.expr(f"d div {_H_FILE_W}").alias("hf"),
+        (morton_interleave(F.col("dq"), F.col("pq"), _H_BITS) / F.lit(_H_FILE_W))
+        .cast("long")
+        .alias("zf"),
+        F.expr(f"(dq * {_H_N} + pq) div {_H_FILE_W}").alias("lf"),
+    )
+
+    def rollup(col: str, label: str) -> DataFrame:
+        return keyed.groupBy(F.col(col).alias("f")).agg(
+            F.lit(label).alias("layout"),
+            F.min("dq").alias("mnd"),
+            F.max("dq").alias("mxd"),
+            F.min("pq").alias("mnp"),
+            F.max("pq").alias("mxp"),
+        )
+
+    files = (
+        rollup("hf", "hilbert")
+        .unionByName(rollup("zf", "zorder"))
+        .unionByName(rollup("lf", "linear"))
+    )
+    hit_p = F.when(
+        (F.col("mnp") < _H_SLICE_HI) & (F.col("mxp") >= _H_SLICE_LO), 1
+    ).otherwise(0)
+    hit_d = F.when(
+        (F.col("mnd") < _H_SLICE_HI) & (F.col("mxd") >= _H_SLICE_LO), 1
+    ).otherwise(0)
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.expr("sum(mxd - mnd) div count(1)").alias("avg_day_span"),
+            F.expr("sum(mxp - mnp) div count(1)").alias("avg_part_span"),
+            F.sum(hit_p).alias("files_hit_part_slice"),
+            F.sum(hit_d).alias("files_hit_day_slice"),
+        )
+        .orderBy("layout")
+    )

@@ -311,6 +311,7 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "token_zipf_curve",             # broadcast 1-row corpus total
         "range_partition_plan",         # broadcast 1-row split points +
                                         # 1-row total x2
+        "hilbert_layout_audit",         # broadcast 1-row quantization bounds
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():

@@ -486,3 +486,54 @@ def test_parse_wav_roundtrip_property(nch, rate, pcm, n_extra, rnd):
             raise AssertionError("truncated WAV must not parse")
         except ValueError:
             pass
+
+
+# ---------------------------------------------------- Hilbert walk parity
+
+def test_hilbert_sql_chain_matches_reference_walk():
+    """The 8-level SQL Hilbert chain (the exact text both engines run)
+    must reproduce the canonical xy2d walk for EVERY cell of the 256x256
+    grid, be bijective, and take only axis-adjacent unit steps — the
+    property that makes Hilbert files tighter than Morton's seams."""
+    import duckdb
+
+    from stream_processing_pipeline_spark.plans.scalex import (
+        _H_BITS,
+        _H_N,
+        _hilbert_level_exprs,
+    )
+
+    sql = [
+        f"WITH h0 AS (SELECT x AS dq, y AS pq, x, y, 0 AS d"
+        f" FROM range({_H_N}) t(x), range({_H_N}) u(y))"
+    ]
+    for k, (d, x, y) in enumerate(_hilbert_level_exprs()):
+        sql.append(
+            f", h{k + 1} AS (SELECT dq, pq, {x} AS x, {y} AS y, {d} AS d"
+            f" FROM h{k})"
+        )
+    sql.append(f"SELECT dq, pq, d FROM h{_H_BITS}")
+    rows = duckdb.connect().execute("".join(sql)).fetchall()
+    assert len(rows) == _H_N * _H_N
+
+    def xy2d(x: int, y: int) -> int:
+        d, s = 0, _H_N // 2
+        while s > 0:
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = _H_N - 1 - x, _H_N - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    by_d = {}
+    for dq, pq, d in rows:
+        assert d == xy2d(dq, pq), (dq, pq)
+        by_d[d] = (dq, pq)
+    assert len(by_d) == _H_N * _H_N  # bijective
+    for d in range(_H_N * _H_N - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # unit-step adjacency
