@@ -4316,3 +4316,84 @@ def ivm_retractable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_keys") > 0)
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------- skyline (Pareto)
+
+_SKY_COND = (
+    # a row survives iff nothing strictly-cheaper has size >= its size AND
+    # nothing at the same price has size > its size — exactly "no dominator"
+    "(mx_cheaper IS NULL OR mx_cheaper < p_size) AND mx_same = p_size"
+)
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle=f"""
+    WITH pts AS (
+      SELECT p_partkey, {cents_sql('p_retailprice')} AS price_cents, p_size
+      FROM part
+    ),
+    sky AS (
+      SELECT p_partkey, price_cents, p_size,
+             max(p_size) OVER (
+               ORDER BY price_cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS mx_cheaper,
+             max(p_size) OVER (PARTITION BY price_cents) AS mx_same
+      FROM pts
+    )
+    SELECT p_partkey, price_cents, CAST(p_size AS BIGINT) AS p_size
+    FROM sky WHERE {_SKY_COND}
+    ORDER BY price_cents, p_partkey
+    """,
+    tags=("batch", "skyline", "pareto", "window"),
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE query — the Pareto frontier of parts under (minimize
+    price, maximize size): every part not dominated by a cheaper-and-
+    at-least-as-large alternative, the multi-objective shortlist behind
+    "show me the efficient options" product queries. Computed with the
+    distributed two-phase skyline algorithm: (1) LOCAL skylines inside
+    hash buckets — a price-ordered running-max-size window per bucket
+    (the 2-D skyline scan) — which can only over-keep, never lose, a
+    global skyline point; (2) the same scan once more over the union of
+    local survivors. Phase 2's unpartitioned window runs on the bounded
+    survivor set: per bucket the local skyline has at most one point per
+    distinct size (<= 50 here, <= |size domain| generally), so the global
+    pass sees buckets x sizes rows, not the corpus — the worst case
+    (fully anti-correlated price/size) degrades the PRUNING, never the
+    answer. The oracle states the clean single-pass definition; a
+    brute-force no-dominator cross-check pins both at sf0.001."""
+    pts = catalog(spark, sf_dir).part.select(
+        "p_partkey",
+        cents("p_retailprice").alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+
+    def scan(df: DataFrame, *bucket_cols: str) -> DataFrame:
+        wc = (
+            Window.partitionBy(*bucket_cols)
+            .orderBy("price_cents")
+            .rangeBetween(Window.unboundedPreceding, -1)
+            if bucket_cols
+            else Window.orderBy("price_cents").rangeBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        ws = Window.partitionBy(*(list(bucket_cols) + ["price_cents"]))
+        return df.select(
+            "p_partkey",
+            "price_cents",
+            "p_size",
+            *[F.col(c) for c in bucket_cols],
+            F.max("p_size").over(wc).alias("mx_cheaper"),
+            F.max("p_size").over(ws).alias("mx_same"),
+        ).filter(F.expr(_SKY_COND)).select(
+            "p_partkey", "price_cents", "p_size"
+        )
+
+    local = scan(
+        pts.withColumn("bkt", F.expr("p_partkey % 32")), "bkt"
+    )
+    return scan(local).orderBy("price_cents", "p_partkey")

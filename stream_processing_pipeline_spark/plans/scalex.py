@@ -864,11 +864,11 @@ def _rp_oracle() -> str:
 )
 def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced range-partition boundary planner — the write-path twin of
-    the z-order audit: derive {n}-way split points as exact quantiles of
+    the z-order audit: derive 16-way split points as exact quantiles of
     the value distribution (what ``repartitionByRange`` estimates by
     SAMPLING, here computed exactly from a value-grain histogram), assign
     every row to its partition, and audit per-partition fill against the
-    ideal 1/{n} share in integer permille. The fill column is the skew
+    ideal 1/16 share in integer permille. The fill column is the skew
     answer a 100 TB sorted-write job needs BEFORE launching: a boundary
     set computed from a bad sample shows up as a 3000-permille partition
     and a straggler task. Scale shape: the corpus collapses once to cents
@@ -876,7 +876,7 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative walk runs on that bounded grain; boundaries come back as
     ONE broadcast row of 15 split points and assignment is a 15-compare
     map — no sort, no sampling pass, no per-row shuffle beyond the final
-    16-group aggregation.""".replace("{n}", str(_RP_PARTS))
+    16-group aggregation."""
     from pyspark.sql import Window
 
     ev = catalog(spark, sf_dir).events

@@ -957,3 +957,41 @@ def test_bitmap_index_matches_direct_distinct_join(spark):
         for r in rows
     }
     assert got == expect
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Skyline cross-check: the two-phase bucketed scan must equal the
+    O(n^2) no-dominator definition computed independently in plain Python
+    at sf0.001 — and every returned point must be mutually non-dominated."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.functions.money import cents
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_SMALL
+
+    got = {
+        (r.p_partkey, r.price_cents, r.p_size)
+        for r in REGISTRY["pareto_frontier_parts"].fn(spark, SF_SMALL).collect()
+    }
+    pts = [
+        (r.p_partkey, r.c, r.p_size)
+        for r in catalog(spark, SF_SMALL)
+        .part.select("p_partkey", cents("p_retailprice").alias("c"), "p_size")
+        .collect()
+    ]
+    expect = {
+        (k, p, s)
+        for k, p, s in pts
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for _, p2, s2 in pts
+        )
+    }
+    assert got == expect and got
+    for k, p, s in got:
+        for k2, p2, s2 in got:
+            assert not (p2 <= p and s2 >= s and (p2 < p or s2 > s)) or (
+                (k, p, s) == (k2, p2, s2)
+            )
