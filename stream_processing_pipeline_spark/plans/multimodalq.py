@@ -265,8 +265,11 @@ def mm_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     would use with a library codec plugged into the identical signature."""
     from ..operators.multimodal import decode_ppm_stats_arrow
 
-    docs = catalog(spark, sf_dir).documents.select(
-        "doc_id", _ppm_payload_col().alias("payload")
+    # id-only repartition before payload synthesis: see mm_wav_pcm_stats
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _ppm_payload_col().alias("payload"))
     )
     return decode_ppm_stats_arrow(docs)
 
@@ -466,7 +469,16 @@ def mm_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     library codec."""
     from ..operators.multimodal import decode_wav_stats_arrow
 
-    docs = catalog(spark, sf_dir).documents.select(
-        "doc_id", _wav_payload_col().alias("payload")
+    # Repartition the 8-byte id column BEFORE synthesizing payloads: the
+    # decode stage's parallelism then matches the cluster, not the input
+    # file count, and payload bytes still never shuffle (measured: the 10x
+    # single-file replica read as 2 partitions ran the Python stage on 2
+    # of 32 cores — 15.2x wall at 10x rows; repartitioning ids restores
+    # the linear map). A real media corpus gets the same effect from
+    # files.maxPartitionBytes / input splits.
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _wav_payload_col().alias("payload"))
     )
     return decode_wav_stats_arrow(docs)
