@@ -55,6 +55,9 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # produce a green hash row; spending gate slots on them is waste.
 _GATE_PRIORITY = [
     # -- NEW in round 6 (insert additions here, newest first)
+    "order_gap_survival",
+    "revenue_theil_sen",
+    "user_event_trigrams",
     "pareto_frontier_parts",
     "hilbert_layout_audit",
     "ivm_retractable_rollup",

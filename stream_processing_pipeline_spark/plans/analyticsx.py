@@ -1946,3 +1946,232 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("mon").alias("monetary_cents"),
     )
+
+
+# ----------------------------------------------------- Theil–Sen robust trend
+
+@register(
+    "revenue_theil_sen",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+             CAST(sum({cents_sql('value')}) AS BIGINT) AS rev
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             (1000000 * (b.rev - a.rev)) // (b.day_idx - a.day_idx)
+               AS slope_micro
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day_idx < b.day_idx
+    ),
+    r AS (
+      SELECT event_type, slope_micro,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY slope_micro
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM s
+    )
+    SELECT event_type,
+           CAST(max(m) AS BIGINT) AS n_pairs,
+           min(CASE WHEN rn = (m + 1) // 2 THEN slope_micro END)
+             AS theil_sen_micro
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("batch", "robust-stats", "theil-sen", "trend", "exact-arithmetic"),
+)
+def revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen ROBUST trend of daily revenue per event type: the median
+    of all pairwise day-to-day slopes — the estimator that shrugs off the
+    outlier days that pull an OLS slope (user_value_trend's least-squares
+    twin, completing the robust family next to the trimmed/winsorized/MAD
+    kernels). Slopes snap to integer micro-cents/day with truncating
+    division (verified identical toward-zero semantics for negative
+    slopes in BOTH engines: Spark ``div`` and DuckDB ``//`` each give
+    -7/2 = -3), and the median is the exact lower-median row-number
+    idiom. Scale shape: the corpus collapses once to (type, day) grain —
+    the bounded-domain invariant — so the pairwise slope join is
+    C(n_days, 2) per type regardless of event volume; 100 TB of events
+    still yields the same few-thousand slope rows."""
+    from pyspark.sql import Window
+
+    ev = catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day_idx"),
+        )
+        .agg(F.sum(cents("value")).alias("rev"))
+    )
+    a = d.select(
+        "event_type", F.col("day_idx").alias("d1"), F.col("rev").alias("r1")
+    )
+    b = d.select(
+        F.col("event_type").alias("et2"),
+        F.col("day_idx").alias("d2"),
+        F.col("rev").alias("r2"),
+    )
+    s = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("d1") < F.col("d2"))
+    ).select(
+        "event_type",
+        F.expr("(1000000 * (r2 - r1)) div (d2 - d1)").alias("slope_micro"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro")
+    wm = Window.partitionBy("event_type")
+    r = s.select(
+        "event_type",
+        "slope_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wm).alias("m"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("m").cast("long").alias("n_pairs"),
+            F.min(
+                F.when(F.col("rn") == F.expr("(m + 1) div 2"), F.col("slope_micro"))
+            ).alias("theil_sen_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------- Kaplan–Meier survival
+
+@register(
+    "order_gap_survival",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d, o_orderkey AS k
+      FROM orders
+    ),
+    mx AS (SELECT max(d) AS dmax FROM o),
+    gaps AS (
+      SELECT date_diff('day', d,
+               lead(d) OVER (PARTITION BY c ORDER BY d, k)) AS g
+      FROM o
+    ),
+    obs AS (
+      SELECT g // 7 AS wk, 1 AS ev FROM gaps WHERE g IS NOT NULL
+      UNION ALL
+      SELECT date_diff('day', last_d, mx.dmax) // 7 AS wk, 0 AS ev
+      FROM (SELECT c, max(d) AS last_d FROM o GROUP BY c), mx
+    ),
+    wkt AS (
+      SELECT wk, CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(ev) AS BIGINT) AS d
+      FROM obs GROUP BY wk
+    ),
+    cum AS (
+      SELECT wk, d,
+             CAST(sum(n_obs) OVER (ORDER BY wk DESC) AS BIGINT) AS n_at_risk
+      FROM wkt
+    ),
+    packed AS (
+      SELECT list_sort(list(struct_pack(wk := wk, n := n_at_risk, d := d)))
+               AS a,
+             list_transform(
+               list_sort(list(struct_pack(wk := wk, n := n_at_risk, d := d))),
+               s -> s.n * 10000000 + s.d
+             ) AS es
+      FROM cum
+    )
+    SELECT u.s.wk AS wk, u.s.n AS n_at_risk, u.s.d AS n_events,
+           CAST(1000000 * (u.s.n - u.s.d) // u.s.n AS BIGINT) AS factor_micro,
+           CAST(list_reduce(
+             list_prepend(1000000::BIGINT, es[1:u.k]),
+             (acc, x) -> (acc * (x // 10000000 - x % 10000000))
+                         // (x // 10000000)
+           ) AS BIGINT) AS survival_micro
+    FROM packed,
+         (SELECT unnest(a) AS s, unnest(range(1, len(a) + 1)) AS k
+          FROM packed) u
+    ORDER BY wk
+    """,
+    tags=("batch", "survival", "kaplan-meier", "exact-arithmetic"),
+)
+def order_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER survival curve of reorder gaps — "what fraction of
+    customers have NOT yet reordered k weeks after an order", with each
+    customer's wait since their LAST order entering as a right-CENSORED
+    observation (we know only that the next gap exceeds it) — the
+    churn-vs-dormancy estimator naive gap histograms get wrong because
+    they silently drop exactly the customers who wait longest. Per-week
+    at-risk counts fall out of one DESCENDING cumulative sum over the
+    week grain; the survival product Π (n_k - d_k)/n_k is an exact
+    integer micro-unit fold over the sorted week array (<= a few hundred
+    weeks whatever the data size), truncating at each step identically
+    in both engines — the same bounded-grain fold discipline as the BPE
+    trainer, applied to a product instead of a merge.
+
+    Scale shape: one customer-partitioned window pass makes the gaps,
+    one aggregation collapses to week grain (bounded domain), and
+    everything after runs on that bounded table. 100 TB of orders
+    changes the counts, not the plan."""
+    from pyspark.sql import Window
+
+    o = catalog(spark, sf_dir).orders.select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderkey").alias("k"),
+    )
+    mx = o.agg(F.max("d").alias("dmax"))
+    w = Window.partitionBy("c").orderBy("d", "k")
+    gaps = o.select(F.datediff(F.lead("d").over(w), F.col("d")).alias("g"))
+    ev_obs = gaps.filter(F.col("g").isNotNull()).select(
+        F.expr("g div 7").alias("wk"), F.lit(1).alias("ev")
+    )
+    cen_obs = (
+        o.groupBy("c")
+        .agg(F.max("d").alias("last_d"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("datediff(dmax, last_d) div 7").alias("wk"),
+            F.lit(0).alias("ev"),
+        )
+    )
+    wkt = (
+        ev_obs.unionByName(cen_obs)
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("ev").cast("long").alias("d"),
+        )
+    )
+    wdesc = Window.orderBy(F.col("wk").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = wkt.select(
+        "wk", "d", F.sum("n_obs").over(wdesc).cast("long").alias("n_at_risk")
+    )
+    packed = cum.agg(
+        F.array_sort(
+            F.collect_list(F.struct("wk", F.col("n_at_risk").alias("n"), "d"))
+        ).alias("a")
+    )
+    return (
+        packed.select(
+            F.explode(
+                F.expr(
+                    """
+            transform(sequence(1, size(a)), k -> struct(
+              a[k-1].wk AS wk,
+              a[k-1].n AS n_at_risk,
+              a[k-1].d AS n_events,
+              CAST(1000000 * (a[k-1].n - a[k-1].d) div a[k-1].n AS BIGINT)
+                AS factor_micro,
+              aggregate(slice(a, 1, k), CAST(1000000 AS BIGINT),
+                (acc, x) -> (acc * (x.n - x.d)) div x.n) AS survival_micro))
+            """
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("wk")
+    )

@@ -4397,3 +4397,53 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.withColumn("bkt", F.expr("p_partkey % 32")), "bkt"
     )
     return scan(local).orderBy("price_cents", "p_partkey")
+
+
+# --------------------------------------------------------- path mining
+
+@register(
+    "user_event_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT 15
+    """,
+    tags=("batch", "path-mining", "sequence", "window"),
+)
+def user_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral trigrams: the 15 most-traveled 3-step event paths
+    (with how many distinct users travel each) — the order-sensitive
+    sequence mining that the first-order transition matrix
+    (event_transition_matrix) cannot express, and the standard input to
+    funnel discovery: a high-frequency path ending in 'error' is a bug
+    report, one ending in 'purchase' is a funnel candidate. One
+    user-partitioned window pass (two leads share a single sort), then a
+    map-side-combined count at trigram grain (|event types|^3 <= 125
+    groups); TakeOrdered emits the head."""
+    ev = catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        .limit(15)
+    )

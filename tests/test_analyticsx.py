@@ -995,3 +995,32 @@ def test_pareto_frontier_matches_bruteforce(spark):
             assert not (p2 <= p and s2 >= s and (p2 < p or s2 > s)) or (
                 (k, p, s) == (k2, p2, s2)
             )
+
+
+def test_km_survival_monotone_and_consistent(spark):
+    """Kaplan–Meier invariants: survival starts at factor(0), is strictly
+    a running truncated product (S_k == (S_{k-1} * (n-d)) div n), is
+    non-increasing, at-risk counts strictly decrease with week, and the
+    at-risk count at week 0 equals the total observation count (every
+    gap + one censored tail per customer)."""
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_MED
+
+    rows = sorted(
+        REGISTRY["order_gap_survival"].fn(spark, SF_MED).collect(),
+        key=lambda r: r.wk,
+    )
+    assert rows[0].survival_micro == rows[0].factor_micro
+    s = rows[0].survival_micro
+    for prev, r in zip(rows, rows[1:]):
+        assert r.n_at_risk < prev.n_at_risk
+        s = (s * (r.n_at_risk - r.n_events)) // r.n_at_risk
+        assert r.survival_micro == s
+        assert r.survival_micro <= prev.survival_micro
+    o = catalog(spark, SF_MED).orders
+    n_orders = o.count()
+    # every order contributes exactly one observation: a gap to the next
+    # order, or (for each customer's last order) a censored tail
+    assert rows[0].n_at_risk == n_orders

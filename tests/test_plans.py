@@ -312,6 +312,7 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "range_partition_plan",         # broadcast 1-row split points +
                                         # 1-row total x2
         "hilbert_layout_audit",         # broadcast 1-row quantization bounds
+        "order_gap_survival",           # broadcast 1-row dataset max date
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
