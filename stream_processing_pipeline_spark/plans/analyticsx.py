@@ -2175,3 +2175,107 @@ def order_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .orderBy("wk")
     )
+
+
+# ------------------------------------------------- time-constrained funnel
+
+@register(
+    "window_funnel_depth",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e
+      JOIN t1 ON t1.user_id = e.user_id
+      JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > t2.t2 AND e.ts <= t1.t1 + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    ),
+    depth AS (
+      SELECT u.user_id,
+             CASE WHEN t3.user_id IS NOT NULL THEN 3
+                  WHEN t2.user_id IS NOT NULL THEN 2
+                  WHEN t1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS depth
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN t1 ON t1.user_id = u.user_id
+      LEFT JOIN t2 ON t2.user_id = u.user_id
+      LEFT JOIN t3 ON t3.user_id = u.user_id
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_users
+    FROM depth GROUP BY depth ORDER BY depth
+    """,
+    tags=("batch", "funnel", "window-funnel", "sessionized"),
+)
+def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-CONSTRAINED funnel (ClickHouse ``windowFunnel`` semantics):
+    how deep does each user get through view -> click -> purchase where
+    every later step must land within ONE HOUR of the user's first view
+    — the product question behind "do users convert in-session or never",
+    which the unconstrained strict funnel (strict_funnel_conversion)
+    cannot answer because it happily counts a purchase three weeks after
+    the click. Steps anchor at the first view (t1); each stage is a
+    conditional min over events inside the window, chained left-to-right
+    (a step can only fire strictly after the previous one).
+
+    Scale shape: three aggregate-then-equi-join passes over the SAME
+    user_id partitioning — Spark reuses the exchange, so the funnel costs
+    one shuffle of the fact plus user-grain joins; no per-user arrays are
+    ever collected (hot users with millions of events stream through the
+    aggregates). Output is the depth histogram (4 rows)."""
+    ev = catalog(spark, sf_dir).events
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.join(t1, "user_id")
+        .join(t2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    depth = (
+        users.join(t1.select("user_id", F.lit(1).alias("d1")), "user_id", "left")
+        .join(t2.select("user_id", F.lit(1).alias("d2")), "user_id", "left")
+        .join(t3.select("user_id", F.lit(1).alias("d3")), "user_id", "left")
+        .select(
+            F.when(F.col("d3").isNotNull(), 3)
+            .when(F.col("d2").isNotNull(), 2)
+            .when(F.col("d1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("depth")
+        )
+    )
+    return (
+        depth.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("depth")
+    )
