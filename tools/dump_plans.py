@@ -77,6 +77,21 @@ HEADLINERS = {
     "text_unigram_surprisal": "integer floor-log2 surprisal: tf grain -> unigram LM join -> doc rollup; corpus totals broadcast (r6)",
     "supplier_part_transit_overlaps": "interval-overlap via asymmetric bucket band join (cover explodes, probe start-bucket only) + exact predicate + distinct (r6)",
     "stream_rate_limited_users": "fixed-window rate limiter: FlatMapGroupsInPandasWithState over the event stream, batch-oracle-verified (r6)",
+    "mm_wav_pcm_stats": "JVM-generated RIFF/WAV -> id-only repartition -> zero-copy mapInArrow PCM decode; payload bytes never shuffle (r6)",
+    "kcore_part_affinity": "iterative peeling: per-round degree agg + two semi-joins on shrinking checkpointed edges (r6)",
+    "hilbert_layout_audit": "one DISTINCT to the bounded 8-bit cell grid, then 8 chained CASE projections and three rollups on cells (r6)",
+    "emb_jl_distance_fidelity": "16 fused dot-folds per row (the projection map), bounded vec_id<64 pair audit via broadcast BNLJ (r6)",
+    "bitmap_user_type_index": "bit_or word build at (type, word) grain, word-aligned AND+popcount joins — set ops at |users|/32 cost (r6)",
+    "range_partition_plan": "cents-grain histogram walk -> 1-row broadcast of 15 split points -> 15-compare map + 16-group agg (r6)",
+    "ivm_retractable_rollup": "per-key window derives prev state; retraction+addition delta explode aggregates at band grain (r6)",
+    "table_stats_profile": "six exact count(DISTINCT) compile to ONE scan with Expand x6 before partial agg (r6)",
+    "order_gap_survival": "gap window pass -> week-grain collapse -> descending cum at-risk -> integer KM product fold on the sorted week array (r6)",
+    "pareto_frontier_parts": "bucketed local skyline scans, then the same scan once over the bounded survivor union (r6)",
+    "window_funnel_depth": "three conditional-min aggregates chained over one reused user_id exchange (r6)",
+    "stream_scd2_temporal_join": "stream-static temporal join: span table rebuilt per batch, complete-mode band agg via memory sink (r6)",
+    "revenue_theil_sen": "(type, day) collapse -> C(days,2) pairwise slope join -> exact median window on slope grain (r6)",
+    "token_zipf_curve": "token-grain collapse, vocabulary-only rank window, octave-band rollup with broadcast total (r6)",
+    "user_event_trigrams": "one window pass (two leads share a sort), trigram-grain count, TakeOrdered head (r6)",
 }
 
 

@@ -79,6 +79,15 @@ AUDITED = {
     "text_unigram_surprisal": "(doc, term) count partials after map-side combine; the LM join moves compact (term, count) rows, never token instances; doc rollup re-shuffles the tf grain (r6)",
     "supplier_part_transit_overlaps": "asymmetric band join: cover side ~span/28 bucket rows, probe side 1 row each — (s, p, bucket) keys + two dates, raw rows never replicate both-sided (r6)",
     "stream_rate_limited_users": "stateful stream: one (user_id, ts_us, event_id) exchange into the GroupState op; state is (win, count, totals) per live key, emissions 1 row/key/batch (r6)",
+    "mm_wav_pcm_stats": "payload bytes never shuffle: generation+decode+stats inside one scan stage; the only exchange is the 8-byte id repartition that sets decode parallelism (r6)",
+    "kcore_part_affinity": "per-round shuffles carry (node, degree) pairs and shrinking 16 B edges — round cost tracks the SURVIVING edge set, monotonically down (r6)",
+    "hilbert_layout_audit": "corpus collapses to <= 65,536 (dq, pq) cells; all curve math and rollups shuffle only cell-grain rows (r6)",
+    "bitmap_user_type_index": "8-byte words at (type, word_idx) grain — |user domain|/32 rows per type through every set-op join (r6)",
+    "range_partition_plan": "cents-grain histogram partials, a 1-row boundary broadcast back, and a 16-group final agg — no sort, no sample pass (r6)",
+    "ivm_retractable_rollup": "one user_id exchange for the state window, then band-grain delta partials after map-side combine (r6)",
+    "table_stats_profile": "Expand x6 multiplies rows BEFORE partial agg — the known exact-NDV cost; shuffle is 6 distinct-key streams, output 6 rows (r6)",
+    "window_funnel_depth": "one user_id exchange reused by all three stage joins (co-partitioned); depth histogram is a 4-group agg (r6)",
+    "order_gap_survival": "one customer exchange for the gap window, week-grain partials after, the KM fold runs on one collected array row (r6)",
 }
 
 
