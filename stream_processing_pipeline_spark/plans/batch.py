@@ -4447,3 +4447,64 @@ def user_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
         .limit(15)
     )
+
+
+# ----------------------------------------------------- RANGE-frame windows
+
+@register(
+    "daily_revenue_trailing_range",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+             CAST(sum({cents_sql('value')}) AS BIGINT) AS rev
+      FROM events WHERE value IS NOT NULL AND event_id % 3 = 0
+      GROUP BY 1, 2
+    )
+    SELECT event_type, day_idx, rev,
+           CAST(sum(rev) OVER (
+             PARTITION BY event_type ORDER BY day_idx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_7d,
+           CAST(count(*) OVER (
+             PARTITION BY event_type ORDER BY day_idx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS days_present
+    FROM d ORDER BY event_type, day_idx
+    """,
+    tags=("batch", "window", "range-frame", "time-series"),
+)
+def daily_revenue_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based RANGE window frames — the window surface the rest of
+    the registry doesn't exercise (everything else is ROWS frames or
+    spine joins): trailing 7-day revenue per event type where the frame
+    is defined by the day-index VALUE, so missing days shrink the window
+    automatically (a ROWS BETWEEN 6 PRECEDING frame silently reads seven
+    PRESENT rows and is wrong the moment a day is absent — the fixture is
+    thinned to every third event to force real gaps). ``days_present``
+    makes the distinction visible: wherever it is < 7 a rows-frame would
+    have overreached. One (type, day) collapse then a day-grain window —
+    the bounded-domain invariant; the frame semantics are identical in
+    Spark (``rangeBetween`` on an integer order key) and DuckDB
+    (``RANGE BETWEEN 6 PRECEDING``)."""
+    ev = catalog(spark, sf_dir).events.filter(
+        F.col("value").isNotNull() & (F.col("event_id") % 3 == 0)
+    )
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day_idx"),
+    ).agg(F.sum(cents("value")).alias("rev"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-6, 0)
+    )
+    return d.select(
+        "event_type",
+        "day_idx",
+        "rev",
+        F.sum("rev").over(w).cast("long").alias("trailing_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_present"),
+    ).orderBy("event_type", "day_idx")
