@@ -84,7 +84,7 @@ HEADLINERS = {
     "bitmap_user_type_index": "bit_or word build at (type, word) grain, word-aligned AND+popcount joins — set ops at |users|/32 cost (r6)",
     "range_partition_plan": "cents-grain histogram walk -> 1-row broadcast of 15 split points -> 15-compare map + 16-group agg (r6)",
     "ivm_retractable_rollup": "per-key window derives prev state; retraction+addition delta explode aggregates at band grain (r6)",
-    "table_stats_profile": "six exact count(DISTINCT) compile to ONE scan with Expand x6 before partial agg (r6)",
+    "table_stats_profile": "UNION of six column-pruned single-column scans, each with its own two-stage distinct agg — 19x over the one-scan Expand form (r6)",
     "order_gap_survival": "gap window pass -> week-grain collapse -> descending cum at-risk -> integer KM product fold on the sorted week array (r6)",
     "pareto_frontier_parts": "bucketed local skyline scans, then the same scan once over the bounded survivor union (r6)",
     "window_funnel_depth": "three conditional-min aggregates chained over one reused user_id exchange (r6)",

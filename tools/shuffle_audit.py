@@ -85,7 +85,7 @@ AUDITED = {
     "bitmap_user_type_index": "8-byte words at (type, word_idx) grain — |user domain|/32 rows per type through every set-op join (r6)",
     "range_partition_plan": "cents-grain histogram partials, a 1-row boundary broadcast back, and a 16-group final agg — no sort, no sample pass (r6)",
     "ivm_retractable_rollup": "one user_id exchange for the state window, then band-grain delta partials after map-side combine (r6)",
-    "table_stats_profile": "Expand x6 multiplies rows BEFORE partial agg — the known exact-NDV cost; shuffle is 6 distinct-key streams, output 6 rows (r6)",
+    "table_stats_profile": "six pruned single-column scans; shuffle is each column's distinct-key partials, output 6 rows — the Expand form was 19x slower (r6)",
     "window_funnel_depth": "one user_id exchange reused by all three stage joins (co-partitioned); depth histogram is a 4-group agg (r6)",
     "order_gap_survival": "one customer exchange for the gap window, week-grain partials after, the KM fold runs on one collected array row (r6)",
 }
