@@ -522,3 +522,36 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
         (r.purchase_id, r.click_id) for r in sink.rows
     )
     assert got == [(2, 1), (4, None)]
+
+
+def test_state_store_operator_metrics(spark, tmp_path):
+    """State-store observability: a streaming aggregation's progress must
+    report its state operator with numRowsTotal equal to the number of
+    live aggregation groups — the metric a 100 TB operator watches to know
+    whether state is growing without bound (the question behind every
+    watermark/eviction decision). Pinned on a complete-mode groupBy where
+    the expected state size is exactly the distinct key count."""
+    chunks = [
+        [_row(1, 0, "click"), _row(2, 10, "view")],
+        [_row(3, 20, "click"), _row(4, 30, "purchase")],
+    ]
+    stream = _write_chunks(spark, tmp_path / "sm", chunks)
+    totals = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    query = (
+        totals.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("state_metrics_probe")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    progresses = [p for p in query.recentProgress if p["stateOperators"]]
+    assert progresses, "no state-operator progress reported"
+    last = progresses[-1]["stateOperators"][0]
+    # 3 distinct event types -> exactly 3 state rows, and the final batch
+    # wrote/updated at most that many
+    assert last["numRowsTotal"] == 3
+    assert 0 <= last["numRowsUpdated"] <= 3
+    rows = {r.event_type: r.n for r in spark.table("state_metrics_probe").collect()}
+    assert rows == {"click": 2, "view": 1, "purchase": 1}
