@@ -49,6 +49,12 @@ QUERIES = (
     "hilbert_layout_audit",
     "emb_jl_distance_fidelity",
     "mm_wav_pcm_stats",
+    "window_funnel_depth",
+    "daily_revenue_trailing_range",
+    "order_gap_survival",
+    "pareto_frontier_parts",
+    "revenue_theil_sen",
+    "user_event_trigrams",
 )
 
 _SHIFTS = {  # table -> (id column, per-replica shift)
