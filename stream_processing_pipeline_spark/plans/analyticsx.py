@@ -2279,3 +2279,230 @@ def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("depth")
     )
+
+
+# ------------------------------------------- Markov removal-effect attribution
+
+_MK_STATES = {"click": 1, "error": 2, "signup": 3, "view": 4}  # 0=START
+_MK_CONV, _MK_NULL, _MK_N = 5, 6, 7  # purchase -> CONV; journey end -> NULL
+_MK_ROUNDS = 12
+
+_MK_STATE_CASE = (
+    "CASE event_type WHEN 'purchase' THEN 5 "
+    + " ".join(f"WHEN '{n}' THEN {i}" for n, i in _MK_STATES.items())
+    + " END"
+)
+
+
+def _mk_fold_expr(mat: str) -> str:
+    """K-round truncated absorption iteration as ONE nested fold over the
+    collected (f, t, p_micro) matrix — identical text for the base and
+    removal variants; absorbing states (CONV, NULL) retain their mass."""
+    return f"""
+    aggregate(sequence(1, {_MK_ROUNDS}),
+      array(CAST(1000000 AS BIGINT), 0L, 0L, 0L, 0L, 0L, 0L),
+      (v, _k) -> transform(sequence(0, {_MK_N - 1}), s ->
+        (CASE WHEN s >= {_MK_CONV} THEN element_at(v, s + 1)
+              ELSE CAST(0 AS BIGINT) END)
+        + aggregate(filter({mat}, e -> e.t = s), CAST(0 AS BIGINT),
+                    (acc, e) -> acc + element_at(v, e.f + 1) * e.p
+                                div 1000000)))
+    """
+
+
+def _mk_oracle() -> str:
+    base = f"""
+    WITH pos0 AS MATERIALIZED (
+      SELECT user_id, {_MK_STATE_CASE} AS st,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      FROM events
+    ),
+    seq AS MATERIALIZED (
+      SELECT user_id, st, pos,
+             min(CASE WHEN st = {_MK_CONV} THEN pos END)
+               OVER (PARTITION BY user_id) AS cut
+      FROM pos0
+    ),
+    kept AS MATERIALIZED (
+      SELECT * FROM seq WHERE cut IS NULL OR pos <= cut
+    ),
+    trans AS MATERIALIZED (
+      SELECT coalesce(lag(st) OVER (PARTITION BY user_id ORDER BY pos), 0)
+               AS f, st AS t
+      FROM kept
+      UNION ALL
+      SELECT st AS f, {_MK_NULL} AS t FROM kept
+      WHERE cut IS NULL
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY pos DESC) = 1
+    ),
+    cnt AS MATERIALIZED (
+      SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM trans GROUP BY f, t
+    ),
+    mat_base AS MATERIALIZED (
+      SELECT f, t, CAST(1000000 * n // sum(n) OVER (PARTITION BY f)
+                   AS BIGINT) AS p
+      FROM cnt
+    )"""
+    parts = [base]
+    variants = [("base", None)] + [(n, i) for n, i in _MK_STATES.items()]
+    for name, c in variants:
+        if c is not None:
+            parts.append(f""",
+    mat_{name} AS MATERIALIZED (
+      SELECT f, t, p FROM mat_base WHERE f != {c}
+      UNION ALL SELECT {c}, {_MK_NULL}, CAST(1000000 AS BIGINT)
+    )""")
+        parts.append(f""",
+    v_{name}_0 AS MATERIALIZED (
+      SELECT s, CAST(CASE WHEN s = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS v
+      FROM range({_MK_N}) t(s)
+    )""")
+        for k in range(1, _MK_ROUNDS + 1):
+            parts.append(f""",
+    v_{name}_{k} AS MATERIALIZED (
+      SELECT st.s,
+             CAST(CASE WHEN st.s >= {_MK_CONV}
+               THEN (SELECT v FROM v_{name}_{k - 1} pv WHERE pv.s = st.s)
+               ELSE 0 END
+             + coalesce((SELECT sum(pv.v * m.p // 1000000)
+                         FROM mat_{name} m
+                         JOIN v_{name}_{k - 1} pv ON pv.s = m.f
+                         WHERE m.t = st.s), 0) AS BIGINT) AS v
+      FROM range({_MK_N}) st(s)
+    )""")
+    convs = {
+        name: f"(SELECT v FROM v_{name}_{_MK_ROUNDS} WHERE s = {_MK_CONV})"
+        for name, _ in variants
+    }
+    rows = ", ".join(
+        f"('{n}', {convs[n]})" for n, _ in variants if n != "base"
+    )
+    parts.append(f""",
+    ch(channel, conv_without_micro) AS (VALUES {rows}),
+    tot AS (
+      SELECT CAST(sum({convs['base']} - conv_without_micro) AS BIGINT)
+               AS removal_total
+      FROM ch
+    )
+    SELECT channel,
+           CAST({convs['base']} AS BIGINT) AS base_conv_micro,
+           CAST(conv_without_micro AS BIGINT) AS conv_without_micro,
+           CAST({convs['base']} - conv_without_micro AS BIGINT)
+             AS removal_micro,
+           CAST(CASE WHEN tot.removal_total = 0 THEN NULL
+                ELSE 1000 * ({convs['base']} - conv_without_micro)
+                     // tot.removal_total END AS BIGINT)
+             AS attribution_permille
+    FROM ch, tot
+    ORDER BY channel""")
+    return "".join(parts)
+
+
+@register(
+    "markov_removal_attribution",
+    oracle=_mk_oracle(),
+    tags=("batch", "attribution", "markov", "iterative", "exact-arithmetic"),
+)
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV-CHAIN ATTRIBUTION by removal effect — the data-driven
+    alternative to last-click: build the user-journey transition matrix
+    (START -> channels -> CONVERSION/NULL absorbing states, journeys
+    truncated at first purchase), compute the chain's conversion
+    probability, then re-compute it with each channel REMOVED (its
+    outgoing mass redirected to NULL) — a channel's credit is the
+    conversion it would take with it. Absorption probabilities come from
+    a 12-round truncated power iteration in integer micro-units, run as
+    ONE nested fold over the collected <= 7x7 matrix (bounded by the
+    type domain — the KM-fold discipline), identical per-term truncation
+    in the unrolled MATERIALIZED-CTE oracle.
+
+    Scale shape: the ONLY corpus-sized work is one user-partitioned
+    window pass and a map-side-combined count at (from, to) grain — the
+    matrix is 7x7 whatever the event volume; all five chain solves are
+    expression-level arithmetic on one collected row. At 100 TB the
+    attribution report costs one shuffle."""
+    from pyspark.sql import Window
+
+    ev = catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    seq = ev.select(
+        "user_id",
+        F.expr(_MK_STATE_CASE).alias("st"),
+        F.row_number().over(w).alias("pos"),
+    ).withColumn(
+        "cut",
+        F.min(F.when(F.col("st") == _MK_CONV, F.col("pos"))).over(wu),
+    )
+    kept = seq.filter(F.col("cut").isNull() | (F.col("pos") <= F.col("cut")))
+    w2 = Window.partitionBy("user_id").orderBy("pos")
+    steps = kept.select(
+        F.coalesce(F.lag("st").over(w2), F.lit(0)).alias("f"),
+        F.col("st").alias("t"),
+    )
+    tails = (
+        kept.filter(F.col("cut").isNull())
+        .groupBy("user_id")
+        .agg(F.max_by("st", "pos").alias("f"))
+        .select("f", F.lit(_MK_NULL).alias("t"))
+    )
+    cnt = steps.unionByName(tails).groupBy("f", "t").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("f")
+    mat = cnt.select(
+        "f", "t", F.expr("1000000 * n div sum(n) OVER (PARTITION BY f)")
+        .cast("long")
+        .alias("p"),
+    )
+    m_row = mat.agg(
+        F.expr("collect_list(named_struct('f', f, 't', t, 'p', p))").alias("m")
+    ).select(F.array_sort("m").alias("m"))
+
+    removal_mat = (
+        f"concat(filter(m, e -> e.f != c), "
+        f"array(named_struct('f', c, 't', {_MK_NULL}, "
+        f"'p', CAST(1000000 AS BIGINT))))"
+    )
+    channels = ", ".join(
+        f"named_struct('channel', '{n}', 'c', {i})"
+        for n, i in sorted(_MK_STATES.items())
+    )
+    per_channel = m_row.select(
+        "m",
+        F.expr(
+            f"element_at({_mk_fold_expr('m')}, {_MK_CONV + 1})"
+        ).alias("base_conv_micro"),
+        F.explode(F.expr(f"array({channels})")).alias("ch"),
+    ).select(
+        F.col("ch.channel").alias("channel"),
+        "base_conv_micro",
+        F.expr(
+            "element_at("
+            + _mk_fold_expr(removal_mat).replace("c)", "ch.c)").replace(
+                "'f', c,", "'f', ch.c,"
+            )
+            + f", {_MK_CONV + 1})"
+        ).alias("conv_without_micro"),
+    )
+    wall = Window.partitionBy()  # 4-row frame: bounded by the channel domain
+    return (
+        per_channel.select(
+            "channel",
+            "base_conv_micro",
+            "conv_without_micro",
+            (F.col("base_conv_micro") - F.col("conv_without_micro")).alias(
+                "removal_micro"
+            ),
+        )
+        .withColumn(
+            "attribution_permille",
+            F.expr(
+                "CASE WHEN sum(removal_micro) OVER () = 0 THEN NULL"
+                " ELSE 1000 * removal_micro div sum(removal_micro) OVER ()"
+                " END"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -4505,3 +4505,82 @@ def daily_revenue_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").over(w).cast("long").alias("trailing_7d"),
         F.count(F.lit(1)).over(w).cast("long").alias("days_present"),
     ).orderBy("event_type", "day_idx")
+
+
+# ------------------------------------------------------ Benford's-law audit
+
+# log10(1 + 1/d) in permille — fixed integer constants, no libm in either
+# engine, so the expectation column is engine-exact by construction
+_BENFORD_PERMILLE = (301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY digit
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+    e(digit, expected_permille) AS (
+      VALUES {", ".join(f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_PERMILLE))}
+    )
+    SELECT e.digit, coalesce(c.n, 0) AS n,
+           CAST(1000 * coalesce(c.n, 0) // t.total AS BIGINT)
+             AS observed_permille,
+           CAST(e.expected_permille AS BIGINT) AS expected_permille,
+           CAST(1000 * coalesce(c.n, 0) // t.total AS BIGINT)
+             - e.expected_permille AS delta_permille
+    FROM e LEFT JOIN c ON c.digit = e.digit, t
+    ORDER BY e.digit
+    """,
+    tags=("batch", "data-quality", "benford", "audit"),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit of order totals — the classic
+    fabricated-data / unit-mix detector: naturally-occurring multi-scale
+    amounts put ~30.1% of first digits at 1, while generated or truncated
+    data (like this fixture's uniform price band) piles up elsewhere; the
+    per-digit delta column IS the finding. Expected frequencies are fixed
+    integer permille constants (log10(1+1/d) precomputed), so the whole
+    audit is exact integer arithmetic with no libm on either engine. The
+    digit extraction goes through an explicit floor + integer cast — Spark
+    truncates double->bigint casts where DuckDB ROUNDS them, so the bare
+    cast diverges at .5 boundaries (caught by the gate: two digit counts
+    off by one); IEEE floor is identical everywhere. Scale shape: one map-side-combined count at digit
+    grain (9 groups), a broadcast 1-row total, and a 9-row literal
+    expectation frame."""
+    o = catalog(spark, sf_dir).orders.filter(F.col("o_totalprice") >= 1)
+    v = o.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1)"
+            " AS INT)"
+        ).alias("digit")
+    )
+    c = v.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    e = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_PERMILLE)],
+        "digit int, expected_permille long",
+    )
+    return (
+        e.join(c, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.expr("1000 * coalesce(n, 0) div total").alias(
+                "observed_permille"
+            ),
+            "expected_permille",
+            (
+                F.expr("1000 * coalesce(n, 0) div total")
+                - F.col("expected_permille")
+            ).alias("delta_permille"),
+        )
+        .orderBy("digit")
+    )

@@ -313,6 +313,7 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
                                         # 1-row total x2
         "hilbert_layout_audit",         # broadcast 1-row quantization bounds
         "order_gap_survival",           # broadcast 1-row dataset max date
+        "dq_benford_first_digit",       # broadcast 1-row digit total
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
