@@ -55,6 +55,7 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # produce a green hash row; spending gate slots on them is waste.
 _GATE_PRIORITY = [
     # -- NEW in round 6 (insert additions here, newest first)
+    "stream_ivm_retract_deltas",
     "markov_removal_attribution",
     "dq_benford_first_digit",
     "daily_revenue_trailing_range",

@@ -1145,3 +1145,100 @@ def stream_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).orderBy("band")
+
+
+@register(
+    "stream_ivm_retract_deltas",
+    oracle=f"""
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 7 = 3 THEN 'D' ELSE 'U' END AS op,
+             {cents_sql('value')} AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    last AS (
+      SELECT user_id, op, c FROM log
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) = 1
+    ),
+    state AS (SELECT user_id, c FROM last WHERE op = 'U')
+    SELECT CASE WHEN c < 2000 THEN 'low'
+                WHEN c < 10000 THEN 'mid' ELSE 'high' END AS band,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS total_cents
+    FROM state GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "ivm", "retraction", "stateful", "executed"),
+)
+def stream_ivm_retract_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACT STREAM, actually executed: a stateful operator
+    (``applyInPandasWithState``, O(1) state per live key = the key's
+    current value) consumes the upsert/delete log and EMITS the
+    retraction/addition delta rows a downstream view consumes — the
+    Flink retract-channel contract, where the batch twin
+    (ivm_retractable_rollup) derives the same deltas with a window. The
+    emitted delta stream aggregates to the banded rollup, drops emptied
+    groups, and must equal the oracle's direct final-state recomputation
+    — the IVM theorem verified through the streaming engine's own state
+    machinery. Cross-batch contract (same as stream_rate_limited_users):
+    batches deliver a key's rows in event-time order; the state row
+    carries the key's last value across micro-batches so a retraction in
+    batch N+1 correctly references the state written in batch N."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..streaming.stateful import (
+        IVM_OUT_SCHEMA,
+        IVM_STATE_SCHEMA,
+        ivm_retract_update,
+    )
+
+    cat = catalog(spark, sf_dir)
+    raw_schema = spark.read.parquet(cat.path("events")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    narrow = stream.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        # TIMESTAMP_NTZ has no direct long cast; identity via TIMESTAMP under UTC
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ord_ts"),
+        "event_id",
+        F.expr("CASE WHEN event_id % 7 = 3 THEN 'D' ELSE 'U' END").alias("op"),
+        cents("value").alias("c"),
+    )
+
+    deltas = narrow.groupBy("user_id").applyInPandasWithState(
+        ivm_retract_update,
+        IVM_OUT_SCHEMA,
+        IVM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    name = f"ivm_retract_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            deltas.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ivm_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(240)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(name)
+        .groupBy("band")
+        .agg(
+            F.sum("dk").cast("long").alias("n_keys"),
+            F.sum("dc").cast("long").alias("total_cents"),
+        )
+        .filter(F.col("n_keys") > 0)  # emptied groups leave the view
+        .orderBy("band")
+    )

@@ -32,7 +32,13 @@ Usage::
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 __all__ = [
     "CDC_OUT_SCHEMA",
@@ -389,3 +395,56 @@ def rate_limit_update(key, pdfs, state):
             "last_win": [last_win],
         }
     )
+
+
+# ------------------------------------------------- retract-stream IVM deltas
+
+IVM_LOW, IVM_MID = 2000, 10000  # cents band edges (match the batch twin)
+
+IVM_OUT_SCHEMA = StructType(
+    [
+        StructField("band", StringType()),
+        StructField("dk", IntegerType()),
+        StructField("dc", LongType()),
+    ]
+)
+
+IVM_STATE_SCHEMA = StructType([StructField("c", LongType())])
+
+
+def _ivm_band(c: int) -> str:
+    return "low" if c < IVM_LOW else ("mid" if c < IVM_MID else "high")
+
+
+def ivm_retract_update(key, pdfs, state):
+    """Per-key retract-stream producer: for every upsert/delete log entry
+    emit a retraction of the key's previous state and an addition for its
+    new one — the Flink retract-channel contract. State is O(1) per live
+    key (the current value); a delete removes the state row entirely.
+    Cross-batch contract: batches deliver a key's rows in event-time
+    order (sorted within each batch here), so a retraction at the head of
+    batch N+1 references the state written by batch N."""
+    import pandas as pd
+
+    cur = state.get[0] if state.exists else None
+    bands: list[str] = []
+    dks: list[int] = []
+    dcs: list[int] = []
+    rows = [p for p in pdfs if len(p)]
+    if rows:
+        pdf = pd.concat(rows).sort_values(["ord_ts", "event_id"])
+        for op, c in zip(pdf["op"], pdf["c"]):
+            if cur is not None:  # retract the previous state
+                bands.append(_ivm_band(cur))
+                dks.append(-1)
+                dcs.append(-cur)
+            cur = int(c) if op == "U" else None
+            if cur is not None:  # addition for the new state
+                bands.append(_ivm_band(cur))
+                dks.append(1)
+                dcs.append(cur)
+    if cur is None:
+        state.remove()
+    else:
+        state.update((cur,))
+    yield pd.DataFrame({"band": bands, "dk": dks, "dc": dcs})

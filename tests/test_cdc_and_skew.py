@@ -527,3 +527,63 @@ def test_rate_limiter_state_survives_micro_batches(spark, tmp_path):
     assert last.n_admitted == 3 + 2 + K
     assert last.n_suppressed == last.n_events - last.n_admitted
     assert last.last_win == 1
+
+
+def test_ivm_retract_state_survives_micro_batches(spark, tmp_path):
+    """Cross-batch retract-stream state: one key's log split over TWO
+    micro-batches — batch 2 opens with ops whose retractions must
+    reference the state written by batch 1 (and a delete must clear it,
+    so the following upsert opens with NO retraction). The concatenated
+    delta stream must telescope to the final state exactly."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from stream_processing_pipeline_spark.streaming.stateful import (
+        IVM_OUT_SCHEMA,
+        IVM_STATE_SCHEMA,
+        ivm_retract_update,
+    )
+
+    # (user, ord_ts, event_id, op, cents)
+    b1 = [(1, 10, 1, "U", 500), (1, 20, 2, "U", 2500)]     # low -> mid
+    b2 = [(1, 30, 3, "D", 0),                              # delete (mid out)
+          (1, 40, 4, "U", 15000)]                          # fresh high, no retract
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id long, ord_ts long, event_id long, op string, c long"
+    for i, batch in enumerate((b1, b2)):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out_stream = stream.groupBy("user_id").applyInPandasWithState(
+        ivm_retract_update, IVM_OUT_SCHEMA, IVM_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout,
+    )
+    import uuid as _uuid
+
+    name = f"ivm_mb_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out_stream.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    deltas = [(r.band, r.dk, r.dc) for r in spark.table(name).collect()]
+    # batch 1: +low(500), -low(500)+mid(2500); batch 2 (carried state!):
+    # -mid(2500) for the delete, then +high(15000) with NO retraction
+    assert sorted(deltas) == sorted(
+        [("low", 1, 500), ("low", -1, -500), ("mid", 1, 2500),
+         ("mid", -1, -2500), ("high", 1, 15000)]
+    )
+    # telescoping: net = final state only
+    net: dict = {}
+    for band, dk, dc in deltas:
+        net[band] = (net.get(band, (0, 0))[0] + dk, net.get(band, (0, 0))[1] + dc)
+    assert {b: v for b, v in net.items() if v != (0, 0)} == {"high": (1, 15000)}
