@@ -2506,3 +2506,179 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# -------------------------------------------------- chi-square independence
+
+@register(
+    "chisq_type_hour_independence",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, extract(hour FROM ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT o.*,
+             sum(n) OVER (PARTITION BY event_type) AS row_n,
+             sum(n) OVER (PARTITION BY hr) AS col_n,
+             sum(n) OVER () AS tot
+      FROM o
+    ),
+    cell AS (
+      SELECT event_type, hr,
+             ((1000000 * abs(n * tot - row_n * col_n))
+                // (row_n * col_n))
+              * abs(n * tot - row_n * col_n) // tot AS chi2_micro
+      FROM m
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(chi2_micro) AS BIGINT) AS chi2_micro,
+           CAST(max(chi2_micro) AS BIGINT) AS max_cell_micro
+    FROM cell GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("batch", "statistics", "chi-square", "independence", "exact-arithmetic"),
+)
+def chisq_type_hour_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE independence audit of event_type x hour-of-day — "does
+    traffic mix shift by hour", the contingency test behind seasonality
+    and bot-detection checks. The textbook statistic sums (O-E)^2/E with
+    the rational expectation E = row*col/total; multiplying through keeps
+    every cell term exact integer arithmetic:
+    cell = (1e6*|d| // (row*col)) * |d| // tot with d = n*tot - row*col,
+    STAGED so no intermediate squares d (the single-truncation form
+    overflowed int64 at sf0.1 — d^2 alone is ~1e18 there; staging costs
+    one extra truncation, applied identically in both engines). Reported
+    per event type (the marginal rows a dashboard drills into) with each
+    type's worst-hour contribution. Scale shape: one map-side-combined
+    count at (type, hour) grain (<= 5x24 cells — bounded domain), three
+    marginal windows on that bounded table, zero corpus re-scans.
+    Headroom: 1e6*|d| <= 1e6*n*tot caps tot at ~9e12/1e6/n — past ~1e9
+    fact rows move the cell math to DECIMAL(38,0) (the tv_permille
+    recipe)."""
+    ev = catalog(spark, sf_dir).events
+    o = ev.groupBy(
+        "event_type", F.expr("extract(hour FROM ts)").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = o.select(
+        "event_type",
+        "hr",
+        "n",
+        F.expr("sum(n) OVER (PARTITION BY event_type)").alias("row_n"),
+        F.expr("sum(n) OVER (PARTITION BY hr)").alias("col_n"),
+        F.expr("sum(n) OVER ()").alias("tot"),
+    )
+    cell = m.select(
+        "event_type",
+        F.expr(
+            "((1000000 * abs(n * tot - row_n * col_n))"
+            " div (row_n * col_n))"
+            " * abs(n * tot - row_n * col_n) div tot"
+        ).alias("chi2_micro"),
+    )
+    return (
+        cell.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("chi2_micro").cast("long").alias("chi2_micro"),
+            F.max("chi2_micro").cast("long").alias("max_cell_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------- two-sample Kolmogorov–Smirnov
+
+@register(
+    "ks_doclen_source_drift",
+    oracle="""
+    WITH a AS (
+      SELECT n_chars FROM documents WHERE source = 'src0'
+    ),
+    b AS (
+      SELECT n_chars FROM documents WHERE source = 'src1'
+    ),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS na FROM a),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM b),
+    g AS (
+      SELECT n_chars AS v,
+             CAST(count(*) FILTER (WHERE src = 0) AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE src = 1) AS BIGINT) AS cb
+      FROM (
+        SELECT n_chars, 0 AS src FROM a
+        UNION ALL SELECT n_chars, 1 FROM b
+      ) GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cuma,
+             sum(cb) OVER (ORDER BY v) AS cumb
+      FROM g
+    )
+    SELECT max(na.na) AS n_src0, max(nb.nb) AS n_src1,
+           CAST(max(abs(cuma * nb.nb - cumb * na.na) * 1000000
+                    // (na.na * nb.nb)) AS BIGINT) AS ks_micro,
+           min(CASE WHEN abs(cuma * nb.nb - cumb * na.na) = (
+                 SELECT max(abs(c2.cuma * nb2.nb - c2.cumb * na2.na))
+                 FROM cum c2, na na2, nb nb2
+               ) THEN v END) AS ks_at_value
+    FROM cum, na, nb
+    """,
+    tags=("batch", "statistics", "kolmogorov-smirnov", "drift", "exact-arithmetic"),
+)
+def ks_doclen_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV–SMIRNOV drift test between two sources'
+    document-length distributions — the distribution-shift alarm a
+    training pipeline runs when a crawl source changes its rendering (a
+    mean/variance check misses shape changes; KS is the max CDF gap, so
+    it catches them all). Cross-multiplied to exact integers: the gap at
+    value v is |cumA*nB - cumB*nA| / (nA*nB), so the statistic is an
+    integer max — no float CDFs anywhere; the report includes the value
+    at which the maximum gap occurs (the natural threshold for a length
+    filter). Scale shape: one collapse to value grain (bounded by the
+    length domain), one cumulative window on that bounded table,
+    broadcast 1-row sample sizes."""
+    from pyspark.sql import Window
+
+    docs = catalog(spark, sf_dir).documents
+    ab = docs.filter(F.col("source").isin("src0", "src1")).select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source") == "src0", 0).otherwise(1).alias("src"),
+    )
+    g = ab.groupBy("v").agg(
+        F.sum(F.when(F.col("src") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("src") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = g.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "v",
+        F.sum("ca").over(wc).alias("cuma"),
+        F.sum("cb").over(wc).alias("cumb"),
+    ).crossJoin(F.broadcast(tot))
+    gap = cum.select(
+        "v",
+        "na",
+        "nb",
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")).alias(
+            "gap"
+        ),
+    )
+    mx = gap.agg(F.max("gap").alias("gmax"))
+    return (
+        gap.crossJoin(F.broadcast(mx))
+        .groupBy()
+        .agg(
+            F.max("na").alias("n_src0"),
+            F.max("nb").alias("n_src1"),
+            F.expr("CAST(max(gap * 1000000 div (na * nb)) AS BIGINT)").alias(
+                "ks_micro"
+            ),
+            F.min(F.when(F.col("gap") == F.col("gmax"), F.col("v"))).alias(
+                "ks_at_value"
+            ),
+        )
+    )

@@ -314,6 +314,7 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "hilbert_layout_audit",         # broadcast 1-row quantization bounds
         "order_gap_survival",           # broadcast 1-row dataset max date
         "dq_benford_first_digit",       # broadcast 1-row digit total
+        "ks_doclen_source_drift",       # broadcast 1-row sizes + 1-row max
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
