@@ -183,7 +183,8 @@ def test_python_nodes_only_in_declared_python_queries(spark):
     # is the finished memory-sink DataFrame's, the Python stateful hop ran
     # inside the streaming query)
     assert set(missing_tag) <= {
-        "stream_user_stats", "stream_cdc_apply", "stream_rate_limited_users"
+        "stream_user_stats", "stream_cdc_apply", "stream_rate_limited_users",
+        "stream_ivm_retract_deltas",
     }, missing_tag
 
 

@@ -92,6 +92,11 @@ HEADLINERS = {
     "revenue_theil_sen": "(type, day) collapse -> C(days,2) pairwise slope join -> exact median window on slope grain (r6)",
     "token_zipf_curve": "token-grain collapse, vocabulary-only rank window, octave-band rollup with broadcast total (r6)",
     "user_event_trigrams": "one window pass (two leads share a sort), trigram-grain count, TakeOrdered head (r6)",
+    "dq_benford_first_digit": "digit-grain count + 9-row literal expectation frame; floor-then-cast digit extraction (r6)",
+    "markov_removal_attribution": "one window pass + (from,to) count -> collected 7x7 matrix; five absorption solves as nested integer folds (r6)",
+    "stream_ivm_retract_deltas": "retract-channel stateful operator: per-key value state, emitted delta rows aggregate to the maintained view (r6)",
+    "chisq_type_hour_independence": "(type, hour) bounded contingency grain; staged-division exact cell terms (r6)",
+    "ks_doclen_source_drift": "value-grain CDF gap, cross-multiplied integer max; bounded length domain (r6)",
 }
 
 

@@ -88,6 +88,8 @@ AUDITED = {
     "table_stats_profile": "six pruned single-column scans; shuffle is each column's distinct-key partials, output 6 rows — the Expand form was 19x slower (r6)",
     "window_funnel_depth": "one user_id exchange reused by all three stage joins (co-partitioned); depth histogram is a 4-group agg (r6)",
     "order_gap_survival": "one customer exchange for the gap window, week-grain partials after, the KM fold runs on one collected array row (r6)",
+    "markov_removal_attribution": "one user exchange for the journey window; everything after runs on the 7x7 matrix row (r6)",
+    "ks_doclen_source_drift": "value-grain (v, ca, cb) partials after map-side combine; the CDF window sees the bounded length domain only (r6)",
 }
 
 
