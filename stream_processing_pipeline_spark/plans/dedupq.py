@@ -1070,3 +1070,93 @@ def dedup_cdc_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -------------------------------------------------- exact-substring dedup
+
+_ES_N = 16      # verbatim span length in tokens
+_ES_DF_CAP = 64  # drop spans present in more than this many docs (boilerplate
+                 # headers/footers at corpus scale; a no-op on the fixtures)
+
+
+@register(
+    "dedup_exact_substring_pairs",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    tok AS (SELECT doc_id, string_split(norm, ' ') AS t FROM base),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - {_ES_N - 2}),
+                            i -> {h60_sql(f"array_to_string(t[i:i+{_ES_N - 1}], ' ')")})
+               AS hs
+      FROM tok WHERE len(t) >= {_ES_N}
+    ),
+    p0 AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM g),
+    p AS (
+      SELECT doc_id, h FROM p0
+      QUALIFY count(*) OVER (PARTITION BY h) <= {_ES_DF_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_spans,
+           CAST(count(*) + {_ES_N - 1} AS BIGINT) AS min_overlap_tokens
+    FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("dedup", "exact-substring", "rolling-hash"),
+)
+def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup (the suffix-array method's scalable
+    approximation): document pairs sharing a VERBATIM run of >= 16
+    tokens, found by hashing the 16-token window at EVERY offset and
+    joining the inverted index — the method of record for removing
+    memorization-inducing verbatim overlap from training corpora. The
+    distinction from dedup_span_chunks is alignment: strided chunks miss
+    any overlap that straddles a chunk boundary, while all-offset
+    windows catch a shared span at ANY alignment (a shared run of L >=
+    16 tokens contributes exactly L-15 shared window hashes, which is
+    why n_shared_spans + 15 lower-bounds the contiguous overlap when the
+    spans are consecutive). Shape: the per-offset window hashes reuse the
+    all-offset shingle kernel (zip_with over shifted slices — no
+    re-tokenization per offset); postings are 16-byte (hash, doc) rows,
+    distinct per doc, df-capped at 64 so corpus-scale boilerplate
+    (licence headers, navigation chrome) cannot quadratically explode a
+    posting list — the same deterministic, oracle-replayable cap as the
+    banded LSH join. Text itself never joins anything."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import shingles
+
+    docs = catalog(spark, sf_dir).documents
+    toks = T.tokens(T.normalize_text("text"))
+    grams = docs.select(
+        "doc_id",
+        F.when(F.size(toks) >= _ES_N, shingles(F.col("text"), _ES_N)).alias(
+            "gs"
+        ),
+    ).filter(F.col("gs").isNotNull())
+    p0 = grams.select(
+        "doc_id", F.explode(F.transform("gs", h60)).alias("h")
+    ).distinct()
+    wdf = Window.partitionBy("h")
+    p = (
+        p0.withColumn("df_", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("df_") <= _ES_DF_CAP)
+        .drop("df_")
+    )
+    a = p.select(F.col("doc_id").alias("doc_a"), "h")
+    b = p.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    return (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_spans",
+            (F.col("n_shared_spans") + F.lit(_ES_N - 1)).alias(
+                "min_overlap_tokens"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1024,3 +1024,49 @@ def test_km_survival_monotone_and_consistent(spark):
     # every order contributes exactly one observation: a gap to the next
     # order, or (for each customer's last order) a censored tail
     assert rows[0].n_at_risk == n_orders
+
+
+def test_exact_substring_pairs_verbatim_and_alignment(spark):
+    """Exact-substring dedup cross-checks: (a) every reported pair at
+    sf0.001 really shares a verbatim 16-token window (recomputed in plain
+    Python from the raw texts), with n_shared_spans equal to the true
+    shared-window count; (b) the alignment claim — a 16-token span
+    planted at offsets that straddle the 16-token chunk grid shares ZERO
+    strided chunks but is found by the all-offset windows."""
+    from stream_processing_pipeline_spark.operators.text import (
+        normalize_text,
+    )
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_SMALL
+
+    rows = REGISTRY["dedup_exact_substring_pairs"].fn(spark, SF_SMALL).collect()
+    assert rows, "fixture's planted near-dups must surface"
+    texts = {
+        r.doc_id: r.norm
+        for r in catalog(spark, SF_SMALL)
+        .documents.select("doc_id", normalize_text("text").alias("norm"))
+        .collect()
+    }
+
+    def windows(s: str, n: int = 16) -> set:
+        t = s.split(" ")
+        return {tuple(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    for r in rows:
+        shared = windows(texts[r.doc_a]) & windows(texts[r.doc_b])
+        assert len(shared) == r.n_shared_spans, (r.doc_a, r.doc_b)
+        assert r.min_overlap_tokens == r.n_shared_spans + 15
+
+    # (b) alignment: span S planted at offset 7 in A and offset 3 in B —
+    # both misaligned to the 16-token chunk grid, differently
+    span = [f"s{i}" for i in range(16)]
+    a = [f"a{i}" for i in range(7)] + span + [f"a{i}" for i in range(7, 20)]
+    b = [f"b{i}" for i in range(3)] + span + [f"b{i}" for i in range(3, 20)]
+
+    def chunks(t, n=16):
+        return {tuple(t[i : i + n]) for i in range(0, len(t) - n + 1, n)}
+
+    assert not (chunks(a) & chunks(b))          # strided chunks: blind
+    assert tuple(span) in (windows(" ".join(a)) & windows(" ".join(b)))
