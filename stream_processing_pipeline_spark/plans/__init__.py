@@ -60,6 +60,7 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # produce a green hash row; spending gate slots on them is waste.
 _GATE_PRIORITY = [
     # -- NEW in round 6 (insert additions here, newest first)
+    "ts_sax_similar_users",
     "dedup_exact_substring_pairs",
     "ks_doclen_source_drift",
     "chisq_type_hour_independence",

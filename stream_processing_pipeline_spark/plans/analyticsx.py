@@ -2682,3 +2682,215 @@ def ks_doclen_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------ SAX time-series similarity
+
+_SAX_SEGS = 8   # PAA segments per user series
+_SAX_CARD = 4   # alphabet size (2 bits per symbol)
+_SAX_TOPK = 20
+_SAX_BUCKET_CAP = 64  # users per word entering the pair join (hot-bucket
+                      # guard: a degenerate corpus where many users share
+                      # one word would otherwise emit C(|bucket|,2) pairs;
+                      # deterministic user_id-ordered truncation, replayed
+                      # in the oracle — a no-op on the fixtures, biggest
+                      # bucket observed is 2)
+
+
+def _sax_common_sql() -> str:
+    """Shared oracle CTEs: per-(user, segment) quantized PAA values,
+    rank-based breakpoints, symbols, words, per-user PAA arrays."""
+    return f"""
+    WITH dd AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_idx, user_id
+      FROM events
+    ),
+    dspan AS (SELECT max(day_idx) + 1 AS d FROM dd),
+    w AS (SELECT (d + {_SAX_SEGS - 1}) // {_SAX_SEGS} AS w, d FROM dspan),
+    seg AS (
+      SELECT user_id, least(day_idx // w.w, {_SAX_SEGS - 1}) AS s,
+             CAST(count(*) AS BIGINT) AS n, max(w.w) AS w, max(w.d) AS d
+      FROM dd, w GROUP BY 1, 2
+    ),
+    paa0 AS (
+      SELECT user_id, s,
+             CAST(100 * n // (least((s + 1) * w, d) - s * w) AS BIGINT)
+               AS paa
+      FROM seg
+    ),
+    -- absent (user, segment) cells are zero-activity: paa = 0
+    users AS (SELECT DISTINCT user_id FROM dd),
+    grid AS (
+      SELECT u.user_id, gs.s FROM users u,
+           (SELECT unnest(range({_SAX_SEGS})) AS s) gs
+    ),
+    paa AS (
+      SELECT g.user_id, g.s, coalesce(p.paa, 0) AS paa
+      FROM grid g LEFT JOIN paa0 p
+        ON p.user_id = g.user_id AND p.s = g.s
+    ),
+    vg AS (SELECT paa AS v, CAST(count(*) AS BIGINT) AS n FROM paa GROUP BY paa),
+    cum AS (
+      SELECT v, sum(n) OVER (ORDER BY v) AS cu, sum(n) OVER () AS tot FROM vg
+    ),
+    bp AS (
+      SELECT min(CASE WHEN cu >= (tot * 1 + 3) // 4 THEN v END) AS b1,
+             min(CASE WHEN cu >= (tot * 2 + 3) // 4 THEN v END) AS b2,
+             min(CASE WHEN cu >= (tot * 3 + 3) // 4 THEN v END) AS b3
+      FROM cum
+    ),
+    sym AS (
+      SELECT user_id, s, paa,
+             CASE WHEN paa <= bp.b1 THEN 0 WHEN paa <= bp.b2 THEN 1
+                  WHEN paa <= bp.b3 THEN 2 ELSE 3 END AS sy
+      FROM paa, bp
+    ),
+    word AS (
+      SELECT user_id,
+             CAST(sum(sy * power({_SAX_CARD}, s)) AS BIGINT) AS word,
+             list_transform(list_sort(list(struct_pack(s := s, p := paa))),
+                            e -> e.p) AS pv
+      FROM sym GROUP BY user_id
+    )"""
+
+
+@register(
+    "ts_sax_similar_users",
+    oracle=f"""{_sax_common_sql()}
+    , wcap AS (
+      SELECT * FROM word
+      QUALIFY row_number() OVER (PARTITION BY word ORDER BY user_id)
+        <= {_SAX_BUCKET_CAP}
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b, a.word,
+           CAST(list_sum(list_transform(range(1, {_SAX_SEGS} + 1),
+                i -> abs(a.pv[i] - b.pv[i]))) AS BIGINT) AS l1_paa_centi
+    FROM wcap a JOIN wcap b
+      ON a.word = b.word AND a.user_id < b.user_id
+    ORDER BY l1_paa_centi, user_a, user_b
+    LIMIT {_SAX_TOPK}
+    """,
+    tags=("batch", "time-series", "sax", "similarity", "exact-arithmetic"),
+)
+def ts_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES similarity search via SAX indexing: each user's daily
+    activity series is PAA-compressed to 8 segment means (integer
+    centi-events, absent segments = 0), discretized into a 4-symbol SAX
+    word by RANK-based breakpoints (exact quartiles off the bounded
+    value-grain cumulative walk — the Gaussian breakpoints of the SAX
+    paper assume z-normalized data and need libm; rank breakpoints give
+    the same equiprobable-symbol property in exact integers), and
+    candidate pairs are generated ONLY within identical words — the SAX
+    index property that makes whole-series similarity search feasible at
+    scale: the word join touches |bucket|-bounded pairs, never all user
+    pairs (buckets themselves capped at 64 users by deterministic id
+    order — the hot-band guard, a no-op here), and word equality
+    lower-bounds series closeness. Candidates
+    rank by exact L1 distance between PAA vectors (zip of the per-user
+    8-slot arrays). Scale shape: one collapse to (user, segment) grain,
+    one bounded value-grain walk for breakpoints, and the word-blocked
+    self-join — the LSH-bucket discipline applied to time series."""
+    from pyspark.sql import Window
+
+    ev = catalog(spark, sf_dir).events
+    dd = ev.select(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day_idx"),
+        "user_id",
+    )
+    span = dd.agg(
+        (F.max("day_idx") + 1).alias("d"),
+        F.expr(f"(max(day_idx) + {_SAX_SEGS}) div {_SAX_SEGS}").alias("w"),
+    )
+    seg = (
+        dd.crossJoin(F.broadcast(span))
+        .groupBy(
+            "user_id",
+            F.expr(f"least(day_idx div w, {_SAX_SEGS - 1})").alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.max("w").alias("w"), F.max("d").alias("d"))
+    )
+    paa0 = seg.select(
+        "user_id",
+        "s",
+        F.expr("100 * n div (least((s + 1) * w, d) - s * w)").alias("paa"),
+    )
+    grid = (
+        dd.select("user_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(_SAX_SEGS).select(F.col("id").cast("long").alias("s"))
+            )
+        )
+    )
+    paa = grid.join(paa0, ["user_id", "s"], "left").select(
+        "user_id", "s", F.coalesce("paa", F.lit(0)).alias("paa")
+    )
+    vg = paa.groupBy("paa").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.orderBy("paa").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = vg.select(
+        F.col("paa").alias("v"),
+        F.sum("n").over(wc).alias("cu"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    bp = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cu") >= F.expr(f"(tot * {q} + 3) div 4"), F.col("v")
+                )
+            ).alias(f"b{q}")
+            for q in (1, 2, 3)
+        ]
+    )
+    sym = paa.crossJoin(F.broadcast(bp)).select(
+        "user_id",
+        "s",
+        "paa",
+        F.expr(
+            "CASE WHEN paa <= b1 THEN 0 WHEN paa <= b2 THEN 1"
+            " WHEN paa <= b3 THEN 2 ELSE 3 END"
+        ).alias("sy"),
+    )
+    word = sym.groupBy("user_id").agg(
+        F.expr(f"CAST(sum(sy * power({_SAX_CARD}, s)) AS BIGINT)").alias("word"),
+        F.expr(
+            "transform(array_sort(collect_list(named_struct('s', s, 'p', paa))),"
+            " e -> e.p)"
+        ).alias("pv"),
+    )
+    wcapw = Window.partitionBy("word").orderBy("user_id")
+    word = (
+        word.withColumn("rn_", F.row_number().over(wcapw))
+        .filter(F.col("rn_") <= _SAX_BUCKET_CAP)
+        .drop("rn_")
+    )
+    a = word.select(
+        F.col("user_id").alias("user_a"), "word", F.col("pv").alias("pa")
+    )
+    b = word.select(
+        F.col("user_id").alias("user_b"),
+        F.col("word").alias("wb"),
+        F.col("pv").alias("pb"),
+    )
+    return (
+        a.join(b, (F.col("word") == F.col("wb")) & (F.col("user_a") < F.col("user_b")))
+        .select(
+            "user_a",
+            "user_b",
+            "word",
+            F.aggregate(
+                F.zip_with("pa", "pb", lambda x, y: F.abs(x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("l1_paa_centi"),
+        )
+        .orderBy("l1_paa_centi", "user_a", "user_b")
+        .limit(_SAX_TOPK)
+    )
