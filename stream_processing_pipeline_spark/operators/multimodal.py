@@ -443,7 +443,10 @@ def parse_wav(payload: bytes) -> tuple[int, int, tuple[int, ...]]:
         elif tag == b"data":
             data_body = body
         off += 8 + size + (size & 1)  # chunks are padded to even offsets
-    if off != len(payload):
+    # off == len + 1 means the FINAL chunk was odd-sized with its pad byte
+    # elided at EOF — many real encoders write that; every byte is still
+    # accounted for
+    if off not in (len(payload), len(payload) + 1):
         raise ValueError("trailing garbage after last RIFF chunk")
     if fmt_body is None or data_body is None:
         raise ValueError("missing fmt/data chunk")

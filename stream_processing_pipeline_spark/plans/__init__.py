@@ -49,12 +49,15 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 #      r5 50-slot cutoff (VERDICT r5 "What's wrong" #3);
 #   4. the 9 queries whose newest external row is still r1 vintage;
 #   5. the 38 r2-vintage queries in registration order.
-# r6-continuation note: the 21 new-query slots grew the head to exactly
-# 50 through block #4 — the whole r2-vintage block (and the tail of #4
-# if more queries land) rolls to the r7 head. New queries outrank old
-# evidence by the declared contract: a never-gated query has NO external
-# row, while every displaced query keeps its r1/r2 row plus the
-# continuously-run local three-SF mirror.
+# r6-continuation note: the session's new-query block has grown the head
+# PAST 50 — everything after slot 50 (the tail of block #4 and all of
+# block #5) rolls to the r7 head. New queries outrank old evidence by
+# the declared contract: a never-gated query has NO external row, while
+# every displaced query keeps its r1/r2 row plus the continuously-run
+# local three-SF mirror. Count the prefix with
+#   python -c "from stream_processing_pipeline_spark.plans import
+#              REGISTRY; print(list(REGISTRY)[:50])"
+# rather than trusting arithmetic in this comment.
 # NOTE: hll_sketch_rollup / approx_distinct_users are deliberately OUT of
 # the prefix — they are rows-only by design (no_oracle) and can never
 # produce a green hash row; spending gate slots on them is waste.

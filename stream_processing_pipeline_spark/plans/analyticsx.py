@@ -2461,8 +2461,8 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.array_sort("m").alias("m"))
 
     removal_mat = (
-        f"concat(filter(m, e -> e.f != c), "
-        f"array(named_struct('f', c, 't', {_MK_NULL}, "
+        f"concat(filter(m, e -> e.f != ch.c), "
+        f"array(named_struct('f', ch.c, 't', {_MK_NULL}, "
         f"'p', CAST(1000000 AS BIGINT))))"
     )
     channels = ", ".join(
@@ -2480,9 +2480,7 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "base_conv_micro",
         F.expr(
             "element_at("
-            + _mk_fold_expr(removal_mat).replace("c)", "ch.c)").replace(
-                "'f', c,", "'f', ch.c,"
-            )
+            + _mk_fold_expr(removal_mat)
             + f", {_MK_CONV + 1})"
         ).alias("conv_without_micro"),
     )

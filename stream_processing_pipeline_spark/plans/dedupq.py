@@ -1125,15 +1125,20 @@ def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded LSH join. Text itself never joins anything."""
     from pyspark.sql import Window
 
-    from ..operators.dedup import shingles
+    from ..operators.dedup import shingles_of_tokens
 
     docs = catalog(spark, sf_dir).documents
-    toks = T.tokens(T.normalize_text("text"))
-    grams = docs.select(
+    # bind the normalize+tokenize subtree ONCE (the shingles_of_tokens
+    # contract): the size guard and the shingle build read the same token
+    # array instead of re-running the regex normalizer per use
+    toked = docs.select(
+        "doc_id", T.tokens(T.normalize_text("text")).alias("toks")
+    )
+    grams = toked.select(
         "doc_id",
-        F.when(F.size(toks) >= _ES_N, shingles(F.col("text"), _ES_N)).alias(
-            "gs"
-        ),
+        F.when(
+            F.size("toks") >= _ES_N, shingles_of_tokens(F.col("toks"), _ES_N)
+        ).alias("gs"),
     ).filter(F.col("gs").isNotNull())
     p0 = grams.select(
         "doc_id", F.explode(F.transform("gs", h60)).alias("h")

@@ -1130,6 +1130,7 @@ def stream_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"scd2_temporal_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_scd2_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -1137,13 +1138,16 @@ def stream_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_scd2_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(240)
+        if not query.awaitTermination(240):
+            query.stop()
+            raise TimeoutError("availableNow temporal join did not finish")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).orderBy("band")
 
 
@@ -1200,10 +1204,20 @@ def stream_ivm_retract_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    # ns-long vs TIMESTAMP_NTZ branch, same as the sibling streaming
+    # queries: a LongType ts is nanoseconds (ord by us), while an NTZ ts
+    # converts via TIMESTAMP (identity under UTC). Casting a ns-long
+    # straight to TIMESTAMP would saturate to Long.MAX and destroy the
+    # event ordering the retract contract depends on.
+    from pyspark.sql.types import LongType as _Long
+
+    if isinstance(raw_schema["ts"].dataType, _Long):
+        ord_col = F.expr("ts div 1000")
+    else:
+        ord_col = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
     narrow = stream.filter(F.col("value").isNotNull()).select(
         "user_id",
-        # TIMESTAMP_NTZ has no direct long cast; identity via TIMESTAMP under UTC
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ord_ts"),
+        ord_col.alias("ord_ts"),
         "event_id",
         F.expr("CASE WHEN event_id % 7 = 3 THEN 'D' ELSE 'U' END").alias("op"),
         cents("value").alias("c"),
@@ -1218,6 +1232,7 @@ def stream_ivm_retract_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"ivm_retract_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ivm_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -1225,13 +1240,16 @@ def stream_ivm_retract_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             deltas.writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ivm_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(240)
+        if not query.awaitTermination(240):
+            query.stop()
+            raise TimeoutError("availableNow retract stream did not finish")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.table(name)
         .groupBy("band")

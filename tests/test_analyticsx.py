@@ -816,6 +816,8 @@ def test_kcore_peeling_matches_bruteforce(spark):
     from stream_processing_pipeline_spark.plans.batch import (
         _KCORE_K,
         _KCORE_ROUNDS,
+        _TRI_BASKET_CAP,
+        _TRI_MIN_SUPPORT,
     )
     from stream_processing_pipeline_spark.plans.common import catalog
     from stream_processing_pipeline_spark.plans.registry import REGISTRY
@@ -826,10 +828,16 @@ def test_kcore_peeling_matches_bruteforce(spark):
         rows = REGISTRY["kcore_part_affinity"].fn(spark, sf).collect()
         assert [r.round for r in rows] == list(range(_KCORE_ROUNDS + 1))
 
+        from pyspark.sql import Window as _W
+
+        wb = _W.partitionBy("o").orderBy("p")
         op = (
             catalog(spark, sf).lineitem
             .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
             .distinct()
+            .withColumn("rn_", F.row_number().over(wb))
+            .filter(F.col("rn_") <= _TRI_BASKET_CAP)
+            .drop("rn_")
         )
         a = op.select("o", F.col("p").alias("x"))
         b = op.select(F.col("o").alias("o2"), F.col("p").alias("y"))
@@ -840,7 +848,7 @@ def test_kcore_peeling_matches_bruteforce(spark):
             )
             .groupBy("x", "y")
             .agg(F.count(F.lit(1)).alias("s"))
-            .filter(F.col("s") >= 2)
+            .filter(F.col("s") >= _TRI_MIN_SUPPORT)
             .collect()
         }
         adj: dict = {}

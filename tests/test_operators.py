@@ -375,6 +375,14 @@ def test_parse_wav_golden_bytes_and_poison_inputs():
         1,
         (5, -5, 300),
     )
+    # many real encoders ELIDE the pad byte of a final odd-sized chunk:
+    # declared RIFF size covers every byte, walker must accept it
+    unpadded_cue = b"cue " + struct.pack("<I", 1) + b"x"
+    assert parse_wav(riff(fmt, data, unpadded_cue)) == (
+        8000,
+        1,
+        (5, -5, 300),
+    )
 
     ulaw_fmt = chunk(b"fmt ", struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8))
     for bad in (

@@ -17,7 +17,7 @@ Then times, warm, at 1x and Nx:
 - ``stream_scd2_temporal_join``  (stream-static range join, complete agg)
 - ``bitmap_user_type_index``     (word grain: |users|/32 per type)
 - ``range_partition_plan``       (cents-grain histogram walk)
-- ``table_stats_profile``        (Expand x6 single scan)
+- ``table_stats_profile``        (union of six column-pruned scans)
 - ``kcore_part_affinity``        (shrinking per-round edge sets)
 - ``hilbert_layout_audit``       (bounded 65,536-cell grid -> ~flat)
 - ``emb_jl_distance_fidelity``   (per-row projection + bounded pair audit)
