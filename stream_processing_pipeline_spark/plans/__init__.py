@@ -63,6 +63,7 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # produce a green hash row; spending gate slots on them is waste.
 _GATE_PRIORITY = [
     # -- NEW in round 6 (insert additions here, newest first)
+    "mm_tar_member_index",
     "ts_sax_similar_users",
     "dedup_exact_substring_pairs",
     "ks_doclen_source_drift",

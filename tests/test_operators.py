@@ -434,3 +434,85 @@ def test_wav_generator_matches_pure_python_writer(spark):
             + struct.pack(f"<{n}H", *u)
         )
         assert got[i] == expected, f"doc {i}"
+
+
+def test_parse_tar_golden_and_poison_inputs():
+    """The dependency-free ustar walker against stdlib-written archives
+    and poison inputs: checksum corruption, bad magic, truncation, and a
+    missing end-of-archive marker must all raise, never mis-index."""
+    import io
+    import tarfile
+
+    import pytest as _pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_tar,
+    )
+
+    buf = io.BytesIO()
+    t = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
+    for name, data in (
+        ("7.txt", b"hello world"),
+        ("7.cls", b"en"),
+        ("big.bin", bytes(range(256)) * 3),  # 768 B -> 2 data blocks
+    ):
+        info = tarfile.TarInfo(name)
+        info.size = len(data)
+        t.addfile(info, io.BytesIO(data))
+    t.close()
+    payload = buf.getvalue()
+    members = parse_tar(payload)
+    assert [(n, s) for n, s, _ in members] == [
+        ("7.txt", 11), ("7.cls", 2), ("big.bin", 768)
+    ]
+    # offsets are header-block aligned and data round-trips
+    for name, size, off in members:
+        assert off % 512 == 0
+    _, sz, off = members[0]
+    assert payload[off : off + sz] == b"hello world"
+
+    corrupt = bytearray(payload)
+    corrupt[0] ^= 0xFF  # name byte flips -> checksum mismatch
+    with _pytest.raises(ValueError, match="checksum"):
+        parse_tar(bytes(corrupt))
+    nomagic = bytearray(payload)
+    nomagic[257] = 0x58
+    with _pytest.raises(ValueError, match="magic"):
+        parse_tar(bytes(nomagic))
+    # stdlib pads archives to 10240-byte records, so strip the WHOLE
+    # trailer (end of last member's padded data) — no end marker at all
+    _, last_sz, last_off = members[-1]
+    end = last_off + ((last_sz + 511) // 512) * 512
+    with _pytest.raises(ValueError, match="truncated|end-of-archive"):
+        parse_tar(payload[:end])
+    with _pytest.raises(ValueError):
+        parse_tar(payload[: end + 512])  # half a trailer
+
+
+def test_tar_generator_matches_stdlib_parser(spark):
+    """The JVM-expression ustar generator must produce archives the
+    STDLIB tarfile reader accepts with identical member names, sizes and
+    contents — generator and walker are independent code paths, and this
+    pins the generator against a third-party implementation."""
+    import io
+    import tarfile
+
+    from stream_processing_pipeline_spark.plans.multimodalq import (
+        _tar_payload_col,
+    )
+
+    rows = (
+        spark.createDataFrame(
+            [(3, "some text payload", "en"), (44, "x" * 600, "de")],
+            "doc_id long, text string, lang string",
+        )
+        .select("doc_id", _tar_payload_col().alias("payload"))
+        .collect()
+    )
+    for r in rows:
+        t = tarfile.open(fileobj=io.BytesIO(bytes(r.payload)))
+        members = t.getmembers()
+        assert [m.name for m in members] == [f"{r.doc_id}.txt", f"{r.doc_id}.cls"]
+        txt = t.extractfile(members[0]).read().decode()
+        cls = t.extractfile(members[1]).read().decode()
+        assert (len(txt), cls in ("en", "de")) == (members[0].size, True)
