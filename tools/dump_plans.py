@@ -97,6 +97,9 @@ HEADLINERS = {
     "stream_ivm_retract_deltas": "retract-channel stateful operator: per-key value state, emitted delta rows aggregate to the maintained view (r6)",
     "chisq_type_hour_independence": "(type, hour) bounded contingency grain; staged-division exact cell terms (r6)",
     "ks_doclen_source_drift": "value-grain CDF gap, cross-multiplied integer max; bounded length domain (r6)",
+    "dedup_exact_substring_pairs": "all-offset 16-token window hashes via the zip_with shingle kernel; df-capped posting join on 16 B rows (r6)",
+    "ts_sax_similar_users": "PAA collapse -> rank breakpoints off a bounded value walk -> SAX-word-blocked pair join, capped buckets (r6)",
+    "mm_tar_member_index": "JVM-built ustar archives (checksums in-plan) -> zero-copy mapInArrow walker; one content repartition (r6)",
 }
 
 

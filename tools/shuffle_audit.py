@@ -90,6 +90,8 @@ AUDITED = {
     "order_gap_survival": "one customer exchange for the gap window, week-grain partials after, the KM fold runs on one collected array row (r6)",
     "markov_removal_attribution": "one user exchange for the journey window; everything after runs on the 7x7 matrix row (r6)",
     "ks_doclen_source_drift": "value-grain (v, ca, cb) partials after map-side combine; the CDF window sees the bounded length domain only (r6)",
+    "dedup_exact_substring_pairs": "16 B (hash, doc) postings, distinct per doc, df-capped — text never joins; pair volume tracks true shared spans (r6)",
+    "mm_tar_member_index": "one repartition of (doc_id, text, lang) sets walker parallelism; archives never shuffle after synthesis (r6)",
 }
 
 
