@@ -537,3 +537,92 @@ def test_hilbert_sql_chain_matches_reference_walk():
     for d in range(_H_N * _H_N - 1):
         (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1  # unit-step adjacency
+
+
+# ------------------------------------------------ retract-stream telescoping
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark's GroupState: enough surface for
+    ivm_retract_update (exists / get / update / remove)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["U", "D"]), st.integers(1, 20000)),
+        min_size=0,
+        max_size=24,
+    ),
+    st.lists(st.integers(0, 24), max_size=4),  # batch-boundary cut points
+)
+def test_ivm_retract_update_telescopes_across_any_batching(ops, cuts):
+    """Retract-stream state machine property: for ANY op sequence split at
+    ANY micro-batch boundaries, the concatenated delta stream telescopes
+    to exactly the final state — per band, net key-count is 1 for the
+    final state's band (0 elsewhere) and net cents equal the final value;
+    and every prefix of the stream is itself consistent (net key count in
+    {0, 1} at all times, since one key holds at most one row)."""
+    import pandas as pd
+
+    from stream_processing_pipeline_spark.streaming.stateful import (
+        _ivm_band,
+        ivm_retract_update,
+    )
+
+    bounds = sorted({min(c, len(ops)) for c in cuts} | {0, len(ops)})
+    batches = [
+        ops[a:b] for a, b in zip(bounds, bounds[1:])
+    ] or [[]]
+
+    state = _FakeGroupState()
+    deltas = []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "ord_ts": range(len(batch)),
+                "event_id": range(len(batch)),
+                "op": [o for o, _ in batch],
+                "c": [c for _, c in batch],
+            }
+        )
+        for out in ivm_retract_update((1,), iter([pdf]), state):
+            deltas += list(zip(out["band"], out["dk"], out["dc"]))
+
+    # reference: replay the ops directly
+    cur = None
+    for o, c in ops:
+        cur = c if o == "U" else None
+
+    net_k: dict = {}
+    net_c: dict = {}
+    running = 0
+    for band, dk, dc in deltas:
+        net_k[band] = net_k.get(band, 0) + dk
+        net_c[band] = net_c.get(band, 0) + dc
+        running += dk
+        assert running in (0, 1)  # one key, at most one live row
+    live = {b: k for b, k in net_k.items() if k != 0}
+    if cur is None:
+        assert live == {} and all(v == 0 for v in net_c.values())
+        assert not state.exists
+    else:
+        assert live == {_ivm_band(cur): 1}
+        assert net_c[_ivm_band(cur)] == cur
+        assert state.exists and state.get == (cur,)
