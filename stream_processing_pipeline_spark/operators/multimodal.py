@@ -539,8 +539,14 @@ def parse_tar(payload: bytes) -> list[tuple[str, int, int]]:
 
     Validates per-header magic ('ustar'), the checksum, octal size
     parsing, block alignment, and requires the end-of-archive marker
-    (two 512-byte zero blocks). Raises ``ValueError`` on any violation —
-    an index builder must reject corrupt shards, not mis-index them."""
+    (two 512-byte zero blocks). Indexes REGULAR FILES only: pax metadata
+    ('x'/'g'), GNU longname ('L'/'K'), directory and link entries are
+    walked over (their data blocks advance the offset but emit no
+    member), and the ustar prefix field is honored for long paths. A
+    pax-renamed member surfaces under its ustar fallback name — full pax
+    path resolution is out of scope for this indexer. Raises
+    ``ValueError`` on any violation (including undecodable names) — an
+    index builder must reject corrupt shards, not mis-index them."""
     members: list[tuple[str, int, int]] = []
     off = 0
     n = len(payload)
@@ -562,9 +568,20 @@ def parse_tar(payload: bytes) -> list[tuple[str, int, int]]:
                 f"tar: checksum mismatch at offset {off}: "
                 f"stored {stored}, computed {summed}"
             )
-        name = header[:100].split(b"\0", 1)[0].decode("utf-8")
+        try:
+            name = header[:100].split(b"\0", 1)[0].decode("utf-8")
+            prefix = header[345:500].split(b"\0", 1)[0].decode("utf-8")
+        except UnicodeDecodeError as e:  # contract: ValueError on ANY violation
+            raise ValueError(f"tar: undecodable name at offset {off}: {e}")
+        if prefix:  # ustar prefix field: long paths split as prefix/name
+            name = f"{prefix}/{name}"
         size = int(header[124:135].rstrip(b"\0 ") or b"0", 8)
-        members.append((name, size, off + 512))
+        typeflag = header[156:157]
+        # index only regular files; metadata entries (pax 'x'/'g', GNU
+        # longname 'L'/'K', dirs '5', links '1'/'2', devices...) are
+        # walked over — their data blocks still advance the offset
+        if typeflag in (b"0", b"\0"):
+            members.append((name, size, off + 512))
         off += 512 + ((size + 511) // 512) * 512
 
 

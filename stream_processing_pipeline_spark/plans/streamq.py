@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, cents_sql
+from ..streaming.stateful import IVM_LOW, IVM_MID
 from ..functions.windows import flatten_window
 from .common import catalog
 from .registry import register
@@ -1167,8 +1168,8 @@ def stream_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) = 1
     ),
     state AS (SELECT user_id, c FROM last WHERE op = 'U')
-    SELECT CASE WHEN c < 2000 THEN 'low'
-                WHEN c < 10000 THEN 'mid' ELSE 'high' END AS band,
+    SELECT CASE WHEN c < {IVM_LOW} THEN 'low'
+                WHEN c < {IVM_MID} THEN 'mid' ELSE 'high' END AS band,
            CAST(count(*) AS BIGINT) AS n_keys,
            CAST(sum(c) AS BIGINT) AS total_cents
     FROM state GROUP BY 1 ORDER BY 1

@@ -56,6 +56,9 @@ __all__ = [
     "SESSION_STATE_SCHEMA",
     "session_timeout_update",
     "user_stats_transform_with_state",
+    "IVM_OUT_SCHEMA",
+    "IVM_STATE_SCHEMA",
+    "ivm_retract_update",
 ]
 
 try:  # runtime wire protocol only; the API classes themselves need no protobuf

@@ -574,7 +574,9 @@ def test_ivm_retract_state_survives_micro_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError("two-batch retract stream did not finish")
     deltas = [(r.band, r.dk, r.dc) for r in spark.table(name).collect()]
     # batch 1: +low(500), -low(500)+mid(2500); batch 2 (carried state!):
     # -mid(2500) for the delete, then +high(15000) with NO retraction

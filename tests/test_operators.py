@@ -516,3 +516,36 @@ def test_tar_generator_matches_stdlib_parser(spark):
         txt = t.extractfile(members[0]).read().decode()
         cls = t.extractfile(members[1]).read().decode()
         assert (len(txt), cls in ("en", "de")) == (members[0].size, True)
+
+
+def test_parse_tar_skips_metadata_entries_and_honors_prefix():
+    """Real-world shard shapes: a PAX_FORMAT archive's 'x' metadata
+    entries must not be indexed as members (only the regular files are),
+    and a >100-char path stored via the ustar prefix field must come back
+    joined."""
+    import io
+    import tarfile
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_tar,
+    )
+
+    buf = io.BytesIO()
+    t = tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT)
+    for name, data in (("deep/" * 25 + "p.txt", b"abc"), ("s.cls", b"en")):
+        info = tarfile.TarInfo(name)
+        info.size = len(data)
+        t.addfile(info, io.BytesIO(data))
+    t.close()
+    members = parse_tar(buf.getvalue())
+    assert [s for _, s, _ in members] == [3, 2]  # pax 'x' entries skipped
+
+    buf2 = io.BytesIO()
+    t2 = tarfile.open(fileobj=buf2, mode="w", format=tarfile.USTAR_FORMAT)
+    long_path = "a/" * 60 + "leaf.txt"  # needs the ustar prefix field
+    info = tarfile.TarInfo(long_path)
+    info.size = 1
+    t2.addfile(info, io.BytesIO(b"z"))
+    t2.close()
+    ((name, size, _),) = parse_tar(buf2.getvalue())
+    assert (name, size) == (long_path, 1)
