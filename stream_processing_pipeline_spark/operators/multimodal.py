@@ -6,13 +6,17 @@ for image/audio/video at 100 TB (payloads stay columnar-compressed in
 parquet; metadata predicates prune scans without touching bytes).
 
 The Spark-side plumbing here is real and tested: binary encoding, metadata
-derivation, fixed-size chunk/frame indexing, and an Arrow-batched
-``mapInPandas`` decode pipeline with a stable output schema. The *decoders*
-are stubs: this environment ships no image/audio libraries, so
-:func:`decode_media_batched` uses a deterministic fake decoder (dimensions
-derived from the content hash) and raises ``NotImplementedError`` if a real
-codec is requested — swap in PIL/ffmpeg by passing ``decoder=`` without
-touching the pipeline shape, batch flow, or schema.
+derivation, fixed-size chunk/frame indexing, and zero-copy Arrow-batched
+decode pipelines (``mapInArrow`` on the hot paths; the generic
+:func:`decode_media_batched` demo uses ``mapInPandas``) with stable output
+schemas. Four *real*, dependency-free codecs ship and are value-hash
+verified end-to-end: PPM/PGM (:func:`parse_pnm`), RIFF/WAV 16-bit PCM
+(:func:`parse_wav`), POSIX ustar / WebDataset shards (:func:`parse_tar`),
+and non-interlaced 8-bit PNG (:func:`parse_png`, stdlib ``zlib``). Formats
+with no in-container library (JPEG) remain honest
+``NotImplementedError`` gates inside :func:`decode_media_batched` — swap in
+PIL/ffmpeg by passing ``decoder=`` without touching the pipeline shape,
+batch flow, or schema.
 """
 
 from __future__ import annotations
@@ -442,8 +446,12 @@ def parse_wav(payload: bytes) -> tuple[int, int, tuple[int, ...]]:
         if len(body) != size:
             raise ValueError(f"chunk {tag!r} truncated: need {size} bytes")
         if tag == b"fmt ":
+            if fmt_body is not None:
+                raise ValueError("duplicate fmt chunk")
             fmt_body = body
         elif tag == b"data":
+            if data_body is not None:
+                raise ValueError("duplicate data chunk")
             data_body = body
         off += 8 + size + (size & 1)  # chunks are padded to even offsets
     # off == len + 1 means the FINAL chunk was odd-sized with its pad byte
@@ -496,8 +504,10 @@ def decode_wav_stats_arrow(
                 n.append(len(pcm))
                 s1.append(sum(pcm))
                 s2.append(sum(x * x for x in pcm))
-                lo.append(min(pcm) if pcm else 0)
-                hi.append(max(pcm) if pcm else 0)
+                # empty data chunk: NULL min/max (matches SQL list_min/
+                # list_max over an empty list; schema is nullable)
+                lo.append(min(pcm) if pcm else None)
+                hi.append(max(pcm) if pcm else None)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, pa.int64()),
@@ -542,7 +552,9 @@ def parse_tar(payload: bytes) -> list[tuple[str, int, int]]:
     (two 512-byte zero blocks). Indexes REGULAR FILES only: pax metadata
     ('x'/'g'), GNU longname ('L'/'K'), directory and link entries are
     walked over (their data blocks advance the offset but emit no
-    member), and the ustar prefix field is honored for long paths. A
+    member), and the ustar prefix field is honored for long paths.
+    Typeflag '7' (POSIX contiguous file) is indexed as a regular file,
+    matching every mainstream tar reader. A
     pax-renamed member surfaces under its ustar fallback name — full pax
     path resolution is out of scope for this indexer. Raises
     ``ValueError`` on any violation (including undecodable names) — an
@@ -577,10 +589,12 @@ def parse_tar(payload: bytes) -> list[tuple[str, int, int]]:
             name = f"{prefix}/{name}"
         size = int(header[124:135].rstrip(b"\0 ") or b"0", 8)
         typeflag = header[156:157]
-        # index only regular files; metadata entries (pax 'x'/'g', GNU
-        # longname 'L'/'K', dirs '5', links '1'/'2', devices...) are
-        # walked over — their data blocks still advance the offset
-        if typeflag in (b"0", b"\0"):
+        # index only regular files ('0', NUL, and POSIX contiguous '7',
+        # which tar readers treat as regular); metadata entries (pax
+        # 'x'/'g', GNU longname 'L'/'K', dirs '5', links '1'/'2',
+        # devices...) are walked over — their data blocks still advance
+        # the offset
+        if typeflag in (b"0", b"\0", b"7"):
             members.append((name, size, off + 512))
         off += 512 + ((size + 511) // 512) * 512
 

@@ -2634,7 +2634,13 @@ def ks_doclen_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     value v is |cumA*nB - cumB*nA| / (nA*nB), so the statistic is an
     integer max — no float CDFs anywhere; the report includes the value
     at which the maximum gap occurs (the natural threshold for a length
-    filter). Scale shape: one collapse to value grain (bounded by the
+    filter). INT64 HEADROOM (same bound as chisq_type_hour_independence):
+    ``gap * 1000000`` with gap <= na*nb overflows int64 past
+    na*nb ~ 9.2e12 (e.g. two ~3M-doc sources) — Spark non-ANSI wraps
+    silently while DuckDB errors, so past that bound switch both engines
+    to DECIMAL(38,0) (``F.col("gap").cast("decimal(38,0)")`` and
+    ``CAST(... AS DECIMAL(38,0))``) or divide by nb before scaling.
+    Scale shape: one collapse to value grain (bounded by the
     length domain), one cumulative window on that bounded table,
     broadcast 1-row sample sizes."""
     from pyspark.sql import Window

@@ -393,9 +393,14 @@ def test_parse_wav_golden_bytes_and_poison_inputs():
         riff(data),                             # no fmt chunk
         riff(ulaw_fmt, data),                   # mu-law (not 16-bit PCM)
         riff(fmt, b"data" + struct.pack("<I", 99)),  # chunk body truncated
+        riff(fmt, fmt, data),                   # duplicate fmt chunk
+        riff(fmt, data, data),                  # duplicate data chunk
     ):
         with _pytest.raises(ValueError):
             parse_wav(bad)
+
+    # zero-sample data chunk parses (stats layer emits NULL min/max)
+    assert parse_wav(riff(fmt, chunk(b"data", b""))) == (8000, 1, ())
 
 
 def test_wav_generator_matches_pure_python_writer(spark):
@@ -549,3 +554,47 @@ def test_parse_tar_skips_metadata_entries_and_honors_prefix():
     t2.close()
     ((name, size, _),) = parse_tar(buf2.getvalue())
     assert (name, size) == (long_path, 1)
+
+
+def test_parse_tar_indexes_contiguous_typeflag_7():
+    """POSIX typeflag '7' (contiguous file) is treated as a regular file
+    by every mainstream tar reader; the indexer must include it, not walk
+    over it silently (ADVICE r6)."""
+    import io
+    import tarfile
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_tar,
+    )
+
+    buf = io.BytesIO()
+    t = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
+    info = tarfile.TarInfo("cont.txt")
+    info.size = 4
+    info.type = tarfile.CONTTYPE  # b"7"
+    t.addfile(info, io.BytesIO(b"abcd"))
+    reg = tarfile.TarInfo("reg.cls")
+    reg.size = 2
+    t.addfile(reg, io.BytesIO(b"en"))
+    t.close()
+    members = parse_tar(buf.getvalue())
+    assert [(n, s) for n, s, _ in members] == [("cont.txt", 4), ("reg.cls", 2)]
+
+
+def test_wav_stats_empty_data_chunk_yields_null_minmax(spark):
+    """A zero-sample data chunk must surface NULL min/max PCM (matching
+    SQL list_min/list_max over an empty list), not a fabricated 0
+    (ADVICE r6)."""
+    import struct
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        decode_wav_stats_arrow,
+    )
+
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    empty = b"WAVE" + fmt + b"data" + struct.pack("<I", 0)
+    payload = b"RIFF" + struct.pack("<I", len(empty)) + empty
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    (row,) = decode_wav_stats_arrow(df).collect()
+    assert row.n_samples == 0
+    assert row.min_pcm is None and row.max_pcm is None
