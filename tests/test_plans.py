@@ -316,7 +316,7 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "order_gap_survival",           # broadcast 1-row dataset max date
         "dq_benford_first_digit",       # broadcast 1-row digit total
         "ks_doclen_source_drift",       # broadcast 1-row sizes + 1-row max
-        "ts_sax_similar_users",         # broadcast 1-row span + 8-row seg
+        "ts_sax_similar_users",         # broadcast 1-row span + 6-row seg
                                         # spine + 1-row breakpoints
     }
     offenders, undocumented = [], []
