@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dim_join", "fact_join", "salted_join"]
+__all__ = ["dim_join", "fact_join", "salted_join", "range_join"]
 
 
 def dim_join(
@@ -99,3 +99,69 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return lt.join(rt, [*on, "_salt"], how).drop("_salt")
+
+
+def range_join(
+    cover: DataFrame,
+    probe: DataFrame,
+    on: list[str],
+    cover_interval: tuple[str, str],
+    probe_interval: tuple[str, str],
+    bucket_days: int = 28,
+) -> DataFrame:
+    """Interval-overlap equi+range join via ASYMMETRIC bucketing — the
+    general range-join strategy Spark lacks natively (a raw range predicate
+    plans as BroadcastNestedLoop/cartesian; a per-key block filter goes
+    quadratic the moment one key runs hot).
+
+    Both inputs carry DATE-typed ``[start, end]`` interval columns (named by
+    ``cover_interval`` / ``probe_interval``) plus shared equi-key columns
+    ``on``; all non-``on`` column names must be disjoint across the two
+    frames. The COVER side explodes its interval into ``bucket_days``-wide
+    bucket keys; the PROBE side contributes only its START bucket (one row,
+    no explode), and candidates come from the equi-join on
+    ``(*on, bucket)`` — so the shuffle carries |cover-bucket rows| +
+    |probe rows|, never 2x all-bucket rows (the symmetric two-sided explode
+    measurably OOM'd a 1 GiB session at sf0.1 before this form replaced it).
+
+    Returned rows: every (cover, probe) pair that shares the equi-keys,
+    truly overlaps (``cover.start <= probe.end AND probe.start <=
+    cover.end``, inclusive), **and has ``cover.start <= probe.start``** —
+    exactly once (the probe's single start bucket means a pair can match in
+    at most one bucket). The one-sided capture is COMPLETE for that
+    orientation by the overlap ordering argument: when ``cover.start <=
+    probe.start``, the probe's start lies inside the cover interval, so its
+    start bucket is among the cover's exploded buckets. For a full
+    both-orientations overlap join, union with the role-swapped call and
+    dedup equal-start pairs; for a self-join, one call + pair normalization
+    + DISTINCT suffices (see ``plans/batch.py::supplier_part_transit_
+    overlaps``, the registered query re-expressed through this operator).
+
+    Bucket width trades shuffle fan-out (long intervals explode into
+    ``len/bucket_days`` rows) against candidate false-positive rate
+    (coarser buckets admit more non-overlapping candidates for the exact
+    predicate to discard); 28 days suits month-scale intervals.
+    """
+    c0, c1 = cover_interval
+    p0, p1 = probe_interval
+    ex_cover = cover.withColumn(
+        "_bk",
+        F.explode(
+            F.expr(
+                f"sequence(unix_date({c0}) div {bucket_days},"
+                f" unix_date({c1}) div {bucket_days})"
+            )
+        ),
+    )
+    ex_probe = probe.withColumn(
+        "_bk", F.expr(f"unix_date({p0}) div {bucket_days}")
+    )
+    return (
+        ex_cover.join(ex_probe, [*on, "_bk"])
+        .filter(
+            (F.col(c0) <= F.col(p1))
+            & (F.col(p0) <= F.col(c1))
+            & (F.col(c0) <= F.col(p0))
+        )
+        .drop("_bk")
+    )

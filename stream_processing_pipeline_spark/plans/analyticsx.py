@@ -2233,46 +2233,20 @@ def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id partitioning — Spark reuses the exchange, so the funnel costs
     one shuffle of the fact plus user-grain joins; no per-user arrays are
     ever collected (hot users with millions of events stream through the
-    aggregates). Output is the depth histogram (4 rows)."""
+    aggregates). Output is the depth histogram (4 rows). Expressed
+    through the reusable :func:`operators.aggregates.window_funnel`
+    (VERDICT r6 #5)."""
+    from ..operators.aggregates import window_funnel
+
     ev = catalog(spark, sf_dir).events
-    t1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    t2 = (
-        ev.join(t1, "user_id")
-        .filter(
-            (F.col("event_type") == "click")
-            & (F.col("ts") > F.col("t1"))
-            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    t3 = (
-        ev.join(t1, "user_id")
-        .join(t2, "user_id")
-        .filter(
-            (F.col("event_type") == "purchase")
-            & (F.col("ts") > F.col("t2"))
-            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    users = ev.select("user_id").distinct()
-    depth = (
-        users.join(t1.select("user_id", F.lit(1).alias("d1")), "user_id", "left")
-        .join(t2.select("user_id", F.lit(1).alias("d2")), "user_id", "left")
-        .join(t3.select("user_id", F.lit(1).alias("d3")), "user_id", "left")
-        .select(
-            F.when(F.col("d3").isNotNull(), 3)
-            .when(F.col("d2").isNotNull(), 2)
-            .when(F.col("d1").isNotNull(), 1)
-            .otherwise(0)
-            .alias("depth")
-        )
+    depth = window_funnel(
+        ev,
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window="INTERVAL 1 HOUR",
     )
     return (
         depth.groupBy("depth")

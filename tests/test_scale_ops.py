@@ -269,3 +269,105 @@ def test_bloom_membership_audit_no_false_negatives(spark):
     for r in rows:
         assert 0 <= r.n_exact <= r.n_maybe <= r.n_probed
         assert r.n_false_pos == r.n_maybe - r.n_exact
+
+
+# --------------------------------------------- range join & window funnel
+
+
+def test_range_join_matches_bruteforce_overlap(spark):
+    """The asymmetric bucketed interval join must return EXACTLY the
+    cross-join-filtered overlap pairs (orientation cover.start <=
+    probe.start), across bucket boundaries, multi-bucket-spanning
+    intervals, same-bucket-no-overlap false candidates, and disjoint
+    equi-keys."""
+    import datetime as dt
+
+    from stream_processing_pipeline_spark.operators.joins import range_join
+
+    d = dt.date(2024, 1, 1)
+
+    def mk(rows, a, b):
+        return spark.createDataFrame(
+            [
+                (k, i, d + dt.timedelta(days=s), d + dt.timedelta(days=e))
+                for i, (k, s, e) in enumerate(rows)
+            ],
+            f"k int, {a} int, {b[0]} date, {b[1]} date",
+        )
+
+    # intervals chosen to cross 7-day buckets, span several buckets,
+    # share a bucket without overlapping, and repeat across keys
+    cover_rows = [
+        (1, 0, 3), (1, 2, 30), (1, 10, 12), (2, 0, 1), (2, 5, 40),
+    ]
+    probe_rows = [
+        (1, 1, 2), (1, 4, 6), (1, 13, 13), (1, 31, 35), (2, 39, 45),
+        (3, 0, 9),
+    ]
+    cover = mk(cover_rows, "ca", ("c0", "c1"))
+    probe = mk(probe_rows, "pa", ("p0", "p1"))
+    got = {
+        (r.k, r.ca, r.pa)
+        for r in range_join(
+            cover, probe, ["k"], ("c0", "c1"), ("p0", "p1"), bucket_days=7
+        ).collect()
+    }
+    want = {
+        (ck, ci, pi)
+        for ci, (ck, cs, ce) in enumerate(cover_rows)
+        for pi, (pk, ps, pe) in enumerate(probe_rows)
+        if ck == pk and cs <= pe and ps <= ce and cs <= ps
+    }
+    assert got == want and want  # non-trivial fixture
+    # duplicate-free by construction (probe contributes ONE bucket)
+    joined = range_join(
+        cover, probe, ["k"], ("c0", "c1"), ("p0", "p1"), bucket_days=7
+    )
+    assert joined.count() == joined.distinct().count() == len(want)
+
+
+def test_window_funnel_depths_per_key(spark):
+    """ClickHouse windowFunnel semantics on a hand-built fixture: the
+    window anchors at the FIRST step-1 event, each step fires strictly
+    after the previous one, out-of-order prefixes don't count, and keys
+    that never fire step 1 report depth 0."""
+    import datetime as dt
+
+    from stream_processing_pipeline_spark.operators.aggregates import (
+        window_funnel,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # u1: full funnel inside the hour -> 3
+        (1, "view", at(0)), (1, "click", at(10)), (1, "purchase", at(50)),
+        # u2: purchase lands past the hour from FIRST view -> 2
+        (2, "view", at(0)), (2, "click", at(30)), (2, "purchase", at(61)),
+        # u3: click precedes the first view (out of order) -> 1
+        (3, "click", at(0)), (3, "view", at(5)),
+        # u4: no view at all -> 0
+        (4, "click", at(0)), (4, "purchase", at(1)),
+        # u5: second view would fit, but the window anchors at the FIRST
+        # view, so the click at +70min is out -> 1
+        (5, "view", at(0)), (5, "view", at(30)), (5, "click", at(70)),
+        # u6: same-timestamp click must NOT fire (strictly after) -> 1
+        (6, "view", at(0)), (6, "click", at(0)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    got = {
+        r.user_id: r.depth
+        for r in window_funnel(
+            ev,
+            steps=[
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+            ],
+            window="INTERVAL 1 HOUR",
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1, 6: 1}
