@@ -84,6 +84,21 @@ def main() -> None:
     _bloom_words = bloom_bitmap(tiny_keys, "k")
     bloom_prefilter(tiny_keys, _bloom_words, "k").count()
 
+    # PNG generator kernel: the in-plan encoder's filter/Adler folds and
+    # crc32 chunk framing compile ~9s of one-time plan+codegen (measured
+    # sf0.1 cold 10.1s vs warm 1.05s); one 4-row build-and-decode pass
+    # keeps that out of mm_png_decode_stats's in-bench attribution.
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        decode_png_stats_arrow,
+    )
+    from stream_processing_pipeline_spark.plans.multimodalq import (
+        _png_attach_payload,
+    )
+
+    decode_png_stats_arrow(
+        _png_attach_payload(spark.range(4).selectExpr("id AS doc_id"))
+    ).count()
+
     # BPE-trainer kernel: one toy merge round (pair-count -> argmax ->
     # broadcast-winner replace) compiles the zip_with/crossJoin/replace
     # codegen the 6-round trainer reuses (measured: 11.7s cold vs 2.6s

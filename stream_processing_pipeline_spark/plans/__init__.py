@@ -37,24 +37,21 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # each round records exactly the first ~50 registrations, so the gate
 # effectively checks a prefix. Registration order is therefore part of the
 # verification contract: queries whose driver-side evidence is newest-needed
-# come first. Round-6 ordering (VERDICT.md r5 "Next round" #2):
-#   1. queries NEW in round 6 (the hot-band-CAPPED LSH join — VERDICT r5
-#      #1 — and later additions at the marker);
-#   2. queries whose plans CHANGE in round 6: llm_corpus_stage_report
-#      (near-dup stage switched to the capped band join),
-#      part_affinity_triangles (basket-size cap in edge generation,
-#      VERDICT r5 #3), metric_bootstrap_ci (ADVICE r5: explicit NULLS
-#      LAST in the replicate rank window);
-#   3. the 9 rotation-fill entries declared last round that missed the
-#      r5 50-slot cutoff (VERDICT r5 "What's wrong" #3);
-#   4. the 9 queries whose newest external row is still r1 vintage;
-#   5. the 38 r2-vintage queries in registration order.
-# r6-continuation note: the session's new-query block has grown the head
-# PAST 50 — everything after slot 50 (the tail of block #4 and all of
-# block #5) rolls to the r7 head. New queries outrank old evidence by
-# the declared contract: a never-gated query has NO external row, while
-# every displaced query keeps its r1/r2 row plus the continuously-run
-# local three-SF mirror. Count the prefix with
+# come first. Round-7 ordering (VERDICT.md r6 "Next round" #1):
+#   1. queries NEW in round 7 (mm_png_decode_stats and later additions at
+#      the marker);
+#   2. queries whose plans/semantics CHANGE in round 7: ts_sax_similar_users
+#      (index retuned so fixture scale produces collision buckets, VERDICT
+#      r6 #2), mm_wav_pcm_stats + mm_tar_member_index (ADVICE r6 decode-
+#      path fixes), supplier_part_transit_overlaps + window_funnel_depth
+#      (re-expressed through the extracted library operators, VERDICT r6
+#      #5 — results hash-unchanged, plans changed);
+#   3. the ENTIRE r1/r2 evidence backlog — all 41 queries whose newest
+#      external row predates r3 (3 r1-vintage, then 38 r2-vintage in
+#      registration order). 6 + 41 = 47 <= 50, so one rotation clears the
+#      board: after the r7 gate no registered query's newest external row
+#      is older than r3 — full-board freshness for the first time.
+# Count the prefix with
 #   python -c "from stream_processing_pipeline_spark.plans import
 #              REGISTRY; print(list(REGISTRY)[:50])"
 # rather than trusting arithmetic in this comment.
@@ -62,65 +59,22 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # the prefix — they are rows-only by design (no_oracle) and can never
 # produce a green hash row; spending gate slots on them is waste.
 _GATE_PRIORITY = [
-    # -- NEW in round 6 (insert additions here, newest first)
-    "mm_tar_member_index",
-    "ts_sax_similar_users",
-    "dedup_exact_substring_pairs",
-    "ks_doclen_source_drift",
-    "chisq_type_hour_independence",
-    "stream_ivm_retract_deltas",
-    "markov_removal_attribution",
-    "dq_benford_first_digit",
-    "daily_revenue_trailing_range",
-    "window_funnel_depth",
-    "order_gap_survival",
-    "revenue_theil_sen",
-    "user_event_trigrams",
-    "pareto_frontier_parts",
-    "hilbert_layout_audit",
-    "ivm_retractable_rollup",
-    "table_stats_profile",
-    "bitmap_user_type_index",
-    "range_partition_plan",
-    "token_zipf_curve",
-    "stream_scd2_temporal_join",
-    "emb_jl_distance_fidelity",
-    "kcore_part_affinity",
-    "mm_wav_pcm_stats",
-    "stream_rate_limited_users",
-    "supplier_part_transit_overlaps",
-    "text_unigram_surprisal",
-    "sql_groupby_all_daily_mix",
-    "sim_ivf_cell_balance",
-    "lsh_cap_recall_audit",
-    "mm_ppm_decode_stats",
-    "dedup_minhash_lsh_capped",
-    # -- plans changed in round 6
-    "llm_corpus_stage_report",
-    "part_affinity_triangles",
-    "metric_bootstrap_ci",
-    # -- the 9 fill entries that missed the r5 cutoff
-    "value_rank_family",
-    "sliding_window_counts",
-    "session_windows",
-    "asof_last_click_before_purchase",
-    "stream_user_stats",
-    "dedup_exact",
-    "dedup_minhash_bands",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # -- newest external row r1 (oldest evidence on the board)
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "text_token_stats",
-    "text_lang_id",
+    # -- NEW in round 7 (insert additions here, newest first)
+    "mm_png_decode_stats",
+    # -- plans/semantics changed in round 7
+    "ts_sax_similar_users",            # retuned (6 segs, 3 symbols)
+    "mm_wav_pcm_stats",                # dup-chunk reject, NULL min/max
+    "mm_tar_member_index",             # typeflag '7' indexed
+    "supplier_part_transit_overlaps",  # re-expressed via operators.joins.range_join
+    "window_funnel_depth",             # re-expressed via operators.aggregates.window_funnel
+    # -- the FULL r1/r2 evidence backlog (VERDICT r6 #1): 41 queries whose
+    #    newest external row is r1/r2 vintage, oldest evidence first; with
+    #    the 6 entries above the prefix clears the entire backlog in one
+    #    rotation -- after r7 no registered query's newest external row is
+    #    older than r3
     "text_quality",
     "text_fingerprints",
     "quality_by_source",
-    # -- newest external row r2, registration order; the 50-slot prefix
-    #    cut falls in this block and the tail rolls into the r7 head
     "user_value_trailing_hour",
     "user_value_minmax_scaled",
     "event_props_extract",

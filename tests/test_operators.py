@@ -598,3 +598,208 @@ def test_wav_stats_empty_data_chunk_yields_null_minmax(spark):
     (row,) = decode_wav_stats_arrow(df).collect()
     assert row.n_samples == 0
     assert row.min_pcm is None and row.max_pcm is None
+
+
+def _png_chunk(t: bytes, d: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(d))
+        + t
+        + d
+        + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    )
+
+
+def _png_make(w, h, raw, filters, *, ancillary=False):
+    """Independent pure-Python PNG writer (REAL deflate via zlib.compress,
+    unlike the engine generator's stored blocks) for decoder tests."""
+    import struct
+    import zlib
+
+    ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    rb = 3 * w
+    scan = bytearray()
+    for r in range(h):
+        f = filters[r]
+        scan.append(f)
+        for j in range(rb):
+            x = raw[r * rb + j]
+            a = raw[r * rb + j - 3] if j >= 3 else 0
+            b = raw[(r - 1) * rb + j] if r >= 1 else 0
+            c = raw[(r - 1) * rb + j - 3] if (r >= 1 and j >= 3) else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = (x - a) & 255
+            elif f == 2:
+                v = (x - b) & 255
+            elif f == 3:
+                v = (x - (a + b) // 2) & 255
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (x - pred) & 255
+            scan.append(v)
+    mid = _png_chunk(b"tEXt", b"Comment\x00synthetic") if ancillary else b""
+    idat = _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+    return (
+        b"\x89PNG\r\n\x1a\n" + ihdr + mid + idat + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_parse_png_golden_and_poison_inputs():
+    """All five RFC 2083 filter types must reconstruct the raster exactly
+    (against an independent writer using REAL deflate); ancillary chunks
+    are CRC-checked and skipped; poison inputs are REJECTED, never
+    mis-read."""
+    import random
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_png,
+    )
+
+    rng = random.Random(42)
+    w, h = 4, 5
+    raw = bytes(rng.randrange(256) for _ in range(3 * w * h))
+    for filters in ([0, 1, 2, 3, 4], [4, 3, 2, 1, 0], [2, 2, 2, 2, 2]):
+        got = parse_png(_png_make(w, h, raw, filters))
+        assert got == (w, h, filters, raw)
+    # ancillary chunk between IHDR and IDAT: skipped, CRC still checked
+    assert parse_png(_png_make(w, h, raw, [0] * h, ancillary=True))[3] == raw
+
+    good = _png_make(w, h, raw, [0, 1, 2, 3, 4])
+
+    def corrupt(b: bytes, i: int) -> bytes:
+        m = bytearray(b)
+        m[i] ^= 0x01
+        return bytes(m)
+
+    ihdr_16bit = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    ihdr_rgba = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    ihdr_interlaced = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    sig = b"\x89PNG\r\n\x1a\n"
+    scan_bad_filter = bytes([5]) + raw[: 3 * w]
+    idat_bad = _png_chunk(b"IDAT", zlib.compress(scan_bad_filter * h))
+    short_scan = zlib.compress(b"\x00" + raw[: 3 * w])  # one row for h rows
+    for bad in (
+        b"",
+        b"\x89PNX" + good[4:],                       # bad signature
+        corrupt(good, 20),                            # IHDR data bit flip -> CRC
+        corrupt(good, len(good) - 5),                 # IEND CRC flip
+        good[:-12],                                   # missing IEND
+        good + b"\x00",                               # trailing garbage
+        sig + _png_chunk(b"IHDR", ihdr_16bit) + good[8 + 25:],       # 16-bit
+        sig + _png_chunk(b"IHDR", ihdr_rgba) + good[8 + 25:],        # RGBA
+        sig + _png_chunk(b"IHDR", ihdr_interlaced) + good[8 + 25:],  # Adam7
+        sig + good[8 + 25: 8 + 25] + good[8 + 25:],   # IDAT first (no IHDR)
+        sig + good[8:8 + 25] + good[8:8 + 25] + good[8 + 25:],  # dup IHDR
+        sig + good[8:8 + 25] + idat_bad + _png_chunk(b"IEND", b""),  # filter 5
+        sig + good[8:8 + 25]
+        + _png_chunk(b"IDAT", short_scan)
+        + _png_chunk(b"IEND", b""),                   # size mismatch
+        sig + good[8:8 + 25]
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (h * (1 + 3 * w)))[:8])
+        + _png_chunk(b"IEND", b""),                   # truncated deflate
+    ):
+        with _pytest.raises(ValueError):
+            parse_png(bad)
+
+    # non-contiguous IDAT runs must be rejected
+    body = zlib.compress(bytes(h * (1 + 3 * w)))
+    split = (
+        sig
+        + good[8:8 + 25]
+        + _png_chunk(b"IDAT", body[:4])
+        + _png_chunk(b"tEXt", b"k\x00v")
+        + _png_chunk(b"IDAT", body[4:])
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        parse_png(split)
+
+
+def test_png_generator_matches_pure_python_writer(spark):
+    """The JVM-expression PNG generator must emit byte-identical files to
+    an independent pure-Python writer that replicates its layout (stored
+    deflate block, filter rotation (doc_id + row) % 5, formula raster) —
+    guarding the generator half of the end-to-end decode verification."""
+    import struct
+    import zlib
+
+    from stream_processing_pipeline_spark.plans.multimodalq import (
+        _PNG_A,
+        _PNG_B,
+        _png_attach_payload,
+    )
+
+    def expected(doc_id: int) -> bytes:
+        w, h = 2 + doc_id % 5, 3 + doc_id % 4
+        rb = 3 * w
+
+        def raw(k):
+            return (doc_id * _PNG_A + k * _PNG_B) % 256
+
+        scan = bytearray()
+        for r in range(h):
+            f = (doc_id + r) % 5
+            scan.append(f)
+            for j in range(rb):
+                k = r * rb + j
+                a = raw(k - 3) if j >= 3 else 0
+                b = raw(k - rb) if r >= 1 else 0
+                c = raw(k - rb - 3) if (r >= 1 and j >= 3) else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                scan.append((raw(k) - pred) & 255)
+        n = len(scan)
+        zl = (
+            b"\x78\x01\x01"
+            + struct.pack("<HH", n, 65535 - n)
+            + bytes(scan)
+            + struct.pack(">I", zlib.adler32(bytes(scan)) & 0xFFFFFFFF)
+        )
+        ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + ihdr
+            + _png_chunk(b"IDAT", zl)
+            + _png_chunk(b"IEND", b"")
+        )
+
+    ids = [0, 1, 2, 3, 4, 7, 19, 123]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: bytes(r.payload) for r in _png_attach_payload(df).collect()
+    }
+    for i in ids:
+        assert got[i] == expected(i), f"doc {i} diverges"
+        # and the engine's own parser round-trips the generated file
+        from stream_processing_pipeline_spark.operators.multimodal import (
+            parse_png,
+        )
+
+        w, h, filters, raster = parse_png(got[i])
+        assert (w, h) == (2 + i % 5, 3 + i % 4)
+        assert filters == [(i + r) % 5 for r in range(h)]
+        assert raster == bytes(
+            (i * _PNG_A + k * _PNG_B) % 256 for k in range(3 * w * h)
+        )
