@@ -49,6 +49,8 @@ __all__ = [
     "PNG_STATS_SCHEMA",
     "parse_png",
     "decode_png_stats_arrow",
+    "PNG_QUARANTINE_SCHEMA",
+    "decode_png_quarantine_arrow",
 ]
 
 
@@ -83,6 +85,7 @@ def chunk_offsets(byte_len: Column | str, chunk_size: int = 4096, stride: int = 
 
 
 from pyspark.sql.types import (  # noqa: E402
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -834,3 +837,64 @@ def decode_png_stats_arrow(
             )
 
     return narrow.mapInArrow(batches, PNG_STATS_SCHEMA)
+
+
+PNG_QUARANTINE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ok", BooleanType()),
+        StructField("err_class", StringType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_rgb", LongType()),
+    ]
+)
+
+
+def decode_png_quarantine_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Poison-tolerant PNG decode: parse each payload with
+    :func:`parse_png`, QUARANTINE failures instead of failing the job —
+    the accounting a 100 TB ingest needs (a web crawl always contains
+    truncated/bit-rotten files, and one bad shard must not kill a
+    1000-executor stage). Emits per-document ``ok``, a coarse
+    ``err_class`` (``crc_mismatch`` / ``malformed``; NULL when ok), and
+    the decode stats for good rows (NULL when quarantined). Same
+    zero-copy ``mapInArrow`` hot path as the strict decoder — the strict
+    variant stays the right tool when corruption must halt the build."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def batches(it: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            ok, ec, np_, sm = [], [], [], []
+            for p in payloads:
+                try:
+                    w, h, _filters, raw = parse_png(bytes(p))
+                except ValueError as e:
+                    ok.append(False)
+                    ec.append(
+                        "crc_mismatch" if "CRC" in str(e) else "malformed"
+                    )
+                    np_.append(None)
+                    sm.append(None)
+                else:
+                    ok.append(True)
+                    ec.append(None)
+                    np_.append(w * h)
+                    sm.append(sum(raw))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(ok, pa.bool_()),
+                    pa.array(ec, pa.string()),
+                    pa.array(np_, pa.int64()),
+                    pa.array(sm, pa.int64()),
+                ],
+                names=[f.name for f in PNG_QUARANTINE_SCHEMA.fields],
+            )
+
+    return narrow.mapInArrow(batches, PNG_QUARANTINE_SCHEMA)

@@ -60,6 +60,9 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # produce a green hash row; spending gate slots on them is waste.
 _GATE_PRIORITY = [
     # -- NEW in round 7 (insert additions here, newest first)
+    "mm_png_corrupt_quarantine",
+    "retrieval_rrf_fusion",
+    "customer_inflight_order_overlaps",
     "mm_png_decode_stats",
     # -- plans/semantics changed in round 7
     "ts_sax_similar_users",            # retuned (6 segs, 3 symbols)

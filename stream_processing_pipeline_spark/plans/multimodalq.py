@@ -1,11 +1,14 @@
 """Multimodal-column query suite (beyond-parity).
 
-The fixtures carry no real media, so ``documents.text`` UTF-8 bytes stand in
-for payloads (operators.multimodal.attach_binary_payload): the *plumbing* —
-binary columns, typed metadata, chunk/frame indexing, Arrow-batched
-mapInPandas decode — is real and oracle-verified; only the codec is a
-deterministic stub (md5-derived dimensions), which conveniently makes even
-the decode pipeline SQL-checkable.
+The fixtures carry no real media, so payloads are synthesized two ways:
+``documents.text`` UTF-8 bytes stand in for opaque blobs in the plumbing
+queries (metadata, chunking, stub-decoder pipelines — SQL-checkable by
+construction), while the REAL-codec queries (``mm_ppm_decode_stats``,
+``mm_wav_pcm_stats``, ``mm_tar_member_index``, ``mm_png_decode_stats``,
+``mm_png_corrupt_quarantine``) build genuine binary files per document
+from JVM expressions alone and decode them with the dependency-free
+parsers in ``operators.multimodal`` — their oracles rederive every stat
+from the generative formulas without seeing a byte.
 """
 
 from __future__ import annotations
@@ -761,3 +764,63 @@ def mm_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return decode_png_stats_arrow(docs)
+
+
+_PNG_CORRUPT_MOD = 7  # docs with doc_id % 7 == 3 get one payload byte flipped
+
+
+@register(
+    "mm_png_corrupt_quarantine",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_PNG_W.replace('INT', 'INTEGER')} AS width,
+             {_PNG_H.replace('INT', 'INTEGER')} AS height,
+             doc_id % {_PNG_CORRUPT_MOD} = 3 AS corrupt
+      FROM documents
+    )
+    SELECT doc_id, NOT corrupt AS ok,
+           CASE WHEN corrupt THEN 'crc_mismatch' END AS err_class,
+           CASE WHEN NOT corrupt
+                THEN CAST(width * height AS BIGINT) END AS n_pixels,
+           CASE WHEN NOT corrupt THEN
+             CAST(list_sum(list_transform(range(0, 3 * width * height),
+               k -> (doc_id * {_PNG_A} + k * {_PNG_B}) % 256)) AS BIGINT)
+           END AS sum_rgb
+    FROM d
+    """,
+    tags=("multimodal", "decode", "png", "quarantine", "data-quality",
+          "arrow-udf", "real-codec"),
+)
+def mm_png_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISON-TOLERANT decode accounting — the error path of the PNG
+    codec, verified end-to-end: every (doc_id % 7 == 3) document's
+    payload gets ONE byte overwritten in-plan (the last byte of the IDAT
+    chunk tag, a deterministic bit-rot stand-in), and the quarantine
+    decoder must (a) classify exactly those documents as failed with
+    err_class 'crc_mismatch' — the chunk CRC32 catches the flip before
+    any inflate — and (b) still decode every untouched document to the
+    exact formula stats. A real crawl ingest runs precisely this shape:
+    decode what parses, quarantine what doesn't, never fail the stage;
+    the oracle pins WHICH documents land on each side and the full stats
+    of the survivors, so both the happy and the error path of
+    ``parse_png`` are under the value hash. Scale shape: identical to
+    mm_png_decode_stats (id-only repartition, zero-copy Arrow, payloads
+    never shuffle)."""
+    from ..operators.multimodal import decode_png_quarantine_arrow
+
+    docs = _png_attach_payload(
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    # flip the final byte of the IDAT tag ('T' -> 'U'; offsets are fixed:
+    # 8 sig + 25 IHDR + 4 len -> tag bytes 38-41, 1-based overlay pos 41)
+    corrupted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _PNG_CORRUPT_MOD == 3,
+            F.expr("overlay(payload PLACING unhex('55') FROM 41)"),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    return decode_png_quarantine_arrow(corrupted)

@@ -1513,3 +1513,108 @@ def emb_jl_distance_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------------ reciprocal-rank fusion
+
+_RRF_K0 = 60  # the standard RRF smoothing constant (Cormack et al.)
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+    WITH {int8_codes_sql_cte()},
+    br AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+             ) AS INTEGER) AS rnk
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+      QUALIFY rnk <= {_K}
+    ),
+    i8 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.codes, c.codes) DESC, c.vec_id
+             ) AS INTEGER) AS rnk
+      FROM __codes q JOIN __codes c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+      QUALIFY rnk <= {_K}
+    ),
+    u AS (
+      SELECT coalesce(br.query_id, i8.query_id) AS query_id,
+             coalesce(br.neighbor_id, i8.neighbor_id) AS neighbor_id,
+             br.rnk AS r_exact, i8.rnk AS r_int8
+      FROM br FULL OUTER JOIN i8
+        ON br.query_id = i8.query_id AND br.neighbor_id = i8.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(coalesce(1000000 // ({_RRF_K0} + r_exact), 0)
+              + coalesce(1000000 // ({_RRF_K0} + r_int8), 0) AS BIGINT)
+             AS rrf_micro,
+           CAST((CASE WHEN r_exact IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN r_int8 IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_channels,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY
+               coalesce(1000000 // ({_RRF_K0} + r_exact), 0)
+             + coalesce(1000000 // ({_RRF_K0} + r_int8), 0) DESC, neighbor_id
+           ) AS INTEGER) AS fused_rank
+    FROM u
+    QUALIFY fused_rank <= {_K}
+    ORDER BY query_id, fused_rank
+    """,
+    tags=("similarity", "retrieval", "fusion", "rank-aggregation"),
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL-RANK FUSION of two retrieval channels — the standard
+    rank-aggregation step of every hybrid retrieval stack (RRF, Cormack
+    et al. 2009: score = sum over channels of 1/(60 + rank) — robust to
+    incomparable score scales because only RANKS enter). Channels here:
+    the exact float-cosine top-10 and the int8-quantized integer-dot
+    top-10 (the two search paths a production index serves — fused, a
+    quantization-induced miss in one channel is rescued by the other).
+    Scores are exact integers (micro-units, integer division — both
+    engines truncate positives identically), so fused ranks and
+    tie-breaks are deterministic and fully value-hash-verified. Scale
+    shape: each channel is the already-audited broadcast-queries x
+    corpus scan; the fusion itself joins two (n_queries x k) frames —
+    bounded regardless of corpus size."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import topk_bruteforce, topk_int8
+
+    emb = catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    br = topk_bruteforce(emb, queries, k=_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_exact")
+    )
+    i8 = topk_int8(emb, queries, k=_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_int8")
+    )
+    u = br.join(i8, ["query_id", "neighbor_id"], "full_outer")
+    score = F.coalesce(
+        F.expr(f"1000000 div ({_RRF_K0} + r_exact)"), F.lit(0).cast("long")
+    ) + F.coalesce(
+        F.expr(f"1000000 div ({_RRF_K0} + r_int8)"), F.lit(0).cast("long")
+    )
+    chans = (
+        F.when(F.col("r_exact").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("r_int8").isNotNull(), 1).otherwise(0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), "neighbor_id"
+    )
+    return (
+        u.select(
+            "query_id",
+            "neighbor_id",
+            score.cast("long").alias("rrf_micro"),
+            chans.cast("int").alias("n_channels"),
+        )
+        .withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= _K)
+        .orderBy("query_id", "fused_rank")
+    )

@@ -1078,3 +1078,132 @@ def test_exact_substring_pairs_verbatim_and_alignment(spark):
 
     assert not (chunks(a) & chunks(b))          # strided chunks: blind
     assert tuple(span) in (windows(" ".join(a)) & windows(" ".join(b)))
+
+
+def test_customer_inflight_overlaps_match_direct_range_join(spark):
+    """The customer-grain interval report built on operators.joins.range_join
+    must equal the direct range-predicate pair join computed independently
+    in Spark (completeness + no double count across the pair normalization
+    and aggregation)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    got = {
+        (r.custkey, r.n_inflight_pairs, r.max_overlap_days)
+        for r in REGISTRY["customer_inflight_order_overlaps"]
+        .fn(spark, SF_MED).collect()
+    }
+    cat = catalog(spark, SF_MED)
+    iv = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("d1"))
+        .join(
+            cat.orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.col("o_custkey").alias("c"),
+                F.to_date("o_orderdate").alias("d0"),
+            ),
+            "l_orderkey",
+        )
+        .filter(F.col("d0") <= F.col("d1"))
+    )
+    a = iv.select("c", F.col("l_orderkey").alias("oa"),
+                  F.col("d0").alias("a0"), F.col("d1").alias("a1"))
+    b = iv.select(F.col("c").alias("cb"), F.col("l_orderkey").alias("ob"),
+                  F.col("d0").alias("b0"), F.col("d1").alias("b1"))
+    direct = (
+        a.join(
+            b,
+            (F.col("c") == F.col("cb"))
+            & (F.col("oa") < F.col("ob"))
+            & (F.col("a0") <= F.col("b1"))
+            & (F.col("b0") <= F.col("a1")),
+        )
+        .groupBy(F.col("c").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.datediff(F.least("a1", "b1"), F.greatest("a0", "b0"))
+                .cast("long") + 1
+            ).alias("mx"),
+        )
+    )
+    want = {(r.custkey, r.n, r.mx) for r in direct.collect()}
+    assert got == want and want
+
+
+def test_rrf_fusion_scores_recompute_from_channels(spark):
+    """Every fused row's score and channel count must recompute exactly
+    from the two channel rankings, and fused ranks must be dense 1..k per
+    query with the documented tie-break (score desc, neighbor_id asc)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_int8,
+    )
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["retrieval_rrf_fusion"].fn(spark, SF_MED).collect()
+    emb = catalog(spark, SF_MED).embeddings
+    queries = emb.filter(F.col("vec_id") < 5)
+    br = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in topk_bruteforce(emb, queries, k=10).collect()
+    }
+    i8 = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in topk_int8(emb, queries, k=10).collect()
+    }
+    # full fused candidate set, recomputed independently
+    fused = {}
+    for key in set(br) | set(i8):
+        s = 0
+        n = 0
+        for ch in (br, i8):
+            if key in ch:
+                s += 1000000 // (60 + ch[key])
+                n += 1
+        fused[key] = (s, n)
+    by_q = {}
+    for r in rows:
+        assert fused[(r.query_id, r.neighbor_id)] == (r.rrf_micro, r.n_channels)
+        by_q.setdefault(r.query_id, []).append(
+            (r.fused_rank, r.rrf_micro, r.neighbor_id)
+        )
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) == 10
+        # the reported top-k must BE the top-k of the recomputed candidates
+        cand = sorted(
+            ((s, -nid) for (qq, nid), (s, _n) in fused.items() if qq == q),
+            reverse=True,
+        )[: len(lst)]
+        assert [(s, -nid) for s, nid in
+                [(x[1], x[2]) for x in lst]] == [(s, n) for s, n in cand]
+
+
+def test_png_quarantine_splits_exactly_and_ok_stats_match_strict(spark):
+    """Quarantine accounting: exactly the corrupted docs (doc_id % 7 == 3)
+    fail, all as crc_mismatch; every surviving doc's stats equal the
+    STRICT decoder's output row for row."""
+    from stream_processing_pipeline_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["mm_png_corrupt_quarantine"].fn(spark, SF_MED).collect()
+    strict = {
+        r.doc_id: (r.n_pixels, r.sum_r + r.sum_g + r.sum_b)
+        for r in REGISTRY["mm_png_decode_stats"].fn(spark, SF_MED).collect()
+    }
+    assert len(rows) == len(strict)
+    for r in rows:
+        if r.doc_id % 7 == 3:
+            assert (r.ok, r.err_class, r.n_pixels, r.sum_rgb) == (
+                False, "crc_mismatch", None, None,
+            )
+        else:
+            assert r.ok and r.err_class is None
+            assert (r.n_pixels, r.sum_rgb) == strict[r.doc_id]

@@ -277,6 +277,8 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "sim_topk_bruteforce",          # broadcast query set
         "sim_topk_int8",                # broadcast query codes
         "sim_topk_pq",                  # broadcast per-query LUTs
+        "retrieval_rrf_fusion",         # broadcast query set + query codes
+                                        # (both channels' N_QUERIES sides)
         "emb_int8_quantize",            # broadcast 1-row global max
         "retrieval_quality_topk",       # broadcast query set
         "dedup_simhash_pairs",          # broadcast pigeonhole block dims
