@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dim_join", "fact_join", "salted_join", "range_join"]
+__all__ = ["dim_join", "fact_join", "salted_join", "range_join", "asof_join"]
 
 
 def dim_join(
@@ -165,3 +165,78 @@ def range_join(
         )
         .drop("_bk")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    order_by: list[str],
+    payload: list[str],
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """AS-OF join (pandas ``merge_asof`` / kdb ``aj`` semantics) as ONE
+    union + ONE analytic window — the single-shuffle form that scales.
+
+    For each ``left`` row, attach the ``payload`` columns of the LAST
+    ``right`` row at-or-before it (``direction="backward"``) or the FIRST
+    at-or-after it (``"forward"``) in ``order_by`` order within the same
+    ``on`` key group. ``allow_exact_matches`` controls whether a right
+    row tied on the FULL ``order_by`` tuple counts (pandas' parameter of
+    the same name); with a unique tie-break column in ``order_by`` (e.g.
+    an event id) ties cannot occur and the flag is moot.
+
+    Columns: both inputs carry ``on`` + ``order_by``; ``right`` also
+    carries ``payload``, whose names must not collide with ``left``'s.
+    Output = every left row + the matched payload (NULL when no right row
+    qualifies).
+
+    Why not a join: the naive form is an inequality join (cartesian per
+    key) + argmax; Spark plans that as BNLJ or a per-key sort in a
+    self-join. The union trick instead tags both sides, sorts ONCE per
+    key partition, and carries the latest payload forward with
+    ``last(struct, ignorenulls)`` — one exchange on ``on``, no
+    inequality join anywhere. The payload rides in a single struct so the
+    matched columns are ATOMIC (all from the same right row) even when
+    some payload values are NULL."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    # tag ordering decides whether an exact order_by tie on the right
+    # side sorts before (counts) or after (doesn't) the left row
+    right_first = allow_exact_matches == (direction == "backward")
+    right_tag, left_tag = (0, 1) if right_first else (1, 0)
+    rt = right.select(
+        *on,
+        *order_by,
+        F.struct(*[F.col(c) for c in payload]).alias("_asof_payload"),
+    ).withColumn("_asof_tag", F.lit(right_tag))
+    lt = left.withColumn("_asof_tag", F.lit(left_tag)).withColumn(
+        "_asof_payload",
+        F.lit(None).cast(rt.schema["_asof_payload"].dataType),
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    from pyspark.sql import Window
+
+    keys = [F.col(k) for k in on]
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*[F.col(c) for c in order_by], F.col("_asof_tag"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carried = F.last("_asof_payload", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*[F.col(c) for c in order_by], F.col("_asof_tag"))
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carried = F.first("_asof_payload", ignorenulls=True).over(w)
+    matched = u.withColumn("_asof_hit", carried).filter(
+        F.col("_asof_tag") == left_tag
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"_asof_hit.{c}").alias(c) for c in payload
+    ]
+    return matched.select(*out_cols)

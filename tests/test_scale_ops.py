@@ -371,3 +371,56 @@ def test_window_funnel_depths_per_key(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1, 6: 1}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """The union+window as-of join must equal pandas merge_asof on random
+    keyed data in all four (direction, allow_exact_matches) modes, and the
+    payload struct must stay ATOMIC (all matched columns from one right
+    row) when payload values are NULL."""
+    import numpy as np
+    import pandas as pd
+
+    from stream_processing_pipeline_spark.operators.joins import asof_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 4, 60), "t": rng.integers(0, 50, 60),
+         "lid": np.arange(60)}
+    ).sort_values("t", kind="stable").reset_index(drop=True)
+    right = pd.DataFrame(
+        {"k": rng.integers(0, 4, 40), "t": rng.integers(0, 50, 40),
+         "v": rng.integers(100, 200, 40)}
+    ).sort_values("t", kind="stable")
+    # dedupe right on (k, t): merge_asof's within-tie pick is otherwise
+    # unspecified and the comparison would be ill-posed
+    right = right.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    L, R = spark.createDataFrame(left), spark.createDataFrame(right)
+    for direction in ("backward", "forward"):
+        for exact in (True, False):
+            got = (
+                asof_join(L, R, ["k"], ["t"], ["v"], direction, exact)
+                .toPandas().sort_values("lid").reset_index(drop=True)
+            )
+            want = pd.merge_asof(
+                left.sort_values("t"), right.sort_values("t"),
+                on="t", by="k", direction=direction,
+                allow_exact_matches=exact,
+            ).sort_values("lid").reset_index(drop=True)
+            assert got["v"].astype("float64").equals(
+                want["v"].astype("float64")
+            ), (direction, exact)
+
+    # atomicity: two payload columns, one nullable — both must come from
+    # the SAME matched right row, not the last non-null of each
+    r2 = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 1], "t": [10, 20],
+             "price": [5, 7], "note": ["early", None]}
+        )
+    )
+    l2 = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [30]}))
+    (row,) = asof_join(
+        l2, r2, ["k"], ["t"], ["price", "note"]
+    ).collect()
+    assert (row.price, row.note) == (7, None)  # NOT (7, "early")
