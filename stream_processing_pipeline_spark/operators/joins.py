@@ -21,7 +21,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dim_join", "fact_join", "salted_join", "range_join", "asof_join"]
+__all__ = [
+    "dim_join",
+    "fact_join",
+    "salted_join",
+    "range_join",
+    "asof_join",
+    "interval_overlap_days",
+    "normalized_pair_cols",
+]
 
 
 def dim_join(
@@ -240,3 +248,39 @@ def asof_join(
         F.col(f"_asof_hit.{c}").alias(c) for c in payload
     ]
     return matched.select(*out_cols)
+
+
+def interval_overlap_days(
+    a0: str, a1: str, b0: str, b1: str
+) -> Column:
+    """Inclusive overlap length in days of two DATE intervals — the
+    post-:func:`range_join` measure both interval queries report:
+    ``datediff(least(ends), greatest(starts)) + 1``."""
+    return (
+        F.datediff(F.least(a1, b1), F.greatest(a0, b0)).cast("long") + 1
+    )
+
+
+def normalized_pair_cols(
+    a_first: Column, pairs: list[tuple[str, str, str]]
+) -> list[Column]:
+    """Unordered-pair normalization for :func:`range_join` self-joins.
+
+    ``pairs`` is ``[(a_col, b_col, out_stem), ...]``; each yields two
+    output columns ``{out_stem}_a`` / ``{out_stem}_b`` holding the
+    (a, b) values swapped into canonical order when ``a_first`` is
+    false. Both orientations of an equal-start pair then project to the
+    SAME row, so a trailing DISTINCT collapses the double capture — the
+    subtlety the range_join docstring documents; keeping it in one place
+    stops the operator's consumers drifting on it."""
+    out: list[Column] = []
+    for a_col, b_col, stem in pairs:
+        out.append(
+            F.when(a_first, F.col(a_col)).otherwise(F.col(b_col))
+            .alias(f"{stem}_a")
+        )
+        out.append(
+            F.when(a_first, F.col(b_col)).otherwise(F.col(a_col))
+            .alias(f"{stem}_b")
+        )
+    return out

@@ -691,6 +691,7 @@ def parse_png(payload: bytes) -> tuple[int, int, list[int], bytes]:
     off = 8
     ihdr: tuple[int, int] | None = None
     idat = bytearray()
+    seen_idat = False  # any IDAT chunk seen (zero-length counts)
     idat_done = False  # set once a non-IDAT chunk follows IDAT
     seen_iend = False
     first = True
@@ -732,9 +733,10 @@ def parse_png(payload: bytes) -> tuple[int, int, list[int], bytes]:
         elif ctype == b"IDAT":
             if idat_done:
                 raise ValueError("non-contiguous IDAT chunks")
+            seen_idat = True
             idat += data
         else:
-            if idat:
+            if seen_idat:
                 idat_done = True
             if ctype == b"IEND":
                 if length:
@@ -750,17 +752,31 @@ def parse_png(payload: bytes) -> tuple[int, int, list[int], bytes]:
         raise ValueError("trailing bytes after IEND")
     if ihdr is None:
         raise ValueError("missing IHDR")
-    if not idat:
+    if not seen_idat or not idat:
         raise ValueError("missing IDAT")
     w, h = ihdr
+    stride = 1 + 3 * w
+    expected = h * stride
+    # bounded inflate: the expected raster size is known from IHDR, so cap
+    # decompression there instead of trusting the stream — a hostile IDAT
+    # of deflated zeros otherwise inflates ~1000:1 before any size check
+    # (decompression bomb), OOM-killing the executor
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"IDAT inflate failed: {e}")
-    stride = 1 + 3 * w
-    if len(raw) != h * stride:
+    if len(raw) > expected or d.unconsumed_tail:
+        raise ValueError(f"decompressed size exceeds expected {expected}")
+    if not d.eof:
+        # stream cut off mid-member (or declares more data than expected
+        # but we stopped reading) — flush to distinguish; reject either way
+        raise ValueError("IDAT stream truncated or oversized")
+    if d.unused_data:
+        raise ValueError("trailing bytes after zlib stream in IDAT")
+    if len(raw) != expected:
         raise ValueError(
-            f"decompressed size {len(raw)} != expected {h * stride}"
+            f"decompressed size {len(raw)} != expected {expected}"
         )
     out = bytearray(3 * w * h)
     filters: list[int] = []
@@ -873,6 +889,8 @@ def decode_png_quarantine_arrow(
             ok, ec, np_, sm = [], [], [], []
             for p in payloads:
                 try:
+                    if p is None:
+                        raise ValueError("malformed: NULL payload")
                     w, h, _filters, raw = parse_png(bytes(p))
                 except ValueError as e:
                     ok.append(False)

@@ -48,9 +48,12 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 #      #5 — results hash-unchanged, plans changed);
 #   3. the ENTIRE r1/r2 evidence backlog — all 41 queries whose newest
 #      external row predates r3 (3 r1-vintage, then 38 r2-vintage in
-#      registration order). 6 + 41 = 47 <= 50, so one rotation clears the
-#      board: after the r7 gate no registered query's newest external row
-#      is older than r3 — full-board freshness for the first time.
+#      registration order). 4 new + 5 changed + 41 = EXACTLY 50, zero
+#      slack: one rotation clears the board (after the r7 gate no
+#      registered query's newest external row is older than r3), and any
+#      FURTHER r7 head insertion would silently push backlog queries out
+#      of the prefix — don't add above this line; late plan changes with
+#      fresh rows go AFTER the backlog (see slot 51 below).
 # Count the prefix with
 #   python -c "from stream_processing_pipeline_spark.plans import
 #              REGISTRY; print(list(REGISTRY)[:50])"

@@ -3805,7 +3805,10 @@ def supplier_part_transit_overlaps(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     # normalize the unordered pair to (smaller id, larger id) so the
-    # equal-start double capture collapses under DISTINCT
+    # equal-start double capture collapses under DISTINCT (shared helper:
+    # operators.joins.normalized_pair_cols)
+    from ..operators.joins import interval_overlap_days, normalized_pair_cols
+
     a_first = (F.col("okey_a") < F.col("okey_b")) | (
         (F.col("okey_a") == F.col("okey_b"))
         & (F.col("line_a") < F.col("line_b"))
@@ -3814,20 +3817,14 @@ def supplier_part_transit_overlaps(spark: SparkSession, sf_dir: str) -> DataFram
         cand.select(
             F.col("s").alias("suppkey"),
             F.col("p").alias("partkey"),
-            F.when(a_first, F.col("okey_a")).otherwise(F.col("okey_b")).alias("okey_a_"),
-            F.when(a_first, F.col("line_a")).otherwise(F.col("line_b")).alias("line_a_"),
-            F.when(a_first, F.col("okey_b")).otherwise(F.col("okey_a")).alias("okey_b_"),
-            F.when(a_first, F.col("line_b")).otherwise(F.col("line_a")).alias("line_b_"),
-            (
-                F.datediff(
-                    F.least("a1", "b1"), F.greatest("a0", "b0")
-                ).cast("long")
-                + 1
-            ).alias("overlap_days"),
+            *normalized_pair_cols(
+                a_first, [("okey_a", "okey_b", "okey"), ("line_a", "line_b", "line")]
+            ),
+            interval_overlap_days("a0", "a1", "b0", "b1").alias("overlap_days"),
         )
-        .withColumnsRenamed(
-            {"okey_a_": "okey_a", "line_a_": "line_a",
-             "okey_b_": "okey_b", "line_b_": "line_b"}
+        .select(
+            "suppkey", "partkey", "okey_a", "line_a", "okey_b", "line_b",
+            "overlap_days",
         )
         .distinct()
     )
@@ -3894,6 +3891,8 @@ def customer_inflight_order_overlaps(spark: SparkSession, sf_dir: str) -> DataFr
         "c", F.col("l_orderkey").alias("okey_b"),
         F.col("d0").alias("b0"), F.col("d1").alias("b1"),
     )
+    from ..operators.joins import interval_overlap_days, normalized_pair_cols
+
     a_first = F.col("okey_a") < F.col("okey_b")
     pairs = (
         range_join(
@@ -3904,12 +3903,8 @@ def customer_inflight_order_overlaps(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("okey_a") != F.col("okey_b"))
         .select(
             "c",
-            F.when(a_first, F.col("okey_a")).otherwise(F.col("okey_b")).alias("oa"),
-            F.when(a_first, F.col("okey_b")).otherwise(F.col("okey_a")).alias("ob"),
-            (
-                F.datediff(F.least("a1", "b1"), F.greatest("a0", "b0"))
-                .cast("long") + 1
-            ).alias("overlap_days"),
+            *normalized_pair_cols(a_first, [("okey_a", "okey_b", "o")]),
+            interval_overlap_days("a0", "a1", "b0", "b1").alias("overlap_days"),
         )
         .distinct()
     )

@@ -723,6 +723,31 @@ def test_parse_png_golden_and_poison_inputs():
     )
     with _pytest.raises(ValueError):
         parse_png(split)
+    # ... including when the FIRST IDAT run is zero-length (an empty
+    # buffer must not defeat the contiguity flag — review finding r7)
+    split_empty = (
+        sig
+        + good[8:8 + 25]
+        + _png_chunk(b"IDAT", b"")
+        + _png_chunk(b"tEXt", b"k\x00v")
+        + _png_chunk(b"IDAT", body)
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        parse_png(split_empty)
+
+    # decompression bomb: a tiny IDAT of deflated zeros whose inflated
+    # size vastly exceeds the IHDR raster must be rejected by the BOUNDED
+    # inflate, never fully expanded (review finding r7). 64 KB of zeros
+    # deflates to ~80 bytes; the raster expects only h*(1+3w) bytes.
+    bomb = (
+        sig
+        + good[8:8 + 25]
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 16)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        parse_png(bomb)
 
 
 def test_png_generator_matches_pure_python_writer(spark):
@@ -803,3 +828,18 @@ def test_png_generator_matches_pure_python_writer(spark):
         assert raster == bytes(
             (i * _PNG_A + k * _PNG_B) % 256 for k in range(3 * w * h)
         )
+
+
+def test_png_quarantine_survives_null_payload(spark):
+    """A NULL payload row must be quarantined as malformed, not raise
+    TypeError and kill the stage (review finding r7 — the operator's
+    whole contract is never failing the job on bad input)."""
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        decode_png_quarantine_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None)], "doc_id long, payload binary"
+    )
+    (row,) = decode_png_quarantine_arrow(df).collect()
+    assert (row.ok, row.err_class, row.n_pixels) == (False, "malformed", None)

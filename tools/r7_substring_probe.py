@@ -41,7 +41,7 @@ BOILER = (
 )
 
 
-def build_variants(replicas: int, plant: int) -> tuple[str, str]:
+def build_variants(replicas: int, plant: int) -> tuple[str, str, str]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
