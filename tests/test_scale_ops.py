@@ -424,3 +424,109 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         l2, r2, ["k"], ["t"], ["price", "note"]
     ).collect()
     assert (row.price, row.note) == (7, None)  # NOT (7, "early")
+
+
+def test_window_funnel_fuzz_300_scenarios_one_spark_job(spark):
+    """300 seeded-random event sequences (types, duplicate timestamps,
+    empty prefixes, out-of-order steps) evaluated in ONE Spark job — each
+    scenario is its own funnel key — against a direct Python model of the
+    ClickHouse semantics (anchor at first step-1, strictly-after
+    chaining, window from the anchor)."""
+    import random
+
+    from stream_processing_pipeline_spark.operators.aggregates import (
+        window_funnel,
+    )
+
+    rng = random.Random(1234)
+    types = ["view", "click", "purchase", "other"]
+    rows, expected = [], {}
+    for sid in range(300):
+        n = rng.randint(1, 12)
+        evs = sorted(
+            (rng.randint(0, 120), rng.choice(types)) for _ in range(n)
+        )
+        for t, ty in evs:
+            rows.append((sid, ty, t))
+        # python reference: minutes, window = 60
+        def first_at(cond, after, bound):
+            c = [t for t, ty in evs if cond(ty) and t > after and t <= bound]
+            return min(c) if c else None
+
+        t1c = [t for t, ty in evs if ty == "view"]
+        depth = 0
+        if t1c:
+            t1 = min(t1c)
+            depth = 1
+            t2 = first_at(lambda ty: ty == "click", t1, t1 + 60)
+            if t2 is not None:
+                depth = 2
+                t3 = first_at(lambda ty: ty == "purchase", t2, t1 + 60)
+                if t3 is not None:
+                    depth = 3
+        expected[sid] = depth
+
+    df = spark.createDataFrame(
+        [(sid, ty, float(t)) for sid, ty, t in rows],
+        "user_id int, event_type string, mins double",
+    ).select(
+        "user_id", "event_type",
+        F.expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,CAST(mins AS INT),0)").alias("ts"),
+    )
+    got = {
+        r.user_id: r.depth
+        for r in window_funnel(
+            df,
+            steps=[
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+            ],
+            window="INTERVAL 1 HOUR",
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_range_join_fuzz_200_scenarios_one_spark_job(spark):
+    """200 seeded-random interval sets (boundary-touching, nested,
+    disjoint, multi-bucket-spanning, same-start) through range_join in
+    ONE Spark job — scenario id rides as an extra equi-key — against the
+    brute-force overlap definition."""
+    import datetime as dt
+    import random
+
+    from stream_processing_pipeline_spark.operators.joins import range_join
+
+    rng = random.Random(77)
+    d0 = dt.date(2024, 1, 1)
+    cover_rows, probe_rows = [], []
+    want = set()
+    for sid in range(200):
+        nc, np_ = rng.randint(1, 5), rng.randint(1, 5)
+        cov = []
+        for i in range(nc):
+            s = rng.randint(0, 90)
+            cov.append((i, s, s + rng.randint(0, 45)))
+            cover_rows.append((sid, i, d0 + dt.timedelta(days=cov[-1][1]),
+                               d0 + dt.timedelta(days=cov[-1][2])))
+        for j in range(np_):
+            s = rng.randint(0, 90)
+            e = s + rng.randint(0, 45)
+            probe_rows.append((sid, j, d0 + dt.timedelta(days=s),
+                               d0 + dt.timedelta(days=e)))
+            for (i, cs, ce) in cov:
+                if cs <= e and s <= ce and cs <= s:
+                    want.add((sid, i, j))
+    cover = spark.createDataFrame(
+        cover_rows, "sid int, ca int, c0 date, c1 date"
+    )
+    probe = spark.createDataFrame(
+        probe_rows, "sid int, pa int, p0 date, p1 date"
+    )
+    out = range_join(
+        cover, probe, ["sid"], ("c0", "c1"), ("p0", "p1"), bucket_days=7
+    )
+    got = {(r.sid, r.ca, r.pa) for r in out.collect()}
+    assert got == want and len(want) > 200
+    assert out.count() == len(got)  # exactly-once capture, no dup rows
