@@ -555,3 +555,54 @@ def test_state_store_operator_metrics(spark, tmp_path):
     assert 0 <= last["numRowsUpdated"] <= 3
     rows = {r.event_type: r.n for r in spark.table("state_metrics_probe").collect()}
     assert rows == {"click": 2, "view": 1, "purchase": 1}
+
+
+def test_range_join_operator_composes_with_foreachbatch(spark, tmp_path):
+    """The library range_join works unchanged inside a foreachBatch micro-
+    batch (stream-static interval enrichment — 'which maintenance window
+    covered this event's day'): each batch of events joins a static
+    interval table on (user bucket, date bucket) with the exact overlap
+    predicate, and the union over batches equals the batch-mode result."""
+    import datetime as _dt
+
+    from stream_processing_pipeline_spark.operators.joins import range_join
+
+    # static cover: maintenance windows per user (DATE intervals)
+    windows = spark.createDataFrame(
+        [
+            (1, 100, _dt.date(2024, 1, 1), _dt.date(2024, 1, 10)),
+            (1, 101, _dt.date(2024, 2, 1), _dt.date(2024, 2, 5)),
+            (2, 200, _dt.date(2024, 1, 5), _dt.date(2024, 1, 7)),
+        ],
+        "user_id long, win_id int, w0 date, w1 date",
+    )
+    rows = [
+        _row(1, 0, user=1),                 # Jan 1 -> win 100
+        _row(2, 60 * 24 * 5, user=2),       # Jan 6 -> win 200
+        _row(3, 60 * 24 * 20, user=1),      # Jan 21 -> no window
+        _row(4, 60 * 24 * 32, user=1),      # Feb 2 -> win 101
+    ]
+    stream = _write_chunks(spark, tmp_path / "rj", [rows[:2], rows[2:]])
+    got = []
+
+    def handle(batch_df, epoch_id):
+        ev = batch_df.select(
+            "event_id", "user_id",
+            F.col("ts").cast("date").alias("d0"),
+            F.col("ts").cast("date").alias("d1"),
+        )
+        matched = range_join(
+            windows, ev, on=["user_id"],
+            cover_interval=("w0", "w1"), probe_interval=("d0", "d1"),
+            bucket_days=7,
+        )
+        got.extend((r.event_id, r.win_id) for r in matched.collect())
+
+    from stream_processing_pipeline_spark.streaming import run_available_now
+
+    run_available_now(
+        stream.withColumn("ts", F.col("ts").cast("timestamp")),
+        handle,
+        checkpoint=str(tmp_path / "ckpt_rj"),
+    )
+    assert sorted(got) == [(1, 100), (2, 200), (4, 101)]
