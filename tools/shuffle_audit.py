@@ -155,7 +155,11 @@ def main() -> None:
         "ids, partial aggregates), not raw rows, so single-digit bytes/row",
         "means the network cost stays negligible next to the scan as data",
         "grows 1000x. (Parquet input is measured in records — the vectorized",
-        "reader's byte counter is not meaningful.)",
+        "reader's byte counter is not meaningful.) Run-to-run caveat: under",
+        "memory pressure AQE can flip a borderline broadcast to a shuffle",
+        "join for one run — observed once on tpch_q21 (1.0 MB -> 10.9 MB,",
+        "next run restored); re-measure before reading such a jump as a",
+        "plan regression.",
         "",
         "| query | input rows | shuffle write | shuffle rows | shuffle B/input row | expected shuffle contents |",
         "|---|---|---|---|---|---|",
