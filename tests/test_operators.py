@@ -322,8 +322,10 @@ def test_decode_media_batched_builtin_ppm_codec(spark):
     )
     (row,) = decode_media_batched(df, codec="ppm").collect()
     assert (row.width, row.height, row.format) == (4 + 5 % 5, 3 + 5 % 4, "ppm")
+    # jpeg/png are real codecs now; formats with no in-container library
+    # still gate
     with _pytest.raises(NotImplementedError):
-        decode_media_batched(df, codec="jpeg")
+        decode_media_batched(df, codec="webp")
 
 
 def test_parse_wav_golden_bytes_and_poison_inputs():
@@ -843,3 +845,233 @@ def test_png_quarantine_survives_null_payload(spark):
     )
     (row,) = decode_png_quarantine_arrow(df).collect()
     assert (row.ok, row.err_class, row.n_pixels) == (False, "malformed", None)
+
+
+# ---------------------------------------------------------- baseline JPEG
+
+_JPEG_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_STD_DC_VALS = list(range(12))
+_JPEG_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_encode(w, h, planes, quant=None):
+    """Independent pure-Python BASELINE JPEG encoder (test twin of
+    operators.multimodal.parse_jpeg): 4:4:4, standard Annex-K Huffman
+    tables for every component, one shared quantization table."""
+    import math
+    import struct
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+    )
+
+    quant = quant or [1] * 64
+    nc = len(planes)
+
+    def build_codes(bits, vals):
+        codes, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    dc_codes = build_codes(_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS)
+    ac_codes = build_codes(_JPEG_STD_AC_BITS, _JPEG_STD_AC_VALS)
+
+    out = bytearray()
+    bitbuf, nbits = 0, 0
+
+    def put(code, length):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << length) | code
+        nbits += length
+        while nbits >= 8:
+            b = (bitbuf >> (nbits - 8)) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+            nbits -= 8
+        bitbuf &= (1 << nbits) - 1
+
+    def put_magnitude(v):
+        s = abs(v).bit_length()
+        if s:
+            put(v if v > 0 else v + (1 << s) - 1, s)
+        return s
+
+    def fdct(block):
+        o = [0.0] * 64
+        for u in range(8):
+            for v in range(8):
+                cu = math.sqrt(0.5) if u == 0 else 1.0
+                cv = math.sqrt(0.5) if v == 0 else 1.0
+                s = 0.0
+                for y in range(8):
+                    for x in range(8):
+                        s += block[y * 8 + x] * math.cos(
+                            (2 * x + 1) * u * math.pi / 16
+                        ) * math.cos((2 * y + 1) * v * math.pi / 16)
+                o[v * 8 + u] = cu * cv * s / 4
+        return o
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                plane = planes[ci]
+                block = []
+                for yy in range(8):
+                    for xx in range(8):
+                        y = min(by * 8 + yy, h - 1)   # edge replication
+                        x = min(bx * 8 + xx, w - 1)
+                        block.append(plane[y * w + x] - 128)
+                co = fdct(block)
+                q = [
+                    int(round(co[_JPEG_ZIGZAG[k]] / quant[k]))
+                    for k in range(64)
+                ]
+                diff = q[0] - pred[ci]
+                pred[ci] = q[0]
+                s = abs(diff).bit_length()
+                put(*dc_codes[s])
+                put_magnitude(diff)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if q[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    if q[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        put(*ac_codes[0xF0])  # ZRL
+                        run -= 16
+                    s = abs(q[k]).bit_length()
+                    put(*ac_codes[(run << 4) | s])
+                    put_magnitude(q[k])
+                    run = 0
+                if last_nz < 63:
+                    put(*ac_codes[0x00])  # EOB
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(quant))
+    comp_hdr = b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(nc)
+    )
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([nc]) + comp_hdr)
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_STD_AC_BITS) + bytes(_JPEG_STD_AC_VALS),
+    )
+    sos = seg(
+        0xDA,
+        bytes([nc])
+        + b"".join(bytes([cid + 1, 0x00]) for cid in range(nc))
+        + bytes([0, 63, 0]),
+    )
+    return b"\xFF\xD8" + dqt + sof + dht + sos + bytes(out) + b"\xFF\xD9"
+
+
+def test_parse_jpeg_known_answer_and_roundtrip():
+    """Constant blocks decode EXACTLY (DC-only, quant 1); random grayscale
+    and 4:4:4 color round-trip through the independent encoder twin within
+    DCT/color-conversion tolerance; poison inputs are rejected."""
+    import random
+
+    import pytest as _pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_jpeg,
+    )
+
+    # exact: constant 16x8 grayscale (two blocks, DC prediction exercised)
+    for val in (128, 170, 3, 255):
+        w0, h0, nc, raster = parse_jpeg(
+            _jpeg_encode(16, 8, [bytes([val]) * (16 * 8)])
+        )
+        assert (w0, h0, nc) == (16, 8, 1)
+        assert set(raster) == {val}
+
+    rng = random.Random(99)
+    # grayscale round-trip, non-multiple-of-8 dims (edge replication)
+    w, h = 13, 10
+    img = bytes(rng.randrange(256) for _ in range(w * h))
+    w0, h0, nc, raster = parse_jpeg(_jpeg_encode(w, h, [img]))
+    assert (w0, h0, nc) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(raster, img)) <= 2
+
+    # 4:4:4 color round-trip (encoder feeds YCbCr planes directly; the
+    # decoder applies BT.601 -> RGB, so compare against the same math)
+    yp = bytes(rng.randrange(256) for _ in range(64))
+    cb = bytes(rng.randrange(256) for _ in range(64))
+    cr = bytes(rng.randrange(256) for _ in range(64))
+    w0, h0, nc, rgb = parse_jpeg(_jpeg_encode(8, 8, [yp, cb, cr]))
+    assert (w0, h0, nc) == (8, 8, 3)
+    for i in range(64):
+        Y, Cb, Cr = yp[i], cb[i] - 128, cr[i] - 128
+        exp = (
+            Y + 1.402 * Cr,
+            Y - 0.344136 * Cb - 0.714136 * Cr,
+            Y + 1.772 * Cb,
+        )
+        for j in range(3):
+            e = min(255, max(0, round(exp[j])))
+            assert abs(rgb[3 * i + j] - e) <= 4, (i, j)
+
+    good = _jpeg_encode(8, 8, [bytes([100]) * 64])
+    sof2 = good.replace(b"\xFF\xC0", b"\xFF\xC2", 1)   # progressive
+    subsampled = bytearray(good)
+    sof_at = good.index(b"\xFF\xC0")
+    subsampled[sof_at + 12] = 0x22                     # 2x2 sampling
+    dqt16 = bytearray(good)
+    dqt_at = good.index(b"\xFF\xDB")
+    dqt16[dqt_at + 4] = 0x10                           # 16-bit quant
+    for bad in (
+        b"",
+        b"\xFF\xD9" + good[2:],                        # missing SOI
+        sof2,
+        bytes(subsampled),
+        bytes(dqt16),
+        good[:-8],                                     # truncated entropy
+        good + b"\x00",                                # trailing garbage
+    ):
+        with _pytest.raises(ValueError):
+            parse_jpeg(bad)
+
+
+def test_jpeg_codec_registered_in_decode_pipeline(spark):
+    """codec='jpeg' resolves to the real parser inside the Arrow decode
+    pipeline (the NotImplementedError gate is closed for jpeg/png)."""
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        decode_media_batched,
+    )
+
+    payload = _jpeg_encode(16, 8, [bytes([50]) * 128])
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    (row,) = decode_media_batched(df, codec="jpeg").collect()
+    assert (row.width, row.height, row.format) == (16, 8, "jpeg")
