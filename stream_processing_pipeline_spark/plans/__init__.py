@@ -119,12 +119,15 @@ _GATE_PRIORITY = [
     "tpch_q19_discounted_revenue",
     "tpch_q21_suppliers_kept_waiting",
     "tpch_q22_dormant_accounts",
-    # -- slot 51: plan changed in r7 (re-expressed via operators.joins.
-    #    asof_join, hash-unchanged at 3 SFs by the local mirror) but it
-    #    carries an r6-fresh external hash row — the 41 backlog queries
-    #    above have nothing newer than r2, so they outrank it for the 50
-    #    external slots; its re-gate rolls to the r8 head
+    # -- slot 51+: work that must NOT displace the backlog clear above.
+    #    asof_last_click: plan changed in r7 (re-expressed via operators.
+    #    joins.asof_join, hash-unchanged at 3 SFs by the local mirror) but
+    #    carries an r6-fresh external hash row. mm_jpeg_decode_stats:
+    #    registered late in r7 (after the head was frozen at exactly 50);
+    #    mirror-green at 3 SFs, external row rolls to the r8 head along
+    #    with the asof re-gate — put BOTH at the top of the r8 list.
     "asof_last_click_before_purchase",
+    "mm_jpeg_decode_stats",
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -5,10 +5,12 @@ The fixtures carry no real media, so payloads are synthesized two ways:
 queries (metadata, chunking, stub-decoder pipelines — SQL-checkable by
 construction), while the REAL-codec queries (``mm_ppm_decode_stats``,
 ``mm_wav_pcm_stats``, ``mm_tar_member_index``, ``mm_png_decode_stats``,
-``mm_png_corrupt_quarantine``) build genuine binary files per document
-from JVM expressions alone and decode them with the dependency-free
-parsers in ``operators.multimodal`` — their oracles rederive every stat
-from the generative formulas without seeing a byte.
+``mm_png_corrupt_quarantine``, ``mm_jpeg_decode_stats``) build genuine
+binary files per document in-plan (JVM expressions; the JPEG entropy
+stream comes from a precomputed 256-entry table because Huffman coding
+has no SQL expression) and decode them with the dependency-free parsers
+in ``operators.multimodal`` — their oracles rederive every stat from the
+generative formulas without seeing a byte.
 """
 
 from __future__ import annotations
@@ -824,3 +826,149 @@ def mm_png_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return decode_png_quarantine_arrow(corrupted)
+
+
+# ---------------------------------------------------- real JPEG decode
+#
+# Fifth codec, end-to-end verified on its exactly-decodable subset:
+# CONSTANT-gray baseline JPEGs. Huffman entropy coding has no SQL
+# expression, so unlike PNG the entropy stream cannot be assembled from
+# per-row expressions; instead a 256-entry table (one entropy stream per
+# possible gray value, built by the ~30-line encoder below at module
+# import) enters the plan as ONE array literal and the JVM selects each
+# document's entry by its formula value. The headers (DQT/SOF0/DHT/SOS
+# with standard Annex-K tables) are byte constants shared by every doc.
+# What the value hash then proves: parse_jpeg's full pipeline — marker
+# walk, canonical Huffman table build, bit reader with stuffing, DC
+# prediction across blocks, dequantize, IDCT, level shift — reproduces
+# the exact pixel value for all 256 possible streams, on REAL JPEG files
+# a stock viewer opens. Constant blocks are the subset where baseline
+# JPEG is lossless (DC-only, quant 1), which is what makes an exact
+# oracle possible at all; the lossy general case is covered by the
+# encoder-twin round-trip tests in tests/test_operators.py.
+
+_JPEG_W, _JPEG_H = 16, 8  # two horizontal blocks: exercises DC prediction
+# per-doc gray value; doc_id >= 0 so plain % (DuckDB) == pmod (Spark)
+_JPEG_VAL = "((doc_id * 7 + 13) % 256)"
+
+
+def _jpeg_fixture_tables() -> tuple[str, list[str]]:
+    """(header_hex, [entropy_hex per gray value 0..255]) for the constant
+    16x8 grayscale fixture. The entropy encoder here is deliberately
+    minimal — DC category/magnitude + EOB per block, second block diff=0
+    — and INDEPENDENT of the decoder under test."""
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(dc_bits[length - 1]):
+            codes[k] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    # standard AC luma table's EOB (value 0x00) is code '1010' (4 bits)
+    eob = ("1010", 4)
+
+    def entropy(v: int) -> str:
+        diff = 8 * (v - 128)  # exact DC of a constant block, quant 1
+        s = abs(diff).bit_length()
+        c, ln = codes[s]
+        bits = format(c, f"0{ln}b")
+        if s:
+            mag = diff if diff > 0 else diff + (1 << s) - 1
+            bits += format(mag, f"0{s}b")
+        bits += eob[0]                    # EOB block 1
+        c0, l0 = codes[0]
+        bits += format(c0, f"0{l0}b") + eob[0]  # block 2: diff 0 + EOB
+        bits += "1" * (-len(bits) % 8)    # pad to byte with 1s
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = int(bits[i : i + 8], 2)
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)          # byte stuffing
+        return out.hex()
+
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    ac_bits = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    ac_vals = bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ])
+    dc_vals = bytes(range(12))
+    header = (
+        b"\xFF\xD8"
+        + seg(0xDB, bytes([0]) + bytes([1]) * 64)
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", _JPEG_H, _JPEG_W)
+              + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals
+              + bytes([0x10]) + bytes(ac_bits) + ac_vals)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+    return header.hex(), [entropy(v) for v in range(256)]
+
+
+_JPEG_HEADER_HEX, _JPEG_LUT = _jpeg_fixture_tables()
+
+
+@register(
+    "mm_jpeg_decode_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_JPEG_W} AS INTEGER) AS width,
+           CAST({_JPEG_H} AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_components,
+           CAST({_JPEG_VAL} AS INTEGER) AS min_px,
+           CAST({_JPEG_VAL} AS INTEGER) AS max_px,
+           CAST({_JPEG_W} * {_JPEG_H} * ({_JPEG_VAL}) AS BIGINT) AS sum_px
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "jpeg", "image", "arrow-udf", "real-codec"),
+)
+def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END verified JPEG decode on the exactly-decodable subset:
+    each document gets a REAL baseline JPEG (constant 16x8 gray, value
+    (doc_id*7+13)%256; headers with standard Annex-K tables as byte
+    constants, the per-value Huffman entropy stream selected from a
+    256-entry precomputed array literal — entropy coding is not
+    SQL-expressible, which is exactly why PNG got the fully in-plan
+    generator and JPEG gets the table), decoded by the dependency-free
+    ``parse_jpeg`` inside a zero-copy ``mapInArrow`` stage. Constant
+    DC-only blocks under a unit quant table are the lossless subset of
+    baseline JPEG, so the oracle pins EXACT min/max/sum pixel stats from
+    the value formula — a Huffman-table, bit-reader, DC-prediction,
+    dequantize or IDCT bug in any of the 256 streams is a hard error or
+    a value-hash mismatch. The lossy general case is covered by
+    encoder-twin round-trip tests. Scale shape: identical to the other
+    codec queries (id-only repartition, payloads never shuffle)."""
+    from ..operators.multimodal import decode_jpeg_stats_arrow
+
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                f"unhex(concat('{_JPEG_HEADER_HEX}', "
+                f"element_at(array({', '.join(repr(e) for e in _JPEG_LUT)}), "
+                f"CAST({_JPEG_VAL} AS INT) + 1), 'ffd9'))"
+            ).alias("payload"),
+        )
+    )
+    return decode_jpeg_stats_arrow(docs)

@@ -25,12 +25,15 @@ def test_gate_priority_is_registry_prefix():
 
 
 #: Queries registered past the current gate prefix without a prior driver
-#: row. Round 5 rotated the entire r4 late batch (9 queries) plus the one
-#: r5 addition (bpe_encode_fertility) INTO the prefix head, so nothing is
-#: deferred this round — the set stays as the documented mechanism for any
-#: future late-round registration (each entry must name its verified
-#: in-prefix sibling).
-deferred_past_prefix: set[str] = set()
+#: row (each entry must name its verified in-prefix sibling). Round 7
+#: froze the prefix at exactly 50 (9 new/changed + the FULL 41-query
+#: r1/r2 evidence backlog — displacing any backlog entry would break the
+#: board-clearing rotation), so the one post-freeze registration defers:
+#: - mm_jpeg_decode_stats: same generator/mapInArrow/decode pattern as
+#:   its in-prefix sibling mm_png_decode_stats; mirror-verified MATCH at
+#:   sf0.001/0.01/0.1 this round; first in the declared r8 gate head
+#:   (plans/__init__.py slot 52 comment).
+deferred_past_prefix: set[str] = {"mm_jpeg_decode_stats"}
 
 
 def test_queries_past_gate_prefix_have_prior_driver_rows():

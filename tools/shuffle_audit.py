@@ -81,6 +81,7 @@ AUDITED = {
     "customer_inflight_order_overlaps": "order-grain intervals (one lineitem max-reduce) explode to ~span/28 bucket rows on (custkey, bucket); the probe side is 1 row per order and the report re-aggregates compact pair keys (r7)",
     "retrieval_rrf_fusion": "corpus scans never shuffle (both channels broadcast the query side); the only exchanges are two (n_queries x k) rank frames into the full-outer fusion (r7)",
     "mm_png_decode_stats": "ZERO shuffle after the id-only parallelism repartition: generate, inflate, unfilter, and reduce within one scan stage (r7)",
+    "mm_jpeg_decode_stats": "ZERO shuffle after the id-only parallelism repartition: header + LUT-selected entropy bytes assemble and decode within one scan stage (r7)",
     "stream_rate_limited_users": "stateful stream: one (user_id, ts_us, event_id) exchange into the GroupState op; state is (win, count, totals) per live key, emissions 1 row/key/batch (r6)",
     "mm_wav_pcm_stats": "payload bytes never shuffle: generation+decode+stats inside one scan stage; the only exchange is the 8-byte id repartition that sets decode parallelism (r6)",
     "kcore_part_affinity": "per-round shuffles carry (node, degree) pairs and shrinking 16 B edges — round cost tracks the SURVIVING edge set, monotonically down (r6)",
