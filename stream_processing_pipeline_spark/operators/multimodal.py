@@ -1093,7 +1093,14 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         pos += 2
         if marker == 0xD8:
             raise ValueError("jpeg: duplicate SOI")
+        if marker == 0xD9 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (EOI / TEM / RSTn) carry no length field;
+            # none is legal before SOS in baseline — reject rather than
+            # misparse the following bytes as a segment length
+            raise ValueError(f"jpeg: unexpected marker 0xFF{marker:02X}")
         (seglen,) = (int.from_bytes(payload[pos : pos + 2], "big"),)
+        if seglen < 2:
+            raise ValueError("jpeg: bad segment length")
         body = payload[pos + 2 : pos + seglen]
         if len(body) != seglen - 2:
             raise ValueError("jpeg: truncated segment")
@@ -1111,6 +1118,8 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("jpeg: short Huffman table header")
                 tc, th = body[i] >> 4, body[i] & 0xF
                 counts = list(body[i + 1 : i + 17])
                 nv = sum(counts)
@@ -1120,6 +1129,10 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 huff[(tc, th)] = _jpeg_build_huffman(counts, values)
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
+            if frame is not None:
+                raise ValueError("jpeg: duplicate SOF")
+            if len(body) < 6:
+                raise ValueError("jpeg: short SOF segment")
             prec, h, w, nc = body[0], int.from_bytes(body[1:3], "big"), \
                 int.from_bytes(body[3:5], "big"), body[5]
             if prec != 8:
@@ -1128,6 +1141,8 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"jpeg: {nc} components unsupported")
             if w < 1 or h < 1:
                 raise ValueError("jpeg: zero dimension")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("jpeg: short SOF component list")
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci], body[7 + 3 * ci], body[8 + 3 * ci]
@@ -1143,15 +1158,19 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 f"jpeg: SOF{marker - 0xC0} (non-baseline mode) unsupported"
             )
         elif marker == 0xDD:  # DRI
-            if int.from_bytes(body[:2], "big") != 0:
+            if len(body) < 2 or int.from_bytes(body[:2], "big") != 0:
                 raise ValueError("jpeg: restart intervals unsupported")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if len(body) < 1:
+                raise ValueError("jpeg: short SOS segment")
             ns = body[0]
             h, w, comps = frame
             if ns != len(comps):
                 raise ValueError("jpeg: non-interleaved scans unsupported")
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("jpeg: short SOS component list")
             scan = []  # (tq, dc_table, ac_table)
             for si in range(ns):
                 cs, tables = body[1 + 2 * si], body[2 + 2 * si]
@@ -1192,7 +1211,9 @@ def _jpeg_decode_scan(
                     rr, ss = rs >> 4, rs & 0xF
                     if ss == 0:
                         if rr == 15:
-                            k += 16  # ZRL
+                            k += 16  # ZRL: sixteen zeros, more must follow
+                            if k > 63:
+                                raise ValueError("jpeg: ZRL past block end")
                             continue
                         break  # EOB
                     k += rr
@@ -1210,9 +1231,10 @@ def _jpeg_decode_scan(
                     for xx in range(8):
                         v = int(round(px[yy * 8 + xx] + 128))
                         plane[base + xx] = 0 if v < 0 else (255 if v > 255 else v)
-    # scan must end at a marker boundary: skip pad bits, expect EOI
+    # the bit reader consumed whole bytes (its final partial byte is the
+    # pad); the very next byte must open the EOI marker
     tail = r.pos
-    while tail < len(payload) and payload[tail] != 0xFF:
+    if tail < len(payload) and payload[tail] != 0xFF:
         raise ValueError("jpeg: garbage after entropy data")
     if payload[tail : tail + 2] != b"\xFF\xD9":
         raise ValueError("jpeg: missing EOI")

@@ -877,9 +877,15 @@ def _jpeg_encode(w, h, planes, quant=None):
     import math
     import struct
 
-    from stream_processing_pipeline_spark.operators.multimodal import (
-        _JPEG_ZIGZAG,
-    )
+    # the standard zigzag order, INLINED rather than imported from the
+    # decoder under test: a corrupted shared table would otherwise
+    # round-trip losslessly (any bijection does) and no test would notice
+    zigzag = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
 
     quant = quant or [1] * 64
     nc = len(planes)
@@ -947,7 +953,7 @@ def _jpeg_encode(w, h, planes, quant=None):
                         block.append(plane[y * w + x] - 128)
                 co = fdct(block)
                 q = [
-                    int(round(co[_JPEG_ZIGZAG[k]] / quant[k]))
+                    int(round(co[zigzag[k]] / quant[k]))
                     for k in range(64)
                 ]
                 diff = q[0] - pred[ci]
@@ -1075,3 +1081,49 @@ def test_jpeg_codec_registered_in_decode_pipeline(spark):
     )
     (row,) = decode_media_batched(df, codec="jpeg").collect()
     assert (row.width, row.height, row.format) == (16, 8, "jpeg")
+
+
+def test_parse_jpeg_structural_poison_inputs():
+    """Review-found reject gaps: short DHT/SOF/SOS bodies must raise
+    ValueError (not IndexError), duplicate SOF rejects, empty DRI
+    rejects, standalone markers before SOS reject, and a ZRL running
+    past the block end rejects instead of silently acting as EOB."""
+    import struct
+
+    import pytest as _pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_jpeg,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    good = _jpeg_encode(8, 8, [bytes([100]) * 64])
+    sof_at = good.index(b"\xFF\xC0")
+    sof_seg = good[sof_at:sof_at + 2 + 11]  # marker + len(2) + 9-byte body
+    dup_sof = good[:sof_at] + sof_seg + good[sof_at:]
+    for bad in (
+        b"\xFF\xD8" + seg(0xC4, bytes(10)) + good[2:],        # short DHT
+        b"\xFF\xD8" + seg(0xC0, bytes(2)) + good[2:],         # short SOF
+        b"\xFF\xD8" + seg(0xC0, bytes([8, 0, 8, 0, 8, 3])) + good[2:],
+        dup_sof,                                              # duplicate SOF
+        good[:2] + seg(0xDD, b"") + good[2:],                 # empty DRI
+        good[:2] + b"\xFF\xD0" + good[2:],                    # RST0 pre-SOS
+        good[:2] + b"\xFF\x01" + good[2:],                    # TEM pre-SOS
+    ):
+        with _pytest.raises(ValueError):
+            parse_jpeg(bad)
+
+    # ZRL past block end: craft entropy data 'DC cat0, ZRL at k=49' so
+    # k jumps 49 -> 65 > 63. Standard tables: DC cat0 = '00' (2 bits),
+    # AC (15,0) ZRL = '11111111001' (11 bits), AC (0,1) = '00' + 1 mag bit.
+    bits = "00"                      # DC diff 0
+    bits += ("00" + "1") * 16        # 16x AC(0,1) value +1 -> k reaches 48
+    bits += "11111111001"            # ZRL -> k 49+16 = 65: must reject
+    bits += "1" * (-len(bits) % 8)
+    data = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    sos_at = good.index(b"\xFF\xDA")
+    zrl_bad = good[:sos_at + 2 + 2 + 6] + data + b"\xFF\xD9"
+    with _pytest.raises(ValueError):
+        parse_jpeg(zrl_bad)
