@@ -34,100 +34,95 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 
 # --------------------------------------------------------------- gate order
 # The external correctness gate evaluates queries in registration order and
-# each round records exactly the first ~50 registrations, so the gate
+# each round records exactly the first 50 registrations, so the gate
 # effectively checks a prefix. Registration order is therefore part of the
 # verification contract: queries whose driver-side evidence is newest-needed
-# come first. Round-7 ordering (VERDICT.md r6 "Next round" #1):
-#   1. queries NEW in round 7 (mm_png_decode_stats and later additions at
-#      the marker);
-#   2. queries whose plans/semantics CHANGE in round 7: ts_sax_similar_users
-#      (index retuned so fixture scale produces collision buckets, VERDICT
-#      r6 #2), mm_wav_pcm_stats + mm_tar_member_index (ADVICE r6 decode-
-#      path fixes), supplier_part_transit_overlaps + window_funnel_depth
-#      (re-expressed through the extracted library operators, VERDICT r6
-#      #5 — results hash-unchanged, plans changed);
-#   3. the ENTIRE r1/r2 evidence backlog — all 41 queries whose newest
-#      external row predates r3 (3 r1-vintage, then 38 r2-vintage in
-#      registration order). 4 new + 5 changed + 41 = EXACTLY 50, zero
-#      slack: one rotation clears the board (after the r7 gate no
-#      registered query's newest external row is older than r3), and any
-#      FURTHER r7 head insertion would silently push backlog queries out
-#      of the prefix — don't add above this line; late plan changes with
-#      fresh rows go AFTER the backlog (see slot 51 below).
+# come first. Round-8 ordering (VERDICT.md r7 "Next round" #1, executed to
+# the slot):
+#   1. the two queries the r7 judge pinned as the mandatory r8 head:
+#      asof_last_click_before_purchase (plan re-expressed via operators.
+#      joins.asof_join in r7 -- re-gate on the new plan) and
+#      mm_jpeg_decode_stats (registered after the r7 head froze -- first
+#      external row ever);
+#   2. 48 of the 49 oracle-bearing queries whose newest external row is
+#      r3-vintage, oldest evidence first (registration order within the
+#      equal-vintage set). 2 + 48 = EXACTLY 50, zero slack. The one
+#      r3-vintage query that does not fit, user_value_minmax_pandas, is
+#      deferred to slot 51 (see below): its Arrow twin
+#      user_value_minmax_arrow -- same query semantics, different UDF
+#      transport -- IS in the head, and the pandas variant stays
+#      mirror-verified at 3 SFs every commit. It is the first entry of
+#      the r9 gate head. After the r8 gate, every registered query's
+#      newest external row is r4+ except that one documented slot-51
+#      deferral and the two never-gated no_oracle sketch queries.
 # Count the prefix with
 #   python -c "from stream_processing_pipeline_spark.plans import
 #              REGISTRY; print(list(REGISTRY)[:50])"
 # rather than trusting arithmetic in this comment.
 # NOTE: hll_sketch_rollup / approx_distinct_users are deliberately OUT of
-# the prefix — they are rows-only by design (no_oracle) and can never
+# the prefix -- they are rows-only by design (no_oracle) and can never
 # produce a green hash row; spending gate slots on them is waste.
 _GATE_PRIORITY = [
-    # -- NEW in round 7 (insert additions here, newest first)
-    "mm_png_corrupt_quarantine",
-    "retrieval_rrf_fusion",
-    "customer_inflight_order_overlaps",
-    "mm_png_decode_stats",
-    # -- plans/semantics changed in round 7
-    "ts_sax_similar_users",            # retuned (6 segs, 3 symbols)
-    "mm_wav_pcm_stats",                # dup-chunk reject, NULL min/max
-    "mm_tar_member_index",             # typeflag '7' indexed
-    "supplier_part_transit_overlaps",  # re-expressed via operators.joins.range_join
-    "window_funnel_depth",             # re-expressed via operators.aggregates.window_funnel
-    # -- the FULL r1/r2 evidence backlog (VERDICT r6 #1): 41 queries whose
-    #    newest external row is r1/r2 vintage, oldest evidence first; with
-    #    the 6 entries above the prefix clears the entire backlog in one
-    #    rotation -- after r7 no registered query's newest external row is
-    #    older than r3
-    "text_quality",
-    "text_fingerprints",
-    "quality_by_source",
-    "user_value_trailing_hour",
-    "user_value_minmax_scaled",
-    "event_props_extract",
-    "dedup_embedding_cosine_lsh",
-    "dedup_incremental",
-    "dedup_keep_best_quality",
-    "text_bpe_token_stats",
-    "top_tokens",
-    "token_stats_by_lang",
-    "corpus_train_test_split",
-    "mixture_downsample",
-    "corpus_clean_train_sample",
-    "stratified_sample_exact",
-    "text_repetition_stats",
-    "contamination_bench_overlap",
-    "sim_topk_bruteforce",
-    "sim_lsh_buckets",
-    "sim_topk_lsh",
-    "sim_topk_lsh_multiprobe",
-    "sim_label_centroid_norms",
-    "sim_ivf_static_assignments",
-    "sim_topk_ivf_static",
-    "emb_int8_quantize",
-    "sim_topk_int8",
-    "retrieval_quality_topk",
-    "sim_pq_codes",
-    "sim_topk_pq",
-    "mm_metadata",
-    "mm_frame_offsets",
-    "mm_decode",
-    "mm_resize",
-    "tpch_q10_returned_items",
-    "tpch_q12_late_shipments",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q22_dormant_accounts",
-    # -- slot 51+: work that must NOT displace the backlog clear above.
-    #    asof_last_click: plan changed in r7 (re-expressed via operators.
-    #    joins.asof_join, hash-unchanged at 3 SFs by the local mirror) but
-    #    carries an r6-fresh external hash row. mm_jpeg_decode_stats:
-    #    registered late in r7 (after the head was frozen at exactly 50);
-    #    mirror-green at 3 SFs, external row rolls to the r8 head along
-    #    with the asof re-gate — put BOTH at the top of the r8 list.
+    # -- the judge-pinned r8 head (VERDICT r7 #1): do not displace
     "asof_last_click_before_purchase",
     "mm_jpeg_decode_stats",
+    # -- the r3-vintage evidence backlog, oldest first (48 of 49; the
+    #    49th is the slot-51 deferral documented above)
+    "recent_errors_before_purchase",
+    "user_value_minmax_arrow",
+    "user_funnel",
+    "rollup_incremental_merge",
+    "scd2_user_value_bands",
+    "user_retention_cohorts",
+    "hourly_purchases_gapfill",
+    "event_props_variant",
+    "sql_recursive_click_streak",
+    "value_outliers_exact",
+    "user_value_ewma",
+    "value_mad_outliers",
+    "scd2_point_in_time_join",
+    "user_value_trend",
+    "trailing_week_active_users",
+    "asof_cogrouped_pandas",
+    "stream_click_purchase_join",
+    "stream_click_purchase_outer",
+    "stream_dedup_events",
+    "stream_session_windows",
+    "stream_hourly_topk_users",
+    "dedup_span_chunks",
+    "dedup_edit_distance",
+    "text_bpe_token_stats_pandas",
+    "corpus_pack_sequences",
+    "corpus_epoch_shuffle",
+    "text_pii_redact",
+    "quality_weighted_sample",
+    "mixture_token_budget",
+    "text_chunks_udtf",
+    "text_oov_stats",
+    "text_clean_html",
+    "sim_ivf_assignments",
+    "sim_topk_ivf",
+    "sim_ivfpq_codes",
+    "sim_topk_ivfpq",
+    "sim_recall_lsh_at_k",
+    "sim_recall_ivf_static_at_k",
+    "emb_top_pc_power_iteration",
+    "mm_format_stats",
+    "mm_decode_arrow",
+    "tpch_q15_top_supplier",
+    "hist_value_rollup",
+    "bloom_semijoin_nation_suppliers",
+    "salted_join_type_stats",
+    "heavy_hitters_tokens",
+    "layout_zorder_stats",
+    "bucketed_join_revenue",
+    # -- slot 51+: work that must NOT displace the rotation above.
+    #    user_value_minmax_pandas: r3-vintage external row, identical
+    #    semantics to in-prefix user_value_minmax_arrow (same SQL oracle,
+    #    pandas_udf vs mapInArrow transport); mirror-green at 3 SFs; FIRST
+    #    entry of the r9 gate head. Queries NEW in round 8 follow it and
+    #    fill the rest of the r9 head, newest first.
+    "user_value_minmax_pandas",
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -25,15 +25,14 @@ def test_gate_priority_is_registry_prefix():
 
 
 #: Queries registered past the current gate prefix without a prior driver
-#: row (each entry must name its verified in-prefix sibling). Round 7
-#: froze the prefix at exactly 50 (9 new/changed + the FULL 41-query
-#: r1/r2 evidence backlog — displacing any backlog entry would break the
-#: board-clearing rotation), so the one post-freeze registration defers:
-#: - mm_jpeg_decode_stats: same generator/mapInArrow/decode pattern as
-#:   its in-prefix sibling mm_png_decode_stats; mirror-verified MATCH at
-#:   sf0.001/0.01/0.1 this round; first in the declared r8 gate head
-#:   (plans/__init__.py slot 52 comment).
-deferred_past_prefix: set[str] = {"mm_jpeg_decode_stats"}
+#: row (each entry must name its verified in-prefix sibling). Round 8's
+#: prefix is the judge-pinned head (asof re-gate + mm_jpeg first row) plus
+#: 48 of the 49 r3-vintage backlog queries — exactly 50, zero slack. The
+#: 49th backlog query (user_value_minmax_pandas, slot 51) already has an
+#: r3 driver row, so the data-driven check below covers it; queries NEW
+#: in round 8 must either take a head slot (they can't — the rotation is
+#: zero-slack) or be listed here with their in-prefix sibling named.
+deferred_past_prefix: set[str] = set()
 
 
 def test_queries_past_gate_prefix_have_prior_driver_rows():
