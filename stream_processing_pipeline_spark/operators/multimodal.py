@@ -680,7 +680,19 @@ PNG_STATS_SCHEMA = StructType(
 )
 
 
-def parse_png(payload: bytes) -> tuple[int, int, list[int], bytes]:
+#: Hard ceiling on declared image dimensions for the pure-Python decoders.
+#: Header fields (PNG IHDR w/h, JPEG SOF w/h) are attacker-controlled and
+#: drive raster allocations BEFORE any pixel data is validated — a ~200-byte
+#: poison file declaring 65535x65535 would otherwise commit ~12.8 GB per
+#: task. 2^26 pixels (67 MP, ~201 MB RGB) is far above any fixture and a
+#: sane per-task bound at 100 TB fan-out; callers with trusted corpora can
+#: raise it per call via ``max_pixels=``.
+_MAX_DECODE_PIXELS = 1 << 26
+
+
+def parse_png(
+    payload: bytes, max_pixels: int = _MAX_DECODE_PIXELS
+) -> tuple[int, int, list[int], bytes]:
     """Decode a non-interlaced 8-bit RGB (color type 2) PNG.
 
     Returns ``(width, height, filters, raw)`` where ``filters`` is the
@@ -693,8 +705,12 @@ def parse_png(payload: bytes) -> tuple[int, int, list[int], bytes]:
     missing/duplicate/short IHDR, IHDR not first, non-contiguous IDAT
     runs, unsupported depth/color/compression/filter-method/interlace,
     filter type > 4, decompressed size mismatch, missing IEND, or
-    trailing bytes after IEND. Ancillary chunks (tEXt, gAMA, pHYs, ...)
-    are CRC-checked and skipped. Palette (PLTE), 16-bit, grayscale and
+    trailing bytes after IEND. Declared dimensions are bounded twice
+    before any allocation: ``w*h`` must not exceed ``max_pixels``, and
+    the IHDR raster must be reachable from the IDAT bytes present under
+    deflate's ~1032:1 ceiling — so a ~1 MB poison IDAT of deflated zeros
+    behind a 2^32-1 x 2^32-1 IHDR is rejected, not inflated. Ancillary
+    chunks (tEXt, gAMA, pHYs, ...) are CRC-checked and skipped. Palette (PLTE), 16-bit, grayscale and
     alpha variants are out of scope for this decoder and REJECTED, never
     guessed at."""
     import struct
@@ -769,8 +785,20 @@ def parse_png(payload: bytes) -> tuple[int, int, list[int], bytes]:
     if not seen_idat or not idat:
         raise ValueError("missing IDAT")
     w, h = ihdr
+    if w * h > max_pixels:
+        raise ValueError(
+            f"png: declared {w}x{h} exceeds max_pixels={max_pixels}"
+        )
     stride = 1 + 3 * w
     expected = h * stride
+    # deflate expands at most ~1032:1 (fixed-Huffman runs), so an IHDR
+    # whose raster can't possibly fit in the IDAT bytes present is
+    # structurally a lie — reject before allocating anything
+    if expected > 1032 * len(idat) + 64:
+        raise ValueError(
+            f"png: IHDR raster {expected} B impossible from"
+            f" {len(idat)} B of IDAT"
+        )
     # bounded inflate: the expected raster size is known from IHDR, so cap
     # decompression there instead of trusting the stream — a hostile IDAT
     # of deflated zeros otherwise inflates ~1000:1 before any size check
@@ -1003,6 +1031,14 @@ def _jpeg_build_huffman(counts: list[int], values: bytes) -> dict:
             table[(length, code)] = values[k]
             code += 1
             k += 1
+        # T.81 C.2: every code of this length must fit in `length` bits
+        # (code is the next-free value, so <= 2^length after assignment).
+        # An overfull BITS vector would otherwise alias entries silently
+        # — misdecoding corrupt tables instead of rejecting them.
+        if code > (1 << length):
+            raise ValueError(
+                f"jpeg: overfull Huffman table at code length {length}"
+            )
         code <<= 1
     return table
 
@@ -1064,7 +1100,9 @@ def _jpeg_idct_2d(block: list[float]) -> list[float]:
     return out
 
 
-def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+def parse_jpeg(
+    payload: bytes, max_pixels: int = _MAX_DECODE_PIXELS
+) -> tuple[int, int, int, bytes]:
     """Decode a baseline sequential-DCT JPEG.
 
     Returns ``(width, height, n_components, raster)`` — the raster is
@@ -1075,8 +1113,13 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     progressive/arithmetic/hierarchical SOF markers, precision != 8,
     chroma subsampling (any sampling factor != 1), 16-bit quantization
     tables, restart intervals/markers, undefined table references,
-    invalid Huffman codes, truncated entropy data, or trailing garbage
-    after EOI."""
+    overfull Huffman tables (T.81 C.2 BITS overflow), invalid Huffman
+    codes, truncated entropy data, or trailing garbage after EOI.
+    Declared SOF dimensions are bounded before the component planes are
+    allocated: ``w*h`` must not exceed ``max_pixels`` and the entropy
+    bytes present must plausibly encode the declared block count (>= 2
+    bits per block per component), so a ~200-byte poison frame declaring
+    65535x65535 is rejected, not materialized."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -1184,17 +1227,35 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("jpeg: undefined quant table")
                 scan.append((qt[match[0]], huff[(0, td)], huff[(1, ta)]))
             pos = pos + seglen
-            return _jpeg_decode_scan(payload, pos, h, w, scan)
+            return _jpeg_decode_scan(payload, pos, h, w, scan, max_pixels)
         # APPn / COM / others: skipped (length-delimited)
         pos += seglen
 
 
 def _jpeg_decode_scan(
-    payload: bytes, pos: int, h: int, w: int, scan: list
+    payload: bytes,
+    pos: int,
+    h: int,
+    w: int,
+    scan: list,
+    max_pixels: int = _MAX_DECODE_PIXELS,
 ) -> tuple[int, int, int, bytes]:
     nc = len(scan)
-    r = _JpegBitReader(payload, pos)
     bw, bh = (w + 7) // 8, (h + 7) // 8
+    if w * h > max_pixels:
+        raise ValueError(
+            f"jpeg: declared {w}x{h} exceeds max_pixels={max_pixels}"
+        )
+    # every block costs >= 2 bits (1-bit DC size code + 1-bit EOB is the
+    # floor; byte-stuffing only adds bytes), so entropy data shorter than
+    # bw*bh*nc/4 bytes cannot encode the declared frame — reject the
+    # structural lie before allocating the planes
+    if (len(payload) - pos) * 8 < bw * bh * nc * 2:
+        raise ValueError(
+            f"jpeg: {len(payload) - pos} B of entropy data cannot encode"
+            f" {bw}x{bh} blocks x {nc} components"
+        )
+    r = _JpegBitReader(payload, pos)
     planes = [bytearray(bw * 8 * bh * 8) for _ in range(nc)]
     pred = [0] * nc
     for by in range(bh):
@@ -1211,8 +1272,11 @@ def _jpeg_decode_scan(
                     rr, ss = rs >> 4, rs & 0xF
                     if ss == 0:
                         if rr == 15:
-                            k += 16  # ZRL: sixteen zeros, more must follow
-                            if k > 63:
+                            k += 16  # ZRL: sixteen zeros
+                            if k == 64:
+                                break  # ZRL may complete the block (T.81
+                                # permits it; libjpeg emits/accepts it)
+                            if k > 64:
                                 raise ValueError("jpeg: ZRL past block end")
                             continue
                         break  # EOB

@@ -1127,3 +1127,132 @@ def test_parse_jpeg_structural_poison_inputs():
     zrl_bad = good[:sos_at + 2 + 2 + 6] + data + b"\xFF\xD9"
     with _pytest.raises(ValueError):
         parse_jpeg(zrl_bad)
+
+
+def test_codec_dimension_bomb_rejects_structurally():
+    """ADVICE r7: PNG IHDR / JPEG SOF dimensions are attacker-controlled
+    and used to size allocations BEFORE any pixel data is validated. A
+    huge-dimension header over a tiny body must raise ValueError fast
+    (structural reject) — never inflate toward the declared raster or
+    allocate the declared planes."""
+    import struct
+    import time
+    import zlib
+
+    import pytest as _pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_jpeg,
+        parse_png,
+    )
+
+    # PNG #1: 2^16 x 2^16 IHDR (4.3 G pixels) behind ~1 KB of deflated
+    # zeros — caught by the max_pixels cap before any decompression.
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 2, 0, 0, 0),
+        )
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+        + _png_chunk(b"IEND", b"")
+    )
+    t0 = time.monotonic()
+    with _pytest.raises(ValueError, match="max_pixels"):
+        parse_png(bomb)
+    assert time.monotonic() - t0 < 2.0, "reject must be pre-inflate"
+
+    # PNG #2: dimensions UNDER the cap (4096x4096 = 16 MP) but the
+    # 8-byte empty zlib stream cannot reach the 50 MB raster under
+    # deflate's ~1032:1 ceiling — caught by the reachability check.
+    lying = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 4096, 4096, 8, 2, 0, 0, 0)
+        )
+        + _png_chunk(b"IDAT", zlib.compress(b""))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="impossible"):
+        parse_png(lying)
+
+    # JPEG #1: rewrite a valid frame's SOF to 65535x65535 (4.3 G pixels,
+    # ~12.8 GB of planes for 3 components) — max_pixels cap.
+    good = _jpeg_encode(8, 8, [bytes([100]) * 64])
+    sof_at = good.index(b"\xFF\xC0")
+    # SOF0 body: marker(2) len(2) precision(1) Y(2) X(2) ...
+    huge = (
+        good[: sof_at + 5]
+        + struct.pack(">HH", 65535, 65535)
+        + good[sof_at + 9 :]
+    )
+    t0 = time.monotonic()
+    with _pytest.raises(ValueError, match="max_pixels"):
+        parse_jpeg(huge)
+    assert time.monotonic() - t0 < 2.0, "reject must be pre-allocation"
+
+    # JPEG #2: dims under the cap (2048x2048) but 64 K blocks need
+    # >= 16 KB of entropy data (2-bit/block floor) and only ~tens of
+    # bytes are present — entropy-plausibility reject.
+    big = (
+        good[: sof_at + 5]
+        + struct.pack(">HH", 2048, 2048)
+        + good[sof_at + 9 :]
+    )
+    with _pytest.raises(ValueError, match="cannot encode"):
+        parse_jpeg(big)
+
+
+def test_jpeg_overfull_huffman_table_rejects():
+    """ADVICE r7: T.81 C.2 requires each code to fit its bit length; an
+    overfull BITS vector used to alias (length, code) entries silently,
+    misdecoding corrupt tables instead of rejecting them."""
+    import struct
+
+    import pytest as _pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        _jpeg_build_huffman,
+        parse_jpeg,
+    )
+
+    # three 1-bit codes cannot exist
+    with _pytest.raises(ValueError, match="overfull"):
+        _jpeg_build_huffman([3] + [0] * 15, bytes(3))
+    # overflow at a later length: 1x 1-bit + 3x 2-bit = 5 codes for 4 slots
+    with _pytest.raises(ValueError, match="overfull"):
+        _jpeg_build_huffman([1, 3] + [0] * 14, bytes(4))
+    # exactly-full is legal
+    t = _jpeg_build_huffman([2] + [0] * 15, bytes([5, 6]))
+    assert t == {(1, 0): 5, (1, 1): 6}
+
+    # end-to-end: DHT segments build eagerly, so an injected overfull
+    # table rejects through parse_jpeg before SOS
+    good = _jpeg_encode(8, 8, [bytes([100]) * 64])
+    body = bytes([0x00]) + bytes([3] + [0] * 15) + bytes(3)
+    seg = b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+    with _pytest.raises(ValueError, match="overfull"):
+        parse_jpeg(good[:2] + seg + good[2:])
+
+
+def test_jpeg_zrl_completing_block_is_valid():
+    """ADVICE r7: a ZRL whose 16 zeros land exactly on the block end
+    (k == 64) is legal baseline output (libjpeg emits it); it used to be
+    misclassified as 'ZRL past block end'. Hand-build entropy data with
+    standard Annex-K tables: DC cat0, 47x AC(0,1)=+1 filling k=1..47,
+    then ZRL taking k from 48 to exactly 64."""
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_jpeg,
+    )
+
+    good = _jpeg_encode(8, 8, [bytes([100]) * 64])
+    bits = "00"                  # DC: cat 0, diff 0
+    bits += ("00" + "1") * 47    # AC(0,1) code '00' + mag bit '1' -> +1
+    bits += "11111111001"        # ZRL: k 48 -> 64 == block complete
+    bits += "1" * (-len(bits) % 8)
+    data = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    sos_at = good.index(b"\xFF\xDA")
+    stream = good[: sos_at + 2 + 2 + 6] + data + b"\xFF\xD9"
+    w, h, nc, raster = parse_jpeg(stream)
+    assert (w, h, nc) == (8, 8, 1)
+    assert len(raster) == 64
