@@ -116,17 +116,22 @@ def range_join(
     cover_interval: tuple[str, str],
     probe_interval: tuple[str, str],
     bucket_days: int = 28,
+    *,
+    interval_unit: str = "date",
+    bucket_width: int | None = None,
+    join_strategy: str | None = "merge",
 ) -> DataFrame:
     """Interval-overlap equi+range join via ASYMMETRIC bucketing — the
     general range-join strategy Spark lacks natively (a raw range predicate
     plans as BroadcastNestedLoop/cartesian; a per-key block filter goes
     quadratic the moment one key runs hot).
 
-    Both inputs carry DATE-typed ``[start, end]`` interval columns (named by
-    ``cover_interval`` / ``probe_interval``) plus shared equi-key columns
-    ``on``; all non-``on`` column names must be disjoint across the two
-    frames. The COVER side explodes its interval into ``bucket_days``-wide
-    bucket keys; the PROBE side contributes only its START bucket (one row,
+    Both inputs carry ``[start, end]`` interval columns (named by
+    ``cover_interval`` / ``probe_interval``) on a shared axis — DATE,
+    TIMESTAMP, or integral numeric, selected by ``interval_unit`` — plus
+    shared equi-key columns ``on``; all non-``on`` column names must be
+    disjoint across the two frames. The COVER side explodes its interval
+    into fixed-width bucket keys; the PROBE side contributes only its START bucket (one row,
     no explode), and candidates come from the equi-join on
     ``(*on, bucket)`` — so the shuffle carries |cover-bucket rows| +
     |probe rows|, never 2x all-bucket rows (the symmetric two-sided explode
@@ -146,24 +151,83 @@ def range_join(
     overlaps``, the registered query re-expressed through this operator).
 
     Bucket width trades shuffle fan-out (long intervals explode into
-    ``len/bucket_days`` rows) against candidate false-positive rate
-    (coarser buckets admit more non-overlapping candidates for the exact
-    predicate to discard); 28 days suits month-scale intervals.
+    ``len/width`` rows) against candidate false-positive rate (coarser
+    buckets admit more non-overlapping candidates for the exact predicate
+    to discard); 28 days suits month-scale DATE intervals.
+
+    Interval axes (``interval_unit``) — VERDICT r7 #3 generalized this
+    beyond the original DATE-only bucketing so TIMESTAMP / numeric
+    interval users get the library operator instead of reimplementing
+    the asymmetric shape inline:
+
+    - ``"date"`` (default): DATE columns; bucket = ``unix_date(col) div
+      W`` with ``W = bucket_width or bucket_days`` in DAYS.
+    - ``"timestamp"``: TIMESTAMP or TIMESTAMP_NTZ columns; bucket =
+      ``unix_seconds(cast(col as timestamp)) div W`` with ``W =
+      bucket_width`` in SECONDS (required; the cast is an identity for
+      NTZ under the engine's pinned UTC session and required because
+      NTZ cannot cast to long directly).
+    - ``"numeric"``: integral columns (epoch micros, byte offsets,
+      genomic coordinates, ...); bucket = ``col div W`` with ``W =
+      bucket_width`` (required), in the column's own units.
+
+    All three use Spark's ``div`` (truncation toward zero). For
+    negative-valued axes the bucket function is still MONOTONIC
+    non-decreasing, which is the only property completeness needs: the
+    probe's start bucket always lies within ``[bucket(c0), bucket(c1)]``
+    when ``c0 <= p0 <= c1`` — buckets straddling zero are merely up to
+    ``2W-1`` units wide (more candidates, same exact result).
     """
     c0, c1 = cover_interval
     p0, p1 = probe_interval
+    if interval_unit == "date":
+        width = bucket_width if bucket_width is not None else bucket_days
+        bucket = "unix_date({col}) div {w}"
+    elif interval_unit == "timestamp":
+        if bucket_width is None:
+            raise ValueError(
+                "interval_unit='timestamp' requires bucket_width (seconds)"
+            )
+        width = bucket_width
+        bucket = "unix_seconds(cast({col} as timestamp)) div {w}"
+    elif interval_unit == "numeric":
+        if bucket_width is None:
+            raise ValueError(
+                "interval_unit='numeric' requires bucket_width"
+            )
+        width = bucket_width
+        bucket = "{col} div {w}"
+    else:
+        raise ValueError(f"unknown interval_unit {interval_unit!r}")
+    if width <= 0:
+        raise ValueError(f"bucket width must be positive, got {width}")
     ex_cover = cover.withColumn(
         "_bk",
         F.explode(
             F.expr(
-                f"sequence(unix_date({c0}) div {bucket_days},"
-                f" unix_date({c1}) div {bucket_days})"
+                "sequence("
+                + bucket.format(col=c0, w=width)
+                + ", "
+                + bucket.format(col=c1, w=width)
+                + ")"
             )
         ),
     )
     ex_probe = probe.withColumn(
-        "_bk", F.expr(f"unix_date({p0}) div {bucket_days}")
+        "_bk", F.expr(bucket.format(col=p0, w=width))
     )
+    # Pin the candidate join to a shuffle strategy (default SortMergeJoin,
+    # which also gets AQE skew-splitting). Catalyst's size estimate for an
+    # exploded relation stays at the CHILD's sizeInBytes — sequence() length
+    # is opaque to stats — so the exploded cover looks a few MB forever
+    # while its true size grows with data x interval span: measured at
+    # sf0.1 in a plain 10 MB-threshold session, the planner flipped this
+    # join to a 500 MiB BroadcastExchange (r8 finding). The misestimate is
+    # scale-INVARIANT, so unlike scan-level joins it never self-corrects at
+    # cluster scale — it must be pinned here. ``join_strategy=None``
+    # restores planner choice for callers probing a genuinely tiny cover.
+    if join_strategy:
+        ex_cover = ex_cover.hint(join_strategy)
     return (
         ex_cover.join(ex_probe, [*on, "_bk"])
         .filter(

@@ -123,6 +123,9 @@ _GATE_PRIORITY = [
     #    entry of the r9 gate head. Queries NEW in round 8 follow it and
     #    fill the rest of the r9 head, newest first.
     "user_value_minmax_pandas",
+    # -- NEW in round 8 (r9 head continues here; mirror-green at 3 SFs,
+    #    no external row until r9 by the zero-slack rotation above)
+    "error_click_reaction_windows",   # timestamp-axis range_join consumer
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -4671,3 +4671,74 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+_ERRWIN_SEC = 600  # error impact window length = range-join bucket width
+
+
+@register(
+    "error_click_reaction_windows",
+    oracle=f"""
+    SELECT err.user_id AS user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT c.event_id) AS BIGINT) AS n_clicks,
+           CAST(min(epoch_us(c.ts) - epoch_us(err.ts)) AS BIGINT)
+             AS min_reaction_us
+    FROM events err
+    JOIN events c
+      ON c.user_id = err.user_id
+         AND c.ts >= err.ts
+         AND c.ts <= err.ts + INTERVAL {_ERRWIN_SEC} SECOND
+    WHERE err.event_type = 'error' AND c.event_type = 'click'
+    GROUP BY err.user_id
+    """,
+    tags=("batch", "interval-join", "range-join", "timestamp-axis"),
+)
+def error_click_reaction_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP-axis consumer of :func:`operators.joins.range_join`
+    (VERDICT r7 #3 — the operator's bucketing was DATE-bound until r8,
+    forcing sub-day interval users back to inline reimplementation).
+    Per user: every (error, click-within-10-minutes-after) pair, reduced
+    to pair count, distinct reacting clicks, and the fastest reaction in
+    exact integer microseconds. COVER = error impact windows
+    ``[ts, ts + 600 s]`` exploded into 600-second epoch buckets; PROBE =
+    clicks as instant ``[ts, ts]`` intervals contributing ONE bucket row
+    each. For point probes the one-orientation capture IS the full
+    overlap join (overlap forces ``err.ts <= click.ts <= end``), so no
+    union/dedup pass is needed and every pair appears exactly once —
+    the per-user aggregate is grouped on already-colocated keys. Naive
+    forms rejected for scale: a raw time-range predicate plans as
+    BroadcastNestedLoop; a per-user block filter goes quadratic on hot
+    users. The oracle states the direct range join — exact at oracle
+    scale, which is why the engine side doesn't run it."""
+    from ..operators.joins import range_join
+
+    ev = catalog(spark, sf_dir).events
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("e0"),
+        (F.col("ts") + F.expr(f"INTERVAL {_ERRWIN_SEC} SECONDS")).alias("e1"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("p0"),
+        F.col("ts").alias("p1"),
+    ).withColumnRenamed("c_user_id", "user_id")
+    pairs = range_join(
+        errors,
+        clicks,
+        ["user_id"],
+        ("e0", "e1"),
+        ("p0", "p1"),
+        interval_unit="timestamp",
+        bucket_width=_ERRWIN_SEC,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("click_id").alias("n_clicks"),
+        F.min(
+            F.unix_micros(F.col("p0").cast("timestamp"))
+            - F.unix_micros(F.col("e0").cast("timestamp"))
+        ).alias("min_reaction_us"),
+    )

@@ -32,7 +32,13 @@ def test_gate_priority_is_registry_prefix():
 #: r3 driver row, so the data-driven check below covers it; queries NEW
 #: in round 8 must either take a head slot (they can't — the rotation is
 #: zero-slack) or be listed here with their in-prefix sibling named.
-deferred_past_prefix: set[str] = set()
+deferred_past_prefix: set[str] = {
+    # timestamp-axis range_join consumer (NEW r8): same asymmetric
+    # bucketed plan as in-prefix sibling supplier_part_transit_overlaps
+    # (externally hash-green r7); mirror-verified MATCH at 3 SFs; queued
+    # in the declared r9 head (plans/__init__.py slot-52 comment).
+    "error_click_reaction_windows",
+}
 
 
 def test_queries_past_gate_prefix_have_prior_driver_rows():

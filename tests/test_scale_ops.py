@@ -530,3 +530,194 @@ def test_range_join_fuzz_200_scenarios_one_spark_job(spark):
     got = {(r.sid, r.ca, r.pa) for r in out.collect()}
     assert got == want and len(want) > 200
     assert out.count() == len(got)  # exactly-once capture, no dup rows
+
+
+def test_range_join_timestamp_and_numeric_axes_fuzz(spark):
+    """VERDICT r7 #3: the generalized bucket axes must reproduce the
+    brute-force overlap set exactly. 200 seeded-random scenarios per
+    axis ride a scenario-id equi-key through ONE Spark job each:
+    TIMESTAMP intervals (second-resolution, 1-hour buckets, including
+    bucket-boundary touches) and signed NUMERIC intervals (negative
+    coordinates straddling zero, where truncating `div` makes the
+    zero bucket 2W-1 wide — more candidates, same exact result)."""
+    import datetime as dt
+    import random
+
+    from stream_processing_pipeline_spark.operators.joins import range_join
+
+    # ---- timestamp axis: starts within ~3 days, lengths 0..8h ----
+    rng = random.Random(88)
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    cover_rows, probe_rows, want = [], [], set()
+    for sid in range(200):
+        cov = []
+        for i in range(rng.randint(1, 5)):
+            s = rng.randint(0, 3 * 86400)
+            e = s + rng.randint(0, 8 * 3600)
+            cov.append((i, s, e))
+            cover_rows.append(
+                (sid, i, t0 + dt.timedelta(seconds=s),
+                 t0 + dt.timedelta(seconds=e))
+            )
+        for j in range(rng.randint(1, 5)):
+            s = rng.randint(0, 3 * 86400)
+            e = s + rng.randint(0, 8 * 3600)
+            probe_rows.append(
+                (sid, j, t0 + dt.timedelta(seconds=s),
+                 t0 + dt.timedelta(seconds=e))
+            )
+            for (i, cs, ce) in cov:
+                if cs <= e and s <= ce and cs <= s:
+                    want.add((sid, i, j))
+    cover = spark.createDataFrame(
+        cover_rows, "sid int, ca int, c0 timestamp, c1 timestamp"
+    )
+    probe = spark.createDataFrame(
+        probe_rows, "sid int, pa int, p0 timestamp, p1 timestamp"
+    )
+    out = range_join(
+        cover, probe, ["sid"], ("c0", "c1"), ("p0", "p1"),
+        interval_unit="timestamp", bucket_width=3600,
+    )
+    got = {(r.sid, r.ca, r.pa) for r in out.collect()}
+    assert got == want and len(want) == 101  # seeded: non-trivial fixture
+    assert out.count() == len(got)  # exactly-once, no dup rows
+
+    # ---- numeric axis: signed coordinates in [-500, 500] ----
+    rng = random.Random(99)
+    cover_rows, probe_rows, want = [], [], set()
+    for sid in range(200):
+        cov = []
+        for i in range(rng.randint(1, 5)):
+            s = rng.randint(-500, 500)
+            e = s + rng.randint(0, 120)
+            cov.append((i, s, e))
+            cover_rows.append((sid, i, s, e))
+        for j in range(rng.randint(1, 5)):
+            s = rng.randint(-500, 500)
+            e = s + rng.randint(0, 120)
+            probe_rows.append((sid, j, s, e))
+            for (i, cs, ce) in cov:
+                if cs <= e and s <= ce and cs <= s:
+                    want.add((sid, i, j))
+    cover = spark.createDataFrame(
+        cover_rows, "sid int, ca int, c0 long, c1 long"
+    )
+    probe = spark.createDataFrame(
+        probe_rows, "sid int, pa int, p0 long, p1 long"
+    )
+    out = range_join(
+        cover, probe, ["sid"], ("c0", "c1"), ("p0", "p1"),
+        interval_unit="numeric", bucket_width=50,
+    )
+    got = {(r.sid, r.ca, r.pa) for r in out.collect()}
+    assert got == want and len(want) == 95  # seeded: non-trivial fixture
+    assert out.count() == len(got)
+
+    # contract: non-date axes demand an explicit width; junk unit rejects
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bucket_width"):
+        range_join(cover, probe, ["sid"], ("c0", "c1"), ("p0", "p1"),
+                   interval_unit="numeric")
+    with _pytest.raises(ValueError, match="interval_unit"):
+        range_join(cover, probe, ["sid"], ("c0", "c1"), ("p0", "p1"),
+                   interval_unit="hours")
+
+
+def test_window_funnel_modes_fuzz_300_scenarios(spark):
+    """VERDICT r7 #5: strict_dedup / strict_order modes, fuzz-verified.
+    300 seeded-random event sequences (overlapping step predicates so one
+    event can match two conditions, duplicate timestamps for the tie
+    rule, interlopers) run through window_funnel once per mode
+    configuration in ONE Spark job each, against an independent Python
+    model of the documented semantics matrix (fixed anchor; breaker
+    interrupts only when STRICTLY earlier than the candidate)."""
+    import random
+
+    from stream_processing_pipeline_spark.operators.aggregates import (
+        window_funnel,
+    )
+
+    # predicate sets overlap on 'promo' so matches can tie with breakers
+    COND_TYPES = [
+        {"view", "promo"},
+        {"click", "promo"},
+        {"purchase"},
+    ]
+    types = ["view", "click", "purchase", "promo", "other"]
+    rng = random.Random(4321)
+    rows, scen = [], {}
+    for sid in range(300):
+        n = rng.randint(1, 14)
+        evs = sorted(
+            (rng.randint(0, 120), rng.choice(types)) for _ in range(n)
+        )
+        scen[sid] = evs
+        for t, ty in evs:
+            rows.append((sid, ty, t))
+
+    def model(evs, modes, W=60):
+        t1c = [t for t, ty in evs if ty in COND_TYPES[0]]
+        if not t1c:
+            return 0
+        t1 = min(t1c)
+        depth, prev = 1, t1
+        for i in range(1, len(COND_TYPES)):
+            bound = t1 + W
+            cands = [
+                t for t, ty in evs if ty in COND_TYPES[i] and prev < t <= bound
+            ]
+            if not cands:
+                return depth
+            ti = min(cands)
+            if "strict_order" in modes:
+                brk_set = set().union(
+                    *(c for j, c in enumerate(COND_TYPES) if j != i)
+                )
+                brks = [t for t, ty in evs if ty in brk_set and prev < t <= bound]
+            elif "strict_dedup" in modes:
+                brks = [
+                    t for t, ty in evs
+                    if ty in COND_TYPES[i - 1] and prev < t <= bound
+                ]
+            else:
+                brks = []
+            if brks and min(brks) < ti:
+                return depth
+            depth, prev = i + 1, ti
+        return depth
+
+    df = spark.createDataFrame(
+        [(sid, ty, float(t)) for sid, ty, t in rows],
+        "user_id int, event_type string, mins double",
+    ).select(
+        "user_id", "event_type",
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,0,CAST(mins AS INT),0)"
+        ).alias("ts"),
+    )
+    steps = [
+        F.col("event_type").isin(*sorted(c)) for c in COND_TYPES
+    ]
+    for modes in ((), ("strict_dedup",), ("strict_order",),
+                  ("strict_dedup", "strict_order")):
+        got = {
+            r.user_id: r.depth
+            for r in window_funnel(
+                df, steps=steps, window="INTERVAL 1 HOUR", modes=modes
+            ).collect()
+        }
+        want = {sid: model(evs, modes) for sid, evs in scen.items()}
+        diff = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+        assert not diff, (modes, dict(list(diff.items())[:5]))
+        # the fixture must actually exercise the mode (some scenario
+        # diverges from the default semantics)
+        if modes:
+            base = {sid: model(evs, ()) for sid, evs in scen.items()}
+            assert any(want[k] != base[k] for k in want), modes
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown window_funnel modes"):
+        window_funnel(df, steps=steps, window="INTERVAL 1 HOUR",
+                      modes=("strict_monotone",))
