@@ -20,6 +20,17 @@ exists for it). Remaining formats (webp, video containers) are honest
 ``NotImplementedError`` gates inside :func:`decode_media_batched` — swap
 in PIL/ffmpeg by passing ``decoder=`` without touching the pipeline
 shape, batch flow, or schema.
+
+Throughput boundary (measured, ``tools/codec_throughput_probe.py``,
+SCALING.md r8): the pure-Python decoders are verification-grade, not
+throughput-grade — ~5 MB/s/core (~1.7 MP/s) for :func:`parse_png` and
+~0.8 MP/s/core (~60–120 KB/s of compressed bytes) for :func:`parse_jpeg`.
+That sustains the fixture corpora and low-GB audit scans on a 32-core
+node, but at real image-corpus scale (≳10 GB of JPEG or ≳1 TB of PNG per
+pipeline run) the ``decoder=`` injection (PIL/libvips/libjpeg-turbo,
+100–1000× these rates) is MANDATORY — the Spark plan shape, batching, and
+schemas are identical either way, which is the point of the injection
+seam.
 """
 
 from __future__ import annotations

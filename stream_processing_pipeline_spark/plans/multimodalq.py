@@ -852,6 +852,28 @@ _JPEG_W, _JPEG_H = 16, 8  # two horizontal blocks: exercises DC prediction
 _JPEG_VAL = "((doc_id * 7 + 13) % 256)"
 
 
+def _jpeg_ac_table_values() -> bytes:
+    """The standard Annex-K AC luminance HUFFVAL list (T.81 Table K.5),
+    shared by the DC-only and AC-path fixture builders."""
+    return bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ])
+
+
 def _jpeg_fixture_tables() -> tuple[str, list[str]]:
     """(header_hex, [entropy_hex per gray value 0..255]) for the constant
     16x8 grayscale fixture. The entropy encoder here is deliberately
@@ -894,23 +916,7 @@ def _jpeg_fixture_tables() -> tuple[str, list[str]]:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     ac_bits = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
-    ac_vals = bytes([
-        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
-        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
-        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
-        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
-        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
-        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
-        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
-        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
-        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
-        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
-        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
-        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
-        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
-        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
-        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
-    ])
+    ac_vals = _jpeg_ac_table_values()
     dc_vals = bytes(range(12))
     header = (
         b"\xFF\xD8"
@@ -968,6 +974,133 @@ def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"unhex(concat('{_JPEG_HEADER_HEX}', "
                 f"element_at(array({', '.join(repr(e) for e in _JPEG_LUT)}), "
                 f"CAST({_JPEG_VAL} AS INT) + 1), 'ffd9'))"
+            ).alias("payload"),
+        )
+    )
+    return decode_jpeg_stats_arrow(docs)
+
+
+# -------------------------------------------- JPEG AC-path decode
+#
+# VERDICT r7 #2a: the DC-only constant-block family above never walks the
+# AC run-length decoder (ZRL/run/EOB), leaving that path covered only by
+# local encoder-twin tests. This family closes the gap with a SECOND
+# exactly-decodable pattern: one AC coefficient at zigzag index 39 —
+# frequency (u,v) = (4,4), the only non-DC basis whose 2-D IDCT is
+# RATIONAL (T[x][4] = cos((2x+1)pi/4)/2 = ±sqrt(2)/4, so the (4,4)
+# product is exactly ±1/8). Reaching index 39 requires ZRL + ZRL + a
+# 6-zero run, so every document's gate row now exercises two ZRLs, a
+# nonzero-run AC coefficient, a mid-block EOB, and DC prediction into a
+# second DC-only block. With DC = 8(v-128) and AC amplitude = 8*amp the
+# block decodes to EXACT integers v ± amp in the checkerboard-of-quads
+# sign pattern s(x)s(y), s = [+,-,-,+,+,-,-,+]: 32 pixels at v+amp, 32
+# at v-amp (sum 64v), plus the constant second block (64 pixels of v).
+# v spans [16, 239] and amp = (v % 8) + 1 <= 8, so no pixel ever clamps
+# and min/max/sum are closed-form — the oracle pins them exactly.
+
+_JPEG_AC_V = "(((doc_id * 7 + 13) % 224) + 16)"
+_JPEG_AC_AMP = f"(({_JPEG_AC_V} % 8) + 1)"
+
+
+def _jpeg_ac_entropy_lut() -> list[str]:
+    """224 entropy streams (one per gray value v = 16..239, amplitude
+    (v % 8) + 1), built by an independent canonical-Huffman encoder —
+    shares nothing with the decoder under test but the public T.81
+    table construction."""
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    ac_bits = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    ac_vals = _jpeg_ac_table_values()
+
+    def canon(bits: list[int], vals) -> dict:
+        codes, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    dc = canon(dc_bits, list(range(12)))
+    ac = canon(ac_bits, ac_vals)
+
+    def put(bits: str, sym: tuple[int, int]) -> str:
+        return bits + format(sym[0], f"0{sym[1]}b")
+
+    def coeff(bits: str, table: dict, run: int, val: int) -> str:
+        s = abs(val).bit_length()
+        bits = put(bits, table[(run << 4) | s])
+        mag = val if val > 0 else val + (1 << s) - 1
+        return bits + format(mag, f"0{s}b")
+
+    out = []
+    for idx in range(224):
+        v = idx + 16
+        amp = (v % 8) + 1
+        d = 8 * (v - 128)
+        s = abs(d).bit_length()
+        bits = put("", dc[s])
+        if s:
+            mag = d if d > 0 else d + (1 << s) - 1
+            bits += format(mag, f"0{s}b")
+        bits = put(put(bits, ac[0xF0]), ac[0xF0])   # ZRL, ZRL: 32 zeros
+        bits = coeff(bits, ac, 6, 8 * amp)          # 6 more -> zigzag 39
+        bits = put(bits, ac[0x00])                  # EOB block 1
+        bits = put(put(bits, dc[0]), ac[0x00])      # block 2: diff 0, EOB
+        bits += "1" * (-len(bits) % 8)
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            b = int(bits[i : i + 8], 2)
+            raw.append(b)
+            if b == 0xFF:
+                raw.append(0x00)                    # byte stuffing
+        out.append(raw.hex())
+    return out
+
+
+_JPEG_AC_LUT = _jpeg_ac_entropy_lut()
+
+
+@register(
+    "mm_jpeg_ac_decode_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_JPEG_W} AS INTEGER) AS width,
+           CAST({_JPEG_H} AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_components,
+           CAST({_JPEG_AC_V} - {_JPEG_AC_AMP} AS INTEGER) AS min_px,
+           CAST({_JPEG_AC_V} + {_JPEG_AC_AMP} AS INTEGER) AS max_px,
+           CAST(128 * {_JPEG_AC_V} AS BIGINT) AS sum_px
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "jpeg", "image", "arrow-udf",
+          "real-codec", "ac-path"),
+)
+def mm_jpeg_ac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END verified JPEG decode through the AC run-length path
+    (VERDICT r7 #2a). Same plan shape as :func:`mm_jpeg_decode_stats`
+    (shared header constants, 224-entry LUT array literal selected by
+    the doc formula, zero-copy ``mapInArrow``), but every entropy
+    stream drives ZRL + ZRL + a 6-zero run to a single (4,4) AC
+    coefficient — the one non-DC frequency with a rational IDCT — then
+    a mid-block EOB and DC prediction into a constant second block.
+    A bug anywhere in the run-length decoder (ZRL accounting, run
+    skips, EOB-before-63, coefficient extend/dequantize at a non-DC
+    zigzag position, the IDCT's AC basis) shifts min/max/sum off the
+    closed-form oracle. See the family comment above for the exactness
+    argument; the general lossy case stays with the encoder-twin
+    round-trip tests."""
+    from ..operators.multimodal import decode_jpeg_stats_arrow
+
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                f"unhex(concat('{_JPEG_HEADER_HEX}', "
+                f"element_at(array({', '.join(repr(e) for e in _JPEG_AC_LUT)}), "
+                f"CAST((doc_id * 7 + 13) % 224 AS INT) + 1), 'ffd9'))"
             ).alias("payload"),
         )
     )

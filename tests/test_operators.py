@@ -1256,3 +1256,34 @@ def test_jpeg_zrl_completing_block_is_valid():
     w, h, nc, raster = parse_jpeg(stream)
     assert (w, h, nc) == (8, 8, 1)
     assert len(raster) == 64
+
+
+def test_jpeg_ac_fixture_family_decodes_exact_rasters():
+    """The AC-path gate family (mm_jpeg_ac_decode_stats) promises every
+    one of its 224 streams decodes to EXACT integers in the (4,4)-basis
+    quad-checkerboard pattern. The registered query's oracle only pins
+    min/max/sum; this test pins the full 128-pixel raster per entry, so
+    a sign-pattern or placement bug that happens to preserve the three stats
+    cannot hide."""
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_jpeg,
+    )
+    from stream_processing_pipeline_spark.plans.multimodalq import (
+        _JPEG_AC_LUT,
+        _JPEG_HEADER_HEX,
+    )
+
+    sgn = [1, -1, -1, 1, 1, -1, -1, 1]
+    header = bytes.fromhex(_JPEG_HEADER_HEX)
+    assert len(_JPEG_AC_LUT) == 224
+    for idx, hexstream in enumerate(_JPEG_AC_LUT):
+        v = idx + 16
+        amp = (v % 8) + 1
+        payload = header + bytes.fromhex(hexstream) + b"\xFF\xD9"
+        w, h, nc, raster = parse_jpeg(payload)
+        assert (w, h, nc) == (16, 8, 1)
+        exp = []
+        for y in range(8):
+            exp.extend(v + amp * sgn[x] * sgn[y] for x in range(8))
+            exp.extend([v] * 8)
+        assert list(raster) == exp, (idx, v, amp)

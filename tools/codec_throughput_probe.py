@@ -1,0 +1,157 @@
+"""Single-core throughput probe for the pure-Python image decoders.
+
+VERDICT r7 #2b: the PNG/JPEG decoders are verification-grade; this probe
+measures where the interpreted-Python cliff sits so the `decoder=`
+injection threshold (PIL/libvips at production scale) is a NUMBER in
+SCALING.md and the module docstring, not a vibe.
+
+Methodology: build representative REAL files with the independent
+pure-Python writers (same construction as the test twins — zlib-deflated
+filtered PNG rasters; baseline JPEG with standard Annex-K tables,
+value-varying 8x8 blocks so the entropy stream is non-degenerate), then
+decode each repeatedly on ONE core and report decoded-payload bytes/s and
+raster pixels/s.  Run:  python tools/codec_throughput_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import time
+import zlib
+
+
+# ------------------------------------------------------------------ PNG
+def _png_chunk(t: bytes, d: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(d))
+        + t
+        + d
+        + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    )
+
+
+def make_png(w: int, h: int, seed: int = 7) -> bytes:
+    """Filter-0 RGB PNG with a cheap value-varying raster (real deflate)."""
+    rb = 3 * w
+    scan = bytearray()
+    x = seed
+    for r in range(h):
+        scan.append(0)
+        row = bytearray(rb)
+        for j in range(rb):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            row[j] = (x >> 16) & 0xFF
+        scan += row
+    ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    idat = _png_chunk(b"IDAT", zlib.compress(bytes(scan), 6))
+    return b"\x89PNG\r\n\x1a\n" + ihdr + idat + _png_chunk(b"IEND", b"")
+
+
+# ----------------------------------------------------------------- JPEG
+def make_jpeg(w: int, h: int, seed: int = 7) -> bytes:
+    """Baseline grayscale JPEG, one DC step per block + one AC coefficient
+    every other block — a non-degenerate entropy stream at quant 1."""
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    ac_bits = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    from stream_processing_pipeline_spark.plans.multimodalq import (
+        _jpeg_ac_table_values,
+    )
+
+    ac_vals = _jpeg_ac_table_values()
+
+    def canon(bits, vals):
+        codes, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    dc = canon(dc_bits, list(range(12)))
+    ac = canon(ac_bits, ac_vals)
+
+    def put(bits, sym):
+        return bits + format(sym[0], f"0{sym[1]}b")
+
+    def mag(bits, val):
+        s = abs(val).bit_length()
+        m = val if val > 0 else val + (1 << s) - 1
+        return bits + format(m, f"0{s}b")
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    bits = ""
+    x = seed
+    for bi in range(bw * bh):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        diff = (x >> 16) % 17 - 8  # small DC steps, category <= 4
+        s = abs(diff).bit_length()
+        bits = put(bits, dc[s])
+        if s:
+            bits = mag(bits, diff)
+        if bi % 2:  # AC(4,4) at zigzag 39 via ZRL+ZRL+run6, value 8 (size 4)
+            bits = put(put(bits, ac[0xF0]), ac[0xF0])
+            bits = put(bits, ac[(6 << 4) | 4])
+            bits = mag(bits, 8)
+        bits = put(bits, ac[0x00])
+    bits += "1" * (-len(bits) % 8)
+    raw = bytearray()
+    for i in range(0, len(bits), 8):
+        b = int(bits[i : i + 8], 2)
+        raw.append(b)
+        if b == 0xFF:
+            raw.append(0x00)
+    header = (
+        b"\xFF\xD8"
+        + seg(0xDB, bytes([0]) + bytes([1]) * 64)
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+        + seg(
+            0xC4,
+            bytes([0x00]) + bytes(dc_bits) + bytes(range(12))
+            + bytes([0x10]) + bytes(ac_bits) + ac_vals,
+        )
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+    return header + bytes(raw) + b"\xFF\xD9"
+
+
+def bench(label: str, payload: bytes, decode, pixels: int, secs: float = 2.0):
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < secs:
+        decode(payload)
+        n += 1
+    dt = time.perf_counter() - t0
+    return {
+        "case": label,
+        "file_bytes": len(payload),
+        "decodes": n,
+        "bytes_per_sec": round(len(payload) * n / dt),
+        "pixels_per_sec": round(pixels * n / dt),
+    }
+
+
+def main() -> None:
+    import sys
+
+    sys.path.insert(0, ".")
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_jpeg,
+        parse_png,
+    )
+
+    rows = []
+    for w, h in ((64, 64), (256, 256)):
+        rows.append(bench(f"png_{w}x{h}", make_png(w, h), parse_png, w * h))
+    for w, h in ((64, 64), (256, 256)):
+        rows.append(bench(f"jpeg_{w}x{h}", make_jpeg(w, h), parse_jpeg, w * h))
+    for r in rows:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
