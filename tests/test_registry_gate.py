@@ -38,6 +38,11 @@ deferred_past_prefix: set[str] = {
     # (externally hash-green r7); mirror-verified MATCH at 3 SFs; queued
     # in the declared r9 head (plans/__init__.py slot-52 comment).
     "error_click_reaction_windows",
+    # JPEG AC-path family (NEW r8): same header constants / LUT /
+    # mapInArrow plan as in-prefix sibling mm_jpeg_decode_stats; full
+    # 224-raster encoder-twin test; mirror-green at 3 SFs; queued in the
+    # declared r9 head.
+    "mm_jpeg_ac_decode_stats",
 }
 
 
