@@ -1267,3 +1267,153 @@ def stream_ivm_retract_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_keys") > 0)  # emptied groups leave the view
         .orderBy("band")
     )
+
+
+# ------------------------------------------------- streaming corpus ingest
+
+_INGEST_QUALITY_MIN = 0.55  # same gate as corpus_clean_train_sample
+
+
+def corpus_ingest_batch(
+    bdf: DataFrame,
+    index_dir: str,
+    seen_dir: str,
+    quality_min: float = _INGEST_QUALITY_MIN,
+) -> None:
+    """ONE micro-batch of the streaming LLM-corpus ingest (the
+    ``foreachBatch`` body of :func:`stream_corpus_ingest`, factored out so
+    the multi-batch carryover test drives the exact production code):
+
+    1. quality gate (blended score >= ``quality_min``);
+    2. in-batch exact dedup on the normalized-content hash (keeper = the
+       min-id surviving doc, attributes ride the exchange via ``min_by``);
+    3. cross-batch dedup: anti-join against the PERSISTED seen-hash table
+       — first-crawl-wins, the ingest-order semantics a rolling crawl
+       pipeline actually has;
+    4. MinHash-band the new survivors and APPEND to the persisted band
+       index (the same index shape ``dedup_incremental`` probes), then
+       append their hashes to the seen table.
+
+    The survivor frame is ``localCheckpoint``-ed before either write: the
+    second append mutates the seen table the anti-join reads, so lineage
+    recomputation after that write would anti-join the batch against
+    itself — materialize-then-write is correctness, not an optimization.
+    """
+    import os
+
+    from ..operators import text as _T
+    from ..operators.dedup import lsh_bands, minhash_table
+    from ..functions.hashing import h60
+
+    spark = bdf.sparkSession
+    gated = bdf.filter(
+        _T.quality_metrics(F.col("text"))["quality"] >= quality_min
+    )
+    hashed = gated.select(
+        "doc_id",
+        h60(_T.normalize_text("text")).alias("text_hash"),
+        F.struct("lang", "text").alias("kv"),
+    )
+    surv = (
+        hashed.groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("kv", F.col("doc_id")).alias("kv"),
+        )
+        .select(
+            "doc_id", "text_hash",
+            F.col("kv.lang").alias("lang"), F.col("kv.text").alias("text"),
+        )
+    )
+    if os.path.exists(seen_dir):
+        seen = spark.read.parquet(seen_dir).select("text_hash")
+        surv = surv.join(seen, "text_hash", "left_anti")
+    surv = surv.localCheckpoint()
+    lsh_bands(minhash_table(surv)).write.mode("append").parquet(index_dir)
+    surv.select("text_hash").write.mode("append").parquet(seen_dir)
+
+
+# The oracle reuses dedupq's shared band CTE and textq's quality
+# expression — the batch composition IS those already-verified pieces.
+# (Imported here, after this module's other registrations, so the
+# plans.__init__ registration order of earlier queries is untouched.)
+from ..functions.hashing import h60_sql as _h60_sql  # noqa: E402
+from ..operators import text as _TXT  # noqa: E402
+from .dedupq import _BANDS_CTE, _NORM  # noqa: E402
+
+_QUALITY_SQL_INGEST = _TXT.quality_metrics_sql("text")["quality"]
+
+
+@register(
+    "stream_corpus_ingest",
+    oracle=f"""{_BANDS_CTE},
+    q AS (
+      SELECT doc_id, {_h60_sql(_NORM)} AS text_hash
+      FROM documents WHERE {_QUALITY_SQL_INGEST} >= {_INGEST_QUALITY_MIN}
+    ),
+    surv AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text_hash)
+    SELECT b.band_idx, b.band_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(b.doc_id) AS min_doc
+    FROM bands b JOIN surv s ON s.doc_id = b.doc_id
+    GROUP BY b.band_idx, b.band_hash
+    """,
+    tags=("streaming-op", "pipeline", "dedup", "quality", "minhash",
+          "foreachBatch", "kappa"),
+)
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming LLM-corpus ingest COMPOSITION (VERDICT r7 #6) —
+    quality gate -> exact dedup -> cross-batch seen-hash carryover ->
+    MinHash band-index append, run as a REAL availableNow Structured
+    Streaming query whose ``foreachBatch`` body is
+    :func:`corpus_ingest_batch`, then summarized from the persisted index
+    at bucket grain (entries + canonical doc per bucket). This is the
+    Kappa-equivalence story on the repo's north-star domain: replaying
+    the corpus through the streaming ingest must land the index on
+    byte-identical state to the one-shot batch composition, and the
+    oracle here IS that batch composition (the fixture is one file ->
+    one micro-batch, so keeper choice is deterministic; the multi-batch
+    first-crawl-wins semantics are pinned by the 2-micro-batch carryover
+    test, which replays a split corpus through this same batch body and
+    checks both the union invariant and that re-delivered duplicates
+    never re-enter the index). State at 100 TB: the seen-hash table and
+    band index are bucket-partitioned parquet appends that grow with
+    UNIQUE content, never rescanned corpus; each batch touches its own
+    survivors only."""
+    cat = catalog(spark, sf_dir)
+    raw_schema = spark.read.parquet(cat.path("documents")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    work = tempfile.mkdtemp(prefix="corpus_ingest_")
+    index_dir = f"{work}/band_index"
+    seen_dir = f"{work}/seen_hashes"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, _eid: corpus_ingest_batch(bdf, index_dir, seen_dir)
+            )
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(240):
+            query.stop()
+            raise TimeoutError("stream_corpus_ingest still running after 240s")
+        idx = spark.read.parquet(index_dir)
+        out = (
+            idx.groupBy("band_idx", "band_hash")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("min_doc"),
+            )
+            .localCheckpoint()  # detach from the tempdir before cleanup
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+    return out

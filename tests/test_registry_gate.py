@@ -43,6 +43,11 @@ deferred_past_prefix: set[str] = {
     # 224-raster encoder-twin test; mirror-green at 3 SFs; queued in the
     # declared r9 head.
     "mm_jpeg_ac_decode_stats",
+    # streaming LLM-ingest composition (NEW r8): foreachBatch pipeline
+    # whose batch oracle composes in-prefix siblings dedup_exact /
+    # text_quality / dedup_minhash_bands; mirror-green at 3 SFs; 2-batch
+    # carryover + redelivery test; queued in the declared r9 head.
+    "stream_corpus_ingest",
 }
 
 

@@ -606,3 +606,92 @@ def test_range_join_operator_composes_with_foreachbatch(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt_rj"),
     )
     assert sorted(got) == [(1, 100), (2, 200), (4, 101)]
+
+
+def test_corpus_ingest_two_batch_carryover(spark, tmp_path):
+    """VERDICT r7 #6: the streaming ingest's cross-batch semantics. Split
+    the corpus by doc-id parity into two micro-batches and drive the REAL
+    foreachBatch body twice: the persisted band index must equal the
+    first-crawl-wins composition (batch-1 keepers, then batch-2 keepers
+    whose hash batch 1 never saw) — and a full REDELIVERY of batch 1
+    afterwards must leave the index byte-identical (at-least-once sources
+    replay; the seen-hash table is what makes the append idempotent at
+    content grain)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.functions.hashing import h60
+    from stream_processing_pipeline_spark.operators import text as T
+    from stream_processing_pipeline_spark.operators.dedup import (
+        lsh_bands,
+        minhash_table,
+    )
+    from stream_processing_pipeline_spark.plans.streamq import (
+        _INGEST_QUALITY_MIN,
+        corpus_ingest_batch,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant cross-batch duplicates: five even-id quality-passing docs
+    # reappear in batch 2 under new odd ids — the redelivered-crawl case
+    # the carryover exists for (the tiny fixture has no organic ones)
+    top = int(base.agg(F.max("doc_id")).first()[0])
+    off = top + 1001
+    if off % 2 == 0:  # even source ids + odd offset = odd (batch-2) ids
+        off += 1
+    planted = (
+        base.filter(
+            (F.col("doc_id") % 2 == 0)
+            & (T.quality_metrics(F.col("text"))["quality"]
+               >= _INGEST_QUALITY_MIN)
+        )
+        .orderBy("doc_id")
+        .limit(5)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(off))
+    )
+    docs = base.unionByName(planted).localCheckpoint()
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    index_dir = str(tmp_path / "band_index")
+    seen_dir = str(tmp_path / "seen_hashes")
+    corpus_ingest_batch(b1, index_dir, seen_dir)
+    corpus_ingest_batch(b2, index_dir, seen_dir)
+    got = {
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(index_dir).collect()
+    }
+
+    # independent first-crawl-wins model (python dict over collected rows)
+    hashed = docs.filter(
+        T.quality_metrics(F.col("text"))["quality"] >= _INGEST_QUALITY_MIN
+    ).select("doc_id", h60(T.normalize_text("text")).alias("th"))
+    rows = hashed.collect()
+    keep: dict[int, int] = {}
+    for batch_pred in (lambda d: d % 2 == 0, lambda d: d % 2 == 1):
+        batch_best: dict[int, int] = {}
+        for r in rows:
+            if batch_pred(r.doc_id) and r.th not in keep:
+                if r.th not in batch_best or r.doc_id < batch_best[r.th]:
+                    batch_best[r.th] = r.doc_id
+        keep.update(batch_best)
+    surv_ids = sorted(keep.values())
+    expected_docs = docs.filter(F.col("doc_id").isin(surv_ids))
+    want = {
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in lsh_bands(minhash_table(expected_docs)).collect()
+    }
+    assert got == want and len(want) > 0
+    # the parity split must actually exercise carryover: some batch-2 doc
+    # was suppressed because batch 1 already owned its hash
+    b2_hashes_owned_by_b1 = {
+        r.th for r in rows if r.doc_id % 2 == 0
+    } & {r.th for r in rows if r.doc_id % 2 == 1}
+    assert b2_hashes_owned_by_b1, "fixture has no cross-parity duplicates"
+
+    # redelivery: replaying batch 1 appends NOTHING (content-grain
+    # idempotence via the seen table)
+    corpus_ingest_batch(b1, index_dir, seen_dir)
+    again = {
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in spark.read.parquet(index_dir).collect()
+    }
+    assert again == got
