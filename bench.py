@@ -202,7 +202,16 @@ def main() -> None:
         **sustained_rocks,
         **sustained_rocks_cl,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # VERDICT r7 #4: the external driver preserves only a 2000-char tail of
+    # this line, which loses most per-query timings and forces cross-round
+    # attribution to be reconstructed from prose. Persist the COMPLETE
+    # output when asked so BENCH_LOCAL_r<N>.json can be committed in-repo.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
     spark.stop()
 
 

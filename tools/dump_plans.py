@@ -82,6 +82,9 @@ HEADLINERS = {
     "retrieval_rrf_fusion": "two broadcast-query ANN channels fused on integer reciprocal ranks — the fusion itself joins two (n_queries x k) frames (r7)",
     "customer_inflight_order_overlaps": "library range_join reuse: asymmetric bucketed interval candidates -> exact predicate -> bounded customer-grain concurrency report (r7)",
     "mm_jpeg_decode_stats": "REAL baseline-JPEG decode (full Huffman/IDCT path) over in-plan files; entropy streams from a 256-entry precomputed table (r7)",
+    "mm_jpeg_ac_decode_stats": "JPEG AC run-length path end-to-end: ZRL+ZRL+run-6 to the rational (4,4) coefficient, mid-block EOB, DC-pred second block; closed-form pixel oracle (r8)",
+    "error_click_reaction_windows": "library range_join on the TIMESTAMP axis: error impact windows vs click instants, exact integer-microsecond reactions (r8)",
+    "stream_corpus_ingest": "streaming LLM-ingest composition: quality gate -> exact dedup -> seen-hash carryover -> band-index append, oracle = the batch composition (r8)",
     "kcore_part_affinity": "iterative peeling: per-round degree agg + two semi-joins on shrinking checkpointed edges (r6)",
     "hilbert_layout_audit": "one DISTINCT to the bounded 8-bit cell grid, then 8 chained CASE projections and three rollups on cells (r6)",
     "emb_jl_distance_fidelity": "16 fused dot-folds per row (the projection map), bounded vec_id<64 pair audit via broadcast BNLJ (r6)",

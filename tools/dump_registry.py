@@ -20,7 +20,11 @@ def main() -> None:
         "(the external gate's evaluation order). Oracle column: `value-hash`",
         "= full DuckDB value-hash comparison at sf0.01; `rows-only` = result",
         "shape checked, semantics pinned by the named invariant tests.",
-        "Regenerate with `python tools/dump_registry.py`.",
+        "The two `rows-only` sketch queries are DELIBERATELY excluded from",
+        "the ~50-slot gate prefix forever: a slot spent on them can never",
+        "turn hash-green (the driver records `no_oracle`), so `rows-only`",
+        "here means locally-pinned invariants, NOT an external driver row",
+        "(VERDICT r7 #8). Regenerate with `python tools/dump_registry.py`.",
         "",
         "| # | query | tags | oracle |",
         "|---|---|---|---|",
