@@ -128,6 +128,7 @@ _GATE_PRIORITY = [
     "error_click_reaction_windows",   # timestamp-axis range_join consumer
     "mm_jpeg_ac_decode_stats",        # JPEG AC run-length path gate
     "stream_corpus_ingest",           # streaming LLM-ingest composition
+    "window_funnel_strict_depths",    # strict_order funnel mode consumer
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

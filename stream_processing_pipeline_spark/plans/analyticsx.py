@@ -2219,7 +2219,9 @@ def order_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("batch", "funnel", "window-funnel", "sessionized"),
 )
 def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TIME-CONSTRAINED funnel (ClickHouse ``windowFunnel`` semantics):
+    """TIME-CONSTRAINED funnel (fixed-anchor variant of ClickHouse
+    ``windowFunnel`` — anchors at the FIRST step-1 event rather than
+    maximizing over all anchors; see the operator docstring, ADVICE r7):
     how deep does each user get through view -> click -> purchase where
     every later step must land within ONE HOUR of the user's first view
     — the product question behind "do users convert in-session or never",
@@ -2247,6 +2249,95 @@ def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type") == "purchase",
         ],
         window="INTERVAL 1 HOUR",
+    )
+    return (
+        depth.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("depth")
+    )
+
+
+@register(
+    "window_funnel_strict_depths",
+    oracle="""
+    WITH t1 AS MATERIALIZED (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c2 AS MATERIALIZED (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'click' THEN e.ts END) AS cand,
+             min(CASE WHEN e.event_type IN ('view', 'purchase')
+                      THEN e.ts END) AS brk
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ),
+    t2 AS MATERIALIZED (
+      SELECT user_id, cand AS t2 FROM c2
+      WHERE cand IS NOT NULL AND (brk IS NULL OR cand <= brk)
+    ),
+    c3 AS MATERIALIZED (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'purchase' THEN e.ts END) AS cand,
+             min(CASE WHEN e.event_type IN ('view', 'click')
+                      THEN e.ts END) AS brk
+      FROM events e
+      JOIN t1 ON t1.user_id = e.user_id
+      JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.ts > t2.t2 AND e.ts <= t1.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT user_id FROM c3
+      WHERE cand IS NOT NULL AND (brk IS NULL OR cand <= brk)
+    ),
+    depth AS (
+      SELECT u.user_id,
+             CASE WHEN t3.user_id IS NOT NULL THEN 3
+                  WHEN t2.user_id IS NOT NULL THEN 2
+                  WHEN t1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS depth
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN t1 ON t1.user_id = u.user_id
+      LEFT JOIN t2 ON t2.user_id = u.user_id
+      LEFT JOIN t3 ON t3.user_id = u.user_id
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_users
+    FROM depth GROUP BY depth ORDER BY depth
+    """,
+    tags=("batch", "funnel", "window-funnel", "strict-order"),
+)
+def window_funnel_strict_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-ORDER funnel depths (consumer of the r8 ``modes`` axis on
+    :func:`operators.aggregates.window_funnel`, VERDICT r7 #5): same
+    view -> click -> purchase chain and fixed-anchor chain as ``window_funnel_depth``
+    over a ONE-DAY window (widened so the fixture provably exercises the
+    breaker filter: the strict histogram diverges from the default at
+    every mirror SF — no trivially-equal gate row), but an out-of-sequence event that matches a
+    DIFFERENT funnel condition between two steps interrupts the chain —
+    e.g. a second view landing between the first view and the click
+    kills the session ("restarted browsing"), and a purchase arriving
+    before any click kills attribution of the later click->purchase
+    pair. Ties advance (a candidate at the interloper's exact timestamp
+    counts). The oracle states each stage as a conditional-min pair
+    (candidate, earliest breaker) with a validity filter — literally the
+    operator's aggregate, so the mode's semantics are externally
+    hash-pinned, not just fuzz-pinned. Same scale shape as the default
+    mode: one user_id exchange reused by every stage, one extra
+    conditional min per stage, zero per-user arrays."""
+    from ..operators.aggregates import window_funnel
+
+    ev = catalog(spark, sf_dir).events
+    depth = window_funnel(
+        ev,
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window="INTERVAL 1 DAY",
+        modes=("strict_order",),
     )
     return (
         depth.groupBy("depth")

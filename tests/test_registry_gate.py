@@ -48,6 +48,12 @@ deferred_past_prefix: set[str] = {
     # text_quality / dedup_minhash_bands; mirror-green at 3 SFs; 2-batch
     # carryover + redelivery test; queued in the declared r9 head.
     "stream_corpus_ingest",
+    # strict_order funnel mode consumer (NEW r8): same plan family as
+    # in-prefix sibling window_funnel_depth; the mode's semantics are
+    # stated by the oracle itself; histograms diverge from the default
+    # mode at all 3 mirror SFs (no trivially-equal gate row); queued in
+    # the declared r9 head.
+    "window_funnel_strict_depths",
 }
 
 
