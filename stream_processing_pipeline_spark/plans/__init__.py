@@ -129,6 +129,7 @@ _GATE_PRIORITY = [
     "mm_jpeg_ac_decode_stats",        # JPEG AC run-length path gate
     "stream_corpus_ingest",           # streaming LLM-ingest composition
     "window_funnel_strict_depths",    # strict_order funnel mode consumer
+    "asof_next_purchase_after_error",  # forward-direction asof consumer
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -142,6 +142,52 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "asof_next_purchase_after_error",
+    oracle="""
+    SELECT event_id, user_id, ts, next_purchase_ts FROM (
+      SELECT event_id, user_id, ts, event_type,
+             first_value(CASE WHEN event_type = 'purchase' THEN ts END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_ts
+      FROM events
+    ) WHERE event_type = 'error'
+    """,
+    tags=("streaming-op", "asof-join", "forward"),
+)
+def asof_next_purchase_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of lookup ("did the user recover?"): for each error,
+    the same user's next purchase in (ts, event_id) order — the
+    operator-library :func:`operators.joins.asof_join` run in
+    ``direction="forward"``, giving that mode a registered, externally
+    hash-pinned consumer (backward already has one:
+    ``asof_last_click_before_purchase``; the other modes stay pinned by
+    the 4-mode merge_asof cross-check tests). The unique event_id
+    tie-break makes the total order exact, so exact-tuple matches cannot
+    occur and the oracle's 1-FOLLOWING window frame is the precise
+    mirror. Same scale shape as backward: one union + one analytic
+    window, single user_id shuffle, no inequality join."""
+    from ..operators.joins import asof_join
+
+    ev = catalog(spark, sf_dir).events
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("ts").alias("next_purchase_ts")
+    )
+    return asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        order_by=["ts", "event_id"],
+        payload=["next_purchase_ts"],
+        direction="forward",
+    )
+
+
+@register(
     "stream_user_stats",
     oracle=f"""
     SELECT user_id, count(*) AS n_events,

@@ -54,6 +54,11 @@ deferred_past_prefix: set[str] = {
     # mode at all 3 mirror SFs (no trivially-equal gate row); queued in
     # the declared r9 head.
     "window_funnel_strict_depths",
+    # forward-direction asof consumer (NEW r8): same union+window plan as
+    # in-prefix sibling asof_last_click_before_purchase (r8 head slot 1);
+    # 4-mode merge_asof cross-check tests; mirror-green at 3 SFs; queued
+    # in the declared r9 head.
+    "asof_next_purchase_after_error",
 }
 
 
