@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.windows import flatten_window, tumbling_window
 
-__all__ = ["conditional", "windowed_agg", "window_funnel"]
+__all__ = ["conditional", "windowed_agg", "window_funnel", "sequence_match"]
 
 
 def conditional(agg_fn, when_cond: Column, value: Column | str) -> Column:
@@ -180,3 +180,88 @@ def window_funnel(
     for i in range(1, len(stage_frames) + 1):
         depth = F.when(F.col(f"_d{i}").isNotNull(), i).otherwise(depth)
     return keys.select(key_col, depth.alias("depth"))
+
+
+def sequence_match(
+    events: DataFrame,
+    steps: list[Column],
+    gaps: list[int | None],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ANY-ANCHOR event-pattern existence — ClickHouse ``sequenceMatch``
+    with ``(?t<=g)`` adjacency guards: per key, does SOME strictly
+    time-increasing assignment of events satisfy ``steps`` in order, with
+    each adjacent pair at most ``gaps[i]`` seconds apart (``None`` = the
+    ``.*`` unbounded separator)? This is the complement of
+    :func:`window_funnel`, whose documented deviation is anchoring at the
+    FIRST step-1 event: here every candidate anchor competes, so
+    step1@t0, step1@t50, step2@t70 with a 60 s gap MATCHES (the funnel
+    variant scores it depth 1). Equal timestamps never chain (strict
+    ``>``), making results independent of same-timestamp ordering.
+
+    Exactness by forward closure: stage *i*'s candidate set is every
+    ``steps[i]`` event with ANY stage-*i-1* candidate in its lookback
+    window — no greedy choice is ever made, so existence is decided
+    exactly (a greedy earliest-chain shortcut is WRONG under gap guards:
+    the earliest step-1 event can be too old for every step-2 event that
+    a later anchor reaches).
+
+    Scale shape: per stage, one bucketized range semi-join via
+    :func:`operators.joins.range_join` on the NUMERIC epoch-microsecond
+    axis (cover = predecessor lookahead intervals ``[p+1, p+gap]``,
+    probe = candidate instants, bucket width = the gap — each cover row
+    explodes into <= 2 buckets), then a DISTINCT back to candidate
+    grain; unbounded separators degrade to a per-key min-predecessor
+    aggregate + equi-join (no range join at all). State per stage is the
+    candidate set, never per-key event arrays. Returns one row per
+    distinct key with ``matched`` (int 1/0 — int for cross-engine hash
+    stability).
+    """
+    if not steps:
+        raise ValueError("sequence_match needs at least one step predicate")
+    if len(gaps) != len(steps) - 1:
+        raise ValueError("need exactly len(steps)-1 gaps")
+    from .joins import range_join
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cur = events.filter(steps[0]).select(key_col, us.alias("_us")).distinct()
+    for cond, gap in zip(steps[1:], gaps):
+        nxt = events.filter(cond).select(key_col, us.alias("_nus")).distinct()
+        if gap is None:
+            prev_min = cur.groupBy(key_col).agg(F.min("_us").alias("_p"))
+            cur = (
+                nxt.join(prev_min, key_col)
+                .filter(F.col("_nus") > F.col("_p"))
+                .select(key_col, F.col("_nus").alias("_us"))
+            )
+        else:
+            gap_us = int(gap) * 1_000_000
+            cover = cur.select(
+                key_col,
+                (F.col("_us") + F.lit(1)).alias("_c0"),
+                (F.col("_us") + F.lit(gap_us)).alias("_c1"),
+            )
+            probe = nxt.select(
+                key_col,
+                F.col("_nus").alias("_p0"),
+                F.col("_nus").alias("_p1"),
+            )
+            cur = (
+                range_join(
+                    cover,
+                    probe,
+                    on=[key_col],
+                    cover_interval=("_c0", "_c1"),
+                    probe_interval=("_p0", "_p1"),
+                    interval_unit="numeric",
+                    bucket_width=gap_us,
+                )
+                .select(key_col, F.col("_p0").alias("_us"))
+                .distinct()
+            )
+    matched = cur.select(key_col).distinct().withColumn("_m", F.lit(1))
+    keys = events.select(key_col).distinct()
+    return keys.join(matched, key_col, "left").select(
+        key_col, F.coalesce(F.col("_m"), F.lit(0)).alias("matched")
+    )

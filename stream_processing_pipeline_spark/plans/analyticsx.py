@@ -2346,6 +2346,68 @@ def window_funnel_strict_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEQ_GAP_US = 86_400 * 1_000_000  # 24-hour adjacency guard, micros
+# (24 h picked by measurement: matched/unmatched mixes are non-trivial at
+# ALL THREE mirror SFs — 11/4, 118/32, 1149/351 — so the gate row can
+# actually catch a broken stage join; 2 h matched almost nobody, 72 h
+# matched almost everybody)
+
+
+@register(
+    "seq_match_view_click_purchase",
+    oracle=f"""
+    WITH c1 AS MATERIALIZED (
+      SELECT DISTINCT user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'view'
+    ),
+    c2 AS MATERIALIZED (
+      SELECT DISTINCT e.user_id, epoch_us(e.ts) AS us
+      FROM events e JOIN c1 ON c1.user_id = e.user_id
+        AND epoch_us(e.ts) > c1.us
+        AND epoch_us(e.ts) <= c1.us + {_SEQ_GAP_US}
+      WHERE e.event_type = 'click'
+    ),
+    c3 AS MATERIALIZED (
+      SELECT DISTINCT e.user_id
+      FROM events e JOIN c2 ON c2.user_id = e.user_id
+        AND epoch_us(e.ts) > c2.us
+        AND epoch_us(e.ts) <= c2.us + {_SEQ_GAP_US}
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN c3.user_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS matched
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN c3 ON c3.user_id = u.user_id
+    """,
+    tags=("batch", "sequence-match", "pattern", "range-join", "numeric-axis"),
+)
+def seq_match_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1)(?t<=86400)(?2)(?t<=86400)(?3)')``:
+    per user, does ANY view -> click -> purchase chain exist with each
+    hop at most 24 hours after the previous event? Unlike the
+    fixed-anchor ``window_funnel`` family, every candidate anchor
+    competes — the exact semantics the funnel's documented deviation
+    points at, now covered by its own operator
+    (:func:`operators.aggregates.sequence_match`). Each stage is a
+    bucketized range SEMI-join on the numeric epoch-microsecond axis —
+    the r8-generalized :func:`operators.joins.range_join` consumed on
+    its third axis — so no greedy chain choice and no per-user arrays;
+    the oracle states the same forward closure as chained EXISTS CTEs."""
+    from ..operators.aggregates import sequence_match
+
+    ev = catalog(spark, sf_dir).events
+    return sequence_match(
+        ev,
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        gaps=[86_400, 86_400],
+    )
+
+
 # ------------------------------------------- Markov removal-effect attribution
 
 _MK_STATES = {"click": 1, "error": 2, "signup": 3, "view": 4}  # 0=START

@@ -59,6 +59,11 @@ deferred_past_prefix: set[str] = {
     # 4-mode merge_asof cross-check tests; mirror-green at 3 SFs; queued
     # in the declared r9 head.
     "asof_next_purchase_after_error",
+    # any-anchor sequenceMatch consumer (NEW r8): numeric-axis range_join
+    # stages; 300-scenario forward-closure fuzz incl. the greedy-killer;
+    # mirror-green at 3 SFs with non-trivial matched mixes; queued in the
+    # declared r9 head.
+    "seq_match_view_click_purchase",
 }
 
 

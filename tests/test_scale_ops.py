@@ -721,3 +721,78 @@ def test_window_funnel_modes_fuzz_300_scenarios(spark):
     with _pytest.raises(ValueError, match="unknown window_funnel modes"):
         window_funnel(df, steps=steps, window="INTERVAL 1 HOUR",
                       modes=("strict_monotone",))
+
+
+def test_sequence_match_fuzz_300_scenarios(spark):
+    """sequence_match (any-anchor existence with adjacency gap guards) vs
+    a brute-force forward-closure model. 300 seeded-random scenarios in
+    ONE Spark job per gap configuration; fixtures include the case that
+    kills a greedy earliest-chain implementation (early step-1 anchor too
+    old for every step-2 event a later anchor reaches) plus duplicate
+    timestamps (equal ts must never chain)."""
+    import random
+
+    from stream_processing_pipeline_spark.operators.aggregates import (
+        sequence_match,
+    )
+
+    types = ["view", "click", "purchase", "other"]
+    rng = random.Random(5150)
+    rows, scen = [], {}
+    for sid in range(300):
+        n = rng.randint(1, 14)
+        evs = sorted(
+            (rng.randint(0, 120), rng.choice(types)) for _ in range(n)
+        )
+        scen[sid] = evs
+        for t, ty in evs:
+            rows.append((sid, ty, t))
+    # hand-planted greedy-killer: step1@0 (too old), step1@50, step2@70
+    scen[1000] = [(0, "view"), (50, "view"), (70, "click"), (71, "purchase")]
+    # equal-ts non-chain: view and click at the same instant
+    scen[1001] = [(10, "view"), (10, "click"), (11, "purchase")]
+    for sid in (1000, 1001):
+        rows += [(sid, ty, t) for t, ty in scen[sid]]
+
+    def model(evs, gaps_min):
+        conds = ["view", "click", "purchase"]
+        reach = [t for t, ty in evs if ty == conds[0]]
+        for ci, g in zip(conds[1:], gaps_min):
+            nxt = []
+            for t, ty in evs:
+                if ty != ci:
+                    continue
+                ok = any(
+                    p < t and (g is None or t - p <= g) for p in reach
+                )
+                if ok:
+                    nxt.append(t)
+            reach = nxt
+        return 1 if reach else 0
+
+    df = spark.createDataFrame(
+        [(sid, ty, float(t)) for sid, ty, t in rows],
+        "user_id int, event_type string, mins double",
+    ).select(
+        "user_id", "event_type",
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,0,CAST(mins AS INT),0)"
+        ).alias("ts"),
+    )
+    steps = [F.col("event_type") == t for t in ("view", "click", "purchase")]
+    for gaps_min in ((30, 30), (None, 30), (None, None), (25, None)):
+        gaps_sec = [None if g is None else g * 60 for g in gaps_min]
+        got = {
+            r.user_id: r.matched
+            for r in sequence_match(df, steps, gaps_sec).collect()
+        }
+        want = {sid: model(evs, gaps_min) for sid, evs in scen.items()}
+        diff = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+        assert not diff, (gaps_min, dict(list(diff.items())[:5]))
+        assert 0 < sum(want.values()) < len(want), gaps_min  # non-trivial
+    # the greedy-killer must match under (30, 30): anchor@50 -> 70 -> 71
+    assert model(scen[1000], (30, 30)) == 1
+    # equal-ts must NOT satisfy view->click adjacency: the only click is
+    # at the view's own timestamp, and strict ordering forbids chaining it
+    assert model(scen[1001], (1, 30)) == 0
