@@ -479,3 +479,32 @@ def test_unique_key_rule_catches_many_to_many_inner_join(spark):
     li = catalog(spark, SF_MED).lineitem
     fan = li.select("l_orderkey").limit(5).join(li, "l_orderkey")
     assert unbounded(fan)
+
+
+def test_range_join_candidate_join_is_never_broadcast(spark):
+    """r8 finding: Catalyst keeps the CHILD's sizeInBytes for an exploded
+    relation (sequence() length is opaque to stats), so the range_join
+    candidate join flipped to a 500 MiB BroadcastExchange at sf0.1 in a
+    plain 10 MB-threshold session — a misestimate that does NOT
+    self-correct at cluster scale. The operator pins the join to a
+    shuffle strategy; this guard keeps that pin from regressing: in every
+    registered range_join consumer's physical plan, the _bk-keyed
+    candidate join must be a SortMergeJoin, never BroadcastHashJoin."""
+    import re
+
+    from stream_processing_pipeline_spark.plans import REGISTRY
+
+    consumers = (
+        "supplier_part_transit_overlaps",
+        "customer_inflight_order_overlaps",
+        "error_click_reaction_windows",
+        "seq_match_view_click_purchase",
+    )
+    for name in consumers:
+        plan = REGISTRY[name].fn(
+            spark, "/root/testdata/sf0.001"
+        )._jdf.queryExecution().executedPlan().toString()
+        # every join whose key list mentions the bucket column must be SMJ
+        for m in re.finditer(r"(\w+HashJoin|SortMergeJoin)[^\n]*_bk", plan):
+            assert m.group(1) == "SortMergeJoin", (name, m.group(0)[:120])
+        assert "_bk" in plan, f"{name}: bucket join not found in plan"
