@@ -132,6 +132,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, q in sorted(REGISTRY.items()):
+        # stderr progress (stdout stays ONE parseable JSON line): after an
+        # executor-death failure the last-started name is otherwise
+        # unattributable because timings only print at the end (r8).
+        print(f"bench: {name}", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         try:
             # noop sink: fully materializes every output column (count()

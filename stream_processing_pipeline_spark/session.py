@@ -50,6 +50,15 @@ def build_session(
     cores = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
+        # Size the single local JVM to the machine: Spark's 1g default
+        # packs all `cores` executor threads into one tiny heap (32 MB/
+        # thread at local[32]) — r8 measured a SortMergeJoin spill-reader
+        # OOM at sf0.1 under it. Only effective at JVM launch; getOrCreate
+        # on an existing session leaves the running heap untouched.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
