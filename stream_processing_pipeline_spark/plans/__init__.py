@@ -131,6 +131,7 @@ _GATE_PRIORITY = [
     "window_funnel_strict_depths",    # strict_order funnel mode consumer
     "asof_next_purchase_after_error",  # forward-direction asof consumer
     "seq_match_view_click_purchase",   # any-anchor sequenceMatch operator
+    "window_funnel_dedup_depths",      # strict_dedup funnel mode consumer
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -2346,6 +2346,91 @@ def window_funnel_strict_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_funnel_dedup_depths",
+    oracle="""
+    WITH t1 AS MATERIALIZED (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c2 AS MATERIALIZED (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'click' THEN e.ts END) AS cand,
+             min(CASE WHEN e.event_type = 'view' THEN e.ts END) AS brk
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ),
+    t2 AS MATERIALIZED (
+      SELECT user_id, cand AS t2 FROM c2
+      WHERE cand IS NOT NULL AND (brk IS NULL OR cand <= brk)
+    ),
+    c3 AS MATERIALIZED (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'purchase' THEN e.ts END) AS cand,
+             min(CASE WHEN e.event_type = 'click' THEN e.ts END) AS brk
+      FROM events e
+      JOIN t1 ON t1.user_id = e.user_id
+      JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.ts > t2.t2 AND e.ts <= t1.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT user_id FROM c3
+      WHERE cand IS NOT NULL AND (brk IS NULL OR cand <= brk)
+    ),
+    depth AS (
+      SELECT u.user_id,
+             CASE WHEN t3.user_id IS NOT NULL THEN 3
+                  WHEN t2.user_id IS NOT NULL THEN 2
+                  WHEN t1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS depth
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN t1 ON t1.user_id = u.user_id
+      LEFT JOIN t2 ON t2.user_id = u.user_id
+      LEFT JOIN t3 ON t3.user_id = u.user_id
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_users
+    FROM depth GROUP BY depth ORDER BY depth
+    """,
+    tags=("batch", "funnel", "window-funnel", "strict-dedup"),
+)
+def window_funnel_dedup_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-DEDUP funnel depths — the third cell of the r8 mode matrix
+    externally hash-pinned (default and strict_order each have their own
+    registered query). Same one-day fixed-anchor view -> click ->
+    purchase chain, but only a REPEAT of the PREVIOUS step's condition
+    interrupts ("the user started a new browsing pass before clicking"):
+    a second view between the anchor view and the click kills stage 2, a
+    second click between the click and the purchase kills stage 3 —
+    while out-of-order OTHER conditions (e.g. an early purchase) are
+    ignored, which is exactly where this mode differs from strict_order.
+    Measured on the fixtures: all three modes produce pairwise-different
+    histograms at sf0.01 (gate SF) and sf0.1 — 90/46/14 default vs
+    103/39/8 dedup vs 112/30/8 order at sf0.01 (dedup coincides with
+    default only at the 15-user sf0.001). Oracle = the per-stage
+    (candidate, repeat-breaker) conditional-min pair, the operator's
+    aggregate verbatim. Same single reused user_id exchange."""
+    from ..operators.aggregates import window_funnel
+
+    ev = catalog(spark, sf_dir).events
+    depth = window_funnel(
+        ev,
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window="INTERVAL 1 DAY",
+        modes=("strict_dedup",),
+    )
+    return (
+        depth.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("depth")
+    )
+
+
 _SEQ_GAP_US = 86_400 * 1_000_000  # 24-hour adjacency guard, micros
 # (24 h picked by measurement: matched/unmatched mixes are non-trivial at
 # ALL THREE mirror SFs — 11/4, 118/32, 1149/351 — so the gate row can

@@ -64,6 +64,11 @@ deferred_past_prefix: set[str] = {
     # mirror-green at 3 SFs with non-trivial matched mixes; queued in the
     # declared r9 head.
     "seq_match_view_click_purchase",
+    # strict_dedup funnel mode consumer (NEW r8): completes the
+    # externally-pinned mode matrix; pairwise-different histograms vs
+    # default AND strict_order at sf0.01/sf0.1; mirror-green at 3 SFs;
+    # queued in the declared r9 head.
+    "window_funnel_dedup_depths",
 }
 
 
