@@ -4720,11 +4720,11 @@ def error_click_reaction_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr(f"INTERVAL {_ERRWIN_SEC} SECONDS")).alias("e1"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"),
+        "user_id",
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("p0"),
         F.col("ts").alias("p1"),
-    ).withColumnRenamed("c_user_id", "user_id")
+    )
     pairs = range_join(
         errors,
         clicks,

@@ -874,19 +874,51 @@ def _jpeg_ac_table_values() -> bytes:
     ])
 
 
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+
+
+def _jpeg_canonical_codes(bits: list[int], vals) -> dict:
+    """Canonical Huffman assignment per T.81 Annex C (value -> (code,
+    length)) — the single encoder-side copy shared by both fixture
+    builders and tools/codec_throughput_probe (review finding r8: three
+    divergent copies). The decoder under test builds its tables
+    independently in operators.multimodal."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_baseline_gray_header(w: int, h: int) -> bytes:
+    """SOI + DQT(unit) + SOF0 + DHT(Annex-K luma DC+AC) + SOS for a
+    single-component baseline grayscale frame — shared header assembly."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    return (
+        b"\xFF\xD8"
+        + seg(0xDB, bytes([0]) + bytes([1]) * 64)
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+              + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(range(12))
+              + bytes([0x10]) + bytes(_JPEG_AC_BITS) + _jpeg_ac_table_values())
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+
+
 def _jpeg_fixture_tables() -> tuple[str, list[str]]:
     """(header_hex, [entropy_hex per gray value 0..255]) for the constant
     16x8 grayscale fixture. The entropy encoder here is deliberately
     minimal — DC category/magnitude + EOB per block, second block diff=0
     — and INDEPENDENT of the decoder under test."""
-    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
-    codes, code, k = {}, 0, 0
-    for length in range(1, 17):
-        for _ in range(dc_bits[length - 1]):
-            codes[k] = (code, length)
-            code += 1
-            k += 1
-        code <<= 1
+    codes = _jpeg_canonical_codes(_JPEG_DC_BITS, list(range(12)))
     # standard AC luma table's EOB (value 0x00) is code '1010' (4 bits)
     eob = ("1010", 4)
 
@@ -910,23 +942,7 @@ def _jpeg_fixture_tables() -> tuple[str, list[str]]:
                 out.append(0x00)          # byte stuffing
         return out.hex()
 
-    import struct
-
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    ac_bits = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
-    ac_vals = _jpeg_ac_table_values()
-    dc_vals = bytes(range(12))
-    header = (
-        b"\xFF\xD8"
-        + seg(0xDB, bytes([0]) + bytes([1]) * 64)
-        + seg(0xC0, bytes([8]) + struct.pack(">HH", _JPEG_H, _JPEG_W)
-              + bytes([1, 1, 0x11, 0]))
-        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals
-              + bytes([0x10]) + bytes(ac_bits) + ac_vals)
-        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    )
+    header = _jpeg_baseline_gray_header(_JPEG_W, _JPEG_H)
     return header.hex(), [entropy(v) for v in range(256)]
 
 
@@ -1007,22 +1023,8 @@ def _jpeg_ac_entropy_lut() -> list[str]:
     (v % 8) + 1), built by an independent canonical-Huffman encoder —
     shares nothing with the decoder under test but the public T.81
     table construction."""
-    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
-    ac_bits = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
-    ac_vals = _jpeg_ac_table_values()
-
-    def canon(bits: list[int], vals) -> dict:
-        codes, code, k = {}, 0, 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                codes[vals[k]] = (code, length)
-                code += 1
-                k += 1
-            code <<= 1
-        return codes
-
-    dc = canon(dc_bits, list(range(12)))
-    ac = canon(ac_bits, ac_vals)
+    dc = _jpeg_canonical_codes(_JPEG_DC_BITS, list(range(12)))
+    ac = _jpeg_canonical_codes(_JPEG_AC_BITS, _jpeg_ac_table_values())
 
     def put(bits: str, sym: tuple[int, int]) -> str:
         return bits + format(sym[0], f"0{sym[1]}b")

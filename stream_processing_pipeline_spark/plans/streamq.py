@@ -1322,6 +1322,7 @@ _INGEST_QUALITY_MIN = 0.55  # same gate as corpus_clean_train_sample
 
 def corpus_ingest_batch(
     bdf: DataFrame,
+    epoch_id: int,
     index_dir: str,
     seen_dir: str,
     quality_min: float = _INGEST_QUALITY_MIN,
@@ -1336,14 +1337,23 @@ def corpus_ingest_batch(
     3. cross-batch dedup: anti-join against the PERSISTED seen-hash table
        — first-crawl-wins, the ingest-order semantics a rolling crawl
        pipeline actually has;
-    4. MinHash-band the new survivors and APPEND to the persisted band
-       index (the same index shape ``dedup_incremental`` probes), then
-       append their hashes to the seen table.
+    4. MinHash-band the new survivors into the persisted band index (the
+       same index shape ``dedup_incremental`` probes), and record their
+       hashes in the seen table.
 
-    The survivor frame is ``localCheckpoint``-ed before either write: the
-    second append mutates the seen table the anti-join reads, so lineage
-    recomputation after that write would anti-join the batch against
-    itself — materialize-then-write is correctness, not an optimization.
+    EPOCH-IDEMPOTENT writes (review finding r8): both sinks land in an
+    ``epoch=<id>`` partition with mode("overwrite") on THAT partition,
+    and every read filters ``epoch < epoch_id``. Plain appends left a
+    crash window — index committed, seen-hash not, driver dies — where
+    Structured Streaming's replay of the same batch would re-append
+    every survivor's band rows (the anti-join couldn't see them). With
+    per-epoch overwrite the replay rewrites its own partition
+    byte-identically instead; and because reads EXCLUDE the current
+    epoch, a replay after a torn seen-write cannot anti-join the batch
+    against its own half-committed hashes (which would overwrite the
+    index partition with an empty survivor set — data loss, the dual
+    failure mode). The survivor frame is ``localCheckpoint``-ed so both
+    sinks write one materialization.
     """
     import os
 
@@ -1372,11 +1382,19 @@ def corpus_ingest_batch(
         )
     )
     if os.path.exists(seen_dir):
-        seen = spark.read.parquet(seen_dir).select("text_hash")
+        seen = (
+            spark.read.parquet(seen_dir)
+            .filter(F.col("epoch") < F.lit(int(epoch_id)))
+            .select("text_hash")
+        )
         surv = surv.join(seen, "text_hash", "left_anti")
     surv = surv.localCheckpoint()
-    lsh_bands(minhash_table(surv)).write.mode("append").parquet(index_dir)
-    surv.select("text_hash").write.mode("append").parquet(seen_dir)
+    lsh_bands(minhash_table(surv)).write.mode("overwrite").parquet(
+        f"{index_dir}/epoch={int(epoch_id)}"
+    )
+    surv.select("text_hash").write.mode("overwrite").parquet(
+        f"{seen_dir}/epoch={int(epoch_id)}"
+    )
 
 
 # The oracle reuses dedupq's shared band CTE and textq's quality
@@ -1441,7 +1459,9 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         query = (
             stream.writeStream.foreachBatch(
-                lambda bdf, _eid: corpus_ingest_batch(bdf, index_dir, seen_dir)
+                lambda bdf, eid: corpus_ingest_batch(
+                    bdf, eid, index_dir, seen_dir
+                )
             )
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
@@ -1450,7 +1470,11 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not query.awaitTermination(240):
             query.stop()
             raise TimeoutError("stream_corpus_ingest still running after 240s")
-        idx = spark.read.parquet(index_dir)
+        # partition discovery surfaces the epoch id as a column; the
+        # summary is epoch-agnostic by construction (each hash enters once)
+        idx = spark.read.parquet(index_dir).select(
+            "doc_id", "band_idx", "band_hash"
+        )
         out = (
             idx.groupBy("band_idx", "band_hash")
             .agg(

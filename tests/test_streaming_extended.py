@@ -653,12 +653,18 @@ def test_corpus_ingest_two_batch_carryover(spark, tmp_path):
     b2 = docs.filter(F.col("doc_id") % 2 == 1)
     index_dir = str(tmp_path / "band_index")
     seen_dir = str(tmp_path / "seen_hashes")
-    corpus_ingest_batch(b1, index_dir, seen_dir)
-    corpus_ingest_batch(b2, index_dir, seen_dir)
-    got = {
-        (r.doc_id, r.band_idx, r.band_hash)
-        for r in spark.read.parquet(index_dir).collect()
-    }
+    corpus_ingest_batch(b1, 0, index_dir, seen_dir)
+    corpus_ingest_batch(b2, 1, index_dir, seen_dir)
+
+    def index_rows():
+        return {
+            (r.doc_id, r.band_idx, r.band_hash)
+            for r in spark.read.parquet(index_dir)
+            .select("doc_id", "band_idx", "band_hash")
+            .collect()
+        }
+
+    got = index_rows()
 
     # independent first-crawl-wins model (python dict over collected rows)
     hashed = docs.filter(
@@ -687,11 +693,19 @@ def test_corpus_ingest_two_batch_carryover(spark, tmp_path):
     } & {r.th for r in rows if r.doc_id % 2 == 1}
     assert b2_hashes_owned_by_b1, "fixture has no cross-parity duplicates"
 
-    # redelivery: replaying batch 1 appends NOTHING (content-grain
-    # idempotence via the seen table)
-    corpus_ingest_batch(b1, index_dir, seen_dir)
-    again = {
-        (r.doc_id, r.band_idx, r.band_hash)
-        for r in spark.read.parquet(index_dir).collect()
-    }
-    assert again == got
+    # epoch replay: Structured Streaming re-runs a batch under the SAME
+    # epoch id after any crash. Replaying epoch 1 must rewrite its own
+    # partition byte-identically — including after a TORN write where the
+    # index partition committed but the seen partition did not (the crash
+    # window that made plain appends duplicate rows, review finding r8).
+    import shutil
+
+    corpus_ingest_batch(b1, 0, index_dir, seen_dir)  # replay epoch 0
+    assert index_rows() == got
+    shutil.rmtree(f"{seen_dir}/epoch=1")  # tear epoch 1's seen write
+    corpus_ingest_batch(b2, 1, index_dir, seen_dir)  # replay epoch 1
+    assert index_rows() == got
+    # a LATER batch redelivering batch-1 content appends nothing
+    # (content-grain idempotence via the seen table)
+    corpus_ingest_batch(b1, 2, index_dir, seen_dir)
+    assert index_rows() == got

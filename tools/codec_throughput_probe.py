@@ -51,27 +51,19 @@ def make_png(w: int, h: int, seed: int = 7) -> bytes:
 # ----------------------------------------------------------------- JPEG
 def make_jpeg(w: int, h: int, seed: int = 7) -> bytes:
     """Baseline grayscale JPEG, one DC step per block + one AC coefficient
-    every other block — a non-degenerate entropy stream at quant 1."""
-    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
-    ac_bits = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    every other block — a non-degenerate entropy stream at quant 1.
+    Table/header assembly shared with the fixture builders (review
+    finding r8: three divergent encoder copies)."""
     from stream_processing_pipeline_spark.plans.multimodalq import (
+        _JPEG_AC_BITS,
+        _JPEG_DC_BITS,
         _jpeg_ac_table_values,
+        _jpeg_baseline_gray_header,
+        _jpeg_canonical_codes,
     )
 
-    ac_vals = _jpeg_ac_table_values()
-
-    def canon(bits, vals):
-        codes, code, k = {}, 0, 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                codes[vals[k]] = (code, length)
-                code += 1
-                k += 1
-            code <<= 1
-        return codes
-
-    dc = canon(dc_bits, list(range(12)))
-    ac = canon(ac_bits, ac_vals)
+    dc = _jpeg_canonical_codes(_JPEG_DC_BITS, list(range(12)))
+    ac = _jpeg_canonical_codes(_JPEG_AC_BITS, _jpeg_ac_table_values())
 
     def put(bits, sym):
         return bits + format(sym[0], f"0{sym[1]}b")
@@ -80,9 +72,6 @@ def make_jpeg(w: int, h: int, seed: int = 7) -> bytes:
         s = abs(val).bit_length()
         m = val if val > 0 else val + (1 << s) - 1
         return bits + format(m, f"0{s}b")
-
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     bw, bh = (w + 7) // 8, (h + 7) // 8
     bits = ""
@@ -106,18 +95,7 @@ def make_jpeg(w: int, h: int, seed: int = 7) -> bytes:
         raw.append(b)
         if b == 0xFF:
             raw.append(0x00)
-    header = (
-        b"\xFF\xD8"
-        + seg(0xDB, bytes([0]) + bytes([1]) * 64)
-        + seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
-        + seg(
-            0xC4,
-            bytes([0x00]) + bytes(dc_bits) + bytes(range(12))
-            + bytes([0x10]) + bytes(ac_bits) + ac_vals,
-        )
-        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    )
-    return header + bytes(raw) + b"\xFF\xD9"
+    return _jpeg_baseline_gray_header(w, h) + bytes(raw) + b"\xFF\xD9"
 
 
 def bench(label: str, payload: bytes, decode, pixels: int, secs: float = 2.0):

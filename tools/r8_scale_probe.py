@@ -1,16 +1,22 @@
 """Scale probe for the round-8 additions (VERDICT r5 #8 attribution rule:
 new families get a measured 1x-vs-Nx ratio before the round closes).
 
-Reuses the r6 replica builder shape but shifts ORDER and CUSTOMER keys in
-lockstep (o_orderkey/l_orderkey share the 1e9 stride, o_custkey/user ids
-the 1e7 stride) so the 10x corpus adds CUSTOMERS rather than deepening
-per-customer order books — the realistic growth axis for the interval
-report. Probed:
+Reuses the r7 replica builder shape. EVENTS grow by USERS (event_id 1e9 /
+user_id 1e7 strides: per-user event density — the grain the timestamp
+range join keys on — stays constant while keys multiply); DOCUMENTS grow
+by doc_id stride with text unchanged per replica, deliberately: the
+ingest's dedup must collapse the replicas, proving its state tracks
+content novelty rather than bytes scanned. Probed:
 
-- mm_png_decode_stats            (per-row generate+decode map)
-- mm_png_corrupt_quarantine      (same + error-path branch)
-- retrieval_rrf_fusion           (two broadcast-query channel scans)
-- customer_inflight_order_overlaps (bucketed range join, customer grain)
+- error_click_reaction_windows  (timestamp-axis bucketed range join)
+- mm_jpeg_ac_decode_stats       (per-row generate+decode, AC path)
+- stream_corpus_ingest          (availableNow foreachBatch pipeline)
+
+The round's other additions scale as their already-probed plan families:
+window_funnel_strict/dedup_depths add one conditional min to the probed
+funnel exchange, asof_next_purchase_after_error is the probed asof
+union+window with the tag flipped, and seq_match_view_click_purchase is
+two numeric-axis instances of the probed range-join shape.
 
 Usage: python tools/r8_scale_probe.py [replicas]
 """
@@ -90,13 +96,9 @@ def main() -> None:
         walls = []
         for label, d in ((f"{name} 1x", SF_DIR), (f"{name} {replicas}x", big_dir)):
             t0 = time.perf_counter()
-            n = (
-                REGISTRY[name]
-                .fn(spark, d)
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            )
+            REGISTRY[name].fn(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
             wall = time.perf_counter() - t0
             cnt = REGISTRY[name].fn(spark, d).count()
             print(f"| {label} | {wall:.2f} s | {cnt} rows |", flush=True)
