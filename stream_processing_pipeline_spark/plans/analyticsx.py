@@ -2493,6 +2493,63 @@ def seq_match_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_SEQ_QB_GAP_US = 21_600 * 1_000_000  # 6-hour click->purchase guard
+
+
+@register(
+    "seq_match_signup_then_quick_buy",
+    oracle=f"""
+    WITH c1 AS MATERIALIZED (
+      SELECT user_id, min(epoch_us(ts)) AS us FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c2 AS MATERIALIZED (
+      SELECT DISTINCT e.user_id, epoch_us(e.ts) AS us
+      FROM events e JOIN c1 ON c1.user_id = e.user_id
+        AND epoch_us(e.ts) > c1.us
+      WHERE e.event_type = 'click'
+    ),
+    c3 AS MATERIALIZED (
+      SELECT DISTINCT e.user_id
+      FROM events e JOIN c2 ON c2.user_id = e.user_id
+        AND epoch_us(e.ts) > c2.us
+        AND epoch_us(e.ts) <= c2.us + {_SEQ_QB_GAP_US}
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN c3.user_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS matched
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN c3 ON c3.user_id = u.user_id
+    """,
+    tags=("batch", "sequence-match", "pattern", "mixed-gaps"),
+)
+def seq_match_signup_then_quick_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)(?t<=21600)(?3)')`` — MIXED
+    separators: an UNBOUNDED ``.*`` hop (signup -> any later click) then
+    a bounded 6-hour hop (click -> purchase). Exercises
+    :func:`operators.aggregates.sequence_match`'s min-predecessor branch
+    (no range join at all for the unbounded stage — for existence, only
+    each key's EARLIEST predecessor matters, one aggregate + equi-join)
+    composed with the bucketized numeric-axis stage, with its own
+    external hash row. The oracle mirrors both branches: c1 keeps only
+    min(ts) per user, exactly the operator's reduction. 6 h picked by
+    measurement: matched/unmatched mixes 12/3, 107/43, 1071/429 at the
+    three mirror SFs."""
+    from ..operators.aggregates import sequence_match
+
+    ev = catalog(spark, sf_dir).events
+    return sequence_match(
+        ev,
+        steps=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        gaps=[None, 21_600],
+    )
+
+
 # ------------------------------------------- Markov removal-effect attribution
 
 _MK_STATES = {"click": 1, "error": 2, "signup": 3, "view": 4}  # 0=START

@@ -69,6 +69,11 @@ deferred_past_prefix: set[str] = {
     # default AND strict_order at sf0.01/sf0.1; mirror-green at 3 SFs;
     # queued in the declared r9 head.
     "window_funnel_dedup_depths",
+    # mixed-gap sequenceMatch consumer (NEW r8): unbounded separator via
+    # the min-predecessor branch + bounded numeric-axis stage; sibling
+    # seq_match_view_click_purchase; mirror-green at 3 SFs with
+    # non-trivial mixes; queued in the declared r9 head.
+    "seq_match_signup_then_quick_buy",
 }
 
 
