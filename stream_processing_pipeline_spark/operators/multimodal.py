@@ -209,6 +209,7 @@ _BUILTIN_CODECS: dict[str, Callable[[bytes], tuple[int, int, str]]] = {
     "png": lambda payload: png_decoder(payload),
     "jpeg": lambda payload: jpeg_decoder(payload),
     "jpg": lambda payload: jpeg_decoder(payload),
+    "gif": lambda payload: gif_decoder(payload),
 }
 
 
@@ -1403,3 +1404,249 @@ def decode_jpeg_stats_arrow(
             )
 
     return narrow.mapInArrow(batches, JPEG_STATS_SCHEMA)
+
+
+def _gif_lzw_decode(
+    data: bytes, mcs: int, expected: int
+) -> tuple[bytearray, int]:
+    """GIF variable-width LZW decode (LSB-first bit packing, clear/EOI
+    codes, dictionary growth to 4096 with the deferred-clear convention).
+    Returns ``(indexes, n_resets)`` — the color-index stream plus how many
+    Clear codes the stream carried (a decode-path witness the stats
+    queries can pin). Reject-don't-misread: raises ``ValueError`` on a
+    first-code that is not a root, a code beyond the next free slot,
+    output overrun past ``expected``, or a stream that ends without EOI.
+    """
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    n_roots = 1 << mcs
+
+    def fresh() -> list[bytes | None]:
+        t: list[bytes | None] = [bytes([i]) for i in range(n_roots)]
+        t += [None, None]  # clear / eoi slots are never dereferenced
+        return t
+
+    table = fresh()
+    width = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    resets = 0
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("gif: entropy data ends before EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh()
+            width = mcs + 1
+            prev = None
+            resets += 1
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= n_roots:
+                raise ValueError("gif: first code after clear not a root")
+            entry = table[code]
+        elif code < len(table):
+            if table[code] is None:
+                raise ValueError("gif: reference to clear/EOI slot")
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("gif: code beyond next free slot")
+        assert entry is not None
+        out += entry
+        if len(out) > expected:
+            raise ValueError("gif: more pixels than the image declares")
+        # The encoder only adds an entry when a FOLLOWING pixel breaks its
+        # match, so after its final data code (output complete) it adds
+        # nothing — mirror that, or the phantom final add can bump our
+        # width and desynchronize the EOI read (found by the encoder-twin
+        # round-trips: streams whose add-count lands exactly on 2^w - 1).
+        if prev is not None and len(out) < expected and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # EARLY width bump: the encoder adds each entry one code
+            # sooner than we do (it adds right after EMITTING the code we
+            # just consumed the entry for), so when our table reaches
+            # 2^width - 1 the encoder's has reached 2^width and its next
+            # code is already width+1 bits. Bumping at the power itself
+            # desynchronizes exactly one code later — the classic LZW
+            # decoder off-by-one. Deferred-clear: at width 12 the table
+            # caps and both sides freeze.
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    return out, resets
+
+
+def parse_gif(
+    payload: bytes, max_pixels: int = _MAX_DECODE_PIXELS
+) -> tuple[int, int, int, int, bytes]:
+    """Decode a GIF87a image (single full-frame image, global color
+    table, no interlace).
+
+    Returns ``(width, height, n_colors, n_resets, raster)`` — the raster
+    is row-major interleaved RGB from the global palette; ``n_resets``
+    counts LZW Clear codes (see :func:`_gif_lzw_decode`).
+
+    Reject-don't-misread contract (sixth codec of the family): raises
+    ``ValueError`` on a non-GIF87a signature (GIF89a's extension blocks
+    are out of scope and REJECTED, never skipped), a missing global
+    color table, extension/unknown blocks, a frame that is not the full
+    logical screen at offset (0,0), local color tables, interlace, an
+    LZW minimum code size outside [2, 8], any LZW structural error
+    (:func:`_gif_lzw_decode`), a pixel count other than exactly
+    ``width*height``, a color index outside the palette, sub-block
+    framing errors, a missing trailer, or trailing bytes after it.
+    Declared dimensions are capped at ``max_pixels`` before any
+    allocation, and the LZW decoder is output-bounded by the declared
+    pixel count — the PNG/JPEG dimension-bomb hardening applied from
+    birth."""
+    import struct
+
+    if payload[:6] != b"GIF87a":
+        raise ValueError("gif: not GIF87a")
+    if len(payload) < 13:
+        raise ValueError("gif: truncated logical screen descriptor")
+    w, h = struct.unpack("<HH", payload[6:10])
+    packed, _bg, aspect = payload[10], payload[11], payload[12]
+    if w < 1 or h < 1:
+        raise ValueError("gif: zero dimension")
+    if w * h > max_pixels:
+        raise ValueError(
+            f"gif: declared {w}x{h} exceeds max_pixels={max_pixels}"
+        )
+    if not packed & 0x80:
+        raise ValueError("gif: global color table required")
+    if aspect != 0:
+        raise ValueError("gif: nonzero aspect ratio byte unsupported")
+    n_colors = 2 << (packed & 0x07)
+    pos = 13
+    pal = payload[pos : pos + 3 * n_colors]
+    if len(pal) != 3 * n_colors:
+        raise ValueError("gif: truncated global color table")
+    pos += 3 * n_colors
+    if pos >= len(payload):
+        raise ValueError("gif: missing image descriptor")
+    if payload[pos] == 0x21:
+        raise ValueError("gif: extension blocks are not GIF87a")
+    if payload[pos] != 0x2C:
+        raise ValueError(f"gif: expected image descriptor, got {payload[pos]:#x}")
+    if pos + 10 > len(payload):
+        raise ValueError("gif: truncated image descriptor")
+    left, top, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+    ipacked = payload[pos + 9]
+    pos += 10
+    if (left, top) != (0, 0) or (iw, ih) != (w, h):
+        raise ValueError("gif: frame must cover the full logical screen")
+    if ipacked & 0x80:
+        raise ValueError("gif: local color tables unsupported")
+    if ipacked & 0x40:
+        raise ValueError("gif: interlace unsupported")
+    if pos >= len(payload):
+        raise ValueError("gif: missing LZW minimum code size")
+    mcs = payload[pos]
+    pos += 1
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"gif: LZW minimum code size {mcs} out of range")
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("gif: unterminated data sub-blocks")
+        blen = payload[pos]
+        pos += 1
+        if blen == 0:
+            break
+        if pos + blen > len(payload):
+            raise ValueError("gif: truncated data sub-block")
+        data += payload[pos : pos + blen]
+        pos += blen
+    if pos >= len(payload) or payload[pos] != 0x3B:
+        raise ValueError("gif: missing trailer")
+    if pos + 1 != len(payload):
+        raise ValueError("gif: trailing bytes after trailer")
+    indexes, resets = _gif_lzw_decode(bytes(data), mcs, w * h)
+    if len(indexes) != w * h:
+        raise ValueError(
+            f"gif: decoded {len(indexes)} pixels for a {w}x{h} frame"
+        )
+    out = bytearray(3 * w * h)
+    for i, ix in enumerate(indexes):
+        if ix >= n_colors:
+            raise ValueError("gif: color index outside the palette")
+        out[3 * i : 3 * i + 3] = pal[3 * ix : 3 * ix + 3]
+    return w, h, n_colors, resets, bytes(out)
+
+
+def gif_decoder(payload: bytes) -> tuple[int, int, str]:
+    """(bytes) -> (width, height, format) adapter over :func:`parse_gif`,
+    signature-compatible with :func:`decode_media_batched`."""
+    width, height, _nc, _resets, _raster = parse_gif(payload)
+    return (width, height, "gif")
+
+
+GIF_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_colors", IntegerType()),
+        StructField("n_resets", IntegerType()),
+        StructField("min_px", IntegerType()),
+        StructField("max_px", IntegerType()),
+        StructField("sum_px", LongType()),
+    ]
+)
+
+
+def decode_gif_stats_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL end-to-end GIF decode stats: parse each GIF87a with the
+    dependency-free :func:`parse_gif` (header walk, LZW entropy decode,
+    palette mapping) and emit exact raster statistics plus the LZW
+    Clear-code count — the witness that the entropy path actually ran.
+    Zero-copy ``mapInArrow``, same hot path as the other codecs."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def batches(it: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            ws, hs, ncs, rs, mn, mx, sm = [], [], [], [], [], [], []
+            for p in payloads:
+                w, h, nc, resets, raster = parse_gif(bytes(p))
+                ws.append(w)
+                hs.append(h)
+                ncs.append(nc)
+                rs.append(resets)
+                mn.append(min(raster))
+                mx.append(max(raster))
+                sm.append(sum(raster))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(ws, pa.int32()),
+                    pa.array(hs, pa.int32()),
+                    pa.array(ncs, pa.int32()),
+                    pa.array(rs, pa.int32()),
+                    pa.array(mn, pa.int32()),
+                    pa.array(mx, pa.int32()),
+                    pa.array(sm, pa.int64()),
+                ],
+                names=[f.name for f in GIF_STATS_SCHEMA.fields],
+            )
+
+    return narrow.mapInArrow(batches, GIF_STATS_SCHEMA)

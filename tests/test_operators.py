@@ -1287,3 +1287,183 @@ def test_jpeg_ac_fixture_family_decodes_exact_rasters():
             exp.extend(v + amp * sgn[x] * sgn[y] for x in range(8))
             exp.extend([v] * 8)
         assert list(raster) == exp, (idx, v, amp)
+
+
+def _gif_lzw_encode_twin(indexes, mcs):
+    """Independent REAL LZW compressor (string-table dict, variable-width
+    emission, encoder-convention width bumps) — shares nothing with the
+    decoder under test."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out_bits = []
+    width = mcs + 1
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    out_bits.append((clear, width))
+    w = b""
+    for k in indexes:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        out_bits.append((table[w], width))
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        w = bytes([k])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((eoi, width))
+    acc = nbits = 0
+    data = bytearray()
+    for code, wd in out_bits:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _gif_make(w, h, mcs, indexes, pal=None):
+    import struct
+
+    n_colors = 1 << mcs
+    f = n_colors.bit_length() - 2
+    pal = pal or bytes((3 * i) % 256 for i in range(3 * n_colors))
+    hdr = (
+        b"GIF87a" + struct.pack("<HH", w, h) + bytes([0x80 | f, 0, 0]) + pal
+    )
+    img = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+    data = _gif_lzw_encode_twin(indexes, mcs)
+    blocks = b""
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return hdr + img + bytes([mcs]) + blocks + b"\x00" + b"\x3B", pal
+
+
+def test_parse_gif_roundtrips_against_encoder_twin():
+    """REAL LZW coverage: 300 seeded-random images (mcs 2..8, repetition-
+    biased pixels so the dictionary genuinely grows), a 200x200 dict-
+    stress image (multiple width bumps toward the 4096 cap), and the
+    KwKwK corner (code == next free slot) — every raster must come back
+    byte-exact through parse_gif."""
+    import random
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_gif,
+    )
+
+    rng = random.Random(42)
+    for trial in range(300):
+        w, h = rng.randint(1, 24), rng.randint(1, 24)
+        mcs = rng.choice([2, 3, 4, 7, 8])
+        n_colors = 1 << mcs
+        idx = []
+        while len(idx) < w * h:
+            if rng.random() < 0.5 and idx:
+                j = rng.randint(0, len(idx) - 1)
+                idx.extend(idx[j : j + rng.randint(1, 6)])
+            else:
+                idx.append(rng.randint(0, n_colors - 1))
+        idx = idx[: w * h]
+        payload, pal = _gif_make(w, h, mcs, idx)
+        W, H, NC, resets, raster = parse_gif(payload)
+        assert (W, H, NC, resets) == (w, h, n_colors, 1), trial
+        assert raster == b"".join(pal[3 * i : 3 * i + 3] for i in idx), trial
+    # dictionary stress: forces width 9 -> 12 and the deferred-clear cap
+    w, h, mcs = 200, 200, 8
+    idx = [((i * i) // 7) % 251 for i in range(w * h)]
+    payload, pal = _gif_make(w, h, mcs, idx)
+    *_, raster = parse_gif(payload)
+    assert raster == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+    # KwKwK: immediate run repetition emits code == next free slot
+    idx = [1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2]
+    payload, pal = _gif_make(13, 1, 2, idx)
+    assert parse_gif(payload)[4] == b"".join(
+        pal[3 * i : 3 * i + 3] for i in idx
+    )
+
+
+def test_parse_gif_poison_inputs():
+    """Reject-don't-misread for the sixth codec: structural lies raise
+    ValueError (never a wrong raster, never an unbounded allocation)."""
+    import struct
+    import time
+
+    import pytest as _pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_gif,
+    )
+
+    good, _ = _gif_make(4, 3, 2, [0, 1, 2, 3] * 3)
+    assert parse_gif(good)[0] == 4
+
+    def lsd(w, h, packed):
+        return b"GIF87a" + struct.pack("<HH", w, h) + bytes([packed, 0, 0])
+
+    pal4 = bytes(range(12))
+    cases = [
+        b"GIF89a" + good[6:],                      # 89a (extensions) rejected
+        good[:10] + bytes([0x00]) + good[11:],     # GCT flag off
+        lsd(4, 3, 0x80) + pal4[:9],                # truncated palette
+        good[:-1],                                 # missing trailer
+        good + b"x",                               # trailing bytes
+        good[:13 + 12] + b"\x21" + good[13 + 12 + 1:],  # extension intro
+    ]
+    for bad in cases:
+        with _pytest.raises(ValueError):
+            parse_gif(bad)
+
+    # frame must cover the logical screen
+    img_at = good.index(b"\x2C")
+    offset = (
+        good[:img_at + 1]
+        + struct.pack("<HHHH", 1, 0, 4, 3)
+        + good[img_at + 9:]
+    )
+    with _pytest.raises(ValueError, match="full logical screen"):
+        parse_gif(offset)
+
+    # wrong pixel count: 4x3 header over a 4x2 stream
+    short, _ = _gif_make(4, 2, 2, [0, 1, 2, 3] * 2)
+    mixed = good[:img_at] + short[short.index(b"\x2C"):]
+    mixed = (
+        mixed[:img_at + 1]
+        + struct.pack("<HHHH", 0, 0, 4, 3)
+        + mixed[img_at + 9:]
+    )
+    with _pytest.raises(ValueError):
+        parse_gif(mixed)
+
+    # color index outside a SMALLER palette: declare a 4-color GCT but
+    # encode with mcs=3 so literal 5 escapes the palette
+    pay, _ = _gif_make(2, 1, 3, [5, 5])
+    small_gct = (
+        lsd(2, 1, 0x80 | 0)  # GCT size field 0 -> 2 colors
+        + bytes(6)
+        + pay[6 + 7 + 3 * 8:]
+    )
+    with _pytest.raises(ValueError):
+        parse_gif(small_gct)
+
+    # dimension bomb: 65535x65535 header over a tiny stream must reject
+    # fast, before any allocation
+    bomb = lsd(65535, 65535, 0x80) + pal4 + good[good.index(b"\x2C"):]
+    t0 = time.monotonic()
+    with _pytest.raises(ValueError, match="max_pixels"):
+        parse_gif(bomb)
+    assert time.monotonic() - t0 < 1.0
+
+    # LZW structural poison: a first-code-after-clear that is not a root
+    # (code 7 = beyond eoi for mcs 2, width 3: bits 111)
+    hdr = good[: good.index(b"\x2C") + 10] + bytes([2])
+    stream = hdr + bytes([2, 0b10111100, 0b000001_01]) + b"\x00\x3B"
+    with _pytest.raises(ValueError):
+        parse_gif(stream)
