@@ -133,6 +133,7 @@ _GATE_PRIORITY = [
     "seq_match_view_click_purchase",   # any-anchor sequenceMatch operator
     "window_funnel_dedup_depths",      # strict_dedup funnel mode consumer
     "seq_match_signup_then_quick_buy",  # mixed-gap sequenceMatch consumer
+    "mm_gif_decode_stats",             # sixth real codec: GIF87a / LZW
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -1107,3 +1107,110 @@ def mm_jpeg_ac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return decode_jpeg_stats_arrow(docs)
+
+
+# ----------------------------------------------------- real GIF decode
+#
+# Sixth codec, end-to-end verified on its exactly-SQL-generable subset.
+# GIF's LZW stream is variable-width bit-packed — not expressible as row
+# expressions in general — but with minimum code size 7 every code is
+# EXACTLY 8 bits until the dictionary reaches 255 entries, so a stream of
+# literal root codes with a Clear every <= 120 literals stays byte ==
+# code for its whole length: the entropy stream becomes plain bytes the
+# JVM can assemble per document (the "uncompressed GIF" encoding every
+# LZW patent-workaround encoder shipped). The decoder still runs its
+# REAL LZW machine over it — bit reader, clear handling, root lookups,
+# dictionary appends (99 per segment) — and the Clear-code count comes
+# back as an output column, so the oracle pins that the entropy path
+# actually executed, not just the header walk. Full dictionary-growth
+# coverage (width bumps, KwKwK, 4096 cap) lives with the encoder-twin
+# round-trips in tests/test_operators.py, same split as JPEG's
+# lossless-subset gate + lossy twin tests.
+
+_GIF_W, _GIF_H = 16, 8
+_GIF_B = "(doc_id % 64)"            # per-doc gray base
+_GIF_M = "((doc_id % 7) + 2)"       # per-doc ramp period, 2..8
+
+
+def _gif_fixture_header() -> str:
+    """Constant GIF87a header hex: logical screen 16x8, 128-entry global
+    color table of pure grays (i, i, i), full-frame image descriptor,
+    LZW minimum code size 7."""
+    import struct
+
+    hdr = (
+        b"GIF87a"
+        + struct.pack("<HH", _GIF_W, _GIF_H)
+        + bytes([0x80 | 0x06, 0, 0])          # GCT present, 2<<6 = 128
+    )
+    pal = b"".join(bytes([i, i, i]) for i in range(128))
+    img = b"\x2C" + struct.pack("<HHHH", 0, 0, _GIF_W, _GIF_H) + bytes([0])
+    return (hdr + pal + img + bytes([7])).hex()
+
+
+_GIF_HEADER_HEX = _gif_fixture_header()
+
+
+def _gif_idx_hex(lo: int, hi: int) -> str:
+    """Spark SQL expr: hex string of the literal codes for pixels
+    ``lo..hi`` under the (base + p % m) formula."""
+    return (
+        f"array_join(transform(sequence({lo}, {hi}), "
+        f"p -> lpad(hex({_GIF_B} + (p % {_GIF_M})), 2, '0')), '')"
+    )
+
+
+@register(
+    "mm_gif_decode_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, doc_id % 64 AS b, (doc_id % 7) + 2 AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({_GIF_W} AS INTEGER) AS width,
+           CAST({_GIF_H} AS INTEGER) AS height,
+           CAST(128 AS INTEGER) AS n_colors,
+           CAST(2 AS INTEGER) AS n_resets,
+           CAST(b AS INTEGER) AS min_px,
+           CAST(b + m - 1 AS INTEGER) AS max_px,
+           CAST(3 * (128 * b
+                     + (128 // m) * ((m * (m - 1)) // 2)
+                     + ((128 % m) * ((128 % m) - 1)) // 2)
+                AS BIGINT) AS sum_px
+    FROM s
+    """,
+    tags=("multimodal", "decode", "gif", "lzw", "image", "arrow-udf",
+          "real-codec"),
+)
+def mm_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END verified GIF decode on the byte-aligned LZW subset:
+    each document gets a REAL GIF87a (16x8, 128-gray global palette,
+    pixel index ``(doc_id % 64) + (p % ((doc_id % 7) + 2))`` — a per-doc
+    gray ramp), assembled entirely from JVM expressions (constant header
+    + two literal-code segments separated by a Clear so every code stays
+    one byte; see the family comment), decoded by the dependency-free
+    ``parse_gif`` inside zero-copy ``mapInArrow``. The oracle rederives
+    min/max/sum from the ramp formula (``sum p % m`` in closed form) and
+    pins ``n_resets = 2`` — a bit-reader, clear-handling, root-lookup or
+    palette-mapping bug in any of the per-doc streams is a hard error or
+    a value-hash mismatch. Real dictionary growth (width bumps, KwKwK,
+    4096 cap) is covered by the encoder-twin round-trip tests. Scale
+    shape: identical to the other codec queries (id-only repartition
+    before payload synthesis; payload bytes never shuffle)."""
+    from ..operators.multimodal import decode_gif_stats_arrow
+
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                f"unhex(concat('{_GIF_HEADER_HEX}', "
+                f"'8380', {_gif_idx_hex(0, 99)}, "
+                f"'80', {_gif_idx_hex(100, 127)}, "
+                f"'81', '003b'))"
+            ).alias("payload"),
+        )
+    )
+    return decode_gif_stats_arrow(docs)

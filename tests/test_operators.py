@@ -1467,3 +1467,41 @@ def test_parse_gif_poison_inputs():
     stream = hdr + bytes([2, 0b10111100, 0b000001_01]) + b"\x00\x3B"
     with _pytest.raises(ValueError):
         parse_gif(stream)
+
+
+def test_gif_generator_matches_pure_python_writer(spark):
+    """The JVM-expression GIF generator must emit byte-identical files to
+    an independent pure-Python writer replicating its layout (constant
+    header, two byte-aligned literal segments split by a Clear) —
+    guarding the generator half of the end-to-end decode verification,
+    same pattern as the PNG generator pin."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans.multimodalq import (
+        _GIF_HEADER_HEX,
+        _gif_idx_hex,
+    )
+
+    hdr = bytes.fromhex(_GIF_HEADER_HEX)
+    df = spark.range(0, 40).selectExpr("id AS doc_id").select(
+        "doc_id",
+        F.expr(
+            f"unhex(concat('{_GIF_HEADER_HEX}', "
+            f"'8380', {_gif_idx_hex(0, 99)}, "
+            f"'80', {_gif_idx_hex(100, 127)}, "
+            f"'81', '003b'))"
+        ).alias("payload"),
+    )
+    got = {r.doc_id: bytes(r.payload) for r in df.collect()}
+    for d in range(40):
+        b, m = d % 64, (d % 7) + 2
+        idx = [b + (p % m) for p in range(128)]
+        want = (
+            hdr
+            + bytes([0x83, 0x80])
+            + bytes(idx[:100])
+            + bytes([0x80])
+            + bytes(idx[100:])
+            + bytes([0x81, 0x00, 0x3B])
+        )
+        assert got[d] == want, d

@@ -74,6 +74,12 @@ deferred_past_prefix: set[str] = {
     # seq_match_view_click_purchase; mirror-green at 3 SFs with
     # non-trivial mixes; queued in the declared r9 head.
     "seq_match_signup_then_quick_buy",
+    # sixth real codec (NEW r8): GIF87a with a real LZW decoder; same
+    # generator/mapInArrow pattern as in-prefix sibling
+    # mm_jpeg_decode_stats (r8 head slot 2); 300 encoder-twin
+    # round-trips + poison suite + generator byte-identity pin;
+    # mirror-green at 3 SFs; queued in the declared r9 head.
+    "mm_gif_decode_stats",
 }
 
 
