@@ -9,14 +9,17 @@ The Spark-side plumbing here is real and tested: binary encoding, metadata
 derivation, fixed-size chunk/frame indexing, and zero-copy Arrow-batched
 decode pipelines (``mapInArrow`` on the hot paths; the generic
 :func:`decode_media_batched` demo uses ``mapInPandas``) with stable output
-schemas. Five *real*, dependency-free codecs ship: PPM/PGM
+schemas. Six *real*, dependency-free codecs ship: PPM/PGM
 (:func:`parse_pnm`), RIFF/WAV 16-bit PCM (:func:`parse_wav`), POSIX
 ustar / WebDataset shards (:func:`parse_tar`), non-interlaced 8-bit PNG
-(:func:`parse_png`, stdlib ``zlib``) — those four value-hash verified
-end-to-end against in-plan generators — and baseline sequential-DCT JPEG
-(:func:`parse_jpeg`, unit-verified against a pure-Python encoder twin:
-Huffman entropy coding has no SQL expression, so no in-plan generator
-exists for it). Remaining formats (webp, video containers) are honest
+(:func:`parse_png`, stdlib ``zlib``), GIF87a with a real variable-width
+LZW machine (:func:`parse_gif`) — those five value-hash verified
+end-to-end against in-plan generators (GIF on its byte-aligned LZW
+subset; full dictionary growth covered by encoder-twin round-trips) —
+and baseline sequential-DCT JPEG (:func:`parse_jpeg`, value-hash
+verified on its exactly-decodable DC and single-AC subsets, encoder-twin
+round-trips for the lossy general case). Remaining formats (webp, video
+containers) are honest
 ``NotImplementedError`` gates inside :func:`decode_media_batched` — swap
 in PIL/ffmpeg by passing ``decoder=`` without touching the pipeline
 shape, batch flow, or schema.

@@ -5,7 +5,8 @@ The fixtures carry no real media, so payloads are synthesized two ways:
 queries (metadata, chunking, stub-decoder pipelines — SQL-checkable by
 construction), while the REAL-codec queries (``mm_ppm_decode_stats``,
 ``mm_wav_pcm_stats``, ``mm_tar_member_index``, ``mm_png_decode_stats``,
-``mm_png_corrupt_quarantine``, ``mm_jpeg_decode_stats``) build genuine
+``mm_png_corrupt_quarantine``, ``mm_jpeg_decode_stats``,
+``mm_jpeg_ac_decode_stats``, ``mm_gif_decode_stats``) build genuine
 binary files per document in-plan (JVM expressions; the JPEG entropy
 stream comes from a precomputed 256-entry table because Huffman coding
 has no SQL expression) and decode them with the dependency-free parsers

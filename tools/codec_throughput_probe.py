@@ -98,6 +98,23 @@ def make_jpeg(w: int, h: int, seed: int = 7) -> bytes:
     return _jpeg_baseline_gray_header(w, h) + bytes(raw) + b"\xFF\xD9"
 
 
+
+# ------------------------------------------------------------------ GIF
+def make_gif(w: int, h: int, seed: int = 7) -> bytes:
+    """GIF87a with REAL LZW compression (the tests' encoder twin logic):
+    value-varying pixels with run repetition so the dictionary grows."""
+    from tests.test_operators import _gif_make
+
+    x = seed
+    idx = []
+    while len(idx) < w * h:
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        v = (x >> 16) & 0xFF
+        idx.extend([v] * (1 + (x & 3)))
+    payload, _pal = _gif_make(w, h, 8, idx[: w * h])
+    return payload
+
+
 def bench(label: str, payload: bytes, decode, pixels: int, secs: float = 2.0):
     n, t0 = 0, time.perf_counter()
     while time.perf_counter() - t0 < secs:
@@ -122,11 +139,17 @@ def main() -> None:
         parse_png,
     )
 
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_gif,
+    )
+
     rows = []
     for w, h in ((64, 64), (256, 256)):
         rows.append(bench(f"png_{w}x{h}", make_png(w, h), parse_png, w * h))
     for w, h in ((64, 64), (256, 256)):
         rows.append(bench(f"jpeg_{w}x{h}", make_jpeg(w, h), parse_jpeg, w * h))
+    for w, h in ((64, 64), (256, 256)):
+        rows.append(bench(f"gif_{w}x{h}", make_gif(w, h), parse_gif, w * h))
     for r in rows:
         print(json.dumps(r))
 

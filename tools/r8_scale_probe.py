@@ -11,12 +11,13 @@ content novelty rather than bytes scanned. Probed:
 - error_click_reaction_windows  (timestamp-axis bucketed range join)
 - mm_jpeg_ac_decode_stats       (per-row generate+decode, AC path)
 - stream_corpus_ingest          (availableNow foreachBatch pipeline)
+- mm_gif_decode_stats           (per-row generate+LZW decode)
 
 The round's other additions scale as their already-probed plan families:
 window_funnel_strict/dedup_depths add one conditional min to the probed
 funnel exchange, asof_next_purchase_after_error is the probed asof
-union+window with the tag flipped, and seq_match_view_click_purchase is
-two numeric-axis instances of the probed range-join shape.
+union+window with the tag flipped, and the seq_match pair are numeric-
+axis instances of the probed range-join shape (plus one min-agg hop).
 
 Usage: python tools/r8_scale_probe.py [replicas]
 """
@@ -37,6 +38,7 @@ QUERIES = (
     "error_click_reaction_windows",
     "mm_jpeg_ac_decode_stats",
     "stream_corpus_ingest",
+    "mm_gif_decode_stats",
 )
 
 _SHIFTS = {
