@@ -1653,3 +1653,68 @@ def decode_gif_stats_arrow(
             )
 
     return narrow.mapInArrow(batches, GIF_STATS_SCHEMA)
+
+
+GIF_QUARANTINE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ok", BooleanType()),
+        StructField("err_class", StringType()),
+        StructField("n_px", LongType()),
+        StructField("sum_px", LongType()),
+    ]
+)
+
+
+def decode_gif_quarantine_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Poison-tolerant GIF decode: parse each payload with
+    :func:`parse_gif`, QUARANTINE failures instead of failing the job
+    (the PNG quarantine's pattern applied to the sixth codec). Emits
+    per-document ``ok``, a coarse ``err_class`` — ``lzw_error`` when the
+    entropy machine rejected (root/code/EOI/pixel-count violations),
+    ``malformed`` for structural/framing lies — and the decode stats for
+    good rows (NULL when quarantined). Zero-copy ``mapInArrow``."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+    _LZW_MARKERS = ("code", "root", "EOI", "pixels")
+
+    def batches(it: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            ok, ec, np_, sm = [], [], [], []
+            for p in payloads:
+                try:
+                    if p is None:
+                        raise ValueError("malformed: NULL payload")
+                    w, h, _nc, _resets, raster = parse_gif(bytes(p))
+                except ValueError as e:
+                    ok.append(False)
+                    msg = str(e)
+                    ec.append(
+                        "lzw_error"
+                        if any(m in msg for m in _LZW_MARKERS)
+                        else "malformed"
+                    )
+                    np_.append(None)
+                    sm.append(None)
+                else:
+                    ok.append(True)
+                    ec.append(None)
+                    np_.append(w * h)
+                    sm.append(sum(raster))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(ok, pa.bool_()),
+                    pa.array(ec, pa.string()),
+                    pa.array(np_, pa.int64()),
+                    pa.array(sm, pa.int64()),
+                ],
+                names=[f.name for f in GIF_QUARANTINE_SCHEMA.fields],
+            )
+
+    return narrow.mapInArrow(batches, GIF_QUARANTINE_SCHEMA)

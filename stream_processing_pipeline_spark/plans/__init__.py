@@ -134,6 +134,7 @@ _GATE_PRIORITY = [
     "window_funnel_dedup_depths",      # strict_dedup funnel mode consumer
     "seq_match_signup_then_quick_buy",  # mixed-gap sequenceMatch consumer
     "mm_gif_decode_stats",             # sixth real codec: GIF87a / LZW
+    "mm_gif_corrupt_quarantine",       # GIF error-path value-hash gate
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

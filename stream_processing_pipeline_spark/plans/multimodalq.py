@@ -1215,3 +1215,75 @@ def mm_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return decode_gif_stats_arrow(docs)
+
+
+_GIF_CORRUPT_MOD = 9  # doc_id % 9 == 4 -> LZW poison; == 7 -> framing poison
+
+
+@register(
+    "mm_gif_corrupt_quarantine",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, doc_id % 64 AS b, (doc_id % 7) + 2 AS m,
+             doc_id % {_GIF_CORRUPT_MOD} AS c
+      FROM documents
+    )
+    SELECT doc_id,
+           c NOT IN (4, 7) AS ok,
+           CASE WHEN c = 4 THEN 'lzw_error'
+                WHEN c = 7 THEN 'malformed' END AS err_class,
+           CASE WHEN c NOT IN (4, 7)
+                THEN CAST({_GIF_W} * {_GIF_H} AS BIGINT) END AS n_px,
+           CASE WHEN c NOT IN (4, 7)
+                THEN CAST(3 * (128 * b
+                               + (128 // m) * ((m * (m - 1)) // 2)
+                               + ((128 % m) * ((128 % m) - 1)) // 2)
+                     AS BIGINT) END AS sum_px
+    FROM s
+    """,
+    tags=("multimodal", "decode", "gif", "lzw", "quarantine",
+          "data-quality", "arrow-udf", "real-codec"),
+)
+def mm_gif_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR-PATH verification for the GIF decoder (the PNG quarantine
+    pattern on the sixth codec): the same in-plan generator as
+    ``mm_gif_decode_stats``, then deterministic in-plan corruption —
+    docs with ``doc_id % 9 == 4`` get the stream-opening Clear byte
+    overwritten with 0xFF (code 255: not Clear, not EOI, beyond the 128
+    roots — the LZW machine itself must reject), docs with ``== 7`` get
+    the sub-block LENGTH byte inflated to 0xFF (framing lie: the block
+    claims more bytes than exist). The oracle pins per-doc ``ok``, the
+    error CLASS (proving the right reject fired, not just any), and the
+    untouched docs' exact stats — corruption of one document must never
+    perturb another. Same fixed-offset ``overlay`` idiom as the PNG
+    quarantine (the constant 408-byte header makes offsets 409/410 the
+    length/Clear bytes for every doc)."""
+    from ..operators.multimodal import decode_gif_quarantine_arrow
+
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                f"unhex(concat('{_GIF_HEADER_HEX}', "
+                f"'8380', {_gif_idx_hex(0, 99)}, "
+                f"'80', {_gif_idx_hex(100, 127)}, "
+                f"'81', '003b'))"
+            ).alias("payload"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % _GIF_CORRUPT_MOD == 4,
+                F.expr("overlay(payload PLACING unhex('ff') FROM 410)"),
+            )
+            .when(
+                F.col("doc_id") % _GIF_CORRUPT_MOD == 7,
+                F.expr("overlay(payload PLACING unhex('ff') FROM 409)"),
+            )
+            .otherwise(F.col("payload"))
+            .alias("payload"),
+        )
+    )
+    return decode_gif_quarantine_arrow(docs)

@@ -80,6 +80,11 @@ deferred_past_prefix: set[str] = {
     # round-trips + poison suite + generator byte-identity pin;
     # mirror-green at 3 SFs; queued in the declared r9 head.
     "mm_gif_decode_stats",
+    # GIF error-path quarantine (NEW r8): the PNG quarantine pattern on
+    # the sixth codec; in-prefix sibling mm_png_corrupt_quarantine
+    # (externally hash-green r7); mirror-green at 3 SFs; queued in the
+    # declared r9 head.
+    "mm_gif_corrupt_quarantine",
 }
 
 

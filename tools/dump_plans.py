@@ -91,6 +91,7 @@ HEADLINERS = {
     "window_funnel_dedup_depths": "strict_dedup funnel: repeat-of-previous breaker only; third externally-pinned cell of the mode matrix (r8)",
     "seq_match_signup_then_quick_buy": "mixed-separator sequenceMatch: min-predecessor unbounded hop + 6h bucketized hop (r8)",
     "mm_gif_decode_stats": "REAL GIF87a decode (variable-width LZW machine) over in-plan byte-aligned literal streams; Clear-count pinned by the oracle (r8)",
+    "mm_gif_corrupt_quarantine": "GIF error path under the value hash: in-plan Clear-byte and length-byte poison, per-class quarantine, untouched docs exact (r8)",
     "kcore_part_affinity": "iterative peeling: per-round degree agg + two semi-joins on shrinking checkpointed edges (r6)",
     "hilbert_layout_audit": "one DISTINCT to the bounded 8-bit cell grid, then 8 chained CASE projections and three rollups on cells (r6)",
     "emb_jl_distance_fidelity": "16 fused dot-folds per row (the projection map), bounded vec_id<64 pair audit via broadcast BNLJ (r6)",

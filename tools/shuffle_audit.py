@@ -91,6 +91,7 @@ AUDITED = {
     "window_funnel_dedup_depths": "same single user_id exchange as the default funnel; one extra conditional min per stage (r8)",
     "seq_match_signup_then_quick_buy": "unbounded stage = one min-agg + equi-join (no explode); bounded stage = the <=2-bucket numeric band exchange (r8)",
     "mm_gif_decode_stats": "ZERO shuffle after the id-only parallelism repartition: header + per-doc literal LZW bytes assemble and decode within one scan stage (r8)",
+    "mm_gif_corrupt_quarantine": "same zero-shuffle scan stage as the decode query plus one overlay branch; quarantine rows never leave their task (r8)",
     "stream_rate_limited_users": "stateful stream: one (user_id, ts_us, event_id) exchange into the GroupState op; state is (win, count, totals) per live key, emissions 1 row/key/batch (r6)",
     "mm_wav_pcm_stats": "payload bytes never shuffle: generation+decode+stats inside one scan stage; the only exchange is the 8-byte id repartition that sets decode parallelism (r6)",
     "kcore_part_affinity": "per-round shuffles carry (node, degree) pairs and shrinking 16 B edges — round cost tracks the SURVIVING edge set, monotonically down (r6)",
