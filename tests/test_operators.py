@@ -1505,3 +1505,39 @@ def test_gif_generator_matches_pure_python_writer(spark):
             + bytes([0x81, 0x00, 0x3B])
         )
         assert got[d] == want, d
+
+
+def test_gif_quarantine_classes(spark):
+    """The quarantine UDF's coarse classes must be stable: LZW-machine
+    rejects map to lzw_error, structural/framing lies to malformed, and
+    good rows keep exact stats — on a mixed batch, through the real
+    mapInArrow path."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        decode_gif_quarantine_arrow,
+    )
+
+    good, pal = _gif_make(4, 3, 2, [0, 1, 2, 3] * 3)
+    lzw_bad = bytearray(good)
+    # first entropy byte: offset = len(header 13 + pal 12 + imgdesc 10
+    # + mcs 1 + blocklen 1); poison it to an out-of-range first code
+    first_entropy = 13 + 12 + 10 + 1 + 1
+    lzw_bad[first_entropy] = 0xFF
+    framing_bad = good[:-1]  # missing trailer
+    rows = [
+        (1, bytes(good)),
+        (2, bytes(lzw_bad)),
+        (3, bytes(framing_bad)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.ok, r.err_class, r.n_px, r.sum_px)
+        for r in decode_gif_quarantine_arrow(df).collect()
+    }
+    exp_sum = sum(
+        sum(pal[3 * i : 3 * i + 3]) for i in [0, 1, 2, 3] * 3
+    )
+    assert got[1] == (True, None, 12, exp_sum)
+    assert got[2][0] is False and got[2][1] == "lzw_error"
+    assert got[3][0] is False and got[3][1] == "malformed"
