@@ -1409,15 +1409,28 @@ def decode_jpeg_stats_arrow(
     return narrow.mapInArrow(batches, JPEG_STATS_SCHEMA)
 
 
+class GifLzwError(ValueError):
+    """LZW entropy-machine reject (vs a structural/framing ``ValueError``
+    from the container walk) — the quarantine classifier keys on the
+    exception TYPE, not message substrings, so structural errors whose
+    text mentions "code" (e.g. a bad LZW minimum code size) stay
+    ``malformed``."""
+
+
 def _gif_lzw_decode(
     data: bytes, mcs: int, expected: int
 ) -> tuple[bytearray, int]:
     """GIF variable-width LZW decode (LSB-first bit packing, clear/EOI
     codes, dictionary growth to 4096 with the deferred-clear convention).
-    Returns ``(indexes, n_resets)`` — the color-index stream plus how many
+    Uses the standard GIF convention shared by giflib / Pillow / browsers:
+    the code width bumps when the decoder's table reaches ``2**width``
+    entries (checked after each append), and the post-code append always
+    happens — verified byte-exact against real encoder streams (CPython's
+    idlelib/Tix icon GIFs) in the fixture tests. Returns
+    ``(indexes, n_resets)`` — the color-index stream plus how many
     Clear codes the stream carried (a decode-path witness the stats
-    queries can pin). Reject-don't-misread: raises ``ValueError`` on a
-    first-code that is not a root, a code beyond the next free slot,
+    queries can pin). Reject-don't-misread: raises :class:`GifLzwError`
+    on a first-code that is not a root, a code beyond the next free slot,
     output overrun past ``expected``, or a stream that ends without EOI.
     """
     clear, eoi = 1 << mcs, (1 << mcs) + 1
@@ -1440,7 +1453,7 @@ def _gif_lzw_decode(
     while True:
         while nbits < width:
             if pos >= n:
-                raise ValueError("gif: entropy data ends before EOI")
+                raise GifLzwError("gif: entropy data ends before EOI")
             acc |= data[pos] << nbits
             nbits += 8
             pos += 1
@@ -1457,36 +1470,29 @@ def _gif_lzw_decode(
             break
         if prev is None:
             if code >= n_roots:
-                raise ValueError("gif: first code after clear not a root")
+                raise GifLzwError("gif: first code after clear not a root")
             entry = table[code]
         elif code < len(table):
             if table[code] is None:
-                raise ValueError("gif: reference to clear/EOI slot")
+                raise GifLzwError("gif: reference to clear/EOI slot")
             entry = table[code]
         elif code == len(table):
             entry = prev + prev[:1]  # the KwKwK case
         else:
-            raise ValueError("gif: code beyond next free slot")
+            raise GifLzwError("gif: code beyond next free slot")
         assert entry is not None
         out += entry
         if len(out) > expected:
-            raise ValueError("gif: more pixels than the image declares")
-        # The encoder only adds an entry when a FOLLOWING pixel breaks its
-        # match, so after its final data code (output complete) it adds
-        # nothing — mirror that, or the phantom final add can bump our
-        # width and desynchronize the EOI read (found by the encoder-twin
-        # round-trips: streams whose add-count lands exactly on 2^w - 1).
-        if prev is not None and len(out) < expected and len(table) < 4096:
+            raise GifLzwError("gif: more pixels than the image declares")
+        # The decoder's append after code k reconstructs the encoder's
+        # append after emitting code k-1, so it happens after EVERY data
+        # code (including the final one — the encoder bump-checks before
+        # emitting EOI with the same table size). Width bumps when the
+        # table fills the current width; at width 12 the table caps at
+        # 4096 and freezes (deferred clear).
+        if prev is not None and len(table) < 4096:
             table.append(prev + entry[:1])
-            # EARLY width bump: the encoder adds each entry one code
-            # sooner than we do (it adds right after EMITTING the code we
-            # just consumed the entry for), so when our table reaches
-            # 2^width - 1 the encoder's has reached 2^width and its next
-            # code is already width+1 bits. Bumping at the power itself
-            # desynchronizes exactly one code later — the classic LZW
-            # decoder off-by-one. Deferred-clear: at width 12 the table
-            # caps and both sides freeze.
-            if len(table) == (1 << width) - 1 and width < 12:
+            if len(table) == (1 << width) and width < 12:
                 width += 1
         prev = entry
     return out, resets
@@ -1579,8 +1585,10 @@ def parse_gif(
     if pos + 1 != len(payload):
         raise ValueError("gif: trailing bytes after trailer")
     indexes, resets = _gif_lzw_decode(bytes(data), mcs, w * h)
+    # Shortfall is a pixel-count violation (the stream's EOI arrived
+    # early), same reject class as the in-machine overrun.
     if len(indexes) != w * h:
-        raise ValueError(
+        raise GifLzwError(
             f"gif: decoded {len(indexes)} pixels for a {w}x{h} frame"
         )
     out = bytearray(3 * w * h)
@@ -1673,11 +1681,11 @@ def decode_gif_quarantine_arrow(
     :func:`parse_gif`, QUARANTINE failures instead of failing the job
     (the PNG quarantine's pattern applied to the sixth codec). Emits
     per-document ``ok``, a coarse ``err_class`` — ``lzw_error`` when the
-    entropy machine rejected (root/code/EOI/pixel-count violations),
-    ``malformed`` for structural/framing lies — and the decode stats for
+    entropy machine rejected (root/code/EOI/pixel-count violations,
+    i.e. :class:`GifLzwError`), ``malformed`` for structural/framing
+    lies (any other ``ValueError``) — and the decode stats for
     good rows (NULL when quarantined). Zero-copy ``mapInArrow``."""
     narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
-    _LZW_MARKERS = ("code", "root", "EOI", "pixels")
 
     def batches(it: Iterator) -> Iterator:
         import pyarrow as pa
@@ -1693,10 +1701,9 @@ def decode_gif_quarantine_arrow(
                     w, h, _nc, _resets, raster = parse_gif(bytes(p))
                 except ValueError as e:
                     ok.append(False)
-                    msg = str(e)
                     ec.append(
                         "lzw_error"
-                        if any(m in msg for m in _LZW_MARKERS)
+                        if isinstance(e, GifLzwError)
                         else "malformed"
                     )
                     np_.append(None)

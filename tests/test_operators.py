@@ -1291,8 +1291,12 @@ def test_jpeg_ac_fixture_family_decodes_exact_rasters():
 
 def _gif_lzw_encode_twin(indexes, mcs):
     """Independent REAL LZW compressor (string-table dict, variable-width
-    emission, encoder-convention width bumps) — shares nothing with the
-    decoder under test."""
+    emission) with giflib's width-bump timing: after emitting each code,
+    bump when the next free slot no longer fits the current width, THEN
+    add the new table entry — the same convention real GIF encoders
+    (giflib, Pillow, browsers) use, cross-checked against embedded
+    real-encoder streams in test_parse_gif_decodes_real_encoder_streams.
+    Shares no code with the decoder under test."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     out_bits = []
     width = mcs + 1
@@ -1306,14 +1310,16 @@ def _gif_lzw_encode_twin(indexes, mcs):
             w = wk
             continue
         out_bits.append((table[w], width))
+        if next_code >= (1 << width) and width < 12:
+            width += 1
         if next_code < 4096:
             table[wk] = next_code
             next_code += 1
-            if next_code == (1 << width) and width < 12:
-                width += 1
         w = bytes([k])
     if w:
         out_bits.append((table[w], width))
+        if next_code >= (1 << width) and width < 12:
+            width += 1
     out_bits.append((eoi, width))
     acc = nbits = 0
     data = bytearray()
@@ -1388,6 +1394,107 @@ def test_parse_gif_roundtrips_against_encoder_twin():
     assert parse_gif(payload)[4] == b"".join(
         pal[3 * i : 3 * i + 3] for i in idx
     )
+
+
+# Real-encoder GIF streams (CPython 3.13 idlelib/Icons, PSF-licensed),
+# embedded byte-exact: minusnode.gif (11x11, mcs=2 — the LZW stream grows
+# the dictionary through several width bumps 3->4->5) and idle_16.gif
+# (16x16, mcs=7 — the table crosses 256 entries, forcing the 8->9 bump).
+# These pin the STANDARD giflib/Pillow width-bump convention (bump when
+# the table fills 2**width, post-final-code append included): the
+# encoder-twin round-trips alone could not catch a convention drift
+# shared by twin and decoder.
+_REAL_GIF_MINUSNODE = bytes.fromhex(
+    "4749463839610b000b00f10300ffffff7f7f7f000000c0c0c021f90405000003"
+    "002c000000000b000b0000021c9c8f16cbac0023084f423a82bd4f783f5516a6"
+    "6de416664d93b44301003b"
+)
+_REAL_GIF_IDLE16 = bytes.fromhex(
+    "47494638396110001000f6570045637d47657d45647effc330ffc833ffca35ff"
+    "c538ffcb3fffd03dffd13effd442ffd847ffd248ffdd4dffdb53ffe051ffe356"
+    "ffe75affe95fffeb60ffed63ffe2763f71993d75a33b7aad3e7eb14367854769"
+    "85426989416b8e456f91406e944b789d497ea93d80b64782b24586bb7195b39f"
+    "9f9f899caca4a4a4a5a5a5a8a8a8adadadaeaeaeb3b3b3b7b7b7b9b9b9bbbbbb"
+    "bdbdbdffe099ffe29bfff49bffeca8fff1aefff2b7a7bacaa4bcd0b0c1d0a1c4"
+    "e0c0c0c0c3c3c3c5c5c5c9c9c9cececed0d0d0dcdcdcdfdfdffff4d2d3e0eae1"
+    "e1e1e3e3e3e4e4e4e8e8e8ecececeeeeeefffbebeaeff3f0f0f0f2f2f2f3f3f3"
+    "f6f6f6f8f8f8fafafafbfbfbfcfcfcfdfdfd0000000000000000000000000000"
+    "0000000000000000000000000000000000000000000000000000000000000000"
+    "0000000000000000000000000000000000000000000000000000000000000000"
+    "0000000000000000000000000000000000000000000000000000000000000000"
+    "0000000000000000000000000021f90405000057002c00000000100010000007"
+    "d7802e30833c3c3d3d3f89578b8b3040485152525453563f53408c5730435153"
+    "43484b4655a4554b8c3d414855474b52563b23172038558b3e46535551555655"
+    "1945161d1bb6573f41495543bdbe553a1a02a53e9d53513b2218201f1b000155"
+    "10353eaaba24d91f1c1a01274c0b0c3c9d51561821254dcd4c150904318f4f56"
+    "21169ad0a03001420305050cbc1012c5c9941c1eaa50a010e1208201325c0031"
+    "a2c415298a374a916a2104ca112449924978b0804881622b7ab050a1a2059029"
+    "361c24383003a6a62b2856ac2205e5a751132852a4d01408003b"
+)
+
+
+def _walk_gif89(p):
+    """Minimal GIF89a container walk for the embedded real-encoder
+    fixtures: skip extensions, return (iw, ih, mcs, entropy_bytes)."""
+    flags = p[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 7))
+    while p[pos] == 0x21:
+        pos += 2
+        while p[pos] != 0:
+            pos += 1 + p[pos]
+        pos += 1
+    assert p[pos] == 0x2C
+    iw = p[pos + 5] | p[pos + 6] << 8
+    ih = p[pos + 7] | p[pos + 8] << 8
+    iflags = p[pos + 9]
+    pos += 10
+    if iflags & 0x80:
+        pos += 3 * (2 << (iflags & 7))
+    mcs = p[pos]
+    pos += 1
+    data = bytearray()
+    while p[pos] != 0:
+        n = p[pos]
+        data += p[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    return iw, ih, mcs, bytes(data)
+
+
+def test_parse_gif_decodes_real_encoder_streams():
+    """The LZW machine must decode streams from REAL encoders (not just
+    the in-repo twin) byte-exact: pixel count, Clear count, and index
+    checksums pinned against the embedded CPython icon GIFs. Also runs
+    minusnode through the full parse_gif path via a mechanical
+    89a->87a conversion (drop the 8-byte graphic-control extension)."""
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        parse_gif,
+    )
+
+    iw, ih, mcs, data = _walk_gif89(_REAL_GIF_MINUSNODE)
+    assert (iw, ih, mcs) == (11, 11, 2)
+    idx, resets = _gif_lzw_decode(data, mcs, iw * ih)
+    assert (len(idx), resets) == (121, 1)
+    assert (sum(idx), min(idx), max(idx)) == (162, 0, 3)
+
+    iw, ih, mcs, data = _walk_gif89(_REAL_GIF_IDLE16)
+    assert (iw, ih, mcs) == (16, 16, 7)
+    idx, resets = _gif_lzw_decode(data, mcs, iw * ih)
+    assert (len(idx), resets) == (256, 1)
+    assert (sum(idx), min(idx), max(idx)) == (15697, 0, 87)
+
+    # full container path on the converted 87a (sig + LSD + 4-entry GCT,
+    # extension dropped, image..trailer verbatim)
+    conv = (
+        b"GIF87a"
+        + _REAL_GIF_MINUSNODE[6 : 13 + 12]
+        + _REAL_GIF_MINUSNODE[13 + 12 + 8 :]
+    )
+    w, h, nc, resets, raster = parse_gif(conv)
+    assert (w, h, nc, resets) == (11, 11, 4, 1)
+    assert (len(raster), sum(raster)) == (363, 68892)
 
 
 def test_parse_gif_poison_inputs():
