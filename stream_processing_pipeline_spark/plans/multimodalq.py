@@ -6,7 +6,8 @@ queries (metadata, chunking, stub-decoder pipelines — SQL-checkable by
 construction), while the REAL-codec queries (``mm_ppm_decode_stats``,
 ``mm_wav_pcm_stats``, ``mm_tar_member_index``, ``mm_png_decode_stats``,
 ``mm_png_corrupt_quarantine``, ``mm_jpeg_decode_stats``,
-``mm_jpeg_ac_decode_stats``, ``mm_gif_decode_stats``) build genuine
+``mm_jpeg_ac_decode_stats``, ``mm_gif_decode_stats``,
+``mm_gif_dict_decode_stats``) build genuine
 binary files per document in-plan (JVM expressions; the JPEG entropy
 stream comes from a precomputed 256-entry table because Huffman coding
 has no SQL expression) and decode them with the dependency-free parsers
@@ -1133,19 +1134,19 @@ _GIF_B = "(doc_id % 64)"            # per-doc gray base
 _GIF_M = "((doc_id % 7) + 2)"       # per-doc ramp period, 2..8
 
 
-def _gif_fixture_header() -> str:
-    """Constant GIF87a header hex: logical screen 16x8, 128-entry global
-    color table of pure grays (i, i, i), full-frame image descriptor,
-    LZW minimum code size 7."""
+def _gif_fixture_header(w: int = _GIF_W, h: int = _GIF_H) -> str:
+    """Constant GIF87a header hex: logical screen ``w x h``, 128-entry
+    global color table of pure grays (i, i, i), full-frame image
+    descriptor, LZW minimum code size 7."""
     import struct
 
     hdr = (
         b"GIF87a"
-        + struct.pack("<HH", _GIF_W, _GIF_H)
+        + struct.pack("<HH", w, h)
         + bytes([0x80 | 0x06, 0, 0])          # GCT present, 2<<6 = 128
     )
     pal = b"".join(bytes([i, i, i]) for i in range(128))
-    img = b"\x2C" + struct.pack("<HHHH", 0, 0, _GIF_W, _GIF_H) + bytes([0])
+    img = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
     return (hdr + pal + img + bytes([7])).hex()
 
 
@@ -1211,6 +1212,76 @@ def mm_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"'8380', {_gif_idx_hex(0, 99)}, "
                 f"'80', {_gif_idx_hex(100, 127)}, "
                 f"'81', '003b'))"
+            ).alias("payload"),
+        )
+    )
+    return decode_gif_stats_arrow(docs)
+
+
+# --- dictionary-path GIF fixture (r9): exercises the width bump + real
+# dictionary references under the value hash, not just the encoder-twin
+# fuzz. Stream layout (mcs=7, one 133-byte sub-block):
+#   Clear, then EXACTLY 127 per-doc literal root codes (width stays 8
+#   through code 127, so each code is one byte — in-plan expressible);
+#   the append after code 127 fills the table to 256 = 2**8, forcing the
+#   standard width bump to 9; then a CONSTANT 5-byte tail packing the
+#   9-bit codes [130, 131, 132, EOI]. Slots 130..132 hold the first
+#   appends of this segment — [q0,q1], [q1,q2], [q2,q3] where
+#   q_i = b + (i % m) — so the dictionary OUTPUT is per-doc and the
+#   oracle rederives it in closed form. A decoder that misses the bump
+#   (or mis-populates the table) reads garbage 8-bit codes and hard-fails
+#   or hash-mismatches.
+_GIF_DICT_W, _GIF_DICT_H = 19, 7   # 127 literal + 6 dictionary pixels
+_GIF_DICT_HEADER_HEX = _gif_fixture_header(_GIF_DICT_W, _GIF_DICT_H)
+_GIF_DICT_TAIL_HEX = "8206110a04"  # LSB-first 9-bit [130,131,132,129]
+
+
+@register(
+    "mm_gif_dict_decode_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, doc_id % 64 AS b, (doc_id % 7) + 2 AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({_GIF_DICT_W} AS INTEGER) AS width,
+           CAST({_GIF_DICT_H} AS INTEGER) AS height,
+           CAST(128 AS INTEGER) AS n_colors,
+           CAST(1 AS INTEGER) AS n_resets,
+           CAST(b AS INTEGER) AS min_px,
+           CAST(b + m - 1 AS INTEGER) AS max_px,
+           CAST(3 * (133 * b
+                     + (127 // m) * ((m * (m - 1)) // 2)
+                     + ((127 % m) * ((127 % m) - 1)) // 2
+                     + 2 * (1 % m) + 2 * (2 % m) + (3 % m))
+                AS BIGINT) AS sum_px
+    FROM s
+    """,
+    tags=("multimodal", "decode", "gif", "lzw", "image", "arrow-udf",
+          "real-codec"),
+)
+def mm_gif_dict_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END GIF decode through the LZW DICTIONARY path: the stream
+    crosses the 8->9 code-width boundary and then emits three dictionary
+    codes whose expansions carry per-doc pixels (see the family comment
+    above) — the value hash pins the width-bump convention and table
+    population that the byte-aligned ``mm_gif_decode_stats`` subset never
+    reaches. Sum formula: 127 ramp literals ``b + (p % m)`` plus the six
+    dictionary pixels ``2*q0+... = 6b + 2*(1%m) + 2*(2%m) + (3%m)``
+    (``q0 = b`` contributes via ``133*b``). Scale shape: identical to the
+    other codec queries (id-only repartition before payload synthesis;
+    payload bytes never shuffle)."""
+    from ..operators.multimodal import decode_gif_stats_arrow
+
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                f"unhex(concat('{_GIF_DICT_HEADER_HEX}', "
+                f"'8580', {_gif_idx_hex(0, 126)}, "
+                f"'{_GIF_DICT_TAIL_HEX}', '003b'))"
             ).alias("payload"),
         )
     )

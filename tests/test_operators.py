@@ -1614,6 +1614,66 @@ def test_gif_generator_matches_pure_python_writer(spark):
         assert got[d] == want, d
 
 
+def test_gif_dict_generator_matches_pure_python_writer(spark):
+    """The dictionary-path GIF generator (127 byte-aligned literals, then
+    a constant 9-bit tail of dictionary codes after the forced width
+    bump) must emit byte-identical files to an independent pure-Python
+    writer, and parse_gif must decode each through the dictionary path
+    to the exact ramp raster."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_gif,
+    )
+    from stream_processing_pipeline_spark.plans.multimodalq import (
+        _GIF_DICT_HEADER_HEX,
+        _GIF_DICT_TAIL_HEX,
+        _gif_idx_hex,
+    )
+
+    # independent tail derivation: 9-bit LSB-first [130, 131, 132, EOI]
+    acc = n = 0
+    tail = bytearray()
+    for c in (130, 131, 132, 129):
+        acc |= c << n
+        n += 9
+        while n >= 8:
+            tail.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        tail.append(acc & 0xFF)
+    assert tail.hex() == _GIF_DICT_TAIL_HEX
+
+    hdr = bytes.fromhex(_GIF_DICT_HEADER_HEX)
+    df = spark.range(0, 40).selectExpr("id AS doc_id").select(
+        "doc_id",
+        F.expr(
+            f"unhex(concat('{_GIF_DICT_HEADER_HEX}', "
+            f"'8580', {_gif_idx_hex(0, 126)}, "
+            f"'{_GIF_DICT_TAIL_HEX}', '003b'))"
+        ).alias("payload"),
+    )
+    got = {r.doc_id: bytes(r.payload) for r in df.collect()}
+    for d in range(40):
+        b, m = d % 64, (d % 7) + 2
+        idx = [b + (p % m) for p in range(127)]
+        want = (
+            hdr
+            + bytes([0x85, 0x80])
+            + bytes(idx)
+            + tail
+            + bytes([0x00, 0x3B])
+        )
+        assert got[d] == want, d
+        w, h, nc, resets, raster = parse_gif(want)
+        assert (w, h, nc, resets) == (19, 7, 128, 1), d
+        exp_idx = idx + [idx[0], idx[1], idx[1], idx[2], idx[2], idx[3]]
+        assert raster == b"".join(
+            bytes([i, i, i]) for i in exp_idx
+        ), d
+
+
 def test_gif_quarantine_classes(spark):
     """The quarantine UDF's coarse classes must be stable: LZW-machine
     rejects map to lzw_error, structural/framing lies to malformed, and

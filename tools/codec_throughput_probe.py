@@ -115,6 +115,27 @@ def make_gif(w: int, h: int, seed: int = 7) -> bytes:
     return payload
 
 
+def make_gif_dict_fixture(doc_id: int = 5) -> bytes:
+    """The registered mm_gif_dict_decode_stats payload for one doc —
+    127 byte-aligned ramp literals, forced 8->9 width bump, then the
+    constant 9-bit dictionary tail (plans/multimodalq.py r9). Probes the
+    exact in-plan dictionary-path shape the gate decodes."""
+    from stream_processing_pipeline_spark.plans.multimodalq import (
+        _GIF_DICT_HEADER_HEX,
+        _GIF_DICT_TAIL_HEX,
+    )
+
+    b, m = doc_id % 64, (doc_id % 7) + 2
+    lits = bytes(b + (p % m) for p in range(127))
+    data = bytes([0x80]) + lits + bytes.fromhex(_GIF_DICT_TAIL_HEX)
+    return (
+        bytes.fromhex(_GIF_DICT_HEADER_HEX)
+        + bytes([len(data)])
+        + data
+        + b"\x00\x3B"
+    )
+
+
 def bench(label: str, payload: bytes, decode, pixels: int, secs: float = 2.0):
     n, t0 = 0, time.perf_counter()
     while time.perf_counter() - t0 < secs:
@@ -150,6 +171,9 @@ def main() -> None:
         rows.append(bench(f"jpeg_{w}x{h}", make_jpeg(w, h), parse_jpeg, w * h))
     for w, h in ((64, 64), (256, 256)):
         rows.append(bench(f"gif_{w}x{h}", make_gif(w, h), parse_gif, w * h))
+    rows.append(
+        bench("gif_dict_fixture_19x7", make_gif_dict_fixture(), parse_gif, 133)
+    )
     for r in rows:
         print(json.dumps(r))
 
