@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from ..functions.windows import flatten_window, tumbling_window
 
-__all__ = ["conditional", "windowed_agg", "window_funnel", "sequence_match"]
+__all__ = [
+    "conditional",
+    "windowed_agg",
+    "window_funnel",
+    "sequence_match",
+    "sequence_count",
+]
 
 
 def conditional(agg_fn, when_cond: Column, value: Column | str) -> Column:
@@ -264,4 +270,114 @@ def sequence_match(
     keys = events.select(key_col).distinct()
     return keys.join(matched, key_col, "left").select(
         key_col, F.coalesce(F.col("_m"), F.lit(0)).alias("matched")
+    )
+
+
+def sequence_count(
+    events: DataFrame,
+    steps: list[Column],
+    gaps: list[int | None],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """NON-OVERLAPPING event-pattern match counting — ClickHouse
+    ``sequenceCount`` semantics for the same pattern language as
+    :func:`sequence_match`: per key, how many time-disjoint chains
+    satisfy ``steps`` in strictly increasing time order with each
+    adjacent pair at most ``gaps[i]`` seconds apart (``None`` = ``.*``)?
+    After a chain completes at time *t*, the next chain's events must
+    all be strictly after *t* (time-separated, not merely
+    event-disjoint), so results are independent of same-timestamp
+    ordering — equal timestamps never chain, and at most one completion
+    is counted per timestamp.
+
+    Exactness by greedy earliest completion: the count equals the
+    maximum number of time-disjoint matches, because repeatedly taking
+    the match that COMPLETES earliest is optimal (exchange argument:
+    any solution's first match completes no earlier, so every event its
+    remaining matches use is still available after the greedy pick —
+    induction gives greedy >= optimal). The scan finds each earliest
+    completion exactly via the same forward closure as
+    :func:`sequence_match`: an event is a stage-*i* candidate iff SOME
+    stage-*i-1* candidate sits in its lookback window, and because
+    candidate times arrive in order, the LATEST earlier candidate is a
+    sufficient witness — so per-key state is O(len(steps)) timestamps,
+    never an event array.
+
+    Scale shape: step predicates are evaluated JVM-side into one
+    bitmask column BEFORE the shuffle, rows with no matching step are
+    dropped, and same-timestamp rows pre-combine map-side
+    (``bit_or``), so the single exchange carries ``(key, epoch_us,
+    int bitmask)`` — ~20 B/row of matching events only. The sequential
+    greedy scan itself (inherently order-dependent, as in ClickHouse's
+    own per-key implementation) runs in ``applyInPandas`` per key
+    group: O(n * k) integer ops on pre-sorted arrays with O(k) state.
+    Returns one row per distinct key with ``n_matches`` (int).
+    """
+    if not steps:
+        raise ValueError("sequence_count needs at least one step predicate")
+    if len(gaps) != len(steps) - 1:
+        raise ValueError("need exactly len(steps)-1 gaps")
+
+    k = len(steps)
+    gap_us = [None if g is None else int(g) * 1_000_000 for g in gaps]
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bits = None
+    for i, cond in enumerate(steps):
+        term = F.when(cond, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    marked = (
+        events.select(
+            F.col(key_col), us.alias("_us"), bits.alias("_bits")
+        )
+        .filter(F.col("_bits") > 0)
+        .groupBy(key_col, "_us")
+        .agg(F.expr("bit_or(_bits)").alias("_bits"))
+    )
+
+    key_field = events.schema[key_col]
+    out_schema = f"{key_col} {key_field.dataType.simpleString()}, n_matches int"
+
+    def scan(pdf):
+        import pandas as pd
+
+        order = pdf["_us"].to_numpy().argsort(kind="stable")
+        ts_arr = pdf["_us"].to_numpy()[order]
+        bit_arr = pdf["_bits"].to_numpy()[order]
+        last: list[int | None] = [None] * k
+        count = 0
+        for t, b in zip(ts_arr.tolist(), bit_arr.tolist()):
+            completed = False
+            new_cands = []
+            for i in range(k - 1, -1, -1):
+                if not (b >> i) & 1:
+                    continue
+                if i == 0:
+                    feasible = True
+                else:
+                    lt = last[i - 1]
+                    feasible = lt is not None and (
+                        gap_us[i - 1] is None or t - lt <= gap_us[i - 1]
+                    )
+                if not feasible:
+                    continue
+                if i == k - 1:
+                    count += 1
+                    last = [None] * k
+                    completed = True
+                    break
+                new_cands.append(i)
+            if completed:
+                continue  # segment restarts strictly after t
+            for i in new_cands:
+                last[i] = t  # applied post-row: same-ts events never chain
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "n_matches": [count]}
+        )
+
+    counts = marked.groupBy(key_col).applyInPandas(scan, out_schema)
+    keys = events.select(key_col).distinct()
+    return keys.join(counts, key_col, "left").select(
+        key_col,
+        F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
     )

@@ -2550,6 +2550,86 @@ def seq_match_signup_then_quick_buy(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_SEQ_CNT_GAP_US = 21_600 * 1_000_000  # 6-hour error->purchase guard
+
+
+@register(
+    "seq_count_error_purchase_bursts",
+    oracle=f"""
+    WITH RECURSIVE
+    e AS MATERIALIZED (
+      SELECT DISTINCT user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'error'
+    ),
+    p AS MATERIALIZED (
+      SELECT DISTINCT user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase'
+    ),
+    feas AS MATERIALIZED (
+      SELECT user_id, us, pe FROM (
+        SELECT p.user_id, p.us,
+               (SELECT max(e.us) FROM e
+                WHERE e.user_id = p.user_id AND e.us < p.us) AS pe
+        FROM p
+      ) WHERE pe IS NOT NULL AND pe >= us - {_SEQ_CNT_GAP_US}
+    ),
+    succ AS MATERIALIZED (
+      SELECT f.user_id, f.us AS floor_us, min(n.us) AS comp
+      FROM feas f JOIN feas n
+        ON n.user_id = f.user_id AND n.pe > f.us
+      GROUP BY f.user_id, f.us
+    ),
+    seed AS MATERIALIZED (
+      SELECT user_id, min(us) AS comp FROM feas GROUP BY user_id
+    ),
+    walk AS (
+      SELECT user_id, comp, 1 AS cnt FROM seed
+      UNION ALL
+      SELECT w.user_id, s.comp, w.cnt + 1
+      FROM walk w JOIN succ s
+        ON s.user_id = w.user_id AND s.floor_us = w.comp
+    )
+    SELECT u.user_id, CAST(coalesce(m.n, 0) AS INTEGER) AS n_matches
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN (SELECT user_id, max(cnt) AS n FROM walk GROUP BY user_id) m
+      ON m.user_id = u.user_id
+    """,
+    tags=("batch", "sequence-count", "pattern", "arrow-udf"),
+)
+def seq_count_error_purchase_bursts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1)(?t<=21600)(?2)')``: per user, how
+    many NON-OVERLAPPING error -> purchase-within-6-hours chains occur —
+    :func:`operators.aggregates.sequence_count`'s greedy
+    earliest-completion scan (optimal by exchange argument; per-key
+    state is O(k) timestamps, the shuffle carries only matching events
+    as (key, epoch_us, bitmask)). The oracle states the SAME greedy
+    through independent machinery: a purchase is a feasible completion
+    iff its LATEST strictly-earlier error ``pe`` is in-gap, and it stays
+    feasible under floor *f* iff ``pe > f`` — so the greedy walk is
+    pointer-chasing over a PRECOMPUTED successor table (floor -> min
+    feasible purchase with ``pe > floor``), a pure equi-join recursion
+    whose depth is the per-user count itself (0..6 across the mirror
+    SFs, mean ~1.3 — non-trivial everywhere). Deliberately NOT the
+    correlated-subquery form: DuckDB 1.0 silently mis-decorrelates
+    LATERAL/scalar subqueries inside recursive CTEs at sf0.1
+    cardinality (returns 0 for ~75% of users; verified against both the
+    operator and a hand greedy model). 6 h reuses the measured
+    signup-quick-buy guard."""
+    from ..operators.aggregates import sequence_count
+
+    ev = catalog(spark, sf_dir).events
+    return sequence_count(
+        ev,
+        steps=[
+            F.col("event_type") == "error",
+            F.col("event_type") == "purchase",
+        ],
+        gaps=[21_600],
+    )
+
+
 # ------------------------------------------- Markov removal-effect attribution
 
 _MK_STATES = {"click": 1, "error": 2, "signup": 3, "view": 4}  # 0=START

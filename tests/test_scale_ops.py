@@ -796,3 +796,135 @@ def test_sequence_match_fuzz_300_scenarios(spark):
     # equal-ts must NOT satisfy view->click adjacency: the only click is
     # at the view's own timestamp, and strict ordering forbids chaining it
     assert model(scen[1001], (1, 30)) == 0
+
+
+def test_sequence_count_fuzz_300_scenarios(spark):
+    """sequence_count (non-overlapping greedy match counting) vs a
+    brute-force model that literally enumerates EVERY chain and loops
+    min-completion -> advance-floor — independent of the operator's
+    latest-witness DP. 300 seeded-random scenarios in ONE Spark job per
+    configuration; hand fixtures cover the greedy-killer anchor case,
+    equal-timestamp non-chaining, overlapping step predicates (one event
+    satisfying several steps), and multi-match streams."""
+    import random
+
+    from stream_processing_pipeline_spark.operators.aggregates import (
+        sequence_count,
+    )
+
+    types = ["view", "click", "purchase", "other"]
+    rng = random.Random(6160)
+    rows, scen = [], {}
+    for sid in range(300):
+        n = rng.randint(1, 14)
+        evs = sorted(
+            (rng.randint(0, 120), rng.choice(types)) for _ in range(n)
+        )
+        scen[sid] = evs
+        for t, ty in evs:
+            rows.append((sid, ty, t))
+    scen[1000] = [(0, "view"), (50, "view"), (70, "click"), (71, "purchase")]
+    scen[1001] = [(10, "view"), (10, "click"), (11, "purchase")]
+    # dense alternating stream: several non-overlapping full chains
+    scen[1002] = [
+        (t, ty)
+        for i in range(5)
+        for t, ty in (
+            (20 * i, "view"),
+            (20 * i + 3, "click"),
+            (20 * i + 6, "purchase"),
+        )
+    ]
+    for sid in (1000, 1001, 1002):
+        rows += [(sid, ty, t) for t, ty in scen[sid]]
+
+    def brute_count(evs, conds, gaps_min):
+        def completions(floor):
+            comps = []
+
+            def rec(j, prev_t):
+                if j == len(conds):
+                    comps.append(prev_t)
+                    return
+                for t, ty in evs:
+                    if t <= floor or not conds[j](ty):
+                        continue
+                    if j > 0:
+                        if t <= prev_t:
+                            continue
+                        g = gaps_min[j - 1]
+                        if g is not None and t - prev_t > g:
+                            continue
+                    rec(j + 1, t)
+
+            rec(0, None)
+            return comps
+
+        floor, count = -1, 0
+        while True:
+            comps = completions(floor)
+            if not comps:
+                return count
+            floor = min(comps)
+            count += 1
+
+    df = spark.createDataFrame(
+        [(sid, ty, float(t)) for sid, ty, t in rows],
+        "user_id int, event_type string, mins double",
+    ).select(
+        "user_id", "event_type",
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,0,CAST(mins AS INT),0)"
+        ).alias("ts"),
+    )
+    cfgs = [
+        # (spark step cols, model predicates, gaps in minutes)
+        (
+            [F.col("event_type") == t for t in ("view", "click", "purchase")],
+            [lambda ty: ty == "view", lambda ty: ty == "click",
+             lambda ty: ty == "purchase"],
+            (30, 30),
+        ),
+        (
+            [F.col("event_type") == t for t in ("view", "click", "purchase")],
+            [lambda ty: ty == "view", lambda ty: ty == "click",
+             lambda ty: ty == "purchase"],
+            (None, 30),
+        ),
+        (
+            [F.col("event_type") == "view", F.col("event_type") == "purchase"],
+            [lambda ty: ty == "view", lambda ty: ty == "purchase"],
+            (None,),
+        ),
+        # overlapping predicates: step 1 matches view OR click, step 2
+        # matches click — one event can satisfy both steps
+        (
+            [F.col("event_type").isin("view", "click"),
+             F.col("event_type") == "click"],
+            [lambda ty: ty in ("view", "click"), lambda ty: ty == "click"],
+            (45,),
+        ),
+    ]
+    for step_cols, conds, gaps_min in cfgs:
+        gaps_sec = [None if g is None else g * 60 for g in gaps_min]
+        got = {
+            r.user_id: r.n_matches
+            for r in sequence_count(df, step_cols, gaps_sec).collect()
+        }
+        want = {
+            sid: brute_count(evs, conds, gaps_min)
+            for sid, evs in scen.items()
+        }
+        diff = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+        assert not diff, (gaps_min, dict(list(diff.items())[:5]))
+        assert max(want.values()) >= 2, gaps_min  # multi-match coverage
+        assert min(want.values()) == 0, gaps_min  # zero-match coverage
+    # pinned: the dense alternating stream yields exactly 5 disjoint
+    # chains under (30, 30)
+    assert brute_count(
+        scen[1002],
+        [lambda ty: ty == "view", lambda ty: ty == "click",
+         lambda ty: ty == "purchase"],
+        (30, 30),
+    ) == 5
