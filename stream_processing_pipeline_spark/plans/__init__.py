@@ -37,24 +37,22 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # each round records exactly the first 50 registrations, so the gate
 # effectively checks a prefix. Registration order is therefore part of the
 # verification contract: queries whose driver-side evidence is newest-needed
-# come first. Round-8 ordering (VERDICT.md r7 "Next round" #1, executed to
+# come first. Round-9 ordering (VERDICT.md r8 "Next round" #1, executed to
 # the slot):
-#   1. the two queries the r7 judge pinned as the mandatory r8 head:
-#      asof_last_click_before_purchase (plan re-expressed via operators.
-#      joins.asof_join in r7 -- re-gate on the new plan) and
-#      mm_jpeg_decode_stats (registered after the r7 head froze -- first
-#      external row ever);
-#   2. 48 of the 49 oracle-bearing queries whose newest external row is
-#      r3-vintage, oldest evidence first (registration order within the
-#      equal-vintage set). 2 + 48 = EXACTLY 50, zero slack. The one
-#      r3-vintage query that does not fit, user_value_minmax_pandas, is
-#      deferred to slot 51 (see below): its Arrow twin
-#      user_value_minmax_arrow -- same query semantics, different UDF
-#      transport -- IS in the head, and the pandas variant stays
-#      mirror-verified at 3 SFs every commit. It is the first entry of
-#      the r9 gate head. After the r8 gate, every registered query's
-#      newest external row is r4+ except that one documented slot-51
-#      deferral and the two never-gated no_oracle sketch queries.
+#   1. the r8-declared r9 head, verbatim: user_value_minmax_pandas (the
+#      documented r8 slot-51 deferral -- r3-vintage external row, Arrow
+#      twin gated green in r8) followed by the ten queries NEW in round 8
+#      in their declared order. 11 slots.
+#   2. 39 of the 47 oracle-bearing queries whose newest external row is
+#      r4-vintage, oldest evidence first (registration order within the
+#      equal-vintage set). 11 + 39 = EXACTLY 50, zero slack. The 8
+#      r4-vintage queries that do not fit (value_winsorized_stats through
+#      hist_quantile_calibration below) are deferred to slots 51+ and
+#      form the FIRST entries of the r10 gate head; every one stays
+#      mirror-verified at 3 SFs per commit. After the r9 gate, every
+#      registered query's newest external row is r4+ with r4 itself down
+#      to those 8 documented deferrals (plus the two never-gated
+#      no_oracle sketches and any query first registered in r9).
 # Count the prefix with
 #   python -c "from stream_processing_pipeline_spark.plans import
 #              REGISTRY; print(list(REGISTRY)[:50])"
@@ -63,78 +61,75 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # the prefix -- they are rows-only by design (no_oracle) and can never
 # produce a green hash row; spending gate slots on them is waste.
 _GATE_PRIORITY = [
-    # -- the judge-pinned r8 head (VERDICT r7 #1): do not displace
-    "asof_last_click_before_purchase",
-    "mm_jpeg_decode_stats",
-    # -- the r3-vintage evidence backlog, oldest first (48 of 49; the
-    #    49th is the slot-51 deferral documented above)
-    "recent_errors_before_purchase",
-    "user_value_minmax_arrow",
-    "user_funnel",
-    "rollup_incremental_merge",
-    "scd2_user_value_bands",
-    "user_retention_cohorts",
-    "hourly_purchases_gapfill",
-    "event_props_variant",
-    "sql_recursive_click_streak",
-    "value_outliers_exact",
-    "user_value_ewma",
-    "value_mad_outliers",
-    "scd2_point_in_time_join",
-    "user_value_trend",
-    "trailing_week_active_users",
-    "asof_cogrouped_pandas",
-    "stream_click_purchase_join",
-    "stream_click_purchase_outer",
-    "stream_dedup_events",
-    "stream_session_windows",
-    "stream_hourly_topk_users",
-    "dedup_span_chunks",
-    "dedup_edit_distance",
-    "text_bpe_token_stats_pandas",
-    "corpus_pack_sequences",
-    "corpus_epoch_shuffle",
-    "text_pii_redact",
-    "quality_weighted_sample",
-    "mixture_token_budget",
-    "text_chunks_udtf",
-    "text_oov_stats",
-    "text_clean_html",
-    "sim_ivf_assignments",
-    "sim_topk_ivf",
-    "sim_ivfpq_codes",
-    "sim_topk_ivfpq",
-    "sim_recall_lsh_at_k",
-    "sim_recall_ivf_static_at_k",
-    "emb_top_pc_power_iteration",
-    "mm_format_stats",
-    "mm_decode_arrow",
-    "tpch_q15_top_supplier",
-    "hist_value_rollup",
-    "bloom_semijoin_nation_suppliers",
-    "salted_join_type_stats",
-    "heavy_hitters_tokens",
-    "layout_zorder_stats",
-    "bucketed_join_revenue",
-    # -- slot 51+: work that must NOT displace the rotation above.
-    #    user_value_minmax_pandas: r3-vintage external row, identical
-    #    semantics to in-prefix user_value_minmax_arrow (same SQL oracle,
-    #    pandas_udf vs mapInArrow transport); mirror-green at 3 SFs; FIRST
-    #    entry of the r9 gate head. Queries NEW in round 8 follow it and
-    #    fill the rest of the r9 head, newest first.
-    "user_value_minmax_pandas",
-    # -- NEW in round 8 (r9 head continues here; mirror-green at 3 SFs,
-    #    no external row until r9 by the zero-slack rotation above)
-    "error_click_reaction_windows",   # timestamp-axis range_join consumer
-    "mm_jpeg_ac_decode_stats",        # JPEG AC run-length path gate
-    "stream_corpus_ingest",           # streaming LLM-ingest composition
-    "window_funnel_strict_depths",    # strict_order funnel mode consumer
+    # -- the r8-declared r9 head (VERDICT r8 #1): do not displace
+    "user_value_minmax_pandas",        # r8 slot-51 deferral, re-gate first
+    "error_click_reaction_windows",    # timestamp-axis range_join consumer
+    "mm_jpeg_ac_decode_stats",         # JPEG AC run-length path gate
+    "stream_corpus_ingest",            # streaming LLM-ingest composition
+    "window_funnel_strict_depths",     # strict_order funnel mode consumer
     "asof_next_purchase_after_error",  # forward-direction asof consumer
     "seq_match_view_click_purchase",   # any-anchor sequenceMatch operator
     "window_funnel_dedup_depths",      # strict_dedup funnel mode consumer
     "seq_match_signup_then_quick_buy",  # mixed-gap sequenceMatch consumer
     "mm_gif_decode_stats",             # sixth real codec: GIF87a / LZW
     "mm_gif_corrupt_quarantine",       # GIF error-path value-hash gate
+    # -- the r4-vintage evidence backlog, oldest first (39 of 47; the
+    #    remaining 8 are the slots-51+ deferrals documented above)
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q7_supplier_customer_volume",
+    "lineitem_measures_unpivot",
+    "cube_daily_type_counts",
+    "array_functions_showcase",
+    "cdc_apply_snapshot",
+    "cdc_snapshot_diff",
+    "join_key_skew_audit",
+    "hourly_anomaly_vs_baseline",
+    "lc_distinct_users_daily",
+    "lc_register_set_algebra",
+    "pagerank_trade_network",
+    "trade_graph_butterflies",
+    "user_growth_accounting",
+    "event_transition_matrix",
+    "order_to_ship_latency",
+    "revenue_concentration_hhi",
+    "part_affinity_pairs",
+    "open_orders_over_time",
+    "stream_cdc_apply",
+    "dedup_rate_by_source",
+    "minhash_jaccard_calibration",
+    "dedup_containment_pairs",
+    "text_bigram_coverage",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "quality_filter_funnel",
+    "sim_recall_pq_at_k",
+    "sim_margin_mined_pairs",
+    "mm_shard_manifest",
+    "tpch_q18_large_volume_customers",
+    "hist_value_quantiles",
+    "cms_token_freq",
+    "weighted_priority_sample",
+    "partition_pruned_daily_stats",
+    "dpp_promo_day_revenue",
+    "bloom_source_membership_audit",
+    "trimmed_mean_value_by_type",
+    # -- slots 51+: work that must NOT displace the rotation above.
+    #    First the 8 r4-vintage deferrals (oldest evidence in the
+    #    registry after the r9 gate; they open the r10 head), then
+    #    queries NEW in round 9 (mirror-green at 3 SFs, no external row
+    #    until r10 by the zero-slack rotation above).
+    "value_winsorized_stats",
+    "revenue_cusum",
+    "strict_funnel_conversion",
+    "orders_reorder_interval",
+    "mixture_temperature_weights",
+    "source_token_divergence",
+    "text_tfidf_top_terms",
+    "hist_quantile_calibration",
+    # -- NEW in round 9 (r10 head continues here)
+    "mm_gif_dict_decode_stats",        # dictionary-path LZW value hash
+    "seq_count_error_purchase_bursts",  # sequence_count consumer
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -25,66 +25,27 @@ def test_gate_priority_is_registry_prefix():
 
 
 #: Queries registered past the current gate prefix without a prior driver
-#: row (each entry must name its verified in-prefix sibling). Round 8's
-#: prefix is the judge-pinned head (asof re-gate + mm_jpeg first row) plus
-#: 48 of the 49 r3-vintage backlog queries — exactly 50, zero slack. The
-#: 49th backlog query (user_value_minmax_pandas, slot 51) already has an
-#: r3 driver row, so the data-driven check below covers it; queries NEW
-#: in round 8 must either take a head slot (they can't — the rotation is
+#: row (each entry must name its verified in-prefix sibling). Round 9's
+#: prefix is the r8-declared head (user_value_minmax_pandas + the ten
+#: r8-new queries) plus 39 of the 47 r4-vintage backlog queries — exactly
+#: 50, zero slack. The 8 r4-backlog queries that did not fit all have r4
+#: driver rows, so the data-driven check below covers them; queries NEW
+#: in round 9 must either take a head slot (they can't — the rotation is
 #: zero-slack) or be listed here with their in-prefix sibling named.
 deferred_past_prefix: set[str] = {
-    # timestamp-axis range_join consumer (NEW r8): same asymmetric
-    # bucketed plan as in-prefix sibling supplier_part_transit_overlaps
-    # (externally hash-green r7); mirror-verified MATCH at 3 SFs; queued
-    # in the declared r9 head (plans/__init__.py slot-52 comment).
-    "error_click_reaction_windows",
-    # JPEG AC-path family (NEW r8): same header constants / LUT /
-    # mapInArrow plan as in-prefix sibling mm_jpeg_decode_stats; full
-    # 224-raster encoder-twin test; mirror-green at 3 SFs; queued in the
-    # declared r9 head.
-    "mm_jpeg_ac_decode_stats",
-    # streaming LLM-ingest composition (NEW r8): foreachBatch pipeline
-    # whose batch oracle composes in-prefix siblings dedup_exact /
-    # text_quality / dedup_minhash_bands; mirror-green at 3 SFs; 2-batch
-    # carryover + redelivery test; queued in the declared r9 head.
-    "stream_corpus_ingest",
-    # strict_order funnel mode consumer (NEW r8): same plan family as
-    # in-prefix sibling window_funnel_depth; the mode's semantics are
-    # stated by the oracle itself; histograms diverge from the default
-    # mode at all 3 mirror SFs (no trivially-equal gate row); queued in
-    # the declared r9 head.
-    "window_funnel_strict_depths",
-    # forward-direction asof consumer (NEW r8): same union+window plan as
-    # in-prefix sibling asof_last_click_before_purchase (r8 head slot 1);
-    # 4-mode merge_asof cross-check tests; mirror-green at 3 SFs; queued
-    # in the declared r9 head.
-    "asof_next_purchase_after_error",
-    # any-anchor sequenceMatch consumer (NEW r8): numeric-axis range_join
-    # stages; 300-scenario forward-closure fuzz incl. the greedy-killer;
-    # mirror-green at 3 SFs with non-trivial matched mixes; queued in the
-    # declared r9 head.
-    "seq_match_view_click_purchase",
-    # strict_dedup funnel mode consumer (NEW r8): completes the
-    # externally-pinned mode matrix; pairwise-different histograms vs
-    # default AND strict_order at sf0.01/sf0.1; mirror-green at 3 SFs;
-    # queued in the declared r9 head.
-    "window_funnel_dedup_depths",
-    # mixed-gap sequenceMatch consumer (NEW r8): unbounded separator via
-    # the min-predecessor branch + bounded numeric-axis stage; sibling
-    # seq_match_view_click_purchase; mirror-green at 3 SFs with
-    # non-trivial mixes; queued in the declared r9 head.
-    "seq_match_signup_then_quick_buy",
-    # sixth real codec (NEW r8): GIF87a with a real LZW decoder; same
-    # generator/mapInArrow pattern as in-prefix sibling
-    # mm_jpeg_decode_stats (r8 head slot 2); 300 encoder-twin
-    # round-trips + poison suite + generator byte-identity pin;
-    # mirror-green at 3 SFs; queued in the declared r9 head.
-    "mm_gif_decode_stats",
-    # GIF error-path quarantine (NEW r8): the PNG quarantine pattern on
-    # the sixth codec; in-prefix sibling mm_png_corrupt_quarantine
-    # (externally hash-green r7); mirror-green at 3 SFs; queued in the
-    # declared r9 head.
-    "mm_gif_corrupt_quarantine",
+    # dictionary-path GIF LZW gate (NEW r9): same generator/mapInArrow
+    # plan as in-prefix siblings mm_gif_decode_stats (r9 head slot 10)
+    # and mm_jpeg_decode_stats (externally hash-green r8); pure-Python
+    # writer pin + real-encoder byte fixtures after the giflib-convention
+    # fix; mirror-green at 3 SFs; queued in the declared r10 head
+    # (plans/__init__.py slots-51+ comment).
+    "mm_gif_dict_decode_stats",
+    # sequence_count consumer (NEW r9): reuses the sequence_match
+    # bitmask/forward-closure machinery of in-prefix siblings
+    # seq_match_view_click_purchase / seq_match_signup_then_quick_buy
+    # (r9 head slots 7/9); 300-scenario greedy-vs-enumeration fuzz;
+    # mirror-green at 3 SFs; queued in the declared r10 head.
+    "seq_count_error_purchase_bursts",
 }
 
 
