@@ -234,14 +234,16 @@ def minhash_sql_exprs(shingles_expr: str, n_hashes: int = 16) -> list[str]:
     return out
 
 
-def lsh_bands(
+def with_lsh_band_cols(
     sig_df: DataFrame,
-    id_col: str = "doc_id",
     n_bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Band a :func:`minhash_table` result: one (id, band_idx, band_hash) row
-    per band, via a stack (unpivot) of per-band hashes."""
+    """Append the per-band hash COLUMNS ``band0..band{n-1}`` to a
+    :func:`minhash_table` result, keeping the signature columns. This is
+    the persisted-index form: a streaming ingest that stores the wide row
+    (id, mh*, band*) pays the band md5s once at write time instead of
+    re-deriving them over the whole index on every probe."""
     band_cols = []
     for b in range(n_bands):
         concat = F.concat_ws(
@@ -252,12 +254,35 @@ def lsh_bands(
             ],
         )
         band_cols.append(h60(concat).alias(f"band{b}"))
-    wide = sig_df.select(F.col(id_col), *band_cols)
+    return sig_df.select("*", *band_cols)
+
+
+def band_rows(
+    wide_df: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Unpivot stored ``band0..band{n-1}`` columns into one
+    (id, band_idx, band_hash) row per band — the join-ready form."""
     stack = ", ".join(f"{b}, band{b}" for b in range(n_bands))
-    return wide.select(
+    return wide_df.select(
         F.col(id_col),
         F.expr(f"stack({n_bands}, {stack}) AS (band_idx, band_hash)"),
     ).select(id_col, F.col("band_idx").cast("int").alias("band_idx"), "band_hash")
+
+
+def lsh_bands(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band a :func:`minhash_table` result: one (id, band_idx, band_hash) row
+    per band, via a stack (unpivot) of per-band hashes."""
+    wide = with_lsh_band_cols(sig_df, n_bands, rows_per_band).select(
+        F.col(id_col), *[f"band{b}" for b in range(n_bands)]
+    )
+    return band_rows(wide, id_col, n_bands)
 
 
 def lsh_candidate_pairs(

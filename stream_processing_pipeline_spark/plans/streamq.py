@@ -1318,6 +1318,14 @@ def stream_ivm_retract_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- streaming corpus ingest
 
 _INGEST_QUALITY_MIN = 0.55  # same gate as corpus_clean_train_sample
+#: Near-dup admission: a new doc is rejected when its bands collide with a
+#: prior survivor AND their MinHash signatures agree on >= this many of 16
+#: positions (Broder's estimator: agreement/16 ~ Jaccard, so 8 ~ J>=0.5).
+#: Collision alone would over-drop — a single shared band is 4 matching
+#: hashes, reachable at J~0.2 (measured: 1 of 4 sf0.01 candidates fails
+#: verification and is correctly admitted).
+_INGEST_MIN_AGREEMENT = 8
+_INGEST_SNAPSHOT_EVERY = 8  # epoch-compaction cadence (EpochTable)
 
 
 def corpus_ingest_batch(
@@ -1326,6 +1334,8 @@ def corpus_ingest_batch(
     index_dir: str,
     seen_dir: str,
     quality_min: float = _INGEST_QUALITY_MIN,
+    min_sig_agreement: int | None = _INGEST_MIN_AGREEMENT,
+    snapshot_every: int = _INGEST_SNAPSHOT_EVERY,
 ) -> None:
     """ONE micro-batch of the streaming LLM-corpus ingest (the
     ``foreachBatch`` body of :func:`stream_corpus_ingest`, factored out so
@@ -1334,34 +1344,53 @@ def corpus_ingest_batch(
     1. quality gate (blended score >= ``quality_min``);
     2. in-batch exact dedup on the normalized-content hash (keeper = the
        min-id surviving doc, attributes ride the exchange via ``min_by``);
-    3. cross-batch dedup: anti-join against the PERSISTED seen-hash table
-       — first-crawl-wins, the ingest-order semantics a rolling crawl
-       pipeline actually has;
-    4. MinHash-band the new survivors into the persisted band index (the
-       same index shape ``dedup_incremental`` probes), and record their
-       hashes in the seen table.
+    3. cross-batch EXACT dedup: anti-join against the persisted seen-hash
+       table — first-crawl-wins, the ingest-order semantics a rolling
+       crawl pipeline actually has;
+    4. cross-batch NEAR-dup admission (review finding r8): probe the
+       persisted MinHash index — band collision proposes a prior-survivor
+       candidate, >= ``min_sig_agreement``/16 signature agreement confirms
+       it (the streaming twin of ``dedup_incremental``'s probe plus the
+       verify step the batch near-dup family uses). In-batch near-dups are
+       deliberately NOT checked — same scope as the batch composition,
+       whose increment is only probed against the EXISTING corpus. Pass
+       ``min_sig_agreement=None`` to disable the probe (r7-shape ingest).
+    5. persist the admitted survivors: wide signature+band rows
+       (doc_id, mh0..15, band0..3) into the index — bands are paid once at
+       write time, never re-derived over the index on later probes — and
+       (text_hash, doc_id) into the seen table.
 
-    EPOCH-IDEMPOTENT writes (review finding r8): both sinks land in an
-    ``epoch=<id>`` partition with mode("overwrite") on THAT partition,
-    and every read filters ``epoch < epoch_id``. Plain appends left a
-    crash window — index committed, seen-hash not, driver dies — where
-    Structured Streaming's replay of the same batch would re-append
-    every survivor's band rows (the anti-join couldn't see them). With
-    per-epoch overwrite the replay rewrites its own partition
-    byte-identically instead; and because reads EXCLUDE the current
-    epoch, a replay after a torn seen-write cannot anti-join the batch
-    against its own half-committed hashes (which would overwrite the
-    index partition with an empty survivor set — data loss, the dual
-    failure mode). The survivor frame is ``localCheckpoint``-ed so both
-    sinks write one materialization.
+    STATE LAYOUT + CRASH SAFETY: both tables are
+    :class:`~...streaming.epochstate.EpochTable`\\ s — every write lands in
+    the batch's own ``kind=delta/epoch=N`` partition with overwrite (a
+    replay rewrites it identically; plain appends duplicated rows through
+    the index-committed/seen-torn crash window, review finding r8), reads
+    see strictly-prior epochs only (a replay cannot anti-join the batch
+    against its own half-committed hashes — the data-loss dual), and every
+    ``snapshot_every``-th batch compacts all state into one snapshot
+    partition so batch N's read cost is bounded by ``snapshot_every``
+    directories — it grows with unique content, never with stream age
+    (the r8 small-files finding). The survivor frame is
+    ``localCheckpoint``-ed so both sinks write one materialization.
+
+    At 100 TB: every stage is a hash-partitioned join on a 60-bit key; the
+    probe joins the BATCH's band rows (small) against the index (bucketed
+    by band hash at scale); hot bands are the one fan-out risk — the batch
+    dedup family's ``cap_posting_lists`` is the guard to splice in ahead
+    of the candidate join if a corpus develops boilerplate-heavy bands.
     """
-    import os
+    from functools import reduce
+    from operator import add
 
     from ..operators import text as _T
-    from ..operators.dedup import lsh_bands, minhash_table
+    from ..operators.dedup import band_rows, minhash_table, with_lsh_band_cols
     from ..functions.hashing import h60
+    from ..streaming.epochstate import EpochTable
 
     spark = bdf.sparkSession
+    seen_tbl = EpochTable(seen_dir, snapshot_every)
+    idx_tbl = EpochTable(index_dir, snapshot_every)
+
     gated = bdf.filter(
         _T.quality_metrics(F.col("text"))["quality"] >= quality_min
     )
@@ -1381,20 +1410,47 @@ def corpus_ingest_batch(
             F.col("kv.lang").alias("lang"), F.col("kv.text").alias("text"),
         )
     )
-    if os.path.exists(seen_dir):
-        seen = (
-            spark.read.parquet(seen_dir)
-            .filter(F.col("epoch") < F.lit(int(epoch_id)))
-            .select("text_hash")
+    prior_seen = seen_tbl.read_before(spark, epoch_id)
+    if prior_seen is not None:
+        surv = surv.join(
+            prior_seen.select("text_hash"), "text_hash", "left_anti"
         )
-        surv = surv.join(seen, "text_hash", "left_anti")
     surv = surv.localCheckpoint()
-    lsh_bands(minhash_table(surv)).write.mode("overwrite").parquet(
-        f"{index_dir}/epoch={int(epoch_id)}"
-    )
-    surv.select("text_hash").write.mode("overwrite").parquet(
-        f"{seen_dir}/epoch={int(epoch_id)}"
-    )
+    sig = with_lsh_band_cols(minhash_table(surv)).localCheckpoint()
+
+    prior_idx = idx_tbl.read_before(spark, epoch_id)
+    if prior_idx is not None and min_sig_agreement is not None:
+        cand = (
+            band_rows(sig).alias("n")
+            .join(band_rows(prior_idx).alias("o"), ["band_idx", "band_hash"])
+            .select(
+                F.col("n.doc_id").alias("new_id"),
+                F.col("o.doc_id").alias("old_id"),
+            )
+            .distinct()
+        )
+        agreement = reduce(
+            add,
+            [
+                F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
+                for j in range(16)
+            ],
+        )
+        rejected = (
+            cand.join(sig.alias("a"), F.col("a.doc_id") == F.col("new_id"))
+            .join(prior_idx.alias("b"), F.col("b.doc_id") == F.col("old_id"))
+            .filter(agreement >= min_sig_agreement)
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = sig.join(rejected, "doc_id", "left_anti")
+        surv = surv.join(rejected, "doc_id", "left_anti")
+
+    idx_tbl.write_delta(sig, epoch_id)
+    seen_tbl.write_delta(surv.select("text_hash", "doc_id"), epoch_id)
+    idx_tbl.maybe_snapshot(spark, epoch_id)
+    seen_tbl.maybe_snapshot(spark, epoch_id)
 
 
 # The oracle reuses dedupq's shared band CTE and textq's quality
@@ -1470,11 +1526,14 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not query.awaitTermination(240):
             query.stop()
             raise TimeoutError("stream_corpus_ingest still running after 240s")
-        # partition discovery surfaces the epoch id as a column; the
-        # summary is epoch-agnostic by construction (each hash enters once)
-        idx = spark.read.parquet(index_dir).select(
-            "doc_id", "band_idx", "band_hash"
-        )
+        # the index stores wide signature+band rows per epoch (EpochTable
+        # layout); read_all yields every committed row exactly once, and
+        # the summary is epoch-agnostic by construction (each doc enters
+        # exactly one epoch — pinned by the carryover test's invariant)
+        from ..operators.dedup import band_rows
+        from ..streaming.epochstate import EpochTable
+
+        idx = band_rows(EpochTable(index_dir).read_all(spark))
         out = (
             idx.groupBy("band_idx", "band_hash")
             .agg(
@@ -1483,6 +1542,131 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()  # detach from the tempdir before cleanup
         )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+_AGREE_SQL = " + ".join(
+    f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(16)
+)
+_THR_SQL = "SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS t FROM documents"
+
+
+@register(
+    "stream_corpus_ingest_two_phase",
+    oracle=f"""{_BANDS_CTE},
+    q AS (
+      SELECT doc_id, {_h60_sql(_NORM)} AS text_hash
+      FROM documents WHERE {_QUALITY_SQL_INGEST} >= {_INGEST_QUALITY_MIN}
+    ),
+    thr AS ({_THR_SQL}),
+    k0 AS (
+      SELECT text_hash, min(doc_id) AS doc_id FROM q, thr
+      WHERE doc_id < t GROUP BY text_hash
+    ),
+    k1 AS (
+      SELECT text_hash, min(doc_id) AS doc_id FROM q, thr
+      WHERE doc_id >= t GROUP BY text_hash
+    ),
+    k1x AS (
+      SELECT k1.doc_id, k1.text_hash FROM k1 LEFT JOIN k0 USING (text_hash)
+      WHERE k0.doc_id IS NULL
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM bands bn JOIN k1x n ON bn.doc_id = n.doc_id
+      JOIN bands bo ON bo.band_idx = bn.band_idx
+                   AND bo.band_hash = bn.band_hash
+      JOIN k0 o ON bo.doc_id = o.doc_id
+    ),
+    rej AS (
+      SELECT DISTINCT c.new_id AS doc_id
+      FROM cand c JOIN mh a ON a.doc_id = c.new_id
+      JOIN mh b ON b.doc_id = c.old_id
+      WHERE ({_AGREE_SQL}) >= {_INGEST_MIN_AGREEMENT}
+    )
+    SELECT doc_id, text_hash, 0 AS epoch FROM k0
+    UNION ALL
+    SELECT k1x.doc_id, k1x.text_hash, 1 AS epoch
+    FROM k1x LEFT JOIN rej ON rej.doc_id = k1x.doc_id
+    WHERE rej.doc_id IS NULL
+    """,
+    tags=("streaming-op", "pipeline", "dedup", "minhash", "near-dup",
+          "foreachBatch", "kappa"),
+)
+def stream_corpus_ingest_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest's CROSS-BATCH semantics under the value hash
+    (VERDICT r8 #3): the corpus is split 80/20 by doc id and replayed as
+    two separate ``availableNow`` runs over one checkpoint — a restart
+    between crawls, exactly how a rolling ingest redeploys. Epoch 0
+    admits the first crawl (quality gate -> exact keepers). Epoch 1 must
+    (a) exact-anti-join epoch 0's seen hashes, and (b) probe the
+    PERSISTED MinHash index: band collision proposes a prior survivor,
+    >=8/16 signature agreement (Jaccard ~ 0.5, Broder's estimator)
+    confirms the near-dup and rejects the doc. The fixtures carry organic
+    cross-split near-dups at every SF (sf0.01: 4 candidates, 3 confirmed,
+    1 correctly admitted — the verify step does real work vs
+    collision-only). Output is the full per-doc admission ledger
+    (doc_id, text_hash, epoch) read back from the seen table's delta
+    partitions; the oracle recomputes both phases in SQL from the same
+    md5-backed MinHash family. In-batch near-dups are out of scope on
+    both sides — the probe checks the increment against the EXISTING
+    corpus, the same contract as ``dedup_incremental``."""
+    import os
+
+    from ..streaming.epochstate import EpochTable
+
+    cat = catalog(spark, sf_dir)
+    docs = spark.read.parquet(cat.path("documents"))
+    thr = int(docs.agg(F.floor(F.max("doc_id") * 0.8)).first()[0])
+    work = tempfile.mkdtemp(prefix="corpus_ingest2_")
+    incoming = f"{work}/incoming"
+    os.makedirs(incoming)
+    index_dir = f"{work}/band_index"
+    seen_dir = f"{work}/seen_hashes"
+
+    def land(df: DataFrame, name: str) -> None:
+        """Write one phase as ONE parquet file the file-stream source
+        picks up as one new file (= one micro-batch per run)."""
+        tmp = f"{work}/tmp_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(f"{tmp}/{part}", f"{incoming}/{name}.parquet")
+        shutil.rmtree(tmp)
+
+    def run_phase() -> None:
+        stream = spark.readStream.schema(docs.schema).parquet(incoming)
+        query = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, eid: corpus_ingest_batch(
+                    bdf, eid, index_dir, seen_dir
+                )
+            )
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(240):
+            query.stop()
+            raise TimeoutError("two-phase ingest run still going after 240s")
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        land(docs.filter(F.col("doc_id") < thr), "phase0")
+        run_phase()
+        land(docs.filter(F.col("doc_id") >= thr), "phase1")
+        run_phase()
+        seen = EpochTable(seen_dir)
+        out = None
+        for e in (0, 1):
+            part = seen.read_delta(spark, e).select(
+                "doc_id", "text_hash", F.lit(e).alias("epoch")
+            )
+            out = part if out is None else out.unionByName(part)
+        out = out.localCheckpoint()  # detach from the tempdir before cleanup
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)

@@ -46,6 +46,12 @@ deferred_past_prefix: set[str] = {
     # (r9 head slots 7/9); 300-scenario greedy-vs-enumeration fuzz;
     # mirror-green at 3 SFs; queued in the declared r10 head.
     "seq_count_error_purchase_bursts",
+    # cross-batch near-dup admission (NEW r9): two availableNow runs over
+    # one checkpoint driving the same foreachBatch body as in-prefix
+    # sibling stream_corpus_ingest (r9 head slot 4); per-doc admission
+    # ledger under the value hash with organic cross-split near-dups at
+    # every SF; mirror-green at 3 SFs; queued in the declared r10 head.
+    "stream_corpus_ingest_two_phase",
 }
 
 

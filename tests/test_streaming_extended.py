@@ -609,46 +609,74 @@ def test_range_join_operator_composes_with_foreachbatch(spark, tmp_path):
 
 
 def test_corpus_ingest_two_batch_carryover(spark, tmp_path):
-    """VERDICT r7 #6: the streaming ingest's cross-batch semantics. Split
-    the corpus by doc-id parity into two micro-batches and drive the REAL
-    foreachBatch body twice: the persisted band index must equal the
-    first-crawl-wins composition (batch-1 keepers, then batch-2 keepers
-    whose hash batch 1 never saw) — and a full REDELIVERY of batch 1
-    afterwards must leave the index byte-identical (at-least-once sources
-    replay; the seen-hash table is what makes the append idempotent at
-    content grain)."""
+    """VERDICT r7 #6 + r8 #3/#7: the streaming ingest's cross-batch
+    semantics. Split the corpus by doc-id parity into two micro-batches
+    and drive the REAL foreachBatch body twice. The persisted state must
+    equal the full two-phase composition — batch-1 keepers, then batch-2
+    keepers whose hash batch 1 never saw AND whose bands don't confirm a
+    near-dup of a batch-1 survivor — where the expected set comes from an
+    INDEPENDENT engine (DuckDB runs the same md5-backed pipeline in SQL).
+    A full REDELIVERY of batch 1 afterwards must leave the index
+    byte-identical (at-least-once sources replay; the seen table plus
+    per-epoch overwrite make the ingest idempotent at content grain)."""
+    import duckdb
     from pyspark.sql import functions as F
 
-    from stream_processing_pipeline_spark.functions.hashing import h60
+    from stream_processing_pipeline_spark.functions.hashing import h60, h60_sql
     from stream_processing_pipeline_spark.operators import text as T
     from stream_processing_pipeline_spark.operators.dedup import (
+        band_rows,
         lsh_bands,
         minhash_table,
     )
+    from stream_processing_pipeline_spark.plans.dedupq import _BANDS_CTE, _NORM
     from stream_processing_pipeline_spark.plans.streamq import (
+        _AGREE_SQL,
+        _INGEST_MIN_AGREEMENT,
         _INGEST_QUALITY_MIN,
         corpus_ingest_batch,
     )
+    from stream_processing_pipeline_spark.streaming.epochstate import EpochTable
 
     base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    # plant cross-batch duplicates: five even-id quality-passing docs
-    # reappear in batch 2 under new odd ids — the redelivered-crawl case
-    # the carryover exists for (the tiny fixture has no organic ones)
+    quality = T.quality_metrics(F.col("text"))["quality"]
     top = int(base.agg(F.max("doc_id")).first()[0])
     off = top + 1001
     if off % 2 == 0:  # even source ids + odd offset = odd (batch-2) ids
         off += 1
-    planted = (
+    # plant cross-batch EXACT duplicates: five even-id quality-passing
+    # docs reappear in batch 2 under new odd ids (redelivered crawl)
+    planted_exact = (
         base.filter(
-            (F.col("doc_id") % 2 == 0)
-            & (T.quality_metrics(F.col("text"))["quality"]
-               >= _INGEST_QUALITY_MIN)
+            (F.col("doc_id") % 2 == 0) & (quality >= _INGEST_QUALITY_MIN)
         )
         .orderBy("doc_id")
         .limit(5)
         .withColumn("doc_id", F.col("doc_id") + F.lit(off))
     )
-    docs = base.unionByName(planted).localCheckpoint()
+    # plant a cross-batch NEAR duplicate (r8 #3): the longest
+    # quality-passing even-id doc reappears in batch 2 with one token
+    # appended — new content hash (the exact anti-join misses it), near-
+    # identical shingle set (the band probe + signature verify catch it)
+    near_src = (
+        base.filter(
+            (F.col("doc_id") % 2 == 0) & (quality >= _INGEST_QUALITY_MIN)
+        )
+        .orderBy(F.length("text").desc(), "doc_id")
+        .limit(1)
+    )
+    near_id = off + 2 + int(near_src.first().doc_id)
+    planted_near = near_src.select(
+        F.lit(near_id).alias("doc_id"),
+        *[c for c in base.columns if c not in ("doc_id", "text")],
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    ).select(base.columns)
+    assert near_id % 2 == 1
+    assert planted_near.filter(quality >= _INGEST_QUALITY_MIN).count() == 1, (
+        "mutated near-dup must still pass the quality gate"
+    )
+    docs = base.unionByName(planted_exact).unionByName(planted_near)
+    docs = docs.localCheckpoint()
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
     b2 = docs.filter(F.col("doc_id") % 2 == 1)
     index_dir = str(tmp_path / "band_index")
@@ -656,56 +684,108 @@ def test_corpus_ingest_two_batch_carryover(spark, tmp_path):
     corpus_ingest_batch(b1, 0, index_dir, seen_dir)
     corpus_ingest_batch(b2, 1, index_dir, seen_dir)
 
+    idx_tbl = EpochTable(index_dir)
+    seen_tbl = EpochTable(seen_dir)
+
     def index_rows():
         return {
             (r.doc_id, r.band_idx, r.band_hash)
-            for r in spark.read.parquet(index_dir)
-            .select("doc_id", "band_idx", "band_hash")
-            .collect()
+            for r in band_rows(idx_tbl.read_all(spark)).collect()
         }
 
     got = index_rows()
 
-    # independent first-crawl-wins model (python dict over collected rows)
-    hashed = docs.filter(
-        T.quality_metrics(F.col("text"))["quality"] >= _INGEST_QUALITY_MIN
-    ).select("doc_id", h60(T.normalize_text("text")).alias("th"))
-    rows = hashed.collect()
-    keep: dict[int, int] = {}
-    for batch_pred in (lambda d: d % 2 == 0, lambda d: d % 2 == 1):
-        batch_best: dict[int, int] = {}
-        for r in rows:
-            if batch_pred(r.doc_id) and r.th not in keep:
-                if r.th not in batch_best or r.doc_id < batch_best[r.th]:
-                    batch_best[r.th] = r.doc_id
-        keep.update(batch_best)
-    surv_ids = sorted(keep.values())
-    expected_docs = docs.filter(F.col("doc_id").isin(surv_ids))
+    # ---- independent model: DuckDB recomputes both phases in SQL ----
+    docs_dir = str(tmp_path / "docs_parquet")
+    docs.write.parquet(docs_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{docs_dir}/*.parquet')"
+    )
+    qual_sql = T.quality_metrics_sql("text")["quality"]
+    phases_cte = f"""{_BANDS_CTE},
+    q AS (SELECT doc_id, {h60_sql(_NORM)} AS text_hash FROM documents
+          WHERE {qual_sql} >= {_INGEST_QUALITY_MIN}),
+    k0 AS (SELECT text_hash, min(doc_id) AS doc_id FROM q
+           WHERE doc_id % 2 = 0 GROUP BY text_hash),
+    k1 AS (SELECT text_hash, min(doc_id) AS doc_id FROM q
+           WHERE doc_id % 2 = 1 GROUP BY text_hash),
+    k1x AS (SELECT k1.doc_id, k1.text_hash FROM k1
+            LEFT JOIN k0 USING (text_hash) WHERE k0.doc_id IS NULL),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM bands bn JOIN k1x n ON bn.doc_id = n.doc_id
+      JOIN bands bo ON bo.band_idx = bn.band_idx
+                   AND bo.band_hash = bn.band_hash
+      JOIN k0 o ON bo.doc_id = o.doc_id),
+    rej AS (
+      SELECT DISTINCT c.new_id AS doc_id
+      FROM cand c JOIN mh a ON a.doc_id = c.new_id
+      JOIN mh b ON b.doc_id = c.old_id
+      WHERE ({_AGREE_SQL}) >= {_INGEST_MIN_AGREEMENT})"""
+    model = con.execute(f"""{phases_cte}
+    SELECT doc_id FROM k0
+    UNION ALL
+    SELECT k1x.doc_id FROM k1x LEFT JOIN rej ON rej.doc_id = k1x.doc_id
+    WHERE rej.doc_id IS NULL
+    """).fetchall()
+    rejected = {
+        r[0]
+        for r in con.execute(f"{phases_cte}\nSELECT doc_id FROM rej").fetchall()
+    }
+    admitted_ids = sorted(r[0] for r in model)
+    # the planted near-dup was quality-passing, hash-fresh, and yet must
+    # be rejected — by the PROBE, in both the model and the real run
+    assert near_id in rejected
+    assert near_id not in admitted_ids
+    expected_docs = docs.filter(F.col("doc_id").isin(admitted_ids))
     want = {
         (r.doc_id, r.band_idx, r.band_hash)
         for r in lsh_bands(minhash_table(expected_docs)).collect()
     }
     assert got == want and len(want) > 0
-    # the parity split must actually exercise carryover: some batch-2 doc
-    # was suppressed because batch 1 already owned its hash
-    b2_hashes_owned_by_b1 = {
-        r.th for r in rows if r.doc_id % 2 == 0
-    } & {r.th for r in rows if r.doc_id % 2 == 1}
-    assert b2_hashes_owned_by_b1, "fixture has no cross-parity duplicates"
+    seen_ids = {r.doc_id for r in seen_tbl.read_all(spark).collect()}
+    assert seen_ids == set(admitted_ids)
+    # exact carryover exercised: some batch-2 doc shares a batch-1 hash
+    hashed = docs.filter(quality >= _INGEST_QUALITY_MIN).select(
+        "doc_id", h60(T.normalize_text("text")).alias("th")
+    )
+    rows = hashed.collect()
+    assert {r.th for r in rows if r.doc_id % 2 == 0} & {
+        r.th for r in rows if r.doc_id % 2 == 1
+    }, "fixture has no cross-parity exact duplicates"
 
-    # epoch replay: Structured Streaming re-runs a batch under the SAME
-    # epoch id after any crash. Replaying epoch 1 must rewrite its own
-    # partition byte-identically — including after a TORN write where the
+    # ---- epoch invariant (VERDICT r8 #7): every text_hash lands in
+    # exactly ONE seen delta partition, every doc_id in exactly ONE
+    # index delta partition — an epoch leak would double-count summaries
+    def assert_epoch_exclusive():
+        for tbl, key in ((seen_tbl, "text_hash"), (idx_tbl, "doc_id")):
+            all_rows = tbl.read_all(spark).select(key).collect()
+            assert len({r[0] for r in all_rows}) == len(all_rows), (
+                f"{key} appears in more than one epoch partition"
+            )
+
+    assert_epoch_exclusive()
+
+    # ---- epoch replay: Structured Streaming re-runs a batch under the
+    # SAME epoch id after any crash. Replaying must rewrite the batch's
+    # own partitions identically — including after a TORN write where the
     # index partition committed but the seen partition did not (the crash
     # window that made plain appends duplicate rows, review finding r8).
     import shutil
 
     corpus_ingest_batch(b1, 0, index_dir, seen_dir)  # replay epoch 0
     assert index_rows() == got
-    shutil.rmtree(f"{seen_dir}/epoch=1")  # tear epoch 1's seen write
+    shutil.rmtree(f"{seen_dir}/kind=delta/epoch=1")  # tear epoch 1's seen
     corpus_ingest_batch(b2, 1, index_dir, seen_dir)  # replay epoch 1
     assert index_rows() == got
-    # a LATER batch redelivering batch-1 content appends nothing
-    # (content-grain idempotence via the seen table)
+    # a LATER batch redelivering batch-1 content appends nothing: exact
+    # dups die on the seen anti-join, the near-dup on the index probe
     corpus_ingest_batch(b1, 2, index_dir, seen_dir)
+    corpus_ingest_batch(planted_near, 3, index_dir, seen_dir)
     assert index_rows() == got
+    assert {r.doc_id for r in seen_tbl.read_all(spark).collect()} == set(
+        admitted_ids
+    )
+    assert_epoch_exclusive()
