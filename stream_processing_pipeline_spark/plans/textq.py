@@ -1912,3 +1912,170 @@ def token_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank_band")
     )
+
+
+_LM_REF_QUALITY_MIN = 0.6  # reference-slice gate (~25% of fixture docs)
+_LM_BIGRAM_SQL = (
+    "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])"
+)
+
+
+@register(
+    "lm_bigram_perplexity_filter",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {T.tokens_sql(T.normalize_text_sql('text'))} AS t,
+             {_QUALITY_SQL['quality']} AS q
+      FROM documents
+    ),
+    el AS (SELECT doc_id, t, q FROM base WHERE len(t) >= 2),
+    bg AS (
+      SELECT doc_id, unnest({_LM_BIGRAM_SQL}) AS big FROM el
+    ),
+    tf AS (
+      SELECT doc_id, big, CAST(count(*) AS BIGINT) AS tf
+      FROM bg GROUP BY doc_id, big
+    ),
+    refdoc AS (SELECT doc_id FROM el WHERE q >= {_LM_REF_QUALITY_MIN}),
+    ref_big AS (
+      SELECT big, CAST(sum(tf) AS BIGINT) AS c_big
+      FROM tf JOIN refdoc USING (doc_id) GROUP BY big
+    ),
+    ref_ctx AS (
+      SELECT split_part(big, ' ', 1) AS w1,
+             CAST(sum(c_big) AS BIGINT) AS c_ctx
+      FROM ref_big GROUP BY 1
+    ),
+    vocab AS (
+      SELECT CAST(count(DISTINCT tok) + 1 AS BIGINT) AS v
+      FROM (SELECT unnest(t) AS tok
+            FROM el JOIN refdoc USING (doc_id))
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tf,
+             CAST(length(bin(COALESCE(c.c_ctx, 0) + v.v))
+                  - length(bin(COALESCE(b.c_big, 0) + 1)) AS BIGINT)
+               AS surp_bits
+      FROM tf
+      LEFT JOIN ref_big b ON b.big = tf.big
+      LEFT JOIN ref_ctx c ON c.w1 = split_part(tf.big, ' ', 1)
+      CROSS JOIN vocab v
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             CAST(sum(tf * surp_bits) AS BIGINT) AS total_bits,
+             CAST((1000 * sum(tf * surp_bits)) // sum(tf) AS BIGINT)
+               AS mean_millibits
+      FROM scored GROUP BY doc_id
+    ),
+    ref_mean AS (
+      SELECT CAST((1000 * sum(p.total_bits)) // sum(p.n_bigrams) AS BIGINT)
+               AS m
+      FROM per_doc p JOIN refdoc USING (doc_id)
+    )
+    SELECT p.doc_id, p.n_bigrams, p.total_bits, p.mean_millibits,
+           CASE WHEN p.mean_millibits <= r.m THEN 1 ELSE 0 END AS keep
+    FROM per_doc p CROSS JOIN ref_mean r
+    """,
+    tags=("batch", "llm-pipeline", "perplexity", "language-model",
+          "quality-filter", "text"),
+)
+def lm_bigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-corpus LM quality filter (the CCNet/RefinedWeb shape): train
+    an add-one-smoothed BIGRAM language model on a high-quality reference
+    slice (quality >= 0.6 — the stand-in for CCNet's Wikipedia LM), then
+    score EVERY document's bigrams under that model and keep documents at
+    or below the reference corpus's own mean surprisal. This is the step
+    past ``text_unigram_surprisal``: the model is conditional (P(w2|w1)),
+    trained on a different distribution than it scores, and OOV mass is
+    handled explicitly — unseen contexts fall back to the uniform
+    1/(0+V) smoothed floor, unseen continuations to 1/(c_ctx+V).
+
+    Same exact-integer portability rule as the unigram query: -log2 of
+    the smoothed probability at floor-log2 resolution,
+    ``bits(c_ctx + V) - bits(c_big + 1)`` with ``bits(x)`` the binary
+    digit count (Spark ``length(conv(x,10,2))`` == DuckDB
+    ``length(bin(x))``) — libm-free, so the whole filter decision is
+    value-hash verifiable. Documents under two tokens have no bigrams and
+    drop out on both engines.
+
+    Shape at 100 TB: one tokenize pass shared by training and scoring
+    (persisted at (doc, bigram) grain); the LM lives at BIGRAM GRAIN and
+    joins by key — it is sf-proportional, so it is NEVER broadcast (the
+    registry-wide guard enforces this); context counts roll up from the
+    bigram table (no second pass over text); vocab size and the
+    reference-mean gate ride 1-row broadcast frames."""
+    d = catalog(spark, sf_dir).documents
+    base = d.select(
+        "doc_id",
+        T.tokens(T.normalize_text("text")).alias("t"),
+        T.quality_metrics(F.col("text"))["quality"].alias("q"),
+    ).filter(F.size("t") >= 2)
+    tf = (
+        base.select(
+            "doc_id",
+            F.explode(D.shingles_of_tokens(F.col("t"), 2)).alias("big"),
+        )
+        .groupBy("doc_id", "big")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    refdoc = base.filter(F.col("q") >= _LM_REF_QUALITY_MIN).select("doc_id")
+    ref_big = (
+        tf.join(refdoc, "doc_id")
+        .groupBy("big")
+        .agg(F.sum("tf").alias("c_big"))
+        .persist()
+    )
+    ref_ctx = ref_big.groupBy(
+        F.substring_index("big", " ", 1).alias("w1")
+    ).agg(F.sum("c_big").alias("c_ctx"))
+    vocab = (
+        base.join(refdoc, "doc_id")
+        .select(F.explode("t").alias("tok"))
+        .agg((F.count_distinct("tok") + 1).cast("long").alias("v"))
+    )
+    scored = (
+        tf.withColumn("w1", F.substring_index("big", " ", 1))
+        .join(ref_big, "big", "left")
+        .join(ref_ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "tf",
+            F.expr(
+                "CAST(length(conv(COALESCE(c_ctx, 0) + v, 10, 2))"
+                " - length(conv(COALESCE(c_big, 0) + 1, 10, 2)) AS BIGINT)"
+            ).alias("surp_bits"),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("surp_bits")).alias("total_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "total_bits",
+            F.expr("(1000 * total_bits) div n_bigrams").alias(
+                "mean_millibits"
+            ),
+        )
+        .persist()
+    )
+    ref_mean = per_doc.join(refdoc, "doc_id").agg(
+        F.expr(
+            "CAST((1000 * sum(total_bits)) div sum(n_bigrams) AS BIGINT)"
+        ).alias("m")
+    )
+    return per_doc.crossJoin(F.broadcast(ref_mean)).select(
+        "doc_id",
+        "n_bigrams",
+        "total_bits",
+        "mean_millibits",
+        F.when(F.col("mean_millibits") <= F.col("m"), 1)
+        .otherwise(0)
+        .alias("keep"),
+    )

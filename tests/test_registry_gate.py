@@ -52,6 +52,12 @@ deferred_past_prefix: set[str] = {
     # ledger under the value hash with organic cross-split near-dups at
     # every SF; mirror-green at 3 SFs; queued in the declared r10 head.
     "stream_corpus_ingest_two_phase",
+    # cross-corpus bigram LM perplexity filter (NEW r9): the conditional-
+    # model step past text_unigram_surprisal (externally hash-green r5+),
+    # same exact-integer floor-log2 surrogate; oracle recomputes training
+    # AND scoring end-to-end; mirror-green at 3 SFs; queued in the
+    # declared r10 head.
+    "lm_bigram_perplexity_filter",
 }
 
 
