@@ -1618,3 +1618,115 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= _K)
         .orderBy("query_id", "fused_rank")
     )
+
+
+# ------------------------------------------------- two-stage IVFADC + rerank
+
+_RERANK_R = 30  # ADC shortlist size feeding the exact second stage
+
+_EXACT_D2_SQL = (
+    f"list_sum(list_transform(range(1, {_DIM + 1}), "
+    "i -> (a.vi[i] - b.vi[i]) * (a.vi[i] - b.vi[i])))"
+)
+
+
+@register(
+    "sim_topk_ivfpq_rerank",
+    oracle=f"""
+    {_IVFPQ_CTE},
+    qp AS (
+      SELECT vec_id AS query_id, vi, cid AS cell, cvec
+      FROM d WHERE vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) <= 2
+    ),
+    qres AS (
+      SELECT query_id, cell,
+             list_transform(range(1, {_DIM + 1}), i -> vi[i] - cvec[i]) AS qr
+      FROM qp
+    ),
+    qd AS (
+      SELECT q.query_id, q.cell, sub.j, rb.scid,
+             list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+               i -> (q.qr[sub.j * {_PQ_DSUB} + i] - rb.rv[sub.j * {_PQ_DSUB} + i])
+                  * (q.qr[sub.j * {_PQ_DSUB} + i] - rb.rv[sub.j * {_PQ_DSUB} + i])))
+               AS qdist
+      FROM qres q, rb, (SELECT unnest(range(0, {_PQ_M})) AS j) sub
+    ),
+    shortl AS (
+      SELECT qd.query_id, c.vec_id AS neighbor_id
+      FROM codes c JOIN qd ON qd.cell = c.cell AND qd.j = c.j AND qd.scid = c.scid
+                          AND c.vec_id != qd.query_id
+      GROUP BY qd.query_id, c.vec_id
+      QUALIFY row_number() OVER (
+        PARTITION BY qd.query_id ORDER BY sum(qd.qdist), c.vec_id
+      ) <= {_RERANK_R}
+    ),
+    scored AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST({_EXACT_D2_SQL} AS BIGINT) AS exact_d2
+      FROM shortl s JOIN q a ON a.vec_id = s.query_id
+                    JOIN q b ON b.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, exact_d2,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY exact_d2, neighbor_id
+           ) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {_K}
+    """,
+    tags=("similarity", "quantization", "ivf-pq", "ann", "rerank",
+          "two-stage"),
+)
+def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval — the production serving shape FAISS calls
+    IVFADC+refine: the compressed index proposes, exact vectors decide.
+    Stage 1 runs the ``sim_topk_ivfpq`` probe with a 3x-overfetched
+    shortlist (R=30 per query); stage 2 fetches ONLY the shortlisted
+    candidates' full vectors (a semi-join against the corpus — at 100 TB
+    this reads R*Q rows, never a cell scan, let alone the corpus) and
+    re-orders by exact integer micro-unit squared L2, the same metric the
+    ADC stage approximates. This is what buys back PQ's quantization
+    error: ADC rank inversions inside the shortlist are corrected at the
+    cost of R exact distances per query, and recall@k against the exact
+    baseline becomes a function of shortlist size alone. Integer-exact
+    end to end (micro-unit vectors, |d|^2 <= 64*(4e6)^2 < 2^53), ranks
+    and ties verified against the identical two-stage construction in
+    SQL."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import quantize_int, topk_ivfpq_adc
+
+    emb = catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    short = topk_ivfpq_adc(
+        emb,
+        queries,
+        _static_cent(spark, sf_dir),
+        _ivfpq_books(spark, sf_dir),
+        k=_RERANK_R,
+        n_probe=2,
+    ).select("query_id", "neighbor_id")
+    vi = emb.select("vec_id", quantize_int("embedding").alias("vi"))
+    exact_d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        short.join(
+            vi.select(F.col("vec_id").alias("query_id"), F.col("vi").alias("qv")),
+            "query_id",
+        )
+        .join(
+            vi.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("vi").alias("nv")
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", exact_d2.alias("exact_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("exact_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _K)
+    )

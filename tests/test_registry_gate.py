@@ -58,6 +58,12 @@ deferred_past_prefix: set[str] = {
     # AND scoring end-to-end; mirror-green at 3 SFs; queued in the
     # declared r10 head.
     "lm_bigram_perplexity_filter",
+    # two-stage IVFADC + exact rerank (NEW r9): stage 1 is in-prefix-
+    # sibling machinery (sim_topk_ivfpq, r8 head, externally hash-green);
+    # stage 2 is an exact integer semi-join rerank; non-trivially
+    # different from raw ADC at every SF (>= 47/50 rank rows move);
+    # mirror-green at 3 SFs; queued in the declared r10 head.
+    "sim_topk_ivfpq_rerank",
 }
 
 
