@@ -133,6 +133,7 @@ _GATE_PRIORITY = [
     "stream_corpus_ingest_two_phase",  # cross-batch near-dup admission
     "lm_bigram_perplexity_filter",     # cross-corpus bigram LM filter
     "sim_topk_ivfpq_rerank",           # two-stage IVFADC + exact rerank
+    "corpus_remove_dup_spans",         # span dedup as a transform
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -1165,3 +1165,102 @@ def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "corpus_remove_dup_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             pos // {_CHUNK_TOKENS} AS chunk_no,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk
+      FROM toks GROUP BY doc_id, pos // {_CHUNK_TOKENS}
+    ), keyed AS (
+      SELECT doc_id, chunk_no, chunk,
+             {h60_sql('chunk')} AS h,
+             doc_id * {_SLOT_BASE} + chunk_no AS slot
+      FROM chunks
+    ), owned AS (
+      SELECT doc_id, chunk_no, chunk,
+             CASE WHEN slot = min(slot) OVER (PARTITION BY h)
+                  THEN 0 ELSE 1 END AS is_dup
+      FROM keyed
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(1 - is_dup) AS BIGINT) AS n_kept,
+             COALESCE(string_agg(CASE WHEN is_dup = 0 THEN chunk END,
+                                 ' ' ORDER BY chunk_no), '') AS clean
+      FROM owned GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks, n_kept, {h60_sql('clean')} AS clean_hash
+    FROM agg
+    """,
+    tags=("dedup", "span", "sub-document", "transform", "boilerplate"),
+)
+def corpus_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup as a TRANSFORM, not an audit: rebuild every
+    document with its duplicated 16-token spans removed — first occurrence
+    (smallest (doc_id, chunk_no) slot) keeps the span, every later repeat
+    is cut — the CCNet/RefinedWeb boilerplate-removal pass that actually
+    ships a cleaned corpus rather than counting what ``dedup_span_chunks``
+    counts. Output is the per-document ledger (chunk counts before/after)
+    plus the 60-bit hash of the reconstructed text, which pins the rebuilt
+    BYTES — order, spacing, and the all-spans-removed empty-doc edge
+    (exact whole-doc duplicates reduce to an empty rebuild on both
+    engines) — under the value hash.
+
+    Scale shape: the keep/cut DECISION shuffles only 24-byte
+    (doc_id, chunk_no, h60) tuples through one window over the span hash
+    (same contract as the audit query); the kept text then moves exactly
+    once, co-keyed on (doc_id, chunk_no), to its document's reassembly
+    group — reconstruction cannot move less than the text it keeps. The
+    per-doc collect is bounded by document size (the corpus's natural
+    grain), never by corpus size."""
+    from pyspark.sql import Window
+
+    docs = catalog(spark, sf_dir).documents
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    chunked = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(toks) / {_CHUNK_TOKENS}.0)) - 1),"
+                f" i -> array_join(slice(toks, i * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS}), ' '))"
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    keyed = chunked.select(
+        "doc_id",
+        "chunk_no",
+        h60(F.col("chunk")).alias("h"),
+        (F.col("doc_id") * _SLOT_BASE + F.col("chunk_no")).alias("slot"),
+    )
+    w = Window.partitionBy("h")
+    flags = keyed.select(
+        "doc_id",
+        "chunk_no",
+        F.when(F.col("slot") == F.min("slot").over(w), 0)
+        .otherwise(1)
+        .alias("is_dup"),
+    )
+    joined = chunked.join(flags, ["doc_id", "chunk_no"])
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(1 - F.col("is_dup")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN is_dup = 0 THEN"
+                " struct(chunk_no, chunk) END)), x -> x.chunk)"
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    return agg.select(
+        "doc_id", "n_chunks", "n_kept", h60(F.col("clean")).alias("clean_hash")
+    )

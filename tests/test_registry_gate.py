@@ -64,6 +64,12 @@ deferred_past_prefix: set[str] = {
     # different from raw ADC at every SF (>= 47/50 rank rows move);
     # mirror-green at 3 SFs; queued in the declared r10 head.
     "sim_topk_ivfpq_rerank",
+    # span dedup as a transform (NEW r9): the reconstruction twin of
+    # in-prefix sibling dedup_span_chunks (r9 head backlog, r4 external
+    # row; same chunking/ownership CTE) with the rebuilt bytes pinned by
+    # hash incl. the all-spans-removed edge; mirror-green at 3 SFs;
+    # queued in the declared r10 head.
+    "corpus_remove_dup_spans",
 }
 
 
