@@ -9,13 +9,15 @@ The Spark-side plumbing here is real and tested: binary encoding, metadata
 derivation, fixed-size chunk/frame indexing, and zero-copy Arrow-batched
 decode pipelines (``mapInArrow`` on the hot paths; the generic
 :func:`decode_media_batched` demo uses ``mapInPandas``) with stable output
-schemas. Six *real*, dependency-free codecs ship: PPM/PGM
+schemas. Seven *real*, dependency-free codecs ship: PPM/PGM
 (:func:`parse_pnm`), RIFF/WAV 16-bit PCM (:func:`parse_wav`), POSIX
 ustar / WebDataset shards (:func:`parse_tar`), non-interlaced 8-bit PNG
 (:func:`parse_png`, stdlib ``zlib``), GIF87a with a real variable-width
-LZW machine (:func:`parse_gif`) — those five value-hash verified
-end-to-end against in-plan generators (GIF on its byte-aligned LZW
-subset; full dictionary growth covered by encoder-twin round-trips) —
+LZW machine (:func:`parse_gif`), the ZIP container (:func:`parse_zip`,
+stdlib ``zlib`` inflate; pinned byte-for-byte against stdlib zipfile on
+real wheel archives) — those six value-hash verified end-to-end against
+in-plan generators (GIF on its byte-aligned LZW subset; full dictionary
+growth covered by encoder-twin round-trips) —
 and baseline sequential-DCT JPEG (:func:`parse_jpeg`, value-hash
 verified on its exactly-decodable DC and single-AC subsets, encoder-twin
 round-trips for the lossy general case). Remaining formats (webp, video
@@ -1725,3 +1727,295 @@ def decode_gif_quarantine_arrow(
             )
 
     return narrow.mapInArrow(batches, GIF_QUARANTINE_SCHEMA)
+
+
+# ---------------------------------------------------------------- ZIP/ustar²
+#
+# Seventh real format of the family: the ZIP container (PKWARE APPNOTE
+# layout — EOCD record, central directory, local file headers; methods
+# STORED and DEFLATE, the only two the python wheel/jar/docx ecosystem
+# emits). Unlike the pixel codecs this one has an AUTHORITATIVE stdlib
+# reference implementation (zipfile) and REAL fixtures in the container
+# (/usr/share/python-wheels/*.whl, 750 entries) — the tests cross-check
+# every entry's name, sizes, CRC, and decoded bytes against zipfile, so
+# the decoder is pinned to real-world ZIP writers, not to a twin
+# (the convention lesson from the GIF width-bump review).
+
+_ZIP_MAX_ENTRIES = 4096
+_ZIP_MAX_TOTAL_UNCOMPRESSED = 1 << 26  # 64 MiB — same bomb posture as PNG
+
+
+class ZipStructureError(ValueError):
+    """Container-level framing violation (signatures, EOCD bookkeeping,
+    overlap, unsupported feature). Distinct from :class:`ZipDataError` so
+    quarantine classification is typed, not substring-matched."""
+
+
+class ZipDataError(ValueError):
+    """Entry-level payload violation (inflate failure, size or CRC
+    mismatch) inside a structurally valid container."""
+
+
+def parse_zip(
+    payload: bytes,
+    max_entries: int = _ZIP_MAX_ENTRIES,
+    max_total_uncompressed: int = _ZIP_MAX_TOTAL_UNCOMPRESSED,
+) -> list[tuple[str, int, int, bytes]]:
+    """Decode a ZIP archive: walk the end-of-central-directory record and
+    central directory, cross-validate each local file header, inflate or
+    copy every entry, and VERIFY size and CRC32 per entry.
+
+    Returns ``[(name, method, usize, data)]`` in central-directory order.
+
+    Reject-don't-misread contract: raises :class:`ZipStructureError` on a
+    missing/inconsistent EOCD (including comment-length bookkeeping that
+    does not land exactly on end-of-file), multi-disk archives, ZIP64
+    markers, entry counts past ``max_entries``, encryption or
+    data-descriptor flag bits, methods other than STORED(0)/DEFLATE(8),
+    a local header that contradicts its central entry (signature, name,
+    method), or entry data regions that overlap; :class:`ZipDataError`
+    when an entry's bytes fail to inflate, inflate to the wrong length,
+    leave compressed bytes unconsumed, or mismatch the recorded CRC32.
+    Total declared uncompressed size is capped BEFORE any allocation
+    (``max_total_uncompressed``), and each inflate is output-bounded by
+    the declared size — a 42.zip-style quine never expands (the PNG
+    bounded-inflate hardening applied from birth)."""
+    import struct
+    import zlib
+
+    n = len(payload)
+    # EOCD: fixed 22 bytes + comment; scan the legal comment window for
+    # the signature whose comment length lands exactly on end-of-file.
+    lo = max(0, n - 22 - 0xFFFF)
+    eocd_pos = -1
+    scan = payload.rfind(b"PK\x05\x06", lo)
+    while scan != -1:
+        if scan + 22 <= n:
+            (clen,) = struct.unpack("<H", payload[scan + 20 : scan + 22])
+            if scan + 22 + clen == n:
+                eocd_pos = scan
+                break
+        scan = payload.rfind(b"PK\x05\x06", lo, scan)
+    if eocd_pos < 0:
+        raise ZipStructureError("zip: no end-of-central-directory record")
+    disk, cd_disk, n_disk, n_total, cd_size, cd_off = struct.unpack(
+        "<HHHHII", payload[eocd_pos + 4 : eocd_pos + 20]
+    )
+    if disk != 0 or cd_disk != 0 or n_disk != n_total:
+        raise ZipStructureError("zip: multi-disk archives unsupported")
+    if n_total > max_entries:
+        raise ZipStructureError(
+            f"zip: {n_total} entries exceeds max_entries={max_entries}"
+        )
+    if 0xFFFFFFFF in (cd_size, cd_off) or n_total == 0xFFFF:
+        raise ZipStructureError("zip: ZIP64 unsupported")
+    if cd_off + cd_size != eocd_pos:
+        raise ZipStructureError("zip: central directory does not abut EOCD")
+    # central directory walk
+    pos = cd_off
+    cd = []
+    total_usize = 0
+    for _ in range(n_total):
+        if payload[pos : pos + 4] != b"PK\x01\x02":
+            raise ZipStructureError("zip: bad central file header signature")
+        (
+            _ver_made,
+            _ver_need,
+            flags,
+            method,
+            _mtime,
+            _mdate,
+            crc,
+            csize,
+            usize,
+            nlen,
+            elen,
+            klen,
+            _disk_no,
+            _iattr,
+            _eattr,
+            lho,
+        ) = struct.unpack("<HHHHHHIIIHHHHHII", payload[pos + 4 : pos + 46])
+        if flags & 0x0001:
+            raise ZipStructureError("zip: encrypted entries unsupported")
+        if flags & 0x0008:
+            raise ZipStructureError("zip: data-descriptor entries unsupported")
+        if method not in (0, 8):
+            raise ZipStructureError(f"zip: compression method {method} unsupported")
+        if 0xFFFFFFFF in (csize, usize, lho):
+            raise ZipStructureError("zip: ZIP64 unsupported")
+        name = payload[pos + 46 : pos + 46 + nlen]
+        if len(name) != nlen:
+            raise ZipStructureError("zip: truncated central directory")
+        pos += 46 + nlen + elen + klen
+        if pos > eocd_pos:
+            raise ZipStructureError("zip: central directory overruns EOCD")
+        if method == 0 and csize != usize:
+            raise ZipStructureError("zip: stored entry with csize != usize")
+        total_usize += usize
+        cd.append((name, flags, method, crc, csize, usize, lho))
+    if pos != eocd_pos:
+        raise ZipStructureError("zip: central directory size mismatch")
+    if total_usize > max_total_uncompressed:
+        raise ZipStructureError(
+            f"zip: declared {total_usize} uncompressed bytes exceeds "
+            f"max_total_uncompressed={max_total_uncompressed}"
+        )
+    # local headers + payload decode, with overlap rejection
+    out = []
+    spans = []
+    for name, flags, method, crc, csize, usize, lho in cd:
+        if payload[lho : lho + 4] != b"PK\x03\x04":
+            raise ZipStructureError("zip: bad local file header signature")
+        l_nlen, l_elen = struct.unpack("<HH", payload[lho + 26 : lho + 30])
+        l_name = payload[lho + 30 : lho + 30 + l_nlen]
+        if l_name != name:
+            raise ZipStructureError("zip: local/central name mismatch")
+        dstart = lho + 30 + l_nlen + l_elen
+        dend = dstart + csize
+        if dend > cd_off:
+            raise ZipStructureError("zip: entry data overruns central directory")
+        spans.append((lho, dend))
+        data = payload[dstart:dend]
+        if len(data) != csize:
+            raise ZipStructureError("zip: truncated entry data")
+        if method == 0:
+            raw = data
+        else:
+            d = zlib.decompressobj(-15)
+            try:
+                raw = d.decompress(data, usize)
+            except zlib.error as e:
+                raise ZipDataError(f"zip: inflate failed: {e}")
+            if d.unconsumed_tail or (not d.eof and d.decompress(b"", 1)):
+                raise ZipDataError("zip: entry inflates past declared size")
+            if not d.eof:
+                raise ZipDataError("zip: deflate stream truncated")
+        if len(raw) != usize:
+            raise ZipDataError(
+                f"zip: entry decoded to {len(raw)} bytes, declared {usize}"
+            )
+        if zlib.crc32(raw) & 0xFFFFFFFF != crc:
+            raise ZipDataError("zip: CRC32 mismatch")
+        out.append((name.decode("utf-8", "strict"), method, usize, raw))
+    spans.sort()
+    for (_, e0), (s1, _) in zip(spans, spans[1:]):
+        if s1 < e0:
+            raise ZipStructureError("zip: overlapping entry data")
+    return out
+
+
+ZIP_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_entries", IntegerType()),
+        StructField("n_deflated", IntegerType()),
+        StructField("total_usize", LongType()),
+        StructField("payload_sum", LongType()),
+        StructField("min_byte", IntegerType()),
+        StructField("max_byte", IntegerType()),
+    ]
+)
+
+
+def decode_zip_stats_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL end-to-end ZIP decode stats: walk + inflate + CRC-verify each
+    archive with :func:`parse_zip` and emit exact statistics over every
+    decoded byte of every entry. Zero-copy ``mapInArrow``, same hot path
+    as the other codecs."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def batches(it: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            ne, nd, tu, ps, mn, mx = [], [], [], [], [], []
+            for p in payloads:
+                entries = parse_zip(bytes(p))
+                blob = b"".join(raw for _, _, _, raw in entries)
+                ne.append(len(entries))
+                nd.append(sum(1 for _, m, _, _ in entries if m == 8))
+                tu.append(sum(u for _, _, u, _ in entries))
+                ps.append(sum(blob))
+                mn.append(min(blob) if blob else None)
+                mx.append(max(blob) if blob else None)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(ne, pa.int32()),
+                    pa.array(nd, pa.int32()),
+                    pa.array(tu, pa.int64()),
+                    pa.array(ps, pa.int64()),
+                    pa.array(mn, pa.int32()),
+                    pa.array(mx, pa.int32()),
+                ],
+                names=[f.name for f in ZIP_STATS_SCHEMA.fields],
+            )
+
+    return narrow.mapInArrow(batches, ZIP_STATS_SCHEMA)
+
+
+ZIP_QUARANTINE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ok", BooleanType()),
+        StructField("err_class", StringType()),
+        StructField("n_entries", IntegerType()),
+        StructField("payload_sum", LongType()),
+    ]
+)
+
+
+def decode_zip_quarantine_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Quarantine path for ZIP ingest: decode each archive, mapping
+    failures to their TYPED class — ``structure`` for container framing
+    (:class:`ZipStructureError`), ``data`` for entry-integrity failures
+    (:class:`ZipDataError`) — never dropping rows (the corpus-triage
+    contract shared by the PNG/GIF quarantine decoders)."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def batches(it: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            ok, ec, ne, ps = [], [], [], []
+            for p in payloads:
+                try:
+                    if p is None:
+                        raise ZipStructureError("zip: NULL payload")
+                    entries = parse_zip(bytes(p))
+                except ZipDataError:
+                    ok.append(False)
+                    ec.append("data")
+                    ne.append(None)
+                    ps.append(None)
+                except ValueError:  # ZipStructureError + decode errors
+                    ok.append(False)
+                    ec.append("structure")
+                    ne.append(None)
+                    ps.append(None)
+                else:
+                    ok.append(True)
+                    ec.append(None)
+                    ne.append(len(entries))
+                    ps.append(sum(sum(raw) for _, _, _, raw in entries))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(ok, pa.bool_()),
+                    pa.array(ec, pa.string()),
+                    pa.array(ne, pa.int32()),
+                    pa.array(ps, pa.int64()),
+                ],
+                names=[f.name for f in ZIP_QUARANTINE_SCHEMA.fields],
+            )
+
+    return narrow.mapInArrow(batches, ZIP_QUARANTINE_SCHEMA)

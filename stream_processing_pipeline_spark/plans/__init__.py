@@ -134,6 +134,8 @@ _GATE_PRIORITY = [
     "lm_bigram_perplexity_filter",     # cross-corpus bigram LM filter
     "sim_topk_ivfpq_rerank",           # two-stage IVFADC + exact rerank
     "corpus_remove_dup_spans",         # span dedup as a transform
+    "mm_zip_decode_stats",             # seventh real format: ZIP/DEFLATE
+    "mm_zip_corrupt_quarantine",       # ZIP error-path value-hash gate
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

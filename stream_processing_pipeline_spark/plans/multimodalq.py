@@ -7,7 +7,8 @@ construction), while the REAL-codec queries (``mm_ppm_decode_stats``,
 ``mm_wav_pcm_stats``, ``mm_tar_member_index``, ``mm_png_decode_stats``,
 ``mm_png_corrupt_quarantine``, ``mm_jpeg_decode_stats``,
 ``mm_jpeg_ac_decode_stats``, ``mm_gif_decode_stats``,
-``mm_gif_dict_decode_stats``) build genuine
+``mm_gif_dict_decode_stats``, ``mm_zip_decode_stats``,
+``mm_zip_corrupt_quarantine``) build genuine
 binary files per document in-plan (JVM expressions; the JPEG entropy
 stream comes from a precomputed 256-entry table because Huffman coding
 has no SQL expression) and decode them with the dependency-free parsers
@@ -1358,3 +1359,236 @@ def mm_gif_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return decode_gif_quarantine_arrow(docs)
+
+
+# ----------------------------------------------------- real ZIP decode
+#
+# Seventh format: the ZIP container. Each document gets a genuine 2-entry
+# archive assembled from JVM expressions — entry "a.bin" STORED with the
+# per-doc ramp bytes (b + p % m, the family formula), entry "b.txt"
+# DEFLATEd (a constant raw-deflate stream precomputed at plan-build time;
+# DEFLATE has no SQL expression, same split as JPEG's Huffman table).
+# Every header field is a plan literal EXCEPT entry a's CRC32, which the
+# plan computes with Spark's own crc32() — so each row carries a real
+# cross-implementation checksum handshake: the JVM writes the CRC,
+# python's zlib verifies it (a parser that skips CRC or walks offsets
+# wrong hard-fails or hash-mismatches). parse_zip itself is additionally
+# pinned byte-for-byte against stdlib zipfile on the 750 real wheel
+# entries in tests (the authoritative-reference lesson from the GIF
+# width-bump review).
+
+
+def _zle(v: int, nbytes: int) -> str:
+    """Little-endian hex literal of ``v`` in ``nbytes`` bytes."""
+    return v.to_bytes(nbytes, "little").hex()
+
+
+_ZIP_A_NAME = b"a.bin"
+_ZIP_A_LEN = 96
+_ZIP_B_NAME = b"b.txt"
+_ZIP_B_RAW = b"the quick brown fox jumps over the lazy dog 0123456789\n" * 4
+
+
+def _zip_fixture_parts() -> dict[str, str]:
+    """Constant hex fragments of the per-doc archive (see family note)."""
+    import zlib
+
+    c = zlib.compressobj(9, zlib.DEFLATED, -15)
+    b_def = c.compress(_ZIP_B_RAW) + c.flush()
+    b_crc = zlib.crc32(_ZIP_B_RAW) & 0xFFFFFFFF
+    fixed = _zle(20, 2) + _zle(0, 2)          # version-needed, flags
+    stamp = _zle(0, 2) + _zle(0x21, 2)        # mtime, mdate (constant)
+    # local header A: PK\3\4 .. crc (runtime) .. sizes/name
+    la_pre = "504b0304" + fixed + _zle(0, 2) + stamp
+    la_post = (
+        _zle(_ZIP_A_LEN, 4) * 2
+        + _zle(len(_ZIP_A_NAME), 2)
+        + _zle(0, 2)
+        + _ZIP_A_NAME.hex()
+    )
+    lho_b = 30 + len(_ZIP_A_NAME) + _ZIP_A_LEN
+    lb = (
+        "504b0304" + fixed + _zle(8, 2) + stamp
+        + _zle(b_crc, 4) + _zle(len(b_def), 4) + _zle(len(_ZIP_B_RAW), 4)
+        + _zle(len(_ZIP_B_NAME), 2) + _zle(0, 2)
+        + _ZIP_B_NAME.hex() + b_def.hex()
+    )
+    cd_off = lho_b + 30 + len(_ZIP_B_NAME) + len(b_def)
+    ca_pre = "504b0102" + _zle(20, 2) + fixed + _zle(0, 2) + stamp
+    ca_post = (
+        _zle(_ZIP_A_LEN, 4) * 2
+        + _zle(len(_ZIP_A_NAME), 2) + _zle(0, 2) * 2
+        + _zle(0, 2) * 2 + _zle(0, 4) + _zle(0, 4)
+        + _ZIP_A_NAME.hex()
+    )
+    cb = (
+        "504b0102" + _zle(20, 2) + fixed + _zle(8, 2) + stamp
+        + _zle(b_crc, 4) + _zle(len(b_def), 4) + _zle(len(_ZIP_B_RAW), 4)
+        + _zle(len(_ZIP_B_NAME), 2) + _zle(0, 2) * 2
+        + _zle(0, 2) * 2 + _zle(0, 4) + _zle(lho_b, 4)
+        + _ZIP_B_NAME.hex()
+    )
+    cd_size = 2 * 46 + len(_ZIP_A_NAME) + len(_ZIP_B_NAME)
+    eocd = (
+        "504b0506" + _zle(0, 2) * 2 + _zle(2, 2) * 2
+        + _zle(cd_size, 4) + _zle(cd_off, 4) + _zle(0, 2)
+    )
+    return {
+        "la_pre": la_pre, "la_post": la_post, "lb": lb,
+        "ca_pre": ca_pre, "ca_post": ca_post, "cb": cb, "eocd": eocd,
+    }
+
+
+_ZIP_PARTS = _zip_fixture_parts()
+_ZIP_B_SUM = sum(_ZIP_B_RAW)
+_ZIP_B_MIN = min(_ZIP_B_RAW)
+_ZIP_B_MAX = max(_ZIP_B_RAW)
+
+
+@register(
+    "mm_zip_decode_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, doc_id % 64 AS b, (doc_id % 7) + 2 AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(2 AS INTEGER) AS n_entries,
+           CAST(1 AS INTEGER) AS n_deflated,
+           CAST({_ZIP_A_LEN} + {len(_ZIP_B_RAW)} AS BIGINT) AS total_usize,
+           CAST({_ZIP_A_LEN} * b
+                + ({_ZIP_A_LEN} // m) * ((m * (m - 1)) // 2)
+                + (({_ZIP_A_LEN} % m) * (({_ZIP_A_LEN} % m) - 1)) // 2
+                + {_ZIP_B_SUM} AS BIGINT) AS payload_sum,
+           CAST(LEAST(b, {_ZIP_B_MIN}) AS INTEGER) AS min_byte,
+           CAST(GREATEST(b + m - 1, {_ZIP_B_MAX}) AS INTEGER) AS max_byte
+    FROM s
+    """,
+    tags=("multimodal", "decode", "zip", "deflate", "container",
+          "arrow-udf", "real-codec"),
+)
+def mm_zip_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END verified ZIP decode: each document gets a REAL 2-entry
+    archive (see the family note above) whose stored entry carries the
+    per-doc ramp ``(doc_id % 64) + (p % ((doc_id % 7) + 2))`` and whose
+    deflated entry is a constant raw-deflate stream, decoded by the
+    dependency-free ``parse_zip`` (EOCD + central-directory walk, local-
+    header cross-validation, bounded inflate, per-entry CRC32 and size
+    verification) inside zero-copy ``mapInArrow``. Entry a's CRC32 is
+    computed by Spark's JVM ``crc32()`` at generation time and re-derived
+    by python's ``zlib.crc32`` at decode time — a per-row cross-engine
+    checksum handshake. The oracle rederives entry counts, byte totals,
+    and min/max/sum from the generative formulas in closed form. Scale
+    shape: identical to the other codec queries (id-only repartition
+    before payload synthesis; archive bytes never shuffle)."""
+    from ..operators.multimodal import decode_zip_stats_arrow
+
+    p = _ZIP_PARTS
+    stored_hex = (
+        f"array_join(transform(sequence(0, {_ZIP_A_LEN - 1}), "
+        f"p -> lpad(hex((doc_id % 64) + (p % ((doc_id % 7) + 2))), 2, '0')), '')"
+    )
+    crc_le = (
+        "concat(substr(ch, 7, 2), substr(ch, 5, 2), "
+        "substr(ch, 3, 2), substr(ch, 1, 2))"
+    )
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(stored_hex).alias("sh"),
+        )
+        .select(
+            "doc_id",
+            "sh",
+            F.expr("lpad(hex(crc32(unhex(sh))), 8, '0')").alias("ch"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"unhex(concat('{p['la_pre']}', {crc_le}, '{p['la_post']}', sh, "
+                f"'{p['lb']}', "
+                f"'{p['ca_pre']}', {crc_le}, '{p['ca_post']}', "
+                f"'{p['cb']}', '{p['eocd']}'))"
+            ).alias("payload"),
+        )
+    )
+    return decode_zip_stats_arrow(docs)
+
+
+@register(
+    "mm_zip_corrupt_quarantine",
+    oracle=f"""
+    SELECT doc_id,
+           (doc_id % 3 = 0) AS ok,
+           CASE doc_id % 3 WHEN 1 THEN 'data'
+                           WHEN 2 THEN 'structure' END AS err_class,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(2 AS INTEGER) END AS n_entries,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(
+             {_ZIP_A_LEN} * (doc_id % 64)
+             + ({_ZIP_A_LEN} // ((doc_id % 7) + 2))
+               * ((((doc_id % 7) + 2) * ((doc_id % 7) + 1)) // 2)
+             + (({_ZIP_A_LEN} % ((doc_id % 7) + 2))
+                * (({_ZIP_A_LEN} % ((doc_id % 7) + 2)) - 1)) // 2
+             + {_ZIP_B_SUM} AS BIGINT) END AS payload_sum
+    FROM documents
+    """,
+    tags=("multimodal", "quarantine", "zip", "error-path", "arrow-udf",
+          "real-codec"),
+)
+def mm_zip_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP error-path triage under the value hash: the same per-doc
+    archive as ``mm_zip_decode_stats``, then deterministic in-plan
+    corruption — ``doc_id % 3 == 1`` flips a byte INSIDE the stored
+    entry's data (container framing intact, CRC32 now wrong — the typed
+    ``data`` class), ``doc_id % 3 == 2`` truncates the tail of the EOCD
+    record (the typed ``structure`` class), ``% 3 == 0`` stays intact and
+    must still decode to the exact closed-form stats. Typed-exception
+    classification (ZipDataError vs ZipStructureError), not message
+    matching — the GIF quarantine review lesson applied from birth."""
+    from ..operators.multimodal import decode_zip_quarantine_arrow
+
+    p = _ZIP_PARTS
+    stored_hex = (
+        f"array_join(transform(sequence(0, {_ZIP_A_LEN - 1}), "
+        f"p -> lpad(hex((doc_id % 64) + (p % ((doc_id % 7) + 2))), 2, '0')), '')"
+    )
+    crc_le = (
+        "concat(substr(ch, 7, 2), substr(ch, 5, 2), "
+        "substr(ch, 3, 2), substr(ch, 1, 2))"
+    )
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.expr(stored_hex).alias("sh"))
+        .select(
+            "doc_id", "sh",
+            F.expr("lpad(hex(crc32(unhex(sh))), 8, '0')").alias("ch"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"unhex(concat('{p['la_pre']}', {crc_le}, '{p['la_post']}', sh, "
+                f"'{p['lb']}', '{p['ca_pre']}', {crc_le}, '{p['ca_post']}', "
+                f"'{p['cb']}', '{p['eocd']}'))"
+            ).alias("payload"),
+        )
+        .select(
+            "doc_id",
+            # byte 37 (1-based) is stored-data offset 36: ramp value
+            # b + (1 % m) = b + 1 <= 64, never 0xFF -> CRC always breaks
+            F.when(
+                F.col("doc_id") % 3 == 1,
+                F.expr("overlay(payload PLACING X'FF' FROM 37)"),
+            )
+            .when(
+                F.col("doc_id") % 3 == 2,
+                F.expr("substring(payload, 1, length(payload) - 10)"),
+            )
+            .otherwise(F.col("payload"))
+            .alias("payload"),
+        )
+    )
+    return decode_zip_quarantine_arrow(docs)

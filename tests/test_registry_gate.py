@@ -70,6 +70,18 @@ deferred_past_prefix: set[str] = {
     # hash incl. the all-spans-removed edge; mirror-green at 3 SFs;
     # queued in the declared r10 head.
     "corpus_remove_dup_spans",
+    # seventh real format (NEW r9): ZIP container walk + bounded inflate
+    # + per-entry CRC32, pinned byte-for-byte against stdlib zipfile on
+    # the 750 real wheel entries (the authoritative-reference lesson from
+    # the GIF review); in-prefix siblings mm_gif_decode_stats /
+    # mm_jpeg_decode_stats share the generator/mapInArrow pattern;
+    # mirror-green at 3 SFs; queued in the declared r10 head.
+    "mm_zip_decode_stats",
+    # ZIP error-path quarantine (NEW r9): typed-exception classification
+    # (the ADVICE r8 GIF quarantine fix applied from birth); in-prefix
+    # sibling mm_gif_corrupt_quarantine (r9 head slot 11); mirror-green
+    # at 3 SFs; queued in the declared r10 head.
+    "mm_zip_corrupt_quarantine",
 }
 
 
