@@ -136,6 +136,28 @@ def make_gif_dict_fixture(doc_id: int = 5) -> bytes:
     )
 
 
+
+
+# ------------------------------------------------------------------ ZIP
+def make_zip(n_files: int, file_kb: int, seed: int = 7) -> bytes:
+    """Deflated archive via the stdlib writer (the decoder's authoritative
+    twin): n_files entries of file_kb KiB of LCG bytes each."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    x = seed
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for i in range(n_files):
+            row = bytearray(file_kb * 1024)
+            for j in range(len(row)):
+                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+                row[j] = (x >> 16) & 0xFF
+            zi = zipfile.ZipInfo(f"m/{i}.bin", date_time=(1999, 1, 1, 0, 0, 0))
+            z.writestr(zi, bytes(row))
+    return buf.getvalue()
+
+
 def bench(label: str, payload: bytes, decode, pixels: int, secs: float = 2.0):
     n, t0 = 0, time.perf_counter()
     while time.perf_counter() - t0 < secs:
@@ -174,6 +196,20 @@ def main() -> None:
     rows.append(
         bench("gif_dict_fixture_19x7", make_gif_dict_fixture(), parse_gif, 133)
     )
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_zip,
+    )
+
+    for n_files, kb in ((16, 4), (64, 16)):
+        zp = make_zip(n_files, kb)
+        rows.append(
+            bench(
+                f"zip_{n_files}x{kb}KiB",
+                zp,
+                parse_zip,
+                n_files * kb * 1024,  # pixels column = decoded bytes here
+            )
+        )
     for r in rows:
         print(json.dumps(r))
 
