@@ -99,6 +99,28 @@ def main() -> None:
         _png_attach_payload(spark.range(4).selectExpr("id AS doc_id"))
     ).count()
 
+    # ZIP kernel (r9): one 4-row decode pass warms the parse_zip Arrow
+    # stage (same rationale as the PNG warm-up; the archive itself is a
+    # 4-entry toy from the stdlib writer, never benchmarked data).
+    import io as _io
+    import zipfile as _zipfile
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        decode_zip_stats_arrow,
+    )
+
+    _zbuf = _io.BytesIO()
+    with _zipfile.ZipFile(_zbuf, "w", _zipfile.ZIP_DEFLATED) as _z:
+        _z.writestr(
+            _zipfile.ZipInfo("w.bin", date_time=(1999, 1, 1, 0, 0, 0)),
+            b"warm the zip kernels " * 4,
+        )
+    tiny_zip = spark.createDataFrame(
+        [(i, bytearray(_zbuf.getvalue())) for i in range(4)],
+        "doc_id long, payload binary",
+    )
+    decode_zip_stats_arrow(tiny_zip).count()
+
     # BPE-trainer kernel: one toy merge round (pair-count -> argmax ->
     # broadcast-winner replace) compiles the zip_with/crossJoin/replace
     # codegen the 6-round trainer reuses (measured: 11.7s cold vs 2.6s
