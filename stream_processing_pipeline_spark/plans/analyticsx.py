@@ -3263,3 +3263,133 @@ def ts_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l1_paa_centi", "user_a", "user_b")
         .limit(_SAX_TOPK)
     )
+
+
+# --------------------------------------------------- revenue attribution
+
+_ATTR_LB = 604_800  # 7-day lookback, seconds
+
+# Integer U-shaped credit split (order: touches by (ts, event_id) asc).
+# All-integer so the allocation is value-hash portable; remainders are
+# assigned by fixed rule (n=2: odd cent to the first touch; n>=3: the
+# middle remainder to the earliest middle), and every purchase's credits
+# sum EXACTLY to its cents (asserted in tests).
+_ATTR_CREDIT = """
+CASE WHEN n = 0 THEN v
+     WHEN n = 1 THEN v
+     WHEN n = 2 THEN CASE WHEN rn = 1 THEN v - v {div} 2
+                          ELSE v {div} 2 END
+     ELSE CASE WHEN rn = 1 THEN (2 * v) {div} 5
+               WHEN rn = n THEN (2 * v) {div} 5
+               WHEN rn = 2 THEN (v - 2 * ((2 * v) {div} 5)) {div} (n - 2)
+                              + (v - 2 * ((2 * v) {div} 5)) % (n - 2)
+               ELSE (v - 2 * ((2 * v) {div} 5)) {div} (n - 2) END
+END"""
+
+
+@register(
+    "revenue_attribution_ushaped",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, floor(epoch(ts)) AS pt,
+             {cents_sql('value')} AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_id AS tid, event_type AS ch,
+             floor(epoch(ts)) AS tt
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT p.pid, p.v, t.tid, t.ch, t.tt
+      FROM p LEFT JOIN t
+        ON t.user_id = p.user_id
+           AND t.tt >= p.pt - {_ATTR_LB} AND t.tt < p.pt
+    ),
+    w AS (
+      SELECT pid, v, tid, ch,
+             CAST(count(tid) OVER (PARTITION BY pid) AS BIGINT) AS n,
+             CAST(row_number() OVER (PARTITION BY pid ORDER BY tt, tid)
+                  AS BIGINT) AS rn
+      FROM j
+    ),
+    c AS (
+      SELECT COALESCE(ch, 'direct') AS channel, pid, tid,
+             {_ATTR_CREDIT.format(div='//')} AS credit
+      FROM w
+    )
+    SELECT channel,
+           CAST(sum(credit) AS BIGINT) AS credited_cents,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+           CAST(count(tid) AS BIGINT) AS n_touches
+    FROM c GROUP BY channel
+    """,
+    tags=("batch", "attribution", "range-join", "bucketized", "marketing",
+          "window-function"),
+)
+def revenue_attribution_ushaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution, U-shaped (40/20/40): every
+    purchase's value is split across the user's view/click touches in the
+    7 days before it — first and last touch get 40% each, the middles
+    share 20% — and rolls up to channel grain; purchases with no touch
+    window credit a synthetic 'direct' channel. The split is EXACT
+    integer cents with fixed remainder rules (see ``_ATTR_CREDIT``), so
+    per-purchase credits always sum to the purchase amount and the whole
+    allocation is value-hash verifiable — float shares would diverge
+    across engines and leak cents.
+
+    Scale shape: the touch-window join is the bucketized range-join
+    pattern (``recent_errors_before_purchase``): touches explode into the
+    two 7-day buckets their matches can live in and join EQUI on
+    (user_id, bucket) with the exact range as a residual — per-task work
+    is bounded by bucket population, never corpus size. Position and
+    count come from one window over the purchase id (join output grain);
+    the channel rollup shuffles 3 partial rows."""
+    ev = catalog(spark, sf_dir).events
+    sec = F.col("ts").cast("timestamp").cast("long")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        sec.alias("pt"),
+        cents("value").alias("v"),
+    )
+    b = F.floor(F.col("tt") / _ATTR_LB)
+    t = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_id").alias("tid"),
+            F.col("event_type").alias("ch"),
+            sec.alias("tt"),
+        )
+        .select("t_user", "tid", "ch", "tt",
+                F.explode(F.array(b, b + 1)).alias("bkt"))
+    )
+    cond = (
+        (F.col("user_id") == F.col("t_user"))
+        & (F.floor(F.col("pt") / _ATTR_LB) == F.col("bkt"))
+        & (F.col("tt") >= F.col("pt") - _ATTR_LB)
+        & (F.col("tt") < F.col("pt"))
+    )
+    j = p.join(t, cond, "left").select("pid", "v", "tid", "ch", "tt")
+    w_n = Window.partitionBy("pid")
+    w_rn = Window.partitionBy("pid").orderBy("tt", "tid")
+    w = j.select(
+        "pid",
+        "v",
+        "tid",
+        "ch",
+        F.count("tid").over(w_n).alias("n"),
+        F.row_number().over(w_rn).cast("long").alias("rn"),
+    )
+    c = w.select(
+        F.coalesce("ch", F.lit("direct")).alias("channel"),
+        "pid",
+        "tid",
+        F.expr(_ATTR_CREDIT.format(div="div")).alias("credit"),
+    )
+    return c.groupBy("channel").agg(
+        F.sum("credit").alias("credited_cents"),
+        F.countDistinct("pid").alias("n_purchases"),
+        F.count("tid").alias("n_touches"),
+    )

@@ -82,6 +82,12 @@ deferred_past_prefix: set[str] = {
     # sibling mm_gif_corrupt_quarantine (r9 head slot 11); mirror-green
     # at 3 SFs; queued in the declared r10 head.
     "mm_zip_corrupt_quarantine",
+    # integer U-shaped multi-touch attribution (NEW r9): the bucketized
+    # range-join shape of in-prefix sibling recent_errors_before_purchase
+    # (r8 head, externally hash-green) plus an exact-integer credit
+    # split; conservation (credits == purchase cents) unit-pinned;
+    # mirror-green at 3 SFs; queued in the declared r10 head.
+    "revenue_attribution_ushaped",
 }
 
 

@@ -928,3 +928,26 @@ def test_sequence_count_fuzz_300_scenarios(spark):
          lambda ty: ty == "purchase"],
         (30, 30),
     ) == 5
+
+
+def test_attribution_credits_conserve_purchase_cents(spark):
+    """revenue_attribution_ushaped's integer split must conserve money
+    EXACTLY: summed channel credits == summed purchase cents (no float
+    leakage, no remainder loss), and the direct channel carries exactly
+    the zero-touch purchases."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.functions.money import cents
+    from stream_processing_pipeline_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["revenue_attribution_ushaped"].fn(spark, sf).collect()
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    total = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.sum(cents("value")))
+        .first()[0]
+    )
+    assert sum(r.credited_cents for r in out) == total
+    direct = {r.channel: r for r in out}["direct"]
+    assert direct.n_touches == 0 and direct.n_purchases > 0
