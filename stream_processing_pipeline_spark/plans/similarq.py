@@ -1629,11 +1629,11 @@ _EXACT_D2_SQL = (
     "i -> (a.vi[i] - b.vi[i]) * (a.vi[i] - b.vi[i])))"
 )
 
-
-@register(
-    "sim_topk_ivfpq_rerank",
-    oracle=f"""
-    {_IVFPQ_CTE},
+# Shared probe fragment (the sim_topk_ivfpq construction as named CTEs):
+# per query, the 2 probed cells, the query's residual, and its per-
+# (cell, subspace, codeword) LUT distances. Reused by the rerank oracle
+# and the rerank recall audit.
+_IVFPQ_PROBE_SQL = f"""
     qp AS (
       SELECT vec_id AS query_id, vi, cid AS cell, cvec
       FROM d WHERE vec_id < {_N_QUERIES}
@@ -1651,28 +1651,47 @@ _EXACT_D2_SQL = (
                   * (q.qr[sub.j * {_PQ_DSUB} + i] - rb.rv[sub.j * {_PQ_DSUB} + i])))
                AS qdist
       FROM qres q, rb, (SELECT unnest(range(0, {_PQ_M})) AS j) sub
-    ),
-    shortl AS (
+    )"""
+
+
+def _ivfpq_adc_rank_sql(limit: int, name: str) -> str:
+    """CTE ``name``: the ADC candidate ranking cut at ``limit``."""
+    return f"""
+    {name} AS (
       SELECT qd.query_id, c.vec_id AS neighbor_id
       FROM codes c JOIN qd ON qd.cell = c.cell AND qd.j = c.j AND qd.scid = c.scid
                           AND c.vec_id != qd.query_id
       GROUP BY qd.query_id, c.vec_id
       QUALIFY row_number() OVER (
         PARTITION BY qd.query_id ORDER BY sum(qd.qdist), c.vec_id
-      ) <= {_RERANK_R}
-    ),
+      ) <= {limit}
+    )"""
+
+
+_IVFPQ_RERANK_SQL = f"""{_IVFPQ_CTE},
+    {_IVFPQ_PROBE_SQL},
+    {_ivfpq_adc_rank_sql(_RERANK_R, 'shortl')},
     scored AS (
       SELECT s.query_id, s.neighbor_id,
              CAST({_EXACT_D2_SQL} AS BIGINT) AS exact_d2
       FROM shortl s JOIN q a ON a.vec_id = s.query_id
                     JOIN q b ON b.vec_id = s.neighbor_id
-    )
-    SELECT query_id, neighbor_id, exact_d2,
-           CAST(row_number() OVER (
-             PARTITION BY query_id ORDER BY exact_d2, neighbor_id
-           ) AS INTEGER) AS rank
-    FROM scored
-    QUALIFY rank <= {_K}
+    ),
+    reranked AS (
+      SELECT query_id, neighbor_id, exact_d2,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY exact_d2, neighbor_id
+             ) AS INTEGER) AS rank
+      FROM scored
+    )"""
+
+
+@register(
+    "sim_topk_ivfpq_rerank",
+    oracle=f"""
+    {_IVFPQ_RERANK_SQL}
+    SELECT query_id, neighbor_id, exact_d2, rank
+    FROM reranked WHERE rank <= {_K}
     """,
     tags=("similarity", "quantization", "ivf-pq", "ann", "rerank",
           "two-stage"),
@@ -1692,6 +1711,24 @@ def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end (micro-unit vectors, |d|^2 <= 64*(4e6)^2 < 2^53), ranks
     and ties verified against the identical two-stage construction in
     SQL."""
+    return _ivfpq_rerank_frame(spark, sf_dir)
+
+
+def _int_sqdist(qv: str, nv: str):
+    """Exact integer micro-unit squared L2 between two long-array cols."""
+    return F.aggregate(
+        F.zip_with(F.col(qv), F.col(nv), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _ivfpq_rerank_frame(
+    spark: SparkSession, sf_dir: str, k: int = _K, r: int = _RERANK_R
+) -> DataFrame:
+    """The two-stage frame behind ``sim_topk_ivfpq_rerank`` (also reused
+    by the rerank recall audit): ADC shortlist of ``r``, exact-L2 rerank
+    to ``k``."""
     from pyspark.sql import Window
 
     from ..operators.similarity import quantize_int, topk_ivfpq_adc
@@ -1703,15 +1740,10 @@ def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries,
         _static_cent(spark, sf_dir),
         _ivfpq_books(spark, sf_dir),
-        k=_RERANK_R,
+        k=r,
         n_probe=2,
     ).select("query_id", "neighbor_id")
     vi = emb.select("vec_id", quantize_int("embedding").alias("vi"))
-    exact_d2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("nv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     scored = (
         short.join(
             vi.select(F.col("vec_id").alias("query_id"), F.col("vi").alias("qv")),
@@ -1723,10 +1755,100 @@ def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "neighbor_id",
         )
-        .select("query_id", "neighbor_id", exact_d2.alias("exact_d2"))
+        .select(
+            "query_id", "neighbor_id", _int_sqdist("qv", "nv").alias("exact_d2")
+        )
     )
     w = Window.partitionBy("query_id").orderBy("exact_d2", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _K)
+        .filter(F.col("rank") <= k)
+    )
+
+
+@register(
+    "sim_recall_ivfpq_rerank_at_k",
+    oracle=f"""
+    {_IVFPQ_RERANK_SQL},
+    {_ivfpq_adc_rank_sql(_K, 'adc')},
+    gt AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM q a JOIN q b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < {_N_QUERIES}
+      QUALIFY row_number() OVER (
+        PARTITION BY a.vec_id ORDER BY {_EXACT_D2_SQL}, b.vec_id
+      ) <= {_K}
+    )
+    SELECT gt.query_id,
+           CAST(count(adc.neighbor_id) AS BIGINT) AS n_hits_adc,
+           CAST(count(rr.neighbor_id) AS BIGINT) AS n_hits_rerank,
+           count(adc.neighbor_id) / {_K}.0 AS recall_adc,
+           count(rr.neighbor_id) / {_K}.0 AS recall_rerank
+    FROM gt
+    LEFT JOIN adc ON adc.query_id = gt.query_id
+                 AND adc.neighbor_id = gt.neighbor_id
+    LEFT JOIN (SELECT query_id, neighbor_id FROM reranked
+               WHERE rank <= {_K}) rr
+      ON rr.query_id = gt.query_id AND rr.neighbor_id = gt.neighbor_id
+    GROUP BY gt.query_id
+    """,
+    tags=("similarity", "quantization", "ivf-pq", "rerank", "recall",
+          "evaluation"),
+)
+def sim_recall_ivfpq_rerank_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the rerank BUYS, as a verified query: per-query recall@10 of
+    raw ADC top-10 vs the reranked top-10, both against the exact
+    integer-L2 ground truth (the metric both stages target). This is the
+    fifth recall audit of the family and the acceptance test for
+    ``sim_topk_ivfpq_rerank`` — with a 3x shortlist the rerank's misses
+    can only be candidates the probe never surfaced, so
+    recall_rerank >= recall_adc row by row is the expected (and
+    fixture-measured) shape, with the gap quantifying PQ quantization
+    error the refine stage recovered. Ground truth joins the 5 literal-
+    bounded query vectors against the corpus (the brute-force baseline
+    every audit uses); nothing sf-proportional is broadcast-hinted."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import quantize_int, topk_ivfpq_adc
+
+    emb = catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    vi = emb.select("vec_id", quantize_int("embedding").alias("vi"))
+    gtq = vi.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vi").alias("qv")
+    )
+    cand = vi.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vi").alias("nv")
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    gt = (
+        gtq.join(cand, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", _int_sqdist("qv", "nv").alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _K)
+        .select("query_id", "neighbor_id")
+    )
+    adc = topk_ivfpq_adc(
+        emb,
+        queries,
+        _static_cent(spark, sf_dir),
+        _ivfpq_books(spark, sf_dir),
+        k=_K,
+        n_probe=2,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit_adc"))
+    rr = _ivfpq_rerank_frame(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_rr")
+    )
+    return (
+        gt.join(adc, ["query_id", "neighbor_id"], "left")
+        .join(rr, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit_adc").alias("n_hits_adc"),
+            F.count("hit_rr").alias("n_hits_rerank"),
+            (F.count("hit_adc") / float(_K)).alias("recall_adc"),
+            (F.count("hit_rr") / float(_K)).alias("recall_rerank"),
+        )
     )

@@ -88,6 +88,12 @@ deferred_past_prefix: set[str] = {
     # split; conservation (credits == purchase cents) unit-pinned;
     # mirror-green at 3 SFs; queued in the declared r10 head.
     "revenue_attribution_ushaped",
+    # rerank recall audit (NEW r9): fifth member of the recall-audit
+    # family (in-prefix siblings sim_recall_lsh_at_k /
+    # sim_recall_ivf_static_at_k, r9 head backlog); measures
+    # recall_rerank >= recall_adc row-by-row at every SF; mirror-green
+    # at 3 SFs; queued in the declared r10 head.
+    "sim_recall_ivfpq_rerank_at_k",
 }
 
 
