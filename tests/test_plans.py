@@ -320,6 +320,10 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
         "ks_doclen_source_drift",       # broadcast 1-row sizes + 1-row max
         "ts_sax_similar_users",         # broadcast 1-row span + 6-row seg
                                         # spine + 1-row breakpoints
+        "lm_bigram_perplexity_filter",  # broadcast 1-row vocab size +
+                                        # 1-row reference-mean gate
+        "sim_recall_ivfpq_rerank_at_k",  # broadcast query set (N_QUERIES
+                                        # rows, ground-truth non-equi join)
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
