@@ -138,6 +138,7 @@ _GATE_PRIORITY = [
     "mm_zip_corrupt_quarantine",       # ZIP error-path value-hash gate
     "revenue_attribution_ushaped",     # integer multi-touch attribution
     "sim_recall_ivfpq_rerank_at_k",    # what the rerank buys, audited
+    "mm_gzip_decode_stats",            # eighth real format: gzip/RFC1952
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

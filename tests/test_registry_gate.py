@@ -94,6 +94,13 @@ deferred_past_prefix: set[str] = {
     # recall_rerank >= recall_adc row-by-row at every SF; mirror-green
     # at 3 SFs; queued in the declared r10 head.
     "sim_recall_ivfpq_rerank_at_k",
+    # eighth real format (NEW r9): RFC 1952 gzip with multi-member
+    # streams, pinned byte-for-byte against stdlib gzip on 300+ real man
+    # pages; in-prefix siblings share the generator/mapInArrow pattern
+    # (mm_gif_decode_stats, mm_jpeg_decode_stats) and mm_zip_decode_stats
+    # shares the crc32 handshake; mirror-green at 3 SFs; queued in the
+    # declared r10 head.
+    "mm_gzip_decode_stats",
 }
 
 

@@ -200,6 +200,16 @@ def main() -> None:
         parse_zip,
     )
 
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_gzip,
+    )
+
+    import gzip as _gz
+
+    for kb in (16, 256):
+        raw = make_zip(1, kb)  # reuse the LCG payload builder's bytes
+        gz = _gz.compress(raw, mtime=0)
+        rows.append(bench(f"gzip_{kb}KiB", gz, parse_gzip, len(raw)))
     for n_files, kb in ((16, 4), (64, 16)):
         zp = make_zip(n_files, kb)
         rows.append(

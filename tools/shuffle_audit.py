@@ -97,6 +97,7 @@ AUDITED = {
     "sim_topk_ivfpq_rerank": "stage 1 = the probed IVFPQ broadcast-LUT join; stage 2 moves only R*Q shortlist rows + their fetched vectors through the rerank join (r9)",
     "mm_zip_decode_stats": "ZERO shuffle after the id-only parallelism repartition: archive assembly (JVM crc32 handshake) and parse_zip decode stay in one scan stage (r9)",
     "stream_corpus_ingest_two_phase": "two availableNow runs of the ingest body: keeper-grain text exchange + seen anti-join per batch, plus the band-rows probe join (16 B keys) against the prior epoch's index (r9)",
+    "mm_gzip_decode_stats": "ZERO shuffle after the id-only parallelism repartition: multi-member assembly (stored-block + constant Huffman member) and parse_gzip decode stay in one scan stage (r9)",
     "stream_rate_limited_users": "stateful stream: one (user_id, ts_us, event_id) exchange into the GroupState op; state is (win, count, totals) per live key, emissions 1 row/key/batch (r6)",
     "mm_wav_pcm_stats": "payload bytes never shuffle: generation+decode+stats inside one scan stage; the only exchange is the 8-byte id repartition that sets decode parallelism (r6)",
     "kcore_part_affinity": "per-round shuffles carry (node, degree) pairs and shrinking 16 B edges — round cost tracks the SURVIVING edge set, monotonically down (r6)",
