@@ -2180,3 +2180,64 @@ def decode_gzip_stats_arrow(
             )
 
     return narrow.mapInArrow(batches, GZIP_STATS_SCHEMA)
+
+
+GZIP_QUARANTINE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ok", BooleanType()),
+        StructField("err_class", StringType()),
+        StructField("n_members", IntegerType()),
+        StructField("payload_sum", LongType()),
+    ]
+)
+
+
+def decode_gzip_quarantine_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Quarantine path for gzip ingest: typed classes — ``structure`` for
+    framing (:class:`GzipStructureError`), ``data`` for member-integrity
+    failures (:class:`GzipDataError`) — never dropping rows (the shared
+    corpus-triage contract)."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def batches(it: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            ok, ec, nm, ps = [], [], [], []
+            for p in payloads:
+                try:
+                    if p is None:
+                        raise GzipStructureError("gzip: NULL payload")
+                    members = parse_gzip(bytes(p))
+                except GzipDataError:
+                    ok.append(False)
+                    ec.append("data")
+                    nm.append(None)
+                    ps.append(None)
+                except ValueError:
+                    ok.append(False)
+                    ec.append("structure")
+                    nm.append(None)
+                    ps.append(None)
+                else:
+                    ok.append(True)
+                    ec.append(None)
+                    nm.append(len(members))
+                    ps.append(sum(sum(m) for m in members))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(ok, pa.bool_()),
+                    pa.array(ec, pa.string()),
+                    pa.array(nm, pa.int32()),
+                    pa.array(ps, pa.int64()),
+                ],
+                names=[f.name for f in GZIP_QUARANTINE_SCHEMA.fields],
+            )
+
+    return narrow.mapInArrow(batches, GZIP_QUARANTINE_SCHEMA)

@@ -139,6 +139,7 @@ _GATE_PRIORITY = [
     "revenue_attribution_ushaped",     # integer multi-touch attribution
     "sim_recall_ivfpq_rerank_at_k",    # what the rerank buys, audited
     "mm_gzip_decode_stats",            # eighth real format: gzip/RFC1952
+    "mm_gzip_corrupt_quarantine",      # gzip error-path value-hash gate
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -1697,3 +1697,78 @@ def mm_gzip_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return decode_gzip_stats_arrow(docs)
+
+
+@register(
+    "mm_gzip_corrupt_quarantine",
+    oracle=f"""
+    SELECT doc_id,
+           (doc_id % 3 = 0) AS ok,
+           CASE doc_id % 3 WHEN 1 THEN 'data'
+                           WHEN 2 THEN 'structure' END AS err_class,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(2 AS INTEGER) END AS n_members,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(
+             {_GZ_A_LEN} * (doc_id % 64)
+             + ({_GZ_A_LEN} // ((doc_id % 7) + 2))
+               * ((((doc_id % 7) + 2) * ((doc_id % 7) + 1)) // 2)
+             + (({_GZ_A_LEN} % ((doc_id % 7) + 2))
+                * (({_GZ_A_LEN} % ((doc_id % 7) + 2)) - 1)) // 2
+             + {_GZ_B_SUM} AS BIGINT) END AS payload_sum
+    FROM documents
+    """,
+    tags=("multimodal", "quarantine", "gzip", "error-path", "arrow-udf",
+          "real-codec"),
+)
+def mm_gzip_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gzip error-path triage under the value hash: the same per-doc
+    2-member stream as ``mm_gzip_decode_stats``, then deterministic
+    in-plan corruption — ``doc_id % 3 == 1`` flips a byte INSIDE member
+    A's stored data (framing intact, CRC32 now wrong — the typed ``data``
+    class; offset 16 is ramp value b+1 <= 64, never 0xFF), ``% 3 == 2``
+    truncates the final member's trailer (the typed ``structure`` class),
+    ``% 3 == 0`` stays intact and must decode to the exact closed-form
+    stats. Typed-exception classification from birth."""
+    from ..operators.multimodal import decode_gzip_quarantine_arrow
+
+    p = _GZ_PARTS
+    stored_hex = (
+        f"array_join(transform(sequence(0, {_GZ_A_LEN - 1}), "
+        f"p -> lpad(hex((doc_id % 64) + (p % ((doc_id % 7) + 2))), 2, '0')), '')"
+    )
+    crc_le = (
+        "concat(substr(ch, 7, 2), substr(ch, 5, 2), "
+        "substr(ch, 3, 2), substr(ch, 1, 2))"
+    )
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.expr(stored_hex).alias("sh"))
+        .select(
+            "doc_id", "sh",
+            F.expr("lpad(hex(crc32(unhex(sh))), 8, '0')").alias("ch"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"unhex(concat('{p['a_pre']}', sh, {crc_le}, "
+                f"'{p['a_isize']}', '{p['b_full']}'))"
+            ).alias("payload"),
+        )
+        .select(
+            "doc_id",
+            # byte 17 (1-based) = stored-data offset 16 (after the 10-byte
+            # header + 5-byte stored-block framing + 1): ramp value b+1
+            F.when(
+                F.col("doc_id") % 3 == 1,
+                F.expr("overlay(payload PLACING X'FF' FROM 17)"),
+            )
+            .when(
+                F.col("doc_id") % 3 == 2,
+                F.expr("substring(payload, 1, length(payload) - 5)"),
+            )
+            .otherwise(F.col("payload"))
+            .alias("payload"),
+        )
+    )
+    return decode_gzip_quarantine_arrow(docs)

@@ -2065,3 +2065,26 @@ def test_gzip_plan_generator_is_a_real_stream(spark):
         b, m = d % 64, (d % 7) + 2
         ramp = bytes(b + (i % m) for i in range(MQ._GZ_A_LEN))
         assert gzip.decompress(bytes(r.payload)) == ramp + MQ._GZ_B_RAW
+
+
+def test_gzip_quarantine_classes(spark):
+    """Typed gzip quarantine classes on a mixed batch, driven through
+    the registered corruption plan."""
+    from stream_processing_pipeline_spark.plans.multimodalq import (
+        mm_gzip_corrupt_quarantine,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in mm_gzip_corrupt_quarantine(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(out) == 500
+    for d, r in out.items():
+        if d % 3 == 0:
+            assert r.ok and r.err_class is None and r.n_members == 2
+        elif d % 3 == 1:
+            assert (not r.ok) and r.err_class == "data"
+        else:
+            assert (not r.ok) and r.err_class == "structure"

@@ -101,6 +101,11 @@ deferred_past_prefix: set[str] = {
     # shares the crc32 handshake; mirror-green at 3 SFs; queued in the
     # declared r10 head.
     "mm_gzip_decode_stats",
+    # gzip error-path quarantine (NEW r9): typed classes from birth;
+    # in-prefix sibling mm_gif_corrupt_quarantine (r9 head slot 11) and
+    # same-round twin mm_zip_corrupt_quarantine; mirror-green at 3 SFs;
+    # queued in the declared r10 head.
+    "mm_gzip_corrupt_quarantine",
 }
 
 
