@@ -1772,3 +1772,114 @@ def mm_gzip_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return decode_gzip_quarantine_arrow(docs)
+
+
+# ------------------------------------------------ WARC/WET ingest stats
+#
+# The Common Crawl READ PATH as a value-hash gate: each document gets a
+# genuine one-member gzip shard whose member is a 2-record WARC stream
+# (a constant warcinfo record + a per-doc WET `conversion` record whose
+# text is a deterministic a..z ramp), decoded end-to-end by
+# parse_gzip -> parse_warc. The gzip member is a stored-mode deflate
+# block (SQL-expressible) with the JVM-crc32 <-> zlib handshake.
+
+_WET_TEXT_LEN = 80
+_WET_INFO = b"software: spark-graft-wet/1.0\r\n"
+
+
+def _warc_fixture_parts() -> dict[str, str]:
+    import struct
+
+    rec1 = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(_WET_INFO)
+        + _WET_INFO
+        + b"\r\n\r\n"
+    )
+    rec2_hdr = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        + b"Content-Length: %d\r\n\r\n" % _WET_TEXT_LEN
+    )
+    pre = rec1 + rec2_hdr
+    tail = b"\r\n\r\n"
+    member_len = len(pre) + _WET_TEXT_LEN + len(tail)
+    gz_pre = (
+        "1f8b08000000000000ff"
+        + "01"
+        + struct.pack("<HH", member_len, member_len ^ 0xFFFF).hex()
+    )
+    return {
+        "pre": pre.hex(),
+        "tail": tail.hex(),
+        "gz_pre": gz_pre,
+        "isize": struct.pack("<I", member_len).hex(),
+        "content_bytes": str(len(_WET_INFO) + _WET_TEXT_LEN),
+    }
+
+
+_WARC_PARTS = _warc_fixture_parts()
+
+
+@register(
+    "mm_warc_wet_ingest_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(1 AS INTEGER) AS n_members,
+           CAST(2 AS INTEGER) AS n_records,
+           CAST(1 AS INTEGER) AS n_conversion,
+           CAST({_WARC_PARTS['content_bytes']} AS BIGINT) AS content_bytes,
+           CAST(list_sum(list_transform(range(0, {_WET_TEXT_LEN}),
+                p -> 97 + ((doc_id % 64) + p) % 26)) AS BIGINT) AS text_sum
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "warc", "wet", "gzip", "common-crawl",
+          "arrow-udf", "real-codec"),
+)
+def mm_warc_wet_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common Crawl ingestion read path END-TO-END under the value
+    hash: per document, a genuine gzip shard (stored-mode member, JVM
+    ``crc32()`` <-> python ``zlib.crc32`` handshake) containing a
+    2-record WARC stream — constant ``warcinfo`` + a per-doc WET
+    ``conversion`` record whose 80-byte text is the deterministic
+    ``chr(97 + (b + p) % 26)`` ramp — decoded by ``parse_gzip`` then
+    ``parse_warc`` inside zero-copy ``mapInArrow``. The oracle rederives
+    member/record/type counts and the conversion-text byte sum from the
+    generative formula. A header-walk, Content-Length framing, record-
+    terminator, or member-boundary bug hard-fails or hash-mismatches.
+    At 100 TB this is the shape that reads WET shards: gunzip + record
+    split are one zero-shuffle scan stage; only extracted text (or its
+    derived stats) ever leaves the task."""
+    from ..operators.multimodal import decode_warc_gz_stats_arrow
+
+    p = _WARC_PARTS
+    text_bin = (
+        f"encode(array_join(transform(sequence(0, {_WET_TEXT_LEN - 1}), "
+        f"p -> char(97 + ((doc_id % 64) + p) % 26)), ''), 'utf-8')"
+    )
+    crc_le = (
+        "concat(substr(ch, 7, 2), substr(ch, 5, 2), "
+        "substr(ch, 3, 2), substr(ch, 1, 2))"
+    )
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                f"concat(unhex('{p['pre']}'), {text_bin}, "
+                f"unhex('{p['tail']}'))"
+            ).alias("member"),
+        )
+        .select(
+            "doc_id", "member",
+            F.expr("lpad(hex(crc32(member)), 8, '0')").alias("ch"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"concat(unhex('{p['gz_pre']}'), member, "
+                f"unhex({crc_le}), unhex('{p['isize']}'))"
+            ).alias("payload"),
+        )
+    )
+    return decode_warc_gz_stats_arrow(docs)

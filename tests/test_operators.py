@@ -2088,3 +2088,111 @@ def test_gzip_quarantine_classes(spark):
             assert (not r.ok) and r.err_class == "data"
         else:
             assert (not r.ok) and r.err_class == "structure"
+
+
+# ------------------------------------------------------------------- WARC
+
+
+def _warc_record(wtype: bytes, content: bytes) -> bytes:
+    return (
+        b"WARC/1.0\r\nWARC-Type: " + wtype + b"\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(content)
+        + content + b"\r\n\r\n"
+    )
+
+
+def test_warc_parses_records_and_content_length_framing():
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_warc,
+    )
+
+    # content containing CRLFCRLF must NOT split the record — framing is
+    # by Content-Length, never by delimiter scanning
+    tricky = b"line1\r\n\r\nWARC/1.0\r\nlooks like a record but is content"
+    stream = (
+        _warc_record(b"warcinfo", b"software: x\r\n")
+        + _warc_record(b"conversion", tricky)
+        + _warc_record(b"conversion", b"")
+    )
+    recs = parse_warc(stream)
+    assert [(t, c) for t, c, _ in recs] == [
+        ("warcinfo", 13), ("conversion", len(tricky)), ("conversion", 0),
+    ]
+    assert recs[1][2] == tricky
+
+
+def test_warc_poison_suite():
+    import pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        WarcError,
+        parse_warc,
+    )
+
+    good = _warc_record(b"conversion", b"abc")
+    with pytest.raises(WarcError, match="version"):
+        parse_warc(good.replace(b"WARC/1.0", b"WARC/1.1"))
+    with pytest.raises(WarcError, match="WARC-Type"):
+        parse_warc(good.replace(b"WARC-Type", b"X-Type"))
+    with pytest.raises(WarcError, match="Content-Length"):
+        parse_warc(_warc_record(b"conversion", b"abc").replace(
+            b"Content-Length", b"X-Length"))
+    with pytest.raises(WarcError, match="non-integer"):
+        parse_warc(good.replace(b"Content-Length: 3", b"Content-Length: x"))
+    with pytest.raises(WarcError, match="runs past"):
+        parse_warc(good.replace(b"Content-Length: 3", b"Content-Length: 9"))
+    with pytest.raises(WarcError, match="CRLFCRLF"):
+        parse_warc(good.replace(b"Content-Length: 3", b"Content-Length: 2"))
+    with pytest.raises(WarcError, match="malformed header"):
+        parse_warc(good.replace(b"WARC-Type: conversion",
+                                b"WARC-Type conversion!"))
+    with pytest.raises(WarcError, match="max_total_content"):
+        parse_warc(good, max_total_content=2)
+    with pytest.raises(WarcError, match="max_records"):
+        parse_warc(good + good, max_records=1)
+    with pytest.raises(WarcError, match="empty"):
+        parse_warc(b"")
+
+
+def test_warc_gz_plan_generator_roundtrips_through_stdlib_gzip(spark):
+    """The in-plan WET shard is a real gzip by stdlib standards and its
+    WARC interior matches the independent record builder."""
+    import gzip
+
+    from stream_processing_pipeline_spark.plans.multimodalq import (
+        _WET_INFO,
+        _WET_TEXT_LEN,
+        mm_warc_wet_ingest_stats,
+    )
+    from stream_processing_pipeline_spark.plans import multimodalq as MQ
+    from pyspark.sql import functions as F
+
+    p = MQ._WARC_PARTS
+    text_bin = (
+        f"encode(array_join(transform(sequence(0, {_WET_TEXT_LEN - 1}), "
+        f"p -> char(97 + ((doc_id % 64) + p) % 26)), ''), 'utf-8')"
+    )
+    crc_le = (
+        "concat(substr(ch, 7, 2), substr(ch, 5, 2), "
+        "substr(ch, 3, 2), substr(ch, 1, 2))"
+    )
+    rows = (
+        spark.range(0, 30).select(F.col("id").alias("doc_id"))
+        .select("doc_id", F.expr(
+            f"concat(unhex('{p['pre']}'), {text_bin}, unhex('{p['tail']}'))"
+        ).alias("member"))
+        .select("doc_id", "member",
+                F.expr("lpad(hex(crc32(member)), 8, '0')").alias("ch"))
+        .select("doc_id", F.expr(
+            f"concat(unhex('{p['gz_pre']}'), member, unhex({crc_le}), "
+            f"unhex('{p['isize']}'))"
+        ).alias("payload"))
+        .collect()
+    )
+    for r in rows:
+        d = int(r.doc_id)
+        text = bytes(97 + ((d % 64) + i) % 26 for i in range(_WET_TEXT_LEN))
+        want = _warc_record(b"warcinfo", _WET_INFO) + _warc_record(
+            b"conversion", text
+        )
+        assert gzip.decompress(bytes(r.payload)) == want

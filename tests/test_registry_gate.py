@@ -106,6 +106,12 @@ deferred_past_prefix: set[str] = {
     # same-round twin mm_zip_corrupt_quarantine; mirror-green at 3 SFs;
     # queued in the declared r10 head.
     "mm_gzip_corrupt_quarantine",
+    # Common Crawl read path (NEW r9): gzip + WARC record framing
+    # end-to-end; Content-Length framing pinned against delimiter-
+    # lookalike content; generator round-trips through stdlib gzip;
+    # same-round siblings mm_gzip_decode_stats / mm_zip_decode_stats;
+    # mirror-green at 3 SFs; queued in the declared r10 head.
+    "mm_warc_wet_ingest_stats",
 }
 
 
