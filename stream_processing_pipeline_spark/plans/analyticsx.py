@@ -3393,3 +3393,121 @@ def revenue_attribution_ushaped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("pid").alias("n_purchases"),
         F.count("tid").alias("n_touches"),
     )
+
+
+# ------------------------------------------------------- session paths
+
+_SP_GAP = 1800   # 30-min inactivity gap
+_SP_DEPTH = 5    # path prefix depth
+_SP_TOPK = 20
+
+
+@register(
+    "session_paths_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                     > {_SP_GAP}
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    ),
+    r AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, sid) AS n_ev
+      FROM s
+    ),
+    p AS (
+      SELECT user_id, sid, max(n_ev) AS n_ev,
+             string_agg(CASE WHEN rn <= {_SP_DEPTH} THEN event_type END,
+                        '>' ORDER BY rn) AS path
+      FROM r GROUP BY user_id, sid
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_ev > {_SP_DEPTH} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {_SP_TOPK}
+    """,
+    tags=("batch", "path-mining", "sessionized", "window", "top-k"),
+)
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths — the product-analytics staple
+    (GA/Amplitude "behavior flow"): gap-sessionize every user's events
+    (30-min inactivity breaks a session), take each session's first five
+    event types as its path string, and rank the 20 most-traveled paths
+    with session/user counts and how many sessions continued past the
+    prefix. Complements ``user_event_trigrams`` (fixed 3-grams, no
+    session boundaries) and ``event_transition_matrix`` (first-order
+    only) with variable-length session-anchored paths.
+
+    Scale shape: ONE per-user sort serves the gap flags, the running
+    session id, and the per-session ranks (three window passes on the
+    same (user, ts, id) ordering — no re-shuffle between them);
+    per-session rollup shuffles (user, sid, 5-type path) rows; the final
+    path-grain count is bounded by |event_types|^depth and TakeOrdered
+    emits the head. No text, no arrays past depth 5, nothing
+    user-unbounded."""
+    ev = catalog(spark, sf_dir).events
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id", "event_type", "ts", "event_id", sec.alias("sec")
+    ).withColumn(
+        "brk",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > _SP_GAP),
+            1,
+        ).otherwise(0),
+    )
+    s = e.withColumn(
+        "sid",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wr = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id", "sid")
+    r = s.select(
+        "user_id",
+        "sid",
+        "event_type",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_ev"),
+    )
+    p = r.groupBy("user_id", "sid").agg(
+        F.max("n_ev").alias("n_ev"),
+        F.array_join(
+            F.expr(
+                f"transform(array_sort(collect_list(CASE WHEN rn <= {_SP_DEPTH}"
+                " THEN struct(rn, event_type) END)), x -> x.event_type)"
+            ),
+            ">",
+        ).alias("path"),
+    )
+    return (
+        p.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.when(F.col("n_ev") > _SP_DEPTH, 1).otherwise(0)
+            ).cast("long").alias("n_truncated"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_SP_TOPK)
+    )

@@ -112,6 +112,12 @@ deferred_past_prefix: set[str] = {
     # same-round siblings mm_gzip_decode_stats / mm_zip_decode_stats;
     # mirror-green at 3 SFs; queued in the declared r10 head.
     "mm_warc_wet_ingest_stats",
+    # gap-sessionized top paths (NEW r9): one per-user sort serving
+    # three window passes; in-prefix siblings user_event_trigrams /
+    # event_transition_matrix (r9 head backlog, r4 rows) cover the
+    # unsessionized path-mining family; mirror-green at 3 SFs; queued
+    # in the declared r10 head.
+    "session_paths_topk",
 }
 
 
