@@ -48,6 +48,12 @@ HEADLINERS = {
     "weighted_priority_sample": "weighted top-k as TakeOrderedAndProject — k rows per partition to the merge, no global sort",
     "sql_recursive_click_streak": "Spark 4 recursive CTE: UnionLoop over a geometrically-shrinking frontier joined to a persisted clicks slice",
     "lineitem_measures_unpivot": "wide-to-long Expand (4 measures) + one grouped profile — N-column profiling in one scan",
+    "sim_topk_ivfpq_rerank": "two-stage IVFADC+refine: broadcast-LUT ADC shortlist, then an R*Q-bounded exact-L2 semi-join rerank (r9)",
+    "lm_bigram_perplexity_filter": "bigram LM train+score as bigram-key shuffle joins — sf-proportional LM never broadcast; vocab/ref-mean ride 1-row frames (r9)",
+    "corpus_remove_dup_spans": "span keep/cut decided on 24 B hash tuples; kept text moves exactly once to its doc's reassembly group (r9)",
+    "revenue_attribution_ushaped": "bucketized range join for touch windows + one purchase-grain window; integer credit split, 3-row channel rollup (r9)",
+    "mm_warc_wet_ingest_stats": "zero-shuffle scan stage: in-plan gzip+WARC assembly (JVM crc32), parse_gzip->parse_warc decode in one mapInArrow hop (r9)",
+    "session_paths_topk": "one per-user sort serving gap flags, running session ids, and per-session ranks; path-grain rollup bounded by types^depth (r9)",
     "minhash_jaccard_calibration": "one persisted signature table feeds both the LSH candidate join and the estimate columns; exact counts candidate-bounded",
     "bucketed_join_revenue": "fact join over bucketed table copies — at this tiny SF the small side broadcasts (also shuffle-free); with broadcast off the bucket scans feed a zero-Exchange SortMergeJoin (plan-pinned in test_bucketed_join_has_no_exchange)",
     "sim_topk_ivfpq": "IVFADC: coarse probe prunes to 2/8 cells via the cell-key LUT join; 8 LUT reads per candidate over 32x-compressed residual codes",
