@@ -2264,9 +2264,13 @@ def parse_warc(
     member: bytes,
     max_records: int = _WARC_MAX_RECORDS,
     max_total_content: int = _WARC_MAX_TOTAL_CONTENT,
-) -> list[tuple[str, int, bytes]]:
+    with_headers: bool = False,
+) -> list[tuple]:
     """Parse one (decompressed) WARC stream into
-    ``[(warc_type, content_length, content)]`` in record order.
+    ``[(warc_type, content_length, content)]`` in record order — or,
+    with ``with_headers=True``, 4-tuples whose last element is the full
+    lower-cased header dict (``bytes -> bytes``; the WET ingest uses it
+    to recover ``WARC-Record-ID``).
 
     Reject-don't-misread: raises :class:`WarcError` on a version line
     other than ``WARC/1.0``, a header line without ``": "``, a missing
@@ -2326,10 +2330,69 @@ def parse_warc(
         if member[pos : pos + 4] != b"\r\n\r\n":
             raise WarcError("warc: record not terminated by CRLFCRLF")
         pos += 4
-        out.append(
-            (headers[b"warc-type"].decode("ascii", "strict"), clen, content)
-        )
+        wtype = headers[b"warc-type"].decode("ascii", "strict")
+        if with_headers:
+            out.append((wtype, clen, content, headers))
+        else:
+            out.append((wtype, clen, content))
     return out
+
+
+WET_RECORDS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def extract_wet_records_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    lang: str = "en",
+) -> DataFrame:
+    """WET shard -> corpus rows: gunzip each shard, parse its WARC
+    records, and emit one (doc_id, lang, text) row per ``conversion``
+    record — doc identity recovered from the ``WARC-Record-ID:
+    urn:doc:N`` header, exactly the columns the corpus-ingest batch body
+    consumes. Records without a well-formed urn are a hard error
+    (reject-don't-misread; a WET extractor that silently drops records
+    under-counts the corpus). Zero-copy ``mapInArrow``; the 1->N
+    row fan-out stays inside the scan task."""
+    narrow = df.select(F.col(id_col).alias("shard_id"), F.col(payload_col))
+
+    def batches(it: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in it:
+            payloads = batch.column(1).to_pylist()
+            ids, texts = [], []
+            for p in payloads:
+                for member in parse_gzip(bytes(p)):
+                    for rec in parse_warc(member, with_headers=True):
+                        wtype, _clen, content, headers = rec
+                        if wtype != "conversion":
+                            continue
+                        rid = headers.get(b"warc-record-id", b"")
+                        if not rid.startswith(b"urn:doc:"):
+                            raise WarcError(
+                                "warc: conversion record without a "
+                                "urn:doc record id"
+                            )
+                        ids.append(int(rid[8:]))
+                        texts.append(content.decode("utf-8", "strict"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array([lang] * len(ids), pa.string()),
+                    pa.array(texts, pa.string()),
+                ],
+                names=[f.name for f in WET_RECORDS_SCHEMA.fields],
+            )
+
+    return narrow.mapInArrow(batches, WET_RECORDS_SCHEMA)
 
 
 WARC_STATS_SCHEMA = StructType(

@@ -142,6 +142,7 @@ _GATE_PRIORITY = [
     "mm_gzip_corrupt_quarantine",      # gzip error-path value-hash gate
     "mm_warc_wet_ingest_stats",        # Common Crawl read path end-to-end
     "session_paths_topk",              # gap-sessionized top paths
+    "stream_wet_corpus_ingest",        # WET shards -> deduped corpus
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

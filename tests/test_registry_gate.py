@@ -118,6 +118,13 @@ deferred_past_prefix: set[str] = {
     # unsessionized path-mining family; mirror-green at 3 SFs; queued
     # in the declared r10 head.
     "session_paths_topk",
+    # WET shards -> deduped corpus (NEW r9): composes the gzip/WARC read
+    # path with the hardened ingest body as one availableNow query; the
+    # oracle recomputes synthesized text -> quality -> keepers ->
+    # MinHash bands end-to-end; same-round siblings
+    # mm_warc_wet_ingest_stats + in-prefix stream_corpus_ingest (r9 head
+    # slot 4); mirror-green at 3 SFs; queued in the declared r10 head.
+    "stream_wet_corpus_ingest",
 }
 
 
