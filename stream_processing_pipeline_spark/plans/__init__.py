@@ -143,6 +143,7 @@ _GATE_PRIORITY = [
     "mm_warc_wet_ingest_stats",        # Common Crawl read path end-to-end
     "session_paths_topk",              # gap-sessionized top paths
     "stream_wet_corpus_ingest",        # WET shards -> deduped corpus
+    "cohort_ltv_curves",               # per-cohort cumulative LTV
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

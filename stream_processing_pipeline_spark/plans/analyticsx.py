@@ -3511,3 +3511,89 @@ def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_SP_TOPK)
     )
+
+
+@register(
+    "cohort_ltv_curves",
+    oracle=f"""
+    WITH fe AS (
+      SELECT user_id,
+             min(year(ts) * 12 + month(ts)) AS cohort_m
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT e.user_id,
+             year(e.ts) * 12 + month(e.ts) AS m,
+             CAST(sum({cents_sql('e.value')}) AS BIGINT) AS cents
+      FROM events e WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id, year(e.ts) * 12 + month(e.ts)
+    ),
+    cohort_sizes AS (
+      SELECT cohort_m, CAST(count(*) AS BIGINT) AS n_users
+      FROM fe GROUP BY cohort_m
+    ),
+    by_age AS (
+      SELECT fe.cohort_m, rev.m - fe.cohort_m AS age_m,
+             CAST(sum(rev.cents) AS BIGINT) AS cents
+      FROM rev JOIN fe ON fe.user_id = rev.user_id
+      GROUP BY fe.cohort_m, rev.m - fe.cohort_m
+    )
+    SELECT b.cohort_m, b.age_m, s.n_users,
+           CAST(sum(b.cents) OVER (PARTITION BY b.cohort_m ORDER BY b.age_m
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_revenue_cents,
+           CAST((1000 * sum(b.cents) OVER (PARTITION BY b.cohort_m
+                                           ORDER BY b.age_m
+                                           ROWS UNBOUNDED PRECEDING))
+                // s.n_users AS BIGINT) AS cum_millicents_per_user
+    FROM by_age b JOIN cohort_sizes s ON s.cohort_m = b.cohort_m
+    """,
+    tags=("batch", "cohort", "ltv", "window-function", "retention"),
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — the growth-analytics companion to
+    ``user_retention_cohorts``: users cohorted by the calendar month of
+    their FIRST event (any type), each cohort's purchase revenue rolled
+    up by months-since-cohort, and the cumulative curve emitted both as
+    exact cents and as millicents-per-cohort-user (the per-capita curve
+    cohort comparisons actually use). Month indexes use the portable
+    ``year*12 + month`` rule (Spark ``months_between`` is fractional and
+    unsafe cross-engine); money stays exact integer cents; the per-user
+    ratio is integer millicents via ``div``.
+
+    Scale shape: one user-grain min (first event) and one
+    (user, month) revenue rollup share the events scan; the cohort join
+    keys on user_id (hash-partitioned, no broadcast of the
+    sf-proportional first-event side); the cumulative window runs at
+    (cohort, age) grain — bounded by months^2, not users."""
+    ev = catalog(spark, sf_dir).events
+    mcol = (F.year("ts") * 12 + F.month("ts")).cast("long")
+    fe = ev.groupBy("user_id").agg(F.min(mcol).alias("cohort_m"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", mcol.alias("m"))
+        .agg(F.sum(cents("value")).alias("cents"))
+    )
+    sizes = fe.groupBy("cohort_m").agg(F.count(F.lit(1)).alias("n_users"))
+    by_age = (
+        rev.join(fe, "user_id")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_m"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age_m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        by_age.join(sizes, "cohort_m")
+        .select(
+            "cohort_m",
+            "age_m",
+            "n_users",
+            F.sum("cents").over(w).alias("cum_revenue_cents"),
+            F.expr(
+                "(1000 * sum(cents) OVER (PARTITION BY cohort_m ORDER BY age_m"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+                " div n_users"
+            ).alias("cum_millicents_per_user"),
+        )
+    )

@@ -125,6 +125,11 @@ deferred_past_prefix: set[str] = {
     # mm_warc_wet_ingest_stats + in-prefix stream_corpus_ingest (r9 head
     # slot 4); mirror-green at 3 SFs; queued in the declared r10 head.
     "stream_wet_corpus_ingest",
+    # per-cohort cumulative LTV (NEW r9): exact-integer companion to
+    # in-prefix sibling user_retention_cohorts (r9 head slot backlog);
+    # portable year*12+month indexes, integer millicents-per-user;
+    # mirror-green at 3 SFs; queued in the declared r10 head.
+    "cohort_ltv_curves",
 }
 
 
