@@ -1886,10 +1886,19 @@ def parse_zip(
         else:
             d = zlib.decompressobj(-15)
             try:
-                raw = d.decompress(data, usize)
+                # max_length must be usize + 1, never usize: zlib treats
+                # max_length=0 as UNLIMITED, so a crafted entry declaring
+                # usize=0 over a deflate bomb would inflate unbounded
+                # before the length check. The extra byte detects overrun
+                # while keeping output hard-bounded for every declared size.
+                raw = d.decompress(data, usize + 1)
             except zlib.error as e:
                 raise ZipDataError(f"zip: inflate failed: {e}")
-            if d.unconsumed_tail or (not d.eof and d.decompress(b"", 1)):
+            if (
+                len(raw) > usize
+                or d.unconsumed_tail
+                or (not d.eof and d.decompress(b"", 1))
+            ):
                 raise ZipDataError("zip: entry inflates past declared size")
             if not d.eof:
                 raise ZipDataError("zip: deflate stream truncated")
@@ -2048,7 +2057,8 @@ def parse_gzip(
     max_total_uncompressed: int = _GZIP_MAX_TOTAL_UNCOMPRESSED,
 ) -> list[bytes]:
     """Decode a gzip stream: walk every member's header (FEXTRA / FNAME /
-    FCOMMENT / FHCRC handled per RFC 1952), inflate its raw-DEFLATE body,
+    FCOMMENT walked, FHCRC *verified* — RFC 1952 §2.3.1 CRC16 over the
+    preceding header bytes), inflate its raw-DEFLATE body,
     and VERIFY the CRC32 and ISIZE trailer. Returns one ``bytes`` per
     member, in order — multi-member streams (``cat a.gz b.gz``, the
     Common Crawl shard layout) decode to their member list, exactly like
@@ -2095,20 +2105,21 @@ def parse_gzip(
             if q < 0:
                 raise GzipStructureError("gzip: unterminated FCOMMENT")
             p = q + 1
-        if flg & 0x02:  # FHCRC
+        if flg & 0x02:  # FHCRC: CRC16 of all header bytes before it
+            if p + 2 > n:
+                raise GzipStructureError("gzip: truncated FHCRC field")
+            (hcrc,) = struct.unpack("<H", payload[p : p + 2])
+            if zlib.crc32(payload[pos:p]) & 0xFFFF != hcrc:
+                raise GzipDataError("gzip: header CRC16 (FHCRC) mismatch")
             p += 2
         if p > n:
             raise GzipStructureError("gzip: truncated member header fields")
         d = zlib.decompressobj(-15)
-        chunks = []
-        member_len = 0
         try:
-            raw = d.decompress(payload[p:], max_total_uncompressed - total + 1)
+            data = d.decompress(payload[p:], max_total_uncompressed - total + 1)
         except zlib.error as e:
             raise GzipDataError(f"gzip: inflate failed: {e}")
-        chunks.append(raw)
-        member_len += len(raw)
-        total += len(raw)
+        total += len(data)
         if total > max_total_uncompressed:
             raise GzipDataError(
                 f"gzip: expands past max_total_uncompressed="
@@ -2116,7 +2127,6 @@ def parse_gzip(
             )
         if not d.eof:
             raise GzipDataError("gzip: deflate stream truncated")
-        data = b"".join(chunks)
         consumed = len(payload) - p - len(d.unused_data)
         p += consumed
         if p + 8 > n:

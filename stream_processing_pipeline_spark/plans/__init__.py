@@ -37,22 +37,27 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # each round records exactly the first 50 registrations, so the gate
 # effectively checks a prefix. Registration order is therefore part of the
 # verification contract: queries whose driver-side evidence is newest-needed
-# come first. Round-9 ordering (VERDICT.md r8 "Next round" #1, executed to
-# the slot):
-#   1. the r8-declared r9 head, verbatim: user_value_minmax_pandas (the
-#      documented r8 slot-51 deferral -- r3-vintage external row, Arrow
-#      twin gated green in r8) followed by the ten queries NEW in round 8
-#      in their declared order. 11 slots.
-#   2. 39 of the 47 oracle-bearing queries whose newest external row is
-#      r4-vintage, oldest evidence first (registration order within the
-#      equal-vintage set). 11 + 39 = EXACTLY 50, zero slack. The 8
-#      r4-vintage queries that do not fit (value_winsorized_stats through
-#      hist_quantile_calibration below) are deferred to slots 51+ and
-#      form the FIRST entries of the r10 gate head; every one stays
-#      mirror-verified at 3 SFs per commit. After the r9 gate, every
-#      registered query's newest external row is r4+ with r4 itself down
-#      to those 8 documented deferrals (plus the two never-gated
-#      no_oracle sketches and any query first registered in r9).
+# come first. Round-10 ordering (VERDICT.md r9 "Next round" #1, executing
+# the r9-declared head to the slot):
+#   1. the 8 r4-vintage deferrals from the zero-slack r9 rotation
+#      (value_winsorized_stats .. hist_quantile_calibration), verbatim in
+#      their declared order — the oldest external evidence left in the
+#      registry. 8 slots.
+#   2. the 16 queries NEW in round 9, in their declared
+#      plans/__init__.py slots-51+ order (mirror-green at 3 SFs all
+#      round, no external row yet by the zero-slack rotation). 16 slots.
+#   3. 26 of the 48 oracle-bearing queries whose newest external row is
+#      r5-vintage, oldest evidence first (CORRECTNESS_r05.json slot
+#      order within the equal-vintage set): kmv_distinct_users_daily
+#      through tpch_q1_pricing_summary. 8 + 16 + 26 = EXACTLY 50, zero
+#      slack. The 22 r5-vintage queries that do not fit
+#      (tpch_q3_shipping_priority .. grouping_sets_revenue, r05 slot
+#      order) are deferred to slots 51+ and form the FIRST entries of
+#      the r11 gate head; every one keeps its r5 driver row and stays
+#      mirror-verified at 3 SFs per commit. After the r10 gate, every
+#      registered query's newest external row is r5+ with r5 itself down
+#      to those 22 documented deferrals (plus the two never-gated
+#      no_oracle sketches and any query first registered in r10).
 # Count the prefix with
 #   python -c "from stream_processing_pipeline_spark.plans import
 #              REGISTRY; print(list(REGISTRY)[:50])"
@@ -61,64 +66,8 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # the prefix -- they are rows-only by design (no_oracle) and can never
 # produce a green hash row; spending gate slots on them is waste.
 _GATE_PRIORITY = [
-    # -- the r8-declared r9 head (VERDICT r8 #1): do not displace
-    "user_value_minmax_pandas",        # r8 slot-51 deferral, re-gate first
-    "error_click_reaction_windows",    # timestamp-axis range_join consumer
-    "mm_jpeg_ac_decode_stats",         # JPEG AC run-length path gate
-    "stream_corpus_ingest",            # streaming LLM-ingest composition
-    "window_funnel_strict_depths",     # strict_order funnel mode consumer
-    "asof_next_purchase_after_error",  # forward-direction asof consumer
-    "seq_match_view_click_purchase",   # any-anchor sequenceMatch operator
-    "window_funnel_dedup_depths",      # strict_dedup funnel mode consumer
-    "seq_match_signup_then_quick_buy",  # mixed-gap sequenceMatch consumer
-    "mm_gif_decode_stats",             # sixth real codec: GIF87a / LZW
-    "mm_gif_corrupt_quarantine",       # GIF error-path value-hash gate
-    # -- the r4-vintage evidence backlog, oldest first (39 of 47; the
-    #    remaining 8 are the slots-51+ deferrals documented above)
-    "tpch_q5_local_supplier_volume",
-    "tpch_q8_market_share",
-    "tpch_q7_supplier_customer_volume",
-    "lineitem_measures_unpivot",
-    "cube_daily_type_counts",
-    "array_functions_showcase",
-    "cdc_apply_snapshot",
-    "cdc_snapshot_diff",
-    "join_key_skew_audit",
-    "hourly_anomaly_vs_baseline",
-    "lc_distinct_users_daily",
-    "lc_register_set_algebra",
-    "pagerank_trade_network",
-    "trade_graph_butterflies",
-    "user_growth_accounting",
-    "event_transition_matrix",
-    "order_to_ship_latency",
-    "revenue_concentration_hhi",
-    "part_affinity_pairs",
-    "open_orders_over_time",
-    "stream_cdc_apply",
-    "dedup_rate_by_source",
-    "minhash_jaccard_calibration",
-    "dedup_containment_pairs",
-    "text_bigram_coverage",
-    "bpe_pair_counts",
-    "bpe_train_merges",
-    "quality_filter_funnel",
-    "sim_recall_pq_at_k",
-    "sim_margin_mined_pairs",
-    "mm_shard_manifest",
-    "tpch_q18_large_volume_customers",
-    "hist_value_quantiles",
-    "cms_token_freq",
-    "weighted_priority_sample",
-    "partition_pruned_daily_stats",
-    "dpp_promo_day_revenue",
-    "bloom_source_membership_audit",
-    "trimmed_mean_value_by_type",
-    # -- slots 51+: work that must NOT displace the rotation above.
-    #    First the 8 r4-vintage deferrals (oldest evidence in the
-    #    registry after the r9 gate; they open the r10 head), then
-    #    queries NEW in round 9 (mirror-green at 3 SFs, no external row
-    #    until r10 by the zero-slack rotation above).
+    # -- slots 1-8: the r4-vintage deferrals (r9 zero-slack overflow),
+    #    declared r10-head-first in r9; oldest evidence in the registry
     "value_winsorized_stats",
     "revenue_cusum",
     "strict_funnel_conversion",
@@ -127,7 +76,7 @@ _GATE_PRIORITY = [
     "source_token_divergence",
     "text_tfidf_top_terms",
     "hist_quantile_calibration",
-    # -- NEW in round 9 (r10 head continues here)
+    # -- slots 9-24: the 16 queries NEW in round 9, declared order
     "mm_gif_dict_decode_stats",        # dictionary-path LZW value hash
     "seq_count_error_purchase_bursts",  # sequence_count consumer
     "stream_corpus_ingest_two_phase",  # cross-batch near-dup admission
@@ -144,6 +93,62 @@ _GATE_PRIORITY = [
     "session_paths_topk",              # gap-sessionized top paths
     "stream_wet_corpus_ingest",        # WET shards -> deduped corpus
     "cohort_ltv_curves",               # per-cohort cumulative LTV
+    # -- slots 25-50: the r5-vintage evidence backlog, oldest first
+    #    (CORRECTNESS_r05.json slot order; 26 of 48 — the remaining 22
+    #    are the slots-51+ deferrals documented above)
+    "kmv_distinct_users_daily",
+    "kmv_set_algebra",
+    "sql_lateral_top_orders",
+    "text_rarity_score",
+    "text_chunks_overlapping",
+    "funnel_time_to_convert",
+    "monthly_revenue_trend",
+    "brand_share_drift",
+    "source_curation_report",
+    "user_rfm_segments",
+    "sql_pipe_heavy_purchasers",
+    "props_variant_topk",
+    "dedup_cdc_chunk_pairs",
+    "sim_recall_int8_at_k",
+    "vocab_growth_by_shard",
+    "zorder_layout_audit",
+    "bpe_encode_fertility",
+    "daily_counts_autocorr",
+    "emb_matryoshka_fidelity",
+    "q1_typed_events",
+    "q2_abnormal_minutes",
+    "q3_value_discrepancy",
+    "q4_avg_value_per_hour",
+    "q5_event_counts_per_hour",
+    "q6_counts_by_segment",
+    "tpch_q1_pricing_summary",
+    # -- slots 51+: work that must NOT displace the rotation above.
+    #    First the 22 r5-vintage deferrals (oldest evidence in the
+    #    registry after the r10 gate; they open the r11 head, r05 slot
+    #    order), then any queries NEW in round 10 (mirror-green at 3 SFs,
+    #    no external row until r11 by the zero-slack rotation).
+    "tpch_q3_shipping_priority",
+    "revenue_by_nation",
+    "top_events_per_user",
+    "user_running_value",
+    "engaged_users_set_ops",
+    "daily_distinct_users",
+    "rollup_revenue",
+    "customers_without_orders",
+    "parts_with_lineitems",
+    "user_value_deltas",
+    "tpch_q6_forecast_revenue",
+    "value_percentiles_by_type",
+    "daily_counts_pivoted",
+    "user_event_type_signature",
+    "sql_api_revenue_summary",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_revenue",
+    "dq_lineitem_report",
+    "dq_referential_integrity",
+    "string_functions_showcase",
+    "datetime_functions_showcase",
+    "grouping_sets_revenue",
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -1451,6 +1451,9 @@ def corpus_ingest_batch(
     seen_tbl.write_delta(surv.select("text_hash", "doc_id"), epoch_id)
     idx_tbl.maybe_snapshot(spark, epoch_id)
     seen_tbl.maybe_snapshot(spark, epoch_id)
+    # drop deltas/snapshots no replay can reach (bounded disk + listing)
+    idx_tbl.prune_covered(epoch_id)
+    seen_tbl.prune_covered(epoch_id)
 
 
 # The oracle reuses dedupq's shared band CTE and textq's quality

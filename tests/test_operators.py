@@ -1821,6 +1821,15 @@ def test_zip_poison_suite():
     s_off = stored.index(b"s.bin", stored.index(b"PK\x03\x04")) + 5
     with pytest.raises(ZipDataError, match="CRC32"):
         parse_zip(mutate(stored, s_off, b"Q"))
+    # declared-zero-size deflate bomb: zlib treats max_length=0 as
+    # UNLIMITED, so a usize=0 entry over a real bomb payload must hit the
+    # OVERRUN guard (output bounded at 1 byte), never the after-the-fact
+    # length check (which would only fire after the full ~1032x inflate)
+    bomb = _zip_bytes([("bomb.bin", b"\x00" * (4 << 20))])
+    b_cd = bomb.rindex(b"PK\x01\x02")
+    assert bomb[b_cd + 10 : b_cd + 12] == b"\x08\x00"  # method 8 as built
+    with pytest.raises(ZipDataError, match="inflates past declared size"):
+        parse_zip(mutate(bomb, b_cd + 24, (0).to_bytes(4, "little")))
 
 
 def test_zip_overlapping_entries_rejected():
@@ -1979,9 +1988,19 @@ def test_gzip_multi_member_and_header_flags():
     body = c.compress(raw) + c.flush()
     hdr = b"\x1f\x8b\x08" + bytes([0x04 | 0x02]) + b"\x00" * 4 + b"\x00\xff"
     hdr += struct.pack("<H", 4) + b"ab\x01\x02"  # FEXTRA
-    hdr += b"\x99\x99"  # FHCRC (value unchecked, walked)
+    hcrc = struct.pack("<H", zlib.crc32(hdr) & 0xFFFF)  # FHCRC, verified
     trailer = struct.pack("<II", zlib.crc32(raw) & 0xFFFFFFFF, len(raw))
-    assert parse_gzip(hdr + body + trailer) == [raw]
+    assert parse_gzip(hdr + hcrc + body + trailer) == [raw]
+    # a corrupted header CRC16 must be rejected, not silently walked
+    import pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        GzipDataError,
+    )
+
+    bad = bytes(x ^ 0xFF for x in hcrc)
+    with pytest.raises(GzipDataError, match="FHCRC"):
+        parse_gzip(hdr + bad + body + trailer)
 
 
 def test_gzip_poison_suite():

@@ -25,112 +25,16 @@ def test_gate_priority_is_registry_prefix():
 
 
 #: Queries registered past the current gate prefix without a prior driver
-#: row (each entry must name its verified in-prefix sibling). Round 9's
-#: prefix is the r8-declared head (user_value_minmax_pandas + the ten
-#: r8-new queries) plus 39 of the 47 r4-vintage backlog queries — exactly
-#: 50, zero slack. The 8 r4-backlog queries that did not fit all have r4
+#: row (each entry must name its verified in-prefix sibling). Round 10's
+#: prefix is the r9-declared head executed to the slot: the 8 r4-vintage
+#: deferrals, the 16 queries NEW in round 9, then 26 of the 48 r5-vintage
+#: backlog queries in CORRECTNESS_r05 slot order — exactly 50, zero
+#: slack. The 22 r5-vintage queries that did not fit
+#: (tpch_q3_shipping_priority .. grouping_sets_revenue) all keep their r5
 #: driver rows, so the data-driven check below covers them; queries NEW
-#: in round 9 must either take a head slot (they can't — the rotation is
+#: in round 10 must either take a head slot (they can't — the rotation is
 #: zero-slack) or be listed here with their in-prefix sibling named.
-deferred_past_prefix: set[str] = {
-    # dictionary-path GIF LZW gate (NEW r9): same generator/mapInArrow
-    # plan as in-prefix siblings mm_gif_decode_stats (r9 head slot 10)
-    # and mm_jpeg_decode_stats (externally hash-green r8); pure-Python
-    # writer pin + real-encoder byte fixtures after the giflib-convention
-    # fix; mirror-green at 3 SFs; queued in the declared r10 head
-    # (plans/__init__.py slots-51+ comment).
-    "mm_gif_dict_decode_stats",
-    # sequence_count consumer (NEW r9): reuses the sequence_match
-    # bitmask/forward-closure machinery of in-prefix siblings
-    # seq_match_view_click_purchase / seq_match_signup_then_quick_buy
-    # (r9 head slots 7/9); 300-scenario greedy-vs-enumeration fuzz;
-    # mirror-green at 3 SFs; queued in the declared r10 head.
-    "seq_count_error_purchase_bursts",
-    # cross-batch near-dup admission (NEW r9): two availableNow runs over
-    # one checkpoint driving the same foreachBatch body as in-prefix
-    # sibling stream_corpus_ingest (r9 head slot 4); per-doc admission
-    # ledger under the value hash with organic cross-split near-dups at
-    # every SF; mirror-green at 3 SFs; queued in the declared r10 head.
-    "stream_corpus_ingest_two_phase",
-    # cross-corpus bigram LM perplexity filter (NEW r9): the conditional-
-    # model step past text_unigram_surprisal (externally hash-green r5+),
-    # same exact-integer floor-log2 surrogate; oracle recomputes training
-    # AND scoring end-to-end; mirror-green at 3 SFs; queued in the
-    # declared r10 head.
-    "lm_bigram_perplexity_filter",
-    # two-stage IVFADC + exact rerank (NEW r9): stage 1 is in-prefix-
-    # sibling machinery (sim_topk_ivfpq, r8 head, externally hash-green);
-    # stage 2 is an exact integer semi-join rerank; non-trivially
-    # different from raw ADC at every SF (>= 47/50 rank rows move);
-    # mirror-green at 3 SFs; queued in the declared r10 head.
-    "sim_topk_ivfpq_rerank",
-    # span dedup as a transform (NEW r9): the reconstruction twin of
-    # in-prefix sibling dedup_span_chunks (r9 head backlog, r4 external
-    # row; same chunking/ownership CTE) with the rebuilt bytes pinned by
-    # hash incl. the all-spans-removed edge; mirror-green at 3 SFs;
-    # queued in the declared r10 head.
-    "corpus_remove_dup_spans",
-    # seventh real format (NEW r9): ZIP container walk + bounded inflate
-    # + per-entry CRC32, pinned byte-for-byte against stdlib zipfile on
-    # the 750 real wheel entries (the authoritative-reference lesson from
-    # the GIF review); in-prefix siblings mm_gif_decode_stats /
-    # mm_jpeg_decode_stats share the generator/mapInArrow pattern;
-    # mirror-green at 3 SFs; queued in the declared r10 head.
-    "mm_zip_decode_stats",
-    # ZIP error-path quarantine (NEW r9): typed-exception classification
-    # (the ADVICE r8 GIF quarantine fix applied from birth); in-prefix
-    # sibling mm_gif_corrupt_quarantine (r9 head slot 11); mirror-green
-    # at 3 SFs; queued in the declared r10 head.
-    "mm_zip_corrupt_quarantine",
-    # integer U-shaped multi-touch attribution (NEW r9): the bucketized
-    # range-join shape of in-prefix sibling recent_errors_before_purchase
-    # (r8 head, externally hash-green) plus an exact-integer credit
-    # split; conservation (credits == purchase cents) unit-pinned;
-    # mirror-green at 3 SFs; queued in the declared r10 head.
-    "revenue_attribution_ushaped",
-    # rerank recall audit (NEW r9): fifth member of the recall-audit
-    # family (in-prefix siblings sim_recall_lsh_at_k /
-    # sim_recall_ivf_static_at_k, r9 head backlog); measures
-    # recall_rerank >= recall_adc row-by-row at every SF; mirror-green
-    # at 3 SFs; queued in the declared r10 head.
-    "sim_recall_ivfpq_rerank_at_k",
-    # eighth real format (NEW r9): RFC 1952 gzip with multi-member
-    # streams, pinned byte-for-byte against stdlib gzip on 300+ real man
-    # pages; in-prefix siblings share the generator/mapInArrow pattern
-    # (mm_gif_decode_stats, mm_jpeg_decode_stats) and mm_zip_decode_stats
-    # shares the crc32 handshake; mirror-green at 3 SFs; queued in the
-    # declared r10 head.
-    "mm_gzip_decode_stats",
-    # gzip error-path quarantine (NEW r9): typed classes from birth;
-    # in-prefix sibling mm_gif_corrupt_quarantine (r9 head slot 11) and
-    # same-round twin mm_zip_corrupt_quarantine; mirror-green at 3 SFs;
-    # queued in the declared r10 head.
-    "mm_gzip_corrupt_quarantine",
-    # Common Crawl read path (NEW r9): gzip + WARC record framing
-    # end-to-end; Content-Length framing pinned against delimiter-
-    # lookalike content; generator round-trips through stdlib gzip;
-    # same-round siblings mm_gzip_decode_stats / mm_zip_decode_stats;
-    # mirror-green at 3 SFs; queued in the declared r10 head.
-    "mm_warc_wet_ingest_stats",
-    # gap-sessionized top paths (NEW r9): one per-user sort serving
-    # three window passes; in-prefix siblings user_event_trigrams /
-    # event_transition_matrix (r9 head backlog, r4 rows) cover the
-    # unsessionized path-mining family; mirror-green at 3 SFs; queued
-    # in the declared r10 head.
-    "session_paths_topk",
-    # WET shards -> deduped corpus (NEW r9): composes the gzip/WARC read
-    # path with the hardened ingest body as one availableNow query; the
-    # oracle recomputes synthesized text -> quality -> keepers ->
-    # MinHash bands end-to-end; same-round siblings
-    # mm_warc_wet_ingest_stats + in-prefix stream_corpus_ingest (r9 head
-    # slot 4); mirror-green at 3 SFs; queued in the declared r10 head.
-    "stream_wet_corpus_ingest",
-    # per-cohort cumulative LTV (NEW r9): exact-integer companion to
-    # in-prefix sibling user_retention_cohorts (r9 head slot backlog);
-    # portable year*12+month indexes, integer millicents-per-user;
-    # mirror-green at 3 SFs; queued in the declared r10 head.
-    "cohort_ltv_curves",
-}
+deferred_past_prefix: set[str] = set()
 
 
 def test_queries_past_gate_prefix_have_prior_driver_rows():

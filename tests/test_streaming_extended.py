@@ -791,6 +791,55 @@ def test_corpus_ingest_two_batch_carryover(spark, tmp_path):
     assert_epoch_exclusive()
 
 
+def test_epoch_table_prune_bounds_disk_and_listing(spark, tmp_path):
+    """Review finding r9: snapshots bounded the parquet READ but deltas
+    under a committed snapshot's coverage (and superseded snapshots) were
+    never deleted, so disk + per-batch listdir still grew with stream
+    age. prune_covered must (a) keep content exact, (b) leave replay of
+    the in-flight batch reproducing identical state, and (c) bound the
+    directory population by the snapshot cadence."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.streaming.epochstate import (
+        EpochTable,
+    )
+
+    root = str(tmp_path / "state")
+    tbl = EpochTable(root, snapshot_every=4)
+
+    def dirs(kind):
+        base = os.path.join(root, f"kind={kind}")
+        return sorted(os.listdir(base)) if os.path.isdir(base) else []
+
+    def run_batch(e):
+        df = spark.range(e * 10, e * 10 + 10).select(F.col("id").alias("v"))
+        tbl.write_delta(df, e)
+        tbl.maybe_snapshot(spark, e)
+        tbl.prune_covered(e)
+
+    N = 19
+    for e in range(N + 1):
+        run_batch(e)
+    # content exact: every committed row exactly once, before/all split
+    vals = sorted(r.v for r in tbl.read_all(spark).collect())
+    assert vals == list(range((N + 1) * 10))
+    before = sorted(r.v for r in tbl.read_before(spark, N).collect())
+    assert before == list(range(N * 10))
+    # bounded population: prune_covered(19) keys off the newest COMMITTED
+    # snapshot (upto=16; upto=20 was written by batch 19 itself and may be
+    # torn until 19 commits) — older snapshots and deltas < 16 are gone
+    assert dirs("snap") == ["upto=16", "upto=20"]
+    assert dirs("delta") == [f"epoch={e}" for e in (16, 17, 18, 19)]
+    # replay of the in-flight batch after pruning: identical state, no
+    # further deletions, same bounded population
+    run_batch(N)
+    assert sorted(r.v for r in tbl.read_all(spark).collect()) == vals
+    assert dirs("snap") == ["upto=16", "upto=20"]
+    assert dirs("delta") == [f"epoch={e}" for e in (16, 17, 18, 19)]
+
+
 def test_wet_ingest_extraction_matches_stdlib_and_gate(spark):
     """The WET-shard extraction path: shards generated by the registered
     query's expressions must (a) be real gzip by stdlib standards with
