@@ -1336,6 +1336,7 @@ def corpus_ingest_batch(
     quality_min: float = _INGEST_QUALITY_MIN,
     min_sig_agreement: int | None = _INGEST_MIN_AGREEMENT,
     snapshot_every: int = _INGEST_SNAPSHOT_EVERY,
+    inbatch_neardup: bool = False,
 ) -> None:
     """ONE micro-batch of the streaming LLM-corpus ingest (the
     ``foreachBatch`` body of :func:`stream_corpus_ingest`, factored out so
@@ -1351,10 +1352,18 @@ def corpus_ingest_batch(
        persisted MinHash index — band collision proposes a prior-survivor
        candidate, >= ``min_sig_agreement``/16 signature agreement confirms
        it (the streaming twin of ``dedup_incremental``'s probe plus the
-       verify step the batch near-dup family uses). In-batch near-dups are
-       deliberately NOT checked — same scope as the batch composition,
-       whose increment is only probed against the EXISTING corpus. Pass
-       ``min_sig_agreement=None`` to disable the probe (r7-shape ingest).
+       verify step the batch near-dup family uses). By DEFAULT in-batch
+       near-dups are NOT checked — same scope as the batch composition,
+       whose increment is only probed against the EXISTING corpus, and
+       the scope the registered oracles recompute. Pass
+       ``min_sig_agreement=None`` to disable the probe (r7-shape ingest),
+       or ``inbatch_neardup=True`` (VERDICT r9 #6) to ALSO self-probe the
+       batch's own survivors: a doc is rejected when a band collision
+       with a SMALLER-id same-batch survivor is confirmed by the same
+       >= ``min_sig_agreement``/16 agreement rule (min-id keeper — the
+       deterministic greedy the batch pair families use). The self-probe
+       runs AFTER the cross-batch rejection so a doc evicted by the
+       existing corpus can never act as an in-batch keeper;
     5. persist the admitted survivors: wide signature+band rows
        (doc_id, mh0..15, band0..3) into the index — bands are paid once at
        write time, never re-derived over the index on later probes — and
@@ -1418,6 +1427,13 @@ def corpus_ingest_batch(
     surv = surv.localCheckpoint()
     sig = with_lsh_band_cols(minhash_table(surv)).localCheckpoint()
 
+    agreement = reduce(
+        add,
+        [
+            F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
+            for j in range(16)
+        ],
+    )
     prior_idx = idx_tbl.read_before(spark, epoch_id)
     if prior_idx is not None and min_sig_agreement is not None:
         cand = (
@@ -1429,13 +1445,6 @@ def corpus_ingest_batch(
             )
             .distinct()
         )
-        agreement = reduce(
-            add,
-            [
-                F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
-                for j in range(16)
-            ],
-        )
         rejected = (
             cand.join(sig.alias("a"), F.col("a.doc_id") == F.col("new_id"))
             .join(prior_idx.alias("b"), F.col("b.doc_id") == F.col("old_id"))
@@ -1446,6 +1455,33 @@ def corpus_ingest_batch(
         )
         sig = sig.join(rejected, "doc_id", "left_anti")
         surv = surv.join(rejected, "doc_id", "left_anti")
+
+    if inbatch_neardup and min_sig_agreement is not None:
+        # optional same-batch self-probe (VERDICT r9 #6): band collision
+        # with a smaller-id surviving batch-mate proposes, the same
+        # signature-agreement rule confirms, min-id keeper wins. Runs on
+        # the post-cross-batch survivors so an evicted doc never keeps.
+        nb = band_rows(sig)
+        cand_ib = (
+            nb.alias("n")
+            .join(nb.alias("o"), ["band_idx", "band_hash"])
+            .filter(F.col("n.doc_id") > F.col("o.doc_id"))
+            .select(
+                F.col("n.doc_id").alias("new_id"),
+                F.col("o.doc_id").alias("old_id"),
+            )
+            .distinct()
+        )
+        rejected_ib = (
+            cand_ib.join(sig.alias("a"), F.col("a.doc_id") == F.col("new_id"))
+            .join(sig.alias("b"), F.col("b.doc_id") == F.col("old_id"))
+            .filter(agreement >= min_sig_agreement)
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = sig.join(rejected_ib, "doc_id", "left_anti")
+        surv = surv.join(rejected_ib, "doc_id", "left_anti")
 
     idx_tbl.write_delta(sig, epoch_id)
     seen_tbl.write_delta(surv.select("text_hash", "doc_id"), epoch_id)

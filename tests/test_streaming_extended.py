@@ -791,6 +791,66 @@ def test_corpus_ingest_two_batch_carryover(spark, tmp_path):
     assert_epoch_exclusive()
 
 
+def test_corpus_ingest_inbatch_neardup_flag(spark, tmp_path):
+    """VERDICT r9 #6: the optional in-batch near-dup self-probe. Two
+    near-duplicates arriving in ONE micro-batch both survive under the
+    default scope (oracle parity with the batch composition) but collapse
+    to the min-id keeper with ``inbatch_neardup=True``; cross-batch
+    admission is unchanged in both modes."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans.streamq import (
+        _WET_QUALITY_MIN,
+        corpus_ingest_batch,
+    )
+    from stream_processing_pipeline_spark.operators import text as T
+    from stream_processing_pipeline_spark.streaming.epochstate import EpochTable
+
+    def wet_text(off):  # the WET generator's quality-passing 32-word shape
+        return " ".join(
+            "".join(chr(97 + (off + 4 * w + k) % 26) for k in range(4))
+            for w in range(32)
+        )
+
+    base, other = wet_text(10), wet_text(37)
+    docs = spark.createDataFrame(
+        [
+            (10, base, "en"),
+            (11, base + " zz", "en"),  # same-batch NEAR dup of 10
+            (12, other, "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    q = docs.select(
+        T.quality_metrics(F.col("text"))["quality"].alias("q")
+    ).collect()
+    assert all(r.q >= _WET_QUALITY_MIN for r in q), "fixture must pass the gate"
+
+    def survivors(root, **kw):
+        corpus_ingest_batch(docs, 0, f"{root}/idx", f"{root}/seen",
+                            quality_min=_WET_QUALITY_MIN, **kw)
+        return {
+            r.doc_id
+            for r in EpochTable(f"{root}/seen").read_all(spark).collect()
+        }
+
+    assert survivors(str(tmp_path / "default")) == {10, 11, 12}
+    on = str(tmp_path / "inbatch")
+    assert survivors(on, inbatch_neardup=True) == {10, 12}
+    # cross-batch carryover unchanged: a LATER near-dup of the keeper is
+    # rejected by the persisted-index probe in the in-batch mode too
+    later = docs.filter("doc_id = 10").select(
+        F.lit(13).cast("long").alias("doc_id"),
+        F.concat("text", F.lit(" qq")).alias("text"),
+        "lang",
+    )
+    corpus_ingest_batch(later, 1, f"{on}/idx", f"{on}/seen",
+                        quality_min=_WET_QUALITY_MIN, inbatch_neardup=True)
+    assert {
+        r.doc_id for r in EpochTable(f"{on}/seen").read_all(spark).collect()
+    } == {10, 12}
+
+
 def test_epoch_table_prune_bounds_disk_and_listing(spark, tmp_path):
     """Review finding r9: snapshots bounded the parquet READ but deltas
     under a committed snapshot's coverage (and superseded snapshots) were
