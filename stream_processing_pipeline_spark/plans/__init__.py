@@ -149,6 +149,10 @@ _GATE_PRIORITY = [
     "string_functions_showcase",
     "datetime_functions_showcase",
     "grouping_sets_revenue",
+    # -- NEW in round 10 (mirror-green at 3 SFs; the r11 head continues
+    #    here after the 22 r5 deferrals above)
+    "mm_zlib_decode_stats",            # ninth real format: zlib/RFC 1950
+    "mm_zlib_corrupt_quarantine",      # zlib error-path value-hash gate
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -1774,6 +1774,178 @@ def mm_gzip_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_gzip_quarantine_arrow(docs)
 
 
+# ----------------------------------------------------- real zlib decode
+#
+# Ninth format: RFC 1950 zlib (the framing inside PNG IDAT, git objects,
+# and countless wire protocols). Even doc_ids carry a per-doc STORED-mode
+# stream whose big-endian Adler-32 trailer is computed IN THE PLAN as an
+# exact integer fold over the generated ramp (zip_with position weights —
+# there is no JVM adler32 function, but Adler-32 is just two modular
+# sums, and Catalyst folds them at generate time); odd doc_ids carry a
+# constant level-9 stream precomputed at plan-build time so the REAL
+# Huffman-inflate path runs on half the rows. parse_zlib is additionally
+# pinned byte-identical against streams written by the C zlib library on
+# 150 real files x 4 levels in tests.
+
+_ZL_A_LEN = 96
+_ZL_B_RAW = b"sphinx of black quartz judge my vow 9876543210\n" * 6
+
+
+def _zlib_fixture_parts() -> dict[str, str]:
+    import struct
+    import zlib
+
+    stored_pre = (
+        "7801"  # CM=8 CINFO=7, FLG: level 0/FCHECK ok (0x7801 % 31 == 0)
+        + "01"  # final stored block
+        + struct.pack("<HH", _ZL_A_LEN, _ZL_A_LEN ^ 0xFFFF).hex()
+    )
+    b_full = zlib.compress(_ZL_B_RAW, 9).hex()
+    return {"a_pre": stored_pre, "b_full": b_full}
+
+
+_ZL_PARTS = _zlib_fixture_parts()
+_ZL_B_SUM = sum(_ZL_B_RAW)
+_ZL_B_MIN = min(_ZL_B_RAW)
+_ZL_B_MAX = max(_ZL_B_RAW)
+
+# the shared per-doc ramp (b = doc_id % 64, m = (doc_id % 7) + 2) and its
+# in-plan Adler-32: A = (1 + sum bytes) mod 65521, B = (L + sum of
+# (L - p) * byte_p) mod 65521, trailer = big-endian (B << 16) | A
+_ZL_RAMP = (
+    f"transform(sequence(0, {_ZL_A_LEN - 1}), "
+    "p -> (doc_id % 64) + (p % ((doc_id % 7) + 2)))"
+)
+_ZL_STORED_HEX = (
+    f"array_join(transform({_ZL_RAMP}, x -> lpad(hex(x), 2, '0')), '')"
+)
+_ZL_ADLER_HEX = (
+    "lpad(hex("
+    f"((({_ZL_A_LEN} + aggregate(zip_with({_ZL_RAMP}, "
+    f"sequence({_ZL_A_LEN}, 1, -1), (x, w) -> CAST(x * w AS BIGINT)), "
+    "CAST(0 AS BIGINT), (a, x) -> a + x)) % 65521) * 65536) + "
+    f"((1 + aggregate({_ZL_RAMP}, CAST(0 AS BIGINT), "
+    "(a, x) -> a + x)) % 65521)"
+    "), 8, '0')"
+)
+
+
+def _zlib_stored_payload() -> "F.Column":
+    p = _ZL_PARTS
+    return F.expr(
+        f"unhex(concat('{p['a_pre']}', {_ZL_STORED_HEX}, {_ZL_ADLER_HEX}))"
+    )
+
+
+@register(
+    "mm_zlib_decode_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, doc_id % 64 AS b, (doc_id % 7) + 2 AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN {_ZL_A_LEN}
+                     ELSE {len(_ZL_B_RAW)} END AS BIGINT) AS usize,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN
+                  {_ZL_A_LEN} * b
+                  + ({_ZL_A_LEN} // m) * ((m * (m - 1)) // 2)
+                  + (({_ZL_A_LEN} % m) * (({_ZL_A_LEN} % m) - 1)) // 2
+                ELSE {_ZL_B_SUM} END AS BIGINT) AS payload_sum,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN b
+                     ELSE {_ZL_B_MIN} END AS INTEGER) AS min_byte,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN b + m - 1
+                     ELSE {_ZL_B_MAX} END AS INTEGER) AS max_byte
+    FROM s
+    """,
+    tags=("multimodal", "decode", "zlib", "deflate", "rfc1950",
+          "arrow-udf", "real-codec"),
+)
+def mm_zlib_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END verified RFC 1950 zlib decode: even doc_ids get a
+    stored-block stream whose Adler-32 the PLAN computes as an exact
+    integer fold (see the family note), odd doc_ids a constant level-9
+    stream so the real Huffman path runs too; both decoded by the
+    dependency-free ``parse_zlib`` (header checks, bounded inflate,
+    big-endian Adler-32 verification, trailing-garbage rejection) inside
+    zero-copy ``mapInArrow``. The oracle rederives the byte stats from
+    the generative formulas in closed form. Scale shape: identical to
+    the other codec queries (id-only repartition before synthesis; bytes
+    never shuffle)."""
+    from ..operators.multimodal import decode_zlib_stats_arrow
+
+    p = _ZL_PARTS
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0, _zlib_stored_payload())
+            .otherwise(F.expr(f"unhex('{p['b_full']}')"))
+            .alias("payload"),
+        )
+    )
+    return decode_zlib_stats_arrow(docs)
+
+
+@register(
+    "mm_zlib_corrupt_quarantine",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, doc_id % 64 AS b, (doc_id % 7) + 2 AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           (doc_id % 3 = 0) AS ok,
+           CASE doc_id % 3 WHEN 1 THEN 'data'
+                           WHEN 2 THEN 'structure' END AS err_class,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST({_ZL_A_LEN} AS BIGINT) END AS usize,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(
+             {_ZL_A_LEN} * b
+             + ({_ZL_A_LEN} // m) * ((m * (m - 1)) // 2)
+             + (({_ZL_A_LEN} % m) * (({_ZL_A_LEN} % m) - 1)) // 2
+             AS BIGINT) END AS payload_sum
+    FROM s
+    """,
+    tags=("multimodal", "quarantine", "zlib", "error-path", "arrow-udf",
+          "real-codec"),
+)
+def mm_zlib_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib error-path triage under the value hash: every doc gets the
+    per-doc STORED-mode stream (deterministic corruption classes need the
+    deterministic framing), then in-plan corruption — ``doc_id % 3 == 1``
+    flips a byte INSIDE the stored data (framing intact, Adler-32 now
+    wrong — the typed ``data`` class; stored-data offset 0 holds ramp
+    value b <= 63, never 0xFF), ``% 3 == 2`` truncates the trailer to 2
+    bytes (the typed ``structure`` class), ``% 3 == 0`` stays intact and
+    must decode to the exact closed-form stats. Typed-exception
+    classification from birth."""
+    from ..operators.multimodal import decode_zlib_quarantine_arrow
+
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _zlib_stored_payload().alias("payload"))
+        .select(
+            "doc_id",
+            # byte 8 (1-based) = stored-data offset 0 (2 header + 5
+            # stored-block framing + 1): ramp value b, never 0xFF
+            F.when(
+                F.col("doc_id") % 3 == 1,
+                F.expr("overlay(payload PLACING X'FF' FROM 8)"),
+            )
+            .when(
+                F.col("doc_id") % 3 == 2,
+                F.expr("substring(payload, 1, length(payload) - 2)"),
+            )
+            .otherwise(F.col("payload"))
+            .alias("payload"),
+        )
+    )
+    return decode_zlib_quarantine_arrow(docs)
+
+
 # ------------------------------------------------ WARC/WET ingest stats
 #
 # The Common Crawl READ PATH as a value-hash gate: each document gets a

@@ -1962,6 +1962,85 @@ def test_gzip_parses_real_man_pages_byte_identical_to_stdlib():
     assert len(files) >= 100
 
 
+def test_zlib_parses_real_payloads_byte_identical_to_stdlib():
+    """Authoritative-reference pin for RFC 1950: streams written by the C
+    zlib library itself (stdlib zlib.compress over hundreds of REAL files
+    at four compression levels, exercising stored, fixed- and
+    dynamic-Huffman deflate) must decode byte-identical."""
+    import glob
+    import gzip
+    import zlib
+
+    import pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_zlib,
+    )
+
+    files = sorted(glob.glob("/usr/share/man/man*/*.gz"))[:150]
+    if not files:
+        pytest.skip("no real payload fixtures in this container")
+    n = 0
+    for f in files:
+        raw = gzip.decompress(open(f, "rb").read())
+        for level in (0, 1, 6, 9):
+            stream = zlib.compress(raw, level)
+            assert parse_zlib(stream) == raw, (f, level)
+            n += 1
+    assert n >= 400
+
+
+def test_zlib_poison_suite():
+    """Reject-don't-misread with TYPED errors: framing ->
+    ZlibStructureError, payload integrity -> ZlibDataError."""
+    import zlib
+
+    import pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        ZlibDataError,
+        ZlibStructureError,
+        parse_zlib,
+    )
+
+    raw = b"zlib poison fixture payload " * 8
+    good = zlib.compress(raw, 6)
+    assert parse_zlib(good) == raw
+
+    def mutate(b, pos, new):
+        m = bytearray(b)
+        m[pos : pos + len(new)] = new
+        return bytes(m)
+
+    with pytest.raises(ZlibStructureError, match="empty"):
+        parse_zlib(b"")
+    with pytest.raises(ZlibStructureError, match="truncated stream"):
+        parse_zlib(good[:5])
+    with pytest.raises(ZlibStructureError, match="method"):
+        parse_zlib(mutate(good, 0, bytes([(good[0] & 0xF0) | 7])))
+    with pytest.raises(ZlibStructureError, match="CINFO"):
+        parse_zlib(mutate(good, 0, bytes([0x88 | (good[0] & 0x0F)])))
+    with pytest.raises(ZlibStructureError, match="FCHECK"):
+        parse_zlib(mutate(good, 1, bytes([good[1] ^ 0x01])))
+    # FDICT set WITH a re-valid FCHECK so the dict rejection itself fires
+    flg = good[1] | 0x20
+    flg = (flg & 0xE0) | ((31 - (good[0] * 256 + (flg & 0xE0)) % 31) % 31)
+    assert (good[0] * 256 + flg) % 31 == 0 and flg & 0x20
+    with pytest.raises(ZlibStructureError, match="FDICT"):
+        parse_zlib(mutate(good, 1, bytes([flg])))
+    with pytest.raises(ZlibStructureError, match="truncated Adler"):
+        parse_zlib(good[:-1])
+    with pytest.raises(ZlibStructureError, match="trailing bytes"):
+        parse_zlib(good + b"x")
+    with pytest.raises(ZlibDataError, match="Adler-32"):
+        parse_zlib(mutate(good, len(good) - 2, b"\xff"))
+    with pytest.raises(ZlibDataError, match="inflate|truncated"):
+        parse_zlib(mutate(good, 4, b"\xff\xff\xff\xff"))
+    # bomb cap enforced DURING inflate (no size field exists to pre-trust)
+    with pytest.raises(ZlibDataError, match="max_uncompressed"):
+        parse_zlib(zlib.compress(b"\x00" * 100_000, 9), max_uncompressed=1024)
+
+
 def test_gzip_multi_member_and_header_flags():
     """Multi-member concatenation (the Common Crawl shard layout) splits
     into per-member payloads; FNAME/FCOMMENT/FEXTRA/FHCRC headers walk
@@ -2084,6 +2163,58 @@ def test_gzip_plan_generator_is_a_real_stream(spark):
         b, m = d % 64, (d % 7) + 2
         ramp = bytes(b + (i % m) for i in range(MQ._GZ_A_LEN))
         assert gzip.decompress(bytes(r.payload)) == ramp + MQ._GZ_B_RAW
+
+
+def test_zlib_plan_generator_is_a_real_stream(spark):
+    """The in-plan zlib generator's bytes must be REAL RFC 1950 streams
+    by the authoritative reader's standards: stdlib zlib decompresses
+    both halves — the stored-block payload whose Adler-32 the PLAN
+    computed as an integer fold, and the constant level-9 member — to
+    exactly the expected bytes (a wrong in-plan Adler would make stdlib
+    raise, pinning the fold's correctness against the C implementation)."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_pipeline_spark.plans import multimodalq as MQ
+
+    rows = (
+        spark.range(0, 40).select(F.col("id").alias("doc_id"))
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0, MQ._zlib_stored_payload())
+            .otherwise(F.expr(f"unhex('{MQ._ZL_PARTS['b_full']}')"))
+            .alias("payload"),
+        )
+        .collect()
+    )
+    for r in rows:
+        d = int(r.doc_id)
+        if d % 2 == 0:
+            b, m = d % 64, (d % 7) + 2
+            want = bytes(b + (i % m) for i in range(MQ._ZL_A_LEN))
+        else:
+            want = MQ._ZL_B_RAW
+        assert zlib.decompress(bytes(r.payload)) == want
+
+
+def test_zlib_quarantine_classes(spark):
+    """The registered corruption overlays map to exactly the declared
+    typed classes on every row (never message matching, never drops)."""
+    from stream_processing_pipeline_spark.plans import REGISTRY
+
+    out = REGISTRY["mm_zlib_corrupt_quarantine"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        d = int(r.doc_id) % 3
+        if d == 0:
+            assert r.ok and r.err_class is None and r.usize == 96
+        elif d == 1:
+            assert (not r.ok) and r.err_class == "data" and r.usize is None
+        else:
+            assert (not r.ok) and r.err_class == "structure"
 
 
 def test_gzip_quarantine_classes(spark):

@@ -34,7 +34,21 @@ def test_gate_priority_is_registry_prefix():
 #: driver rows, so the data-driven check below covers them; queries NEW
 #: in round 10 must either take a head slot (they can't — the rotation is
 #: zero-slack) or be listed here with their in-prefix sibling named.
-deferred_past_prefix: set[str] = set()
+deferred_past_prefix: set[str] = {
+    # ninth real format (NEW r10): RFC 1950 zlib with the Adler-32
+    # trailer computed IN THE PLAN as an integer fold; pinned
+    # byte-identical against the C zlib library on 150 real files x 4
+    # levels; in-prefix siblings mm_gzip_decode_stats (r10 head slot 19)
+    # and mm_zip_decode_stats (slot 15) share the generator/mapInArrow
+    # pattern and the bounded-inflate posture; mirror-green at 3 SFs;
+    # queued in the declared r11 head (plans/__init__.py slots-51+).
+    "mm_zlib_decode_stats",
+    # zlib error-path quarantine (NEW r10): typed classes from birth;
+    # in-prefix siblings mm_gzip_corrupt_quarantine (r10 head slot 20)
+    # and mm_zip_corrupt_quarantine (slot 16); mirror-green at 3 SFs;
+    # queued in the declared r11 head.
+    "mm_zlib_corrupt_quarantine",
+}
 
 
 def test_queries_past_gate_prefix_have_prior_driver_rows():

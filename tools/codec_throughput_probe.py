@@ -220,6 +220,16 @@ def main() -> None:
                 n_files * kb * 1024,  # pixels column = decoded bytes here
             )
         )
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_zlib,
+    )
+
+    import zlib as _zl
+
+    for kb in (16, 256):
+        raw = make_zip(1, kb)  # reuse the LCG payload builder's bytes
+        zs = _zl.compress(raw, 6)
+        rows.append(bench(f"zlib_{kb}KiB", zs, parse_zlib, len(raw)))
     for r in rows:
         print(json.dumps(r))
 

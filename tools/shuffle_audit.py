@@ -338,6 +338,8 @@ COVERED_BY = {
     "mm_zip_corrupt_quarantine": ("mm_zip_decode_stats", "same scan stage plus the corrupt overlay branch; quarantine rows stay in-task"),
     "mm_png_corrupt_quarantine": ("mm_png_decode_stats", "same scan stage plus the corrupt overlay branch"),
     "mm_format_stats": ("mm_ppm_decode_stats", "in-scan decode; only bounded format-grain partials exchange"),
+    "mm_zlib_decode_stats": ("mm_gzip_decode_stats", "same zero-shuffle generate+decode scan stage; RFC 1950 framing instead of 1952"),
+    "mm_zlib_corrupt_quarantine": ("mm_gzip_corrupt_quarantine", "same scan stage plus the corrupt overlay branch; quarantine rows stay in-task"),
 }
 
 
