@@ -1712,6 +1712,111 @@ def stream_corpus_ingest_two_phase(spark: SparkSession, sf_dir: str) -> DataFram
     return out
 
 
+@register(
+    "stream_corpus_ingest_inbatch",
+    oracle=f"""{_BANDS_CTE},
+    q AS (
+      SELECT doc_id, {_h60_sql(_NORM)} AS text_hash
+      FROM documents WHERE {_QUALITY_SQL_INGEST} >= {_INGEST_QUALITY_MIN}
+    ),
+    k AS (
+      SELECT text_hash, min(doc_id) AS doc_id FROM q GROUP BY text_hash
+    ),
+    cand AS (
+      SELECT DISTINCT bn.doc_id AS new_id, bo.doc_id AS old_id
+      FROM bands bn JOIN k n ON bn.doc_id = n.doc_id
+      JOIN bands bo ON bo.band_idx = bn.band_idx
+                   AND bo.band_hash = bn.band_hash
+      JOIN k o ON bo.doc_id = o.doc_id
+      WHERE bo.doc_id < bn.doc_id
+    ),
+    rej AS (
+      SELECT DISTINCT c.new_id AS doc_id
+      FROM cand c JOIN mh a ON a.doc_id = c.new_id
+      JOIN mh b ON b.doc_id = c.old_id
+      WHERE ({_AGREE_SQL}) >= {_INGEST_MIN_AGREEMENT}
+    )
+    SELECT k.doc_id, k.text_hash, (rej.doc_id IS NULL) AS admitted
+    FROM k LEFT JOIN rej ON rej.doc_id = k.doc_id
+    """,
+    tags=("streaming-op", "pipeline", "dedup", "minhash", "near-dup",
+          "in-batch", "foreachBatch", "kappa"),
+)
+def stream_corpus_ingest_inbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The in-batch near-dup admission option under the value hash
+    (VERDICT r9 #6): the WHOLE corpus arrives as ONE micro-batch and the
+    production ingest body runs with ``inbatch_neardup=True`` — after the
+    quality gate and the exact min-id dedup, the batch's own survivors
+    self-probe: a band collision with a SMALLER-id batch-mate, confirmed
+    by >= {_INGEST_MIN_AGREEMENT}/16 signature agreement, rejects the doc
+    (min-id keeper, the pairwise greedy the batch pair families use).
+    Output is the full exact-keeper ledger with the admission verdict —
+    the flag's work is IN the hash: every organically near-duplicate
+    keeper pair (present at every SF) flips its larger id to
+    ``admitted = false``, while the default-scope ingest admits both.
+    The oracle recomputes gate -> exact keepers -> self-probe from the
+    same md5-backed MinHash family in SQL."""
+    import os
+
+    from ..operators import text as _T
+    from ..functions.hashing import h60
+    from ..streaming.epochstate import EpochTable
+
+    cat = catalog(spark, sf_dir)
+    docs = spark.read.parquet(cat.path("documents"))
+    work = tempfile.mkdtemp(prefix="corpus_ingest_ib_")
+    incoming = f"{work}/incoming"
+    os.makedirs(incoming)
+    index_dir = f"{work}/band_index"
+    seen_dir = f"{work}/seen_hashes"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        docs.coalesce(1).write.mode("overwrite").parquet(incoming)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(incoming)
+        )
+        query = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, eid: corpus_ingest_batch(
+                    bdf, eid, index_dir, seen_dir, inbatch_neardup=True
+                )
+            )
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(240):
+            query.stop()
+            raise TimeoutError("in-batch ingest run still going after 240s")
+        admitted = EpochTable(seen_dir).read_all(spark).select("doc_id")
+        keepers = (
+            docs.filter(
+                _T.quality_metrics(F.col("text"))["quality"]
+                >= _INGEST_QUALITY_MIN
+            )
+            .select("doc_id", h60(_T.normalize_text("text")).alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        out = (
+            keepers.join(
+                admitted.withColumn("admitted", F.lit(True)), "doc_id", "left"
+            )
+            .select(
+                "doc_id", "text_hash",
+                F.coalesce("admitted", F.lit(False)).alias("admitted"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 # --------------------------------------------- streaming WET-shard ingest
 
 _WET_QUALITY_MIN = 0.40  # 32-word docs (0.417) pass; 16-word (0.371) fail

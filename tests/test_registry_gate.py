@@ -48,6 +48,15 @@ deferred_past_prefix: set[str] = {
     # and mm_zip_corrupt_quarantine (slot 16); mirror-green at 3 SFs;
     # queued in the declared r11 head.
     "mm_zlib_corrupt_quarantine",
+    # in-batch near-dup admission gate (NEW r10, VERDICT r9 #6): the
+    # production ingest body with inbatch_neardup=True over one
+    # micro-batch; in-prefix siblings stream_corpus_ingest_two_phase
+    # (r10 head slot 11) and stream_corpus_ingest (externally hash-green
+    # r9) drive the same foreachBatch body; the self-probe greedy is
+    # additionally unit-pinned with planted same-batch near-dups;
+    # organic rejections at every SF (13/9/90); mirror-green at 3 SFs;
+    # queued in the declared r11 head.
+    "stream_corpus_ingest_inbatch",
 }
 
 

@@ -340,6 +340,7 @@ COVERED_BY = {
     "mm_format_stats": ("mm_ppm_decode_stats", "in-scan decode; only bounded format-grain partials exchange"),
     "mm_zlib_decode_stats": ("mm_gzip_decode_stats", "same zero-shuffle generate+decode scan stage; RFC 1950 framing instead of 1952"),
     "mm_zlib_corrupt_quarantine": ("mm_gzip_corrupt_quarantine", "same scan stage plus the corrupt overlay branch; quarantine rows stay in-task"),
+    "stream_corpus_ingest_inbatch": ("stream_corpus_ingest_two_phase", "same ingest-body exchanges plus one band self-join of 16 B keys among the batch's own survivors"),
 }
 
 
