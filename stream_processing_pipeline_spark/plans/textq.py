@@ -2079,3 +2079,155 @@ def lm_bigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("keep"),
     )
+
+
+# --------------------------------------------------- BM25 phrase retrieval
+
+#: Literal query phrase sets (bounded — they broadcast by contract). The
+#: corpus vocabulary is 31 words with near-saturated document frequency
+#: (every unigram but one appears in > N/2 docs, i.e. Robertson idf <= 0 —
+#: correct BM25 assigns saturated terms no signal), so retrieval runs at
+#: BIGRAM-PHRASE grain where df sits near N/17 and idf does real work: the
+#: classic phrase-index design.
+_BM25_QUERIES = [
+    (1, ("hash join", "sort merge")),
+    (2, ("stream batch",)),
+    (3, ("window function", "query plan")),
+    (4, ("hash join", "stream batch", "sort merge")),
+    (5, ("merge join", "hash table")),
+]
+_BM25_TOPK = 10
+_BM25_BIGRAM_SQL = (
+    "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])"
+)
+_BM25_QT_VALUES = ", ".join(
+    f"({qid}, '{p}')" for qid, phrases in _BM25_QUERIES for p in phrases
+)
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {T.tokens_sql(T.normalize_text_sql('text'))} AS t
+      FROM documents
+    ),
+    el AS (SELECT doc_id, t FROM base WHERE len(t) >= 2),
+    bg AS (SELECT doc_id, unnest({_BM25_BIGRAM_SQL}) AS b FROM el),
+    dl AS (
+      SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS dl FROM el
+    ),
+    consts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len(t) - 1) AS BIGINT) AS l
+      FROM el
+    ),
+    tf AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf
+      FROM bg GROUP BY doc_id, b
+    ),
+    dfreq AS (
+      SELECT b, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM bg GROUP BY b
+    ),
+    qt AS (SELECT * FROM (VALUES {_BM25_QT_VALUES}) v(query_id, term)),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(sum(
+               (length(bin((2 * c.n - 2 * d.df + 1) // (2 * d.df + 1))) - 1)
+               * ((44000 * c.l * tf.tf)
+                  // (20 * c.l * tf.tf + 6 * c.l + 18 * dl.dl * c.n))
+             ) AS BIGINT) AS score
+      FROM qt q
+      JOIN tf ON tf.b = q.term
+      JOIN dfreq d ON d.b = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id, consts c
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT CAST(query_id AS INTEGER) AS query_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS INTEGER) AS rank,
+           doc_id, score
+    FROM scored WHERE score > 0
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id
+    ) <= {_BM25_TOPK}
+    """,
+    tags=("text", "retrieval", "bm25", "lexical", "phrase-index", "top-k",
+          "exact-arithmetic"),
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1 = 6/5, b = 3/4) in EXACT integer
+    arithmetic at bigram-phrase grain. Per phrase t and doc D:
+    ``idf2(t) * (44000 * L * tf) div (20 * L * tf + 6 * L + 18 * dl * N)``
+    — the Robertson saturation term with the rational k1/b multiplied out
+    to one integer division (identical truncation in both engines), and
+    ``idf2 = floor(log2((2N - 2df + 1) / (2df + 1)))`` via
+    ``length(bin(p div q)) - 1`` (the repo's libm-free floor-log2 idiom;
+    saturated phrases get 0, exactly BM25's clamped-idf behavior). Top-10
+    per query, score-desc/doc-asc deterministic tie-break.
+
+    Scale shape: tokenize once; tf/df are (doc, bigram)/(bigram) partials
+    after map-side combine; the literal-bounded query set broadcasts; the
+    only fact-grain exchanges carry compact (doc_id, bigram, tf) rows —
+    the standard inverted-index retrieval join. At 100 TB the df/idf
+    table is vocabulary-sized and the per-query candidate set is
+    posting-list-sized, never the corpus."""
+    from pyspark.sql import Window
+
+    docs = catalog(spark, sf_dir).documents
+    base = docs.select(
+        "doc_id", T.tokens(T.normalize_text("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+            )
+        ).alias("b"),
+    )
+    dl = base.select("doc_id", (F.size("t") - 1).cast("long").alias("dl"))
+    consts = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.size("t") - 1).cast("long").alias("l"),
+    )
+    tf = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = bg.groupBy("b").agg(F.countDistinct("doc_id").alias("df"))
+    qt = spark.createDataFrame(
+        [(qid, p) for qid, phrases in _BM25_QUERIES for p in phrases],
+        "query_id int, term string",
+    )
+    idf2 = (
+        F.length(
+            F.bin(
+                F.expr("(2 * n - 2 * df + 1) div (2 * df + 1)")
+            )
+        )
+        - 1
+    ).cast("long")
+    part = F.expr(
+        "(44000 * l * tf) div (20 * l * tf + 6 * l + 18 * dl * n)"
+    )
+    scored = (
+        tf.join(F.broadcast(qt), tf["b"] == qt["term"])
+        .join(F.broadcast(dfreq.join(F.broadcast(qt.select("term").distinct()),
+                                     dfreq["b"] == F.col("term")).select(
+            F.col("b").alias("dfb"), "df")),
+            F.col("b") == F.col("dfb"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(idf2 * part).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -324,6 +324,8 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
                                         # 1-row reference-mean gate
         "sim_recall_ivfpq_rerank_at_k",  # broadcast query set (N_QUERIES
                                         # rows, ground-truth non-equi join)
+        "bm25_topk_docs",               # broadcast 1-row (N, L) corpus
+                                        # constants into the scoring join
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():

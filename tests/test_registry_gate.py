@@ -57,6 +57,14 @@ deferred_past_prefix: set[str] = {
     # organic rejections at every SF (13/9/90); mirror-green at 3 SFs;
     # queued in the declared r11 head.
     "stream_corpus_ingest_inbatch",
+    # integer BM25 phrase retrieval (NEW r10): bigram-grain inverted
+    # index (the corpus' unigram df is saturated, so phrases carry the
+    # idf signal); the floor-log2 idf and single-integer-division
+    # saturation term reuse the surprisal/LM idiom of in-prefix siblings
+    # text_tfidf_top_terms (r10 head slot 7) and
+    # lm_bigram_perplexity_filter (slot 12); mirror-green at 3 SFs;
+    # queued in the declared r11 head.
+    "bm25_topk_docs",
 }
 
 

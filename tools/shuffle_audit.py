@@ -341,6 +341,7 @@ COVERED_BY = {
     "mm_zlib_decode_stats": ("mm_gzip_decode_stats", "same zero-shuffle generate+decode scan stage; RFC 1950 framing instead of 1952"),
     "mm_zlib_corrupt_quarantine": ("mm_gzip_corrupt_quarantine", "same scan stage plus the corrupt overlay branch; quarantine rows stay in-task"),
     "stream_corpus_ingest_inbatch": ("stream_corpus_ingest_two_phase", "same ingest-body exchanges plus one band self-join of 16 B keys among the batch's own survivors"),
+    "bm25_topk_docs": ("text_bigram_coverage", "same (doc, bigram) posting partials; scoring joins the literal-bounded query set broadcast-side, candidates at posting grain"),
 }
 
 
