@@ -155,6 +155,7 @@ _GATE_PRIORITY = [
     "mm_zlib_corrupt_quarantine",      # zlib error-path value-hash gate
     "stream_corpus_ingest_inbatch",    # in-batch near-dup admission gate
     "bm25_topk_docs",                  # integer BM25 phrase retrieval
+    "kanon_user_signatures",           # k-anonymity governance audit
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

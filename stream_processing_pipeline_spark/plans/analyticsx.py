@@ -3597,3 +3597,64 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_millicents_per_user"),
         )
     )
+
+
+@register(
+    "kanon_user_signatures",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    sig AS (
+      SELECT user_id,
+             array_to_string(list_sort(list(
+               event_type || ':' || CAST(length(bin(c)) AS VARCHAR)
+             )), '|') AS signature
+      FROM per GROUP BY user_id
+    )
+    SELECT signature,
+           CAST(count(*) AS BIGINT) AS n_users,
+           count(*) < 5 AS at_risk
+    FROM sig GROUP BY signature
+    """,
+    tags=("batch", "privacy", "k-anonymity", "governance",
+          "exact-arithmetic"),
+)
+def kanon_user_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over behavioral quasi-identifiers — the
+    governance op a training-data pipeline runs before shipping user-
+    derived features: each user's quasi-identifier is their event-type
+    activity signature (per-type counts at FLOOR-LOG2 resolution —
+    ``length(bin(count))``, the repo's exact integer frequency class, so
+    the signature is coarse enough to be an honest quasi-identifier and
+    deterministic enough to hash), and every signature class with fewer
+    than k = 5 members is flagged ``at_risk``: those users are
+    re-identifiable from their activity shape alone.
+
+    Shape: per-(user, type) count partials combine map-side; ONE
+    user-grain exchange assembles signatures (sorted-array join —
+    deterministic); the signature-grain rollup is bounded by the
+    signature domain (|types| x log2 count classes), never by users. At
+    100 TB the at-risk report is the small tail of that bounded
+    domain."""
+    ev = catalog(spark, sf_dir).events
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sig = (
+        per.select(
+            "user_id",
+            F.concat(
+                F.col("event_type"),
+                F.lit(":"),
+                F.length(F.bin("c")).cast("string"),
+            ).alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_join(F.array_sort(F.collect_list("p")), "|").alias("signature"))
+    )
+    return sig.groupBy("signature").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.count(F.lit(1)) < 5).alias("at_risk"),
+    )

@@ -65,6 +65,15 @@ deferred_past_prefix: set[str] = {
     # lm_bigram_perplexity_filter (slot 12); mirror-green at 3 SFs;
     # queued in the declared r11 head.
     "bm25_topk_docs",
+    # k-anonymity governance audit (NEW r10): per-(user, type) count
+    # partials into ONE user-grain signature assembly, then a
+    # bounded-signature-domain rollup — the exchange shape of in-prefix
+    # siblings user_event_type_signature (r10 head backlog slot, r5
+    # external row) and user_rfm_segments (slot 34, bounded-domain
+    # rollup); the log2 frequency class reuses the text_oov_stats idiom
+    # (externally green); mirror-green at 3 SFs; queued in the declared
+    # r11 head.
+    "kanon_user_signatures",
 }
 
 
