@@ -156,6 +156,7 @@ _GATE_PRIORITY = [
     "stream_corpus_ingest_inbatch",    # in-batch near-dup admission gate
     "bm25_topk_docs",                  # integer BM25 phrase retrieval
     "kanon_user_signatures",           # k-anonymity governance audit
+    "emb_label_centroid_drift",        # embedding distribution-shift monitor
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

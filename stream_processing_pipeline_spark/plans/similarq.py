@@ -1852,3 +1852,83 @@ def sim_recall_ivfpq_rerank_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit_rr") / float(_K)).alias("recall_rerank"),
         )
     )
+
+
+@register(
+    "emb_label_centroid_drift",
+    oracle="""
+    WITH ex AS (
+      SELECT label, d,
+             CAST(round(CAST(embedding[d] AS DOUBLE) * 1000) AS BIGINT) AS x
+      FROM embeddings, range(1, 65) t(d)
+    ),
+    dims AS (
+      SELECT label, d, CAST(sum(x) AS BIGINT) AS s FROM ex GROUP BY label, d
+    ),
+    counts AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM embeddings),
+    gd AS (SELECT d, CAST(sum(x) AS BIGINT) AS sg FROM ex GROUP BY d),
+    cl AS (
+      SELECT dims.label, dims.d, (1000 * dims.s) // counts.n AS c
+      FROM dims JOIN counts ON counts.label = dims.label
+    ),
+    g AS (
+      SELECT d, (1000 * sg) // (SELECT nn FROM tot) AS gc FROM gd
+    ),
+    sel AS (
+      SELECT cl.label, (cl.c - g.gc) * (cl.c - g.gc) AS d2
+      FROM cl JOIN g ON g.d = cl.d
+    )
+    SELECT s.label, c2.n AS n_vecs, CAST(sum(s.d2) AS BIGINT) AS drift_sq
+    FROM sel s JOIN counts c2 ON c2.label = s.label
+    GROUP BY s.label, c2.n
+    """,
+    tags=("similarity", "embedding", "monitoring", "distribution-shift",
+          "exact-arithmetic"),
+)
+def emb_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution-shift monitor — the per-slice drift check a
+    production embedding pipeline runs on every refresh: squared L2
+    distance between each label's centroid and the GLOBAL centroid, in
+    exact integer arithmetic end to end. Components quantize to milli
+    units at the scan, per-dim sums reduce order-independently, both
+    centroids take the milli-mean via integer division (identical
+    truncation-toward-zero in both engines, verified for negatives), and
+    the drift is the exact integer sum of squared component gaps —
+    headroom to ~2e8 vectors per slice before 64-bit overflow.
+
+    Shape: ONE posexplode pass feeds both the (label, dim) and (dim)
+    partial sums (map-side combined, bounded by |labels| x 64 and 64
+    rows); the global centroid rides a broadcast 64-row frame and the
+    1-row total a broadcast scalar. Nothing at vector grain ever
+    shuffles."""
+    emb = catalog(spark, sf_dir).embeddings
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"),
+    ).select(
+        "label", "d", F.round(F.col("x") * 1000).cast("long").alias("xs")
+    )
+    dims = ex.groupBy("label", "d").agg(F.sum("xs").alias("s"))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = emb.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    gd = ex.groupBy("d").agg(F.sum("xs").alias("sg"))
+    g = gd.crossJoin(F.broadcast(tot)).select(
+        "d", F.expr("(1000 * sg) div nn").alias("gc")
+    )
+    cl = dims.join(counts, "label").select(
+        "label", "d", "n", F.expr("(1000 * s) div n").alias("c")
+    )
+    return (
+        cl.join(F.broadcast(g), "d")
+        .select(
+            "label", "n",
+            ((F.col("c") - F.col("gc")) * (F.col("c") - F.col("gc"))).alias("d2"),
+        )
+        .groupBy("label", "n")
+        .agg(F.sum("d2").alias("drift_sq"))
+        .select(F.col("label"), F.col("n").alias("n_vecs"), "drift_sq")
+    )

@@ -326,6 +326,8 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
                                         # rows, ground-truth non-equi join)
         "bm25_topk_docs",               # broadcast 1-row (N, L) corpus
                                         # constants into the scoring join
+        "emb_label_centroid_drift",     # broadcast 1-row vector total
+                                        # into the 64-row global centroid
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():

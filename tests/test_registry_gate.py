@@ -74,6 +74,12 @@ deferred_past_prefix: set[str] = {
     # (externally green); mirror-green at 3 SFs; queued in the declared
     # r11 head.
     "kanon_user_signatures",
+    # embedding distribution-shift monitor (NEW r10): the per-dim
+    # integer-sum reduce of in-prefix sibling sim_label_centroid_norms
+    # (r10 head backlog, r5 external row) plus a 64-row broadcast global
+    # centroid; exact integer division verified portable for negatives;
+    # mirror-green at 3 SFs; queued in the declared r11 head.
+    "emb_label_centroid_drift",
 }
 
 
