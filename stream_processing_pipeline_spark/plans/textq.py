@@ -2231,3 +2231,135 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BM25_TOPK)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+# ------------------------------------------------ train/test leakage audit
+
+_LEAK_MIN_AGREEMENT = 8  # >= 8/16 signature agreement ~ Jaccard 0.5
+
+
+def _leak_oracle() -> str:
+    from .dedupq import _BANDS_CTE
+    from .streamq import _AGREE_SQL
+
+    return f"""{_BANDS_CTE},
+    sp AS (
+      SELECT doc_id, ({_SPLIT_BUCKET} % 100 < 80) AS is_train FROM documents
+    ),
+    h AS (SELECT doc_id, {H.h60_sql(_NORM)} AS th FROM documents),
+    ex AS (
+      SELECT t.doc_id AS test_id, min(tr.doc_id) AS train_id
+      FROM h t JOIN sp st ON st.doc_id = t.doc_id AND NOT st.is_train
+      JOIN h tr ON tr.th = t.th
+      JOIN sp sr ON sr.doc_id = tr.doc_id AND sr.is_train
+      GROUP BY t.doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT bn.doc_id AS test_id, bo.doc_id AS train_id
+      FROM bands bn JOIN sp st ON st.doc_id = bn.doc_id AND NOT st.is_train
+      JOIN bands bo ON bo.band_idx = bn.band_idx
+                   AND bo.band_hash = bn.band_hash
+      JOIN sp sr ON sr.doc_id = bo.doc_id AND sr.is_train
+      WHERE bn.doc_id NOT IN (SELECT test_id FROM ex)
+    ),
+    nr AS (
+      SELECT c.test_id, min(c.train_id) AS train_id
+      FROM cand c JOIN mh a ON a.doc_id = c.test_id
+      JOIN mh b ON b.doc_id = c.train_id
+      WHERE ({_AGREE_SQL}) >= {_LEAK_MIN_AGREEMENT}
+      GROUP BY c.test_id
+    )
+    SELECT test_id, train_id, 'exact' AS leak_type FROM ex
+    UNION ALL
+    SELECT test_id, train_id, 'near' AS leak_type FROM nr
+    """
+
+
+@register(
+    "train_eval_leakage_pairs",
+    oracle=_leak_oracle(),
+    tags=("text", "llm-pipeline", "decontamination", "leakage", "dedup",
+          "minhash", "split"),
+)
+def train_eval_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the audit every LLM eval pipeline needs
+    before trusting a held-out split: which TEST documents leak from the
+    TRAIN split, exactly or as near-duplicates? Uses the registered
+    deterministic 80/20 hash split (``corpus_train_test_split``'s rule),
+    then (a) exact leakage = content-hash match against any train doc
+    (min train id reported), and (b) near leakage for the remaining test
+    docs = MinHash band collision against a train doc confirmed by
+    >= {_LEAK_MIN_AGREEMENT}/16 signature agreement (the ingest family's
+    Broder-estimator verify step). One row per leaked test doc with its
+    earliest matching train doc and the leak class. This is the
+    split-level complement of ``contamination_bench_overlap`` (which
+    audits n-gram overlap against a benchmark table, not near-dup
+    leakage between splits).
+
+    Shape: the split flag is an in-scan hash expression; exact leakage is
+    one 16 B (hash, id) exchange; the near probe is the banded candidate
+    join of compact signature keys (never all-pairs) with the agreement
+    verify at candidate-pair grain — the audited dedup_minhash_lsh
+    shuffle shape, filtered to the cross-split direction."""
+    from functools import reduce
+    from operator import add
+
+    docs = catalog(spark, sf_dir).documents
+    is_train = (
+        H.h60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+        < 80
+    )
+    hashed = docs.select(
+        "doc_id",
+        H.h60(T.normalize_text("text")).alias("th"),
+        is_train.alias("is_train"),
+    )
+    train_h = hashed.filter("is_train").select(
+        F.col("doc_id").alias("train_id"), "th"
+    )
+    test_h = hashed.filter("NOT is_train").select(
+        F.col("doc_id").alias("test_id"), "th"
+    )
+    exact = (
+        test_h.join(train_h, "th")
+        .groupBy("test_id")
+        .agg(F.min("train_id").alias("train_id"))
+    )
+    mh = D.minhash_table(docs)
+    bands = D.lsh_bands(mh)
+    flags = hashed.select("doc_id", "is_train")
+    b_test = (
+        bands.join(flags, "doc_id")
+        .filter("NOT is_train")
+        .select(F.col("doc_id").alias("test_id"), "band_idx", "band_hash")
+        .join(exact.select("test_id"), "test_id", "left_anti")
+    )
+    b_train = (
+        bands.join(flags, "doc_id")
+        .filter("is_train")
+        .select(F.col("doc_id").alias("train_id"), "band_idx", "band_hash")
+    )
+    cand = (
+        b_test.join(b_train, ["band_idx", "band_hash"])
+        .select("test_id", "train_id")
+        .distinct()
+    )
+    agreement = reduce(
+        add,
+        [
+            F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
+            for j in range(16)
+        ],
+    )
+    near = (
+        cand.join(mh.alias("a"), F.col("a.doc_id") == F.col("test_id"))
+        .join(mh.alias("b"), F.col("b.doc_id") == F.col("train_id"))
+        .filter(agreement >= _LEAK_MIN_AGREEMENT)
+        .groupBy("test_id")
+        .agg(F.min("train_id").alias("train_id"))
+    )
+    return exact.select(
+        "test_id", "train_id", F.lit("exact").alias("leak_type")
+    ).unionByName(
+        near.select("test_id", "train_id", F.lit("near").alias("leak_type"))
+    )

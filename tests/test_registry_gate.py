@@ -80,6 +80,14 @@ deferred_past_prefix: set[str] = {
     # centroid; exact integer division verified portable for negatives;
     # mirror-green at 3 SFs; queued in the declared r11 head.
     "emb_label_centroid_drift",
+    # eval-split decontamination audit (NEW r10): the banded cross-split
+    # leakage probe — exact arm is dedup_exact's hash exchange
+    # (externally green), near arm is the band-collision + agreement
+    # verify of in-prefix siblings stream_corpus_ingest_two_phase (r10
+    # head slot 11) and minhash_jaccard_calibration (slot 47 backlog);
+    # split rule shared with corpus_train_test_split (externally green);
+    # mirror-green at 3 SFs; queued in the declared r11 head.
+    "train_eval_leakage_pairs",
 }
 
 
