@@ -2528,6 +2528,99 @@ def parse_warc(
     return out
 
 
+class HttpResponseError(ValueError):
+    """Malformed HTTP/1.x response payload inside a WARC ``response``
+    record (bad status line, malformed header, truncated header block)."""
+
+
+def parse_http_response(content: bytes) -> tuple[int, dict, bytes]:
+    """Parse the HTTP/1.x response message a WARC ``response`` record
+    carries (Common Crawl's raw-crawl payload layer): returns
+    ``(status_code, headers, body)`` with header names lower-cased
+    (``bytes -> bytes``; duplicate names keep the LAST value, the
+    common-crawler convention).
+
+    Reject-don't-misread: :class:`HttpResponseError` on a status line
+    that is not ``HTTP/1.x <3-digit code> [reason]``, a header line
+    without ``:``, or a header block not terminated by CRLFCRLF. The
+    body is NOT length-validated here — WARC's Content-Length already
+    framed the record; transfer/content-encoding of the body is the
+    caller's concern (gzip bodies go back through :func:`parse_gzip`)."""
+    eol = content.find(b"\r\n")
+    if eol < 0:
+        raise HttpResponseError("http: unterminated status line")
+    parts = content[:eol].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/1."):
+        raise HttpResponseError("http: malformed status line")
+    if len(parts[1]) != 3 or not parts[1].isdigit():
+        raise HttpResponseError("http: status code must be 3 digits")
+    status = int(parts[1])
+    pos = eol + 2
+    headers: dict[bytes, bytes] = {}
+    while True:
+        eol = content.find(b"\r\n", pos)
+        if eol < 0:
+            raise HttpResponseError("http: unterminated header block")
+        line = content[pos:eol]
+        pos = eol + 2
+        if not line:
+            break
+        k, sep, v = line.partition(b":")
+        if not sep or not k:
+            raise HttpResponseError("http: malformed header line")
+        headers[k.lower()] = v.strip()
+    return status, headers, content[pos:]
+
+
+WARC_HTTP_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("status", IntegerType()),
+        StructField("n_headers", IntegerType()),
+        StructField("body_len", LongType()),
+        StructField("body_sum", LongType()),
+    ]
+)
+
+
+def decode_warc_http_stats_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Raw-crawl read path: gunzip -> WARC split -> HTTP response parse,
+    exact stats over the HTTP body bytes. One ``response`` record per
+    shard expected (the per-doc generator's contract). Zero-copy
+    ``mapInArrow``, same hot path as the other codecs."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def batches(it: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            st, nh, bl, bs = [], [], [], []
+            for p in payloads:
+                recs = parse_warc(b"".join(parse_gzip(bytes(p))))
+                (content,) = [c for t, _, c in recs if t == "response"]
+                status, headers, body = parse_http_response(content)
+                st.append(status)
+                nh.append(len(headers))
+                bl.append(len(body))
+                bs.append(sum(body))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(st, pa.int32()),
+                    pa.array(nh, pa.int32()),
+                    pa.array(bl, pa.int64()),
+                    pa.array(bs, pa.int64()),
+                ],
+                names=[f.name for f in WARC_HTTP_STATS_SCHEMA.fields],
+            )
+
+    return narrow.mapInArrow(batches, WARC_HTTP_STATS_SCHEMA)
+
+
 WET_RECORDS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -158,6 +158,7 @@ _GATE_PRIORITY = [
     "kanon_user_signatures",           # k-anonymity governance audit
     "emb_label_centroid_drift",        # embedding distribution-shift monitor
     "train_eval_leakage_pairs",        # eval-split decontamination audit
+    "mm_warc_http_response_stats",     # raw-crawl WARC/HTTP read path
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -2055,3 +2055,122 @@ def mm_warc_wet_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return decode_warc_gz_stats_arrow(docs)
+
+
+# --------------------------------------------- WARC/HTTP response stats
+#
+# The RAW-crawl companion to the WET path: Common Crawl's primary WARC
+# files carry `response` records whose content is the literal HTTP/1.x
+# message. Per doc: one response record (status class varies by
+# doc_id % 3, so the status-line length — and therefore every framing
+# length — does real per-class work) over the 80-byte a..z ramp body,
+# inside the stored-block gzip member with the JVM-crc32 handshake.
+# parse_http_response is additionally pinned against the REAL bytes GNU
+# Wget wrote in the embedded fixture (tests).
+
+_HTTP_BODY_LEN = 80
+_HTTP_CLASSES = {0: (200, "OK"), 1: (301, "Moved Permanently"),
+                 2: (404, "Not Found")}
+
+
+def _warc_http_fixture_parts() -> dict[int, dict[str, str]]:
+    import struct
+
+    out: dict[int, dict[str, str]] = {}
+    for cls, (code, reason) in _HTTP_CLASSES.items():
+        http_hdr = (
+            f"HTTP/1.1 {code} {reason}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {_HTTP_BODY_LEN}\r\n\r\n"
+        ).encode()
+        rec_pre = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + b"Content-Length: %d\r\n\r\n" % (len(http_hdr) + _HTTP_BODY_LEN)
+            + http_hdr
+        )
+        tail = b"\r\n\r\n"
+        member_len = len(rec_pre) + _HTTP_BODY_LEN + len(tail)
+        out[cls] = {
+            "pre": rec_pre.hex(),
+            "tail": tail.hex(),
+            "gz_pre": (
+                "1f8b08000000000000ff01"
+                + struct.pack("<HH", member_len, member_len ^ 0xFFFF).hex()
+            ),
+            "isize": struct.pack("<I", member_len).hex(),
+        }
+    return out
+
+
+_WARC_HTTP_PARTS = _warc_http_fixture_parts()
+
+
+@register(
+    "mm_warc_http_response_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+                ELSE 404 END AS INTEGER) AS status,
+           CAST(2 AS INTEGER) AS n_headers,
+           CAST({_HTTP_BODY_LEN} AS BIGINT) AS body_len,
+           CAST(list_sum(list_transform(range(0, {_HTTP_BODY_LEN}),
+                p -> 97 + ((doc_id % 64) + p) % 26)) AS BIGINT) AS body_sum
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "warc", "http", "gzip", "common-crawl",
+          "arrow-udf", "real-codec"),
+)
+def mm_warc_http_response_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAW Common Crawl read path under the value hash: per document
+    a genuine gzip shard holding one WARC ``response`` record whose
+    content is a literal HTTP/1.x message (status class by
+    ``doc_id % 3`` — the status-line length shifts every framing length
+    per class), decoded by ``parse_gzip`` -> ``parse_warc`` ->
+    ``parse_http_response`` inside zero-copy ``mapInArrow``; the oracle
+    rederives status, header count, and the exact byte sum of the HTTP
+    body from the generative formula. ``parse_http_response`` is ALSO
+    pinned against real GNU-Wget-written response records in tests —
+    this query gates the composed three-layer framing end to end.
+    Scale shape: identical to the WET query (id-only repartition before
+    synthesis; shard bytes never shuffle)."""
+    from ..operators.multimodal import decode_warc_http_stats_arrow
+
+    text_bin = (
+        f"encode(array_join(transform(sequence(0, {_HTTP_BODY_LEN - 1}), "
+        f"p -> char(97 + ((doc_id % 64) + p) % 26)), ''), 'utf-8')"
+    )
+    crc_le = (
+        "concat(substr(ch, 7, 2), substr(ch, 5, 2), "
+        "substr(ch, 3, 2), substr(ch, 1, 2))"
+    )
+
+    def pick(key: str) -> str:
+        p = _WARC_HTTP_PARTS
+        return (
+            f"CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '{p[0][key]}' "
+            f"WHEN 1 THEN '{p[1][key]}' ELSE '{p[2][key]}' END"
+        )
+
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                f"concat(unhex({pick('pre')}), {text_bin}, "
+                f"unhex({pick('tail')}))"
+            ).alias("member"),
+        )
+        .select(
+            "doc_id", "member",
+            F.expr("lpad(hex(crc32(member)), 8, '0')").alias("ch"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"concat(unhex({pick('gz_pre')}), member, "
+                f"unhex({crc_le}), unhex({pick('isize')}))"
+            ).alias("payload"),
+        )
+    )
+    return decode_warc_http_stats_arrow(docs)

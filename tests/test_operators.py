@@ -2425,6 +2425,48 @@ def test_warc_parses_real_wget_bytes():
         assert len(parse_warc(m)) == 1
 
 
+def test_http_response_parses_real_wget_payloads():
+    """parse_http_response pinned against REAL HTTP response messages —
+    the ones GNU Wget captured into the embedded WARC fixture. The
+    second page's body contains WARC-delimiter lookalikes; the HTTP
+    parse must return it byte-exact."""
+    import pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        HttpResponseError,
+        parse_gzip,
+        parse_http_response,
+        parse_warc,
+    )
+
+    recs = parse_warc(b"".join(parse_gzip(_REAL_WARC_WGET)), with_headers=True)
+    responses = [c for t, _, c, h in recs if t == "response"]
+    assert len(responses) == 2
+    status, hdrs, body = parse_http_response(responses[0])
+    assert status == 200
+    assert hdrs[b"content-type"].startswith(b"text/plain")
+    assert body == (
+        b"The quick brown fox jumps over the lazy dog.\n"
+        b"Second line of the first page.\n"
+    )
+    assert int(hdrs[b"content-length"]) == len(body)
+    status2, hdrs2, body2 = parse_http_response(responses[1])
+    assert status2 == 200
+    assert body2.startswith(b"WARC/1.0 lookalike content line\r\n")
+    assert int(hdrs2[b"content-length"]) == len(body2)
+    # reject-don't-misread
+    with pytest.raises(HttpResponseError, match="status line"):
+        parse_http_response(b"HTTP/1.1 200 OK")  # no CRLF
+    with pytest.raises(HttpResponseError, match="status line"):
+        parse_http_response(b"ICY 200 OK\r\n\r\n")
+    with pytest.raises(HttpResponseError, match="3 digits"):
+        parse_http_response(b"HTTP/1.1 20 OK\r\n\r\n")
+    with pytest.raises(HttpResponseError, match="header block"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nServer: x\r\n")
+    with pytest.raises(HttpResponseError, match="header line"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nbroken\r\n\r\n")
+
+
 def test_warc_poison_suite():
     import pytest
 

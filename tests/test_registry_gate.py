@@ -88,6 +88,13 @@ deferred_past_prefix: set[str] = {
     # split rule shared with corpus_train_test_split (externally green);
     # mirror-green at 3 SFs; queued in the declared r11 head.
     "train_eval_leakage_pairs",
+    # raw-crawl WARC/HTTP read path (NEW r10): the response-record
+    # companion to in-prefix sibling mm_warc_wet_ingest_stats (r10 head
+    # slot 21) — same stored-block gzip + WARC framing with a per-class
+    # HTTP layer on top; parse_http_response pinned against real
+    # GNU-Wget-captured messages; mirror-green at 3 SFs; queued in the
+    # declared r11 head.
+    "mm_warc_http_response_stats",
 }
 
 

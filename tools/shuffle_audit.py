@@ -345,6 +345,7 @@ COVERED_BY = {
     "kanon_user_signatures": ("scd2_user_value_bands", "per-(user, type) partials combine map-side; one user-grain exchange assembles signatures; the rollup is bounded by the signature domain"),
     "emb_label_centroid_drift": ("tpch_q1_pricing_summary", "one posexplode pass to (label, dim)/(dim) integer partials (map-side combined, bounded by |labels| x 64); global centroid broadcasts 64 rows; vectors never shuffle"),
     "train_eval_leakage_pairs": ("dedup_minhash_lsh", "same banded candidate join of 16 B signature keys, filtered to the cross-split direction; exact arm is the dedup_exact hash exchange; text never moves"),
+    "mm_warc_http_response_stats": ("mm_warc_wet_ingest_stats", "same zero-shuffle shard-decode scan stage with the HTTP layer parsed in-task"),
 }
 
 
