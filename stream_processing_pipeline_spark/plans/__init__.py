@@ -125,8 +125,15 @@ _GATE_PRIORITY = [
     # -- slots 51+: work that must NOT displace the rotation above.
     #    First the 22 r5-vintage deferrals (oldest evidence in the
     #    registry after the r10 gate; they open the r11 head, r05 slot
-    #    order), then any queries NEW in round 10 (mirror-green at 3 SFs,
+    #    order), then the queries NEW in round 10 (mirror-green at 3 SFs,
     #    no external row until r11 by the zero-slack rotation).
+    #    DECLARED r11 HEAD: the 22 r5 deferrals below, then the 8
+    #    r10-new queries in list order (22 + 8 = 30 slots), then 20 of
+    #    the 44 r6-vintage queries oldest-evidence-first
+    #    (CORRECTNESS_r06.json slot order, starting
+    #    dedup_exact_substring_pairs, ks_doclen_source_drift, ...) —
+    #    30 + 20 = exactly 50; the 24 r6 rows that do not fit defer to
+    #    the r12 head by the same rule.
     "tpch_q3_shipping_priority",
     "revenue_by_nation",
     "top_events_per_user",
