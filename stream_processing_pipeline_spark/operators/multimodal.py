@@ -2528,6 +2528,60 @@ def parse_warc(
     return out
 
 
+TGZ_INDEX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_members", IntegerType()),
+        StructField("txt_bytes", LongType()),
+        StructField("cls_bytes", LongType()),
+        StructField("archive_bytes", LongType()),
+        StructField("gz_bytes", LongType()),
+    ]
+)
+
+
+def index_tgz_members_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """WebDataset ``.tar.gz`` shard indexing: gunzip (:func:`parse_gzip`,
+    CRC32 + ISIZE verified) then walk the inner ustar archive
+    (:func:`parse_tar`, per-header checksums verified) — the composed
+    two-layer read a compressed-shard loader performs. One scan stage,
+    zero shuffle of shard bytes."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def batches(it: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            nm, tb, cb, ab, gb = [], [], [], [], []
+            for p in payloads:
+                raw = bytes(p)
+                (archive,) = parse_gzip(raw)
+                members = parse_tar(archive)
+                sizes = {name.rsplit(".", 1)[-1]: size for name, size, _ in members}
+                nm.append(len(members))
+                tb.append(sizes.get("txt"))
+                cb.append(sizes.get("cls"))
+                ab.append(len(archive))
+                gb.append(len(raw))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(nm, pa.int32()),
+                    pa.array(tb, pa.int64()),
+                    pa.array(cb, pa.int64()),
+                    pa.array(ab, pa.int64()),
+                    pa.array(gb, pa.int64()),
+                ],
+                names=[f.name for f in TGZ_INDEX_SCHEMA.fields],
+            )
+
+    return narrow.mapInArrow(batches, TGZ_INDEX_SCHEMA)
+
+
 class HttpResponseError(ValueError):
     """Malformed HTTP/1.x response payload inside a WARC ``response``
     record (bad status line, malformed header, truncated header block)."""

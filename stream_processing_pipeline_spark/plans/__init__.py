@@ -127,12 +127,12 @@ _GATE_PRIORITY = [
     #    registry after the r10 gate; they open the r11 head, r05 slot
     #    order), then the queries NEW in round 10 (mirror-green at 3 SFs,
     #    no external row until r11 by the zero-slack rotation).
-    #    DECLARED r11 HEAD: the 22 r5 deferrals below, then the 8
-    #    r10-new queries in list order (22 + 8 = 30 slots), then 20 of
+    #    DECLARED r11 HEAD: the 22 r5 deferrals below, then the 10
+    #    r10-new queries in list order (22 + 10 = 32 slots), then 18 of
     #    the 44 r6-vintage queries oldest-evidence-first
     #    (CORRECTNESS_r06.json slot order, starting
     #    dedup_exact_substring_pairs, ks_doclen_source_drift, ...) —
-    #    30 + 20 = exactly 50; the 24 r6 rows that do not fit defer to
+    #    32 + 18 = exactly 50; the 26 r6 rows that do not fit defer to
     #    the r12 head by the same rule.
     "tpch_q3_shipping_priority",
     "revenue_by_nation",
@@ -166,6 +166,8 @@ _GATE_PRIORITY = [
     "emb_label_centroid_drift",        # embedding distribution-shift monitor
     "train_eval_leakage_pairs",        # eval-split decontamination audit
     "mm_warc_http_response_stats",     # raw-crawl WARC/HTTP read path
+    "mm_webdataset_tgz_index",         # compressed .tar.gz shard read
+    "source_bigram_entropy",           # corpus-diversity dashboard
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -2174,3 +2174,82 @@ def mm_warc_http_response_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return decode_warc_http_stats_arrow(docs)
+
+
+# ------------------------------------------- WebDataset .tar.gz shards
+#
+# The COMPRESSED WebDataset layout (shard-00000.tar.gz): the in-plan
+# ustar archive of mm_tar_member_index wrapped in a stored-block gzip
+# member whose CRC32 rides the JVM<->zlib handshake and whose LEN fields
+# are little-endian in-plan hex folds. parse_gzip verifies the wrapper,
+# parse_tar verifies every inner header checksum — the composed
+# two-layer read a compressed-shard loader performs.
+
+
+def _le_hex(expr: str, digits: int) -> str:
+    """Little-endian hex of an integer SQL expression, `digits` nibbles."""
+    h = f"lpad(hex({expr}), {digits}, '0')"
+    pairs = ", ".join(
+        f"substr({h}, {i}, 2)" for i in range(digits - 1, 0, -2)
+    )
+    return f"concat({pairs})"
+
+
+@register(
+    "mm_webdataset_tgz_index",
+    oracle="""
+    SELECT doc_id, CAST(2 AS INTEGER) AS n_members,
+           CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
+           CAST(octet_length(encode(lang)) AS BIGINT) AS cls_bytes,
+           CAST(1024
+                + 512 * ((octet_length(encode(text)) + 511) // 512)
+                + 512 * ((octet_length(encode(lang)) + 511) // 512)
+                + 1024 AS BIGINT) AS archive_bytes,
+           CAST(1024
+                + 512 * ((octet_length(encode(text)) + 511) // 512)
+                + 512 * ((octet_length(encode(lang)) + 511) // 512)
+                + 1024 + 23 AS BIGINT) AS gz_bytes
+    FROM documents
+    """,
+    tags=("multimodal", "webdataset", "tar", "gzip", "shard-packing",
+          "arrow-udf", "real-codec"),
+)
+def mm_webdataset_tgz_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END verified COMPRESSED WebDataset shard indexing: the real
+    per-doc ustar archive (header checksums folded in-plan) wrapped in a
+    genuine gzip member (stored-mode deflate — LEN/NLEN, CRC32 and ISIZE
+    all computed by JVM expressions, CRC via the crc32() <-> zlib
+    handshake), decoded by ``parse_gzip`` -> ``parse_tar`` inside
+    zero-copy ``mapInArrow``. The oracle rederives every size in closed
+    form from the member texts (gzip wrapper adds exactly 23 bytes:
+    10-byte header + 5-byte stored-block framing + 8-byte trailer). This
+    is the .tar.gz shard read a multimodal training loader performs at
+    100 TB; both layers' integrity checks make a framing bug a hard
+    error, never a silent misread. Scale shape: the content columns move
+    once in the parallelism repartition (they are the payload); decode
+    never shuffles."""
+    from ..operators.multimodal import index_tgz_members_arrow
+
+    docs = (
+        catalog(spark, sf_dir).documents.select("doc_id", "text", "lang")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _tar_payload_col().alias("member"))
+        .select(
+            "doc_id", "member",
+            F.length("member").alias("mlen"),
+            F.expr("lpad(hex(crc32(member)), 8, '0')").alias("ch"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "concat(unhex('1f8b08000000000000ff01'), "
+                f"unhex({_le_hex('mlen', 4)}), "
+                f"unhex({_le_hex('65535 - mlen', 4)}), "
+                "member, "
+                "unhex(concat(substr(ch, 7, 2), substr(ch, 5, 2), "
+                "substr(ch, 3, 2), substr(ch, 1, 2))), "
+                f"unhex({_le_hex('mlen', 8)}))"
+            ).alias("payload"),
+        )
+    )
+    return index_tgz_members_arrow(docs)

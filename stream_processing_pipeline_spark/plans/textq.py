@@ -2363,3 +2363,78 @@ def train_eval_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         near.select("test_id", "train_id", F.lit("near").alias("leak_type"))
     )
+
+
+@register(
+    "source_bigram_entropy",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, {T.tokens_sql(T.normalize_text_sql('text'))} AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT source, unnest({_BM25_BIGRAM_SQL}) AS b
+      FROM base WHERE len(t) >= 2
+    ),
+    cnt AS (
+      SELECT source, b, CAST(count(*) AS BIGINT) AS c
+      FROM bg GROUP BY source, b
+    ),
+    tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source
+    )
+    SELECT cnt.source,
+           tot.n AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS distinct_bigrams,
+           CAST((1000 * sum(cnt.c * (length(bin(tot.n))
+                                     - length(bin(cnt.c))))) // tot.n
+                AS BIGINT) AS entropy_millibits
+    FROM cnt JOIN tot ON tot.source = cnt.source
+    GROUP BY cnt.source, tot.n
+    """,
+    tags=("text", "llm-pipeline", "diversity", "entropy",
+          "exact-arithmetic"),
+)
+def source_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity dashboard — the per-source Shannon entropy of the
+    bigram distribution, the signal curation pipelines use to catch a
+    source collapsing into boilerplate (entropy drops) or drifting into
+    noise (entropy tops out): ``H = sum(c/N * -log2(c/N))`` evaluated at
+    FLOOR-LOG2 resolution, ``-log2(c/N) ~ bits(N) - bits(c)`` (the repo's
+    libm-free integer surrogate, same monotone class as the surprisal
+    filter), reported in millibits via one integer division per source.
+    Distinct-bigram count rides along as the raw richness measure.
+
+    Shape: one tokenize pass to (source, bigram) count partials after
+    map-side combine; per-source totals join at the bounded source
+    domain; nothing at document grain survives the first exchange."""
+    docs = catalog(spark, sf_dir).documents
+    base = docs.select(
+        "source", T.tokens(T.normalize_text("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = base.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+            )
+        ).alias("b"),
+    )
+    cnt = bg.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_bigrams"),
+            F.expr(
+                "CAST((1000 * sum(c * (length(bin(n)) - length(bin(c)))))"
+                " div n AS BIGINT)"
+            ).alias("entropy_millibits"),
+        )
+        .select(
+            "source", F.col("n").alias("n_bigrams"), "distinct_bigrams",
+            "entropy_millibits",
+        )
+    )

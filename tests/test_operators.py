@@ -2425,6 +2425,59 @@ def test_warc_parses_real_wget_bytes():
         assert len(parse_warc(m)) == 1
 
 
+def test_tgz_plan_generator_opens_with_stdlib_tarfile(spark):
+    """The .tar.gz generator's bytes must be a REAL compressed shard by
+    the authoritative readers' standards: stdlib tarfile in 'r:gz' mode
+    (gzip + ustar layers both) lists exactly the two members with the
+    right names, sizes, and payloads."""
+    import io
+    import tarfile
+
+    from stream_processing_pipeline_spark.plans import REGISTRY
+    from stream_processing_pipeline_spark.plans.common import catalog
+    from stream_processing_pipeline_spark.plans import multimodalq as MQ
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs = (
+        catalog(spark, sf).documents.select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+        .limit(8)
+    )
+    payloads = (
+        docs.select("doc_id", MQ._tar_payload_col().alias("member"))
+        .select(
+            "doc_id", "member",
+            F.length("member").alias("mlen"),
+            F.expr("lpad(hex(crc32(member)), 8, '0')").alias("ch"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "concat(unhex('1f8b08000000000000ff01'), "
+                f"unhex({MQ._le_hex('mlen', 4)}), "
+                f"unhex({MQ._le_hex('65535 - mlen', 4)}), "
+                "member, "
+                "unhex(concat(substr(ch, 7, 2), substr(ch, 5, 2), "
+                "substr(ch, 3, 2), substr(ch, 1, 2))), "
+                f"unhex({MQ._le_hex('mlen', 8)}))"
+            ).alias("payload"),
+        )
+        .collect()
+    )
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert len(payloads) == 8
+    for r in payloads:
+        with tarfile.open(fileobj=io.BytesIO(bytes(r.payload)), mode="r:gz") as t:
+            members = t.getmembers()
+            assert [m.name for m in members] == [
+                f"{r.doc_id}.txt", f"{r.doc_id}.cls"
+            ]
+            src = rows[r.doc_id]
+            assert t.extractfile(members[0]).read() == src.text.encode()
+            assert t.extractfile(members[1]).read() == src.lang.encode()
+
+
 def test_http_response_parses_real_wget_payloads():
     """parse_http_response pinned against REAL HTTP response messages —
     the ones GNU Wget captured into the embedded WARC fixture. The

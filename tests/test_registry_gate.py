@@ -95,6 +95,21 @@ deferred_past_prefix: set[str] = {
     # GNU-Wget-captured messages; mirror-green at 3 SFs; queued in the
     # declared r11 head.
     "mm_warc_http_response_stats",
+    # compressed WebDataset shard read (NEW r10): the .tar.gz
+    # composition of in-prefix-family siblings mm_tar_member_index (r6
+    # external row; same in-plan ustar generator + walker) and
+    # mm_gzip_decode_stats (r10 head slot 19; same stored-block gzip
+    # wrapper + crc handshake); additionally opened end-to-end by stdlib
+    # tarfile in 'r:gz' mode in tests; mirror-green at 3 SFs; queued in
+    # the declared r11 head.
+    "mm_webdataset_tgz_index",
+    # corpus-diversity dashboard (NEW r10): per-source bigram Shannon
+    # entropy at floor-log2 resolution — the (source, term) partial
+    # shape of in-prefix sibling source_token_divergence (r10 head slot
+    # 6) with the surprisal family's integer log surrogate
+    # (text_unigram_surprisal, externally green); mirror-green at 3 SFs;
+    # queued in the declared r11 head.
+    "source_bigram_entropy",
 }
 
 

@@ -346,6 +346,8 @@ COVERED_BY = {
     "emb_label_centroid_drift": ("tpch_q1_pricing_summary", "one posexplode pass to (label, dim)/(dim) integer partials (map-side combined, bounded by |labels| x 64); global centroid broadcasts 64 rows; vectors never shuffle"),
     "train_eval_leakage_pairs": ("dedup_minhash_lsh", "same banded candidate join of 16 B signature keys, filtered to the cross-split direction; exact arm is the dedup_exact hash exchange; text never moves"),
     "mm_warc_http_response_stats": ("mm_warc_wet_ingest_stats", "same zero-shuffle shard-decode scan stage with the HTTP layer parsed in-task"),
+    "mm_webdataset_tgz_index": ("mm_tar_member_index", "same one-time content repartition; the gzip wrapper decodes in the same scan stage, nothing new shuffles"),
+    "source_bigram_entropy": ("source_token_divergence", "same (source, term-grain) partials after map-side combine; per-source totals join at the bounded source domain"),
 }
 
 
