@@ -37,103 +37,36 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # each round records exactly the first 50 registrations, so the gate
 # effectively checks a prefix. Registration order is therefore part of the
 # verification contract: queries whose driver-side evidence is newest-needed
-# come first. Round-10 ordering (VERDICT.md r9 "Next round" #1, executing
-# the r9-declared head to the slot):
-#   1. the 8 r4-vintage deferrals from the zero-slack r9 rotation
-#      (value_winsorized_stats .. hist_quantile_calibration), verbatim in
-#      their declared order — the oldest external evidence left in the
-#      registry. 8 slots.
-#   2. the 16 queries NEW in round 9, in their declared
-#      plans/__init__.py slots-51+ order (mirror-green at 3 SFs all
-#      round, no external row yet by the zero-slack rotation). 16 slots.
-#   3. 26 of the 48 oracle-bearing queries whose newest external row is
-#      r5-vintage, oldest evidence first (CORRECTNESS_r05.json slot
-#      order within the equal-vintage set): kmv_distinct_users_daily
-#      through tpch_q1_pricing_summary. 8 + 16 + 26 = EXACTLY 50, zero
-#      slack. The 22 r5-vintage queries that do not fit
+# come first. Round-11 ordering (VERDICT.md r10 "Next round" #1, executing
+# the r10-declared head to the slot):
+#   1. the 22 r5-vintage deferrals from the zero-slack r10 rotation
 #      (tpch_q3_shipping_priority .. grouping_sets_revenue, r05 slot
-#      order) are deferred to slots 51+ and form the FIRST entries of
-#      the r11 gate head; every one keeps its r5 driver row and stays
-#      mirror-verified at 3 SFs per commit. After the r10 gate, every
-#      registered query's newest external row is r5+ with r5 itself down
-#      to those 22 documented deferrals (plus the two never-gated
-#      no_oracle sketches and any query first registered in r10).
+#      order), verbatim in their declared order — the oldest external
+#      evidence left in the registry. 22 slots.
+#   2. the 10 queries NEW in round 10, in their declared
+#      plans/__init__.py slots-51+ order (mirror-green at 3 SFs all of
+#      r10, no external row yet by the zero-slack rotation). 10 slots.
+#   3. 18 of the 44 oracle-bearing queries whose newest external row is
+#      r6-vintage, oldest evidence first (CORRECTNESS_r06.json slot
+#      order within the equal-vintage set): dedup_exact_substring_pairs
+#      through stream_scd2_temporal_join. 22 + 10 + 18 = EXACTLY 50,
+#      zero slack. The 26 r6-vintage queries that do not fit
+#      (emb_jl_distance_fidelity .. text_lang_id, r06 slot order) are
+#      deferred to slots 51+ and form the FIRST entries of the r12 gate
+#      head; every one keeps its r6 driver row and stays mirror-verified
+#      at 3 SFs per commit. After the r11 gate, every registered query's
+#      newest external row is r6+ with r6 itself down to those 26
+#      documented deferrals (plus any query first registered in r11).
 # Count the prefix with
 #   python -c "from stream_processing_pipeline_spark.plans import
 #              REGISTRY; print(list(REGISTRY)[:50])"
 # rather than trusting arithmetic in this comment.
-# NOTE: hll_sketch_rollup / approx_distinct_users are deliberately OUT of
-# the prefix -- they are rows-only by design (no_oracle) and can never
-# produce a green hash row; spending gate slots on them is waste.
+# NOTE: hll_sketch_rollup / approx_distinct_users gained register-exact
+# DuckDB oracles in round 11 (VERDICT r10 #2) and are queued for their
+# first hash-verifiable external rows in the r12 head.
 _GATE_PRIORITY = [
-    # -- slots 1-8: the r4-vintage deferrals (r9 zero-slack overflow),
-    #    declared r10-head-first in r9; oldest evidence in the registry
-    "value_winsorized_stats",
-    "revenue_cusum",
-    "strict_funnel_conversion",
-    "orders_reorder_interval",
-    "mixture_temperature_weights",
-    "source_token_divergence",
-    "text_tfidf_top_terms",
-    "hist_quantile_calibration",
-    # -- slots 9-24: the 16 queries NEW in round 9, declared order
-    "mm_gif_dict_decode_stats",        # dictionary-path LZW value hash
-    "seq_count_error_purchase_bursts",  # sequence_count consumer
-    "stream_corpus_ingest_two_phase",  # cross-batch near-dup admission
-    "lm_bigram_perplexity_filter",     # cross-corpus bigram LM filter
-    "sim_topk_ivfpq_rerank",           # two-stage IVFADC + exact rerank
-    "corpus_remove_dup_spans",         # span dedup as a transform
-    "mm_zip_decode_stats",             # seventh real format: ZIP/DEFLATE
-    "mm_zip_corrupt_quarantine",       # ZIP error-path value-hash gate
-    "revenue_attribution_ushaped",     # integer multi-touch attribution
-    "sim_recall_ivfpq_rerank_at_k",    # what the rerank buys, audited
-    "mm_gzip_decode_stats",            # eighth real format: gzip/RFC1952
-    "mm_gzip_corrupt_quarantine",      # gzip error-path value-hash gate
-    "mm_warc_wet_ingest_stats",        # Common Crawl read path end-to-end
-    "session_paths_topk",              # gap-sessionized top paths
-    "stream_wet_corpus_ingest",        # WET shards -> deduped corpus
-    "cohort_ltv_curves",               # per-cohort cumulative LTV
-    # -- slots 25-50: the r5-vintage evidence backlog, oldest first
-    #    (CORRECTNESS_r05.json slot order; 26 of 48 — the remaining 22
-    #    are the slots-51+ deferrals documented above)
-    "kmv_distinct_users_daily",
-    "kmv_set_algebra",
-    "sql_lateral_top_orders",
-    "text_rarity_score",
-    "text_chunks_overlapping",
-    "funnel_time_to_convert",
-    "monthly_revenue_trend",
-    "brand_share_drift",
-    "source_curation_report",
-    "user_rfm_segments",
-    "sql_pipe_heavy_purchasers",
-    "props_variant_topk",
-    "dedup_cdc_chunk_pairs",
-    "sim_recall_int8_at_k",
-    "vocab_growth_by_shard",
-    "zorder_layout_audit",
-    "bpe_encode_fertility",
-    "daily_counts_autocorr",
-    "emb_matryoshka_fidelity",
-    "q1_typed_events",
-    "q2_abnormal_minutes",
-    "q3_value_discrepancy",
-    "q4_avg_value_per_hour",
-    "q5_event_counts_per_hour",
-    "q6_counts_by_segment",
-    "tpch_q1_pricing_summary",
-    # -- slots 51+: work that must NOT displace the rotation above.
-    #    First the 22 r5-vintage deferrals (oldest evidence in the
-    #    registry after the r10 gate; they open the r11 head, r05 slot
-    #    order), then the queries NEW in round 10 (mirror-green at 3 SFs,
-    #    no external row until r11 by the zero-slack rotation).
-    #    DECLARED r11 HEAD: the 22 r5 deferrals below, then the 10
-    #    r10-new queries in list order (22 + 10 = 32 slots), then 18 of
-    #    the 44 r6-vintage queries oldest-evidence-first
-    #    (CORRECTNESS_r06.json slot order, starting
-    #    dedup_exact_substring_pairs, ks_doclen_source_drift, ...) —
-    #    32 + 18 = exactly 50; the 26 r6 rows that do not fit defer to
-    #    the r12 head by the same rule.
+    # -- slots 1-22: the r5-vintage deferrals (r10 zero-slack overflow),
+    #    declared r11-head-first in r10; oldest evidence in the registry
     "tpch_q3_shipping_priority",
     "revenue_by_nation",
     "top_events_per_user",
@@ -156,8 +89,7 @@ _GATE_PRIORITY = [
     "string_functions_showcase",
     "datetime_functions_showcase",
     "grouping_sets_revenue",
-    # -- NEW in round 10 (mirror-green at 3 SFs; the r11 head continues
-    #    here after the 22 r5 deferrals above)
+    # -- slots 23-32: the 10 queries NEW in round 10, declared order
     "mm_zlib_decode_stats",            # ninth real format: zlib/RFC 1950
     "mm_zlib_corrupt_quarantine",      # zlib error-path value-hash gate
     "stream_corpus_ingest_inbatch",    # in-batch near-dup admission gate
@@ -168,6 +100,61 @@ _GATE_PRIORITY = [
     "mm_warc_http_response_stats",     # raw-crawl WARC/HTTP read path
     "mm_webdataset_tgz_index",         # compressed .tar.gz shard read
     "source_bigram_entropy",           # corpus-diversity dashboard
+    # -- slots 33-50: the r6-vintage evidence backlog, oldest first
+    #    (CORRECTNESS_r06.json slot order; 18 of 44 — the remaining 26
+    #    are the slots-51+ deferrals documented above)
+    "dedup_exact_substring_pairs",
+    "ks_doclen_source_drift",
+    "chisq_type_hour_independence",
+    "stream_ivm_retract_deltas",
+    "markov_removal_attribution",
+    "dq_benford_first_digit",
+    "daily_revenue_trailing_range",
+    "order_gap_survival",
+    "revenue_theil_sen",
+    "user_event_trigrams",
+    "pareto_frontier_parts",
+    "hilbert_layout_audit",
+    "ivm_retractable_rollup",
+    "table_stats_profile",
+    "bitmap_user_type_index",
+    "range_partition_plan",
+    "token_zipf_curve",
+    "stream_scd2_temporal_join",
+    # -- slots 51+: work that must NOT displace the rotation above.
+    #    The 26 r6-vintage deferrals (oldest evidence in the registry
+    #    after the r11 gate; they open the r12 head, r06 slot order).
+    #    DECLARED r12 HEAD: the 26 r6 deferrals below, then the two
+    #    sketch queries newly oracle-fied in r11 (approx_distinct_users,
+    #    hll_sketch_rollup — first hash rows ever), then any queries NEW
+    #    in round 11 in their declared order, then the oldest r7-vintage
+    #    rows to fill 50.
+    "emb_jl_distance_fidelity",
+    "kcore_part_affinity",
+    "stream_rate_limited_users",
+    "text_unigram_surprisal",
+    "sql_groupby_all_daily_mix",
+    "sim_ivf_cell_balance",
+    "lsh_cap_recall_audit",
+    "mm_ppm_decode_stats",
+    "dedup_minhash_lsh_capped",
+    "llm_corpus_stage_report",
+    "part_affinity_triangles",
+    "metric_bootstrap_ci",
+    "value_rank_family",
+    "sliding_window_counts",
+    "session_windows",
+    "stream_user_stats",
+    "dedup_exact",
+    "dedup_minhash_bands",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "text_token_stats",
+    "text_lang_id",
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -25,92 +25,16 @@ def test_gate_priority_is_registry_prefix():
 
 
 #: Queries registered past the current gate prefix without a prior driver
-#: row (each entry must name its verified in-prefix sibling). Round 10's
-#: prefix is the r9-declared head executed to the slot: the 8 r4-vintage
-#: deferrals, the 16 queries NEW in round 9, then 26 of the 48 r5-vintage
-#: backlog queries in CORRECTNESS_r05 slot order — exactly 50, zero
-#: slack. The 22 r5-vintage queries that did not fit
-#: (tpch_q3_shipping_priority .. grouping_sets_revenue) all keep their r5
-#: driver rows, so the data-driven check below covers them; queries NEW
-#: in round 10 must either take a head slot (they can't — the rotation is
+#: row (each entry must name its verified in-prefix sibling). Round 11's
+#: prefix is the r10-declared head executed to the slot: the 22 r5-vintage
+#: deferrals, the 10 queries NEW in round 10, then 18 of the 44 r6-vintage
+#: backlog queries in CORRECTNESS_r06 slot order — exactly 50, zero
+#: slack. The 26 r6-vintage queries that did not fit
+#: (emb_jl_distance_fidelity .. text_lang_id) all keep their r6 driver
+#: rows, so the data-driven check below covers them; queries NEW in
+#: round 11 must either take a head slot (they can't — the rotation is
 #: zero-slack) or be listed here with their in-prefix sibling named.
-deferred_past_prefix: set[str] = {
-    # ninth real format (NEW r10): RFC 1950 zlib with the Adler-32
-    # trailer computed IN THE PLAN as an integer fold; pinned
-    # byte-identical against the C zlib library on 150 real files x 4
-    # levels; in-prefix siblings mm_gzip_decode_stats (r10 head slot 19)
-    # and mm_zip_decode_stats (slot 15) share the generator/mapInArrow
-    # pattern and the bounded-inflate posture; mirror-green at 3 SFs;
-    # queued in the declared r11 head (plans/__init__.py slots-51+).
-    "mm_zlib_decode_stats",
-    # zlib error-path quarantine (NEW r10): typed classes from birth;
-    # in-prefix siblings mm_gzip_corrupt_quarantine (r10 head slot 20)
-    # and mm_zip_corrupt_quarantine (slot 16); mirror-green at 3 SFs;
-    # queued in the declared r11 head.
-    "mm_zlib_corrupt_quarantine",
-    # in-batch near-dup admission gate (NEW r10, VERDICT r9 #6): the
-    # production ingest body with inbatch_neardup=True over one
-    # micro-batch; in-prefix siblings stream_corpus_ingest_two_phase
-    # (r10 head slot 11) and stream_corpus_ingest (externally hash-green
-    # r9) drive the same foreachBatch body; the self-probe greedy is
-    # additionally unit-pinned with planted same-batch near-dups;
-    # organic rejections at every SF (13/9/90); mirror-green at 3 SFs;
-    # queued in the declared r11 head.
-    "stream_corpus_ingest_inbatch",
-    # integer BM25 phrase retrieval (NEW r10): bigram-grain inverted
-    # index (the corpus' unigram df is saturated, so phrases carry the
-    # idf signal); the floor-log2 idf and single-integer-division
-    # saturation term reuse the surprisal/LM idiom of in-prefix siblings
-    # text_tfidf_top_terms (r10 head slot 7) and
-    # lm_bigram_perplexity_filter (slot 12); mirror-green at 3 SFs;
-    # queued in the declared r11 head.
-    "bm25_topk_docs",
-    # k-anonymity governance audit (NEW r10): per-(user, type) count
-    # partials into ONE user-grain signature assembly, then a
-    # bounded-signature-domain rollup — the exchange shape of in-prefix
-    # siblings user_event_type_signature (r10 head backlog slot, r5
-    # external row) and user_rfm_segments (slot 34, bounded-domain
-    # rollup); the log2 frequency class reuses the text_oov_stats idiom
-    # (externally green); mirror-green at 3 SFs; queued in the declared
-    # r11 head.
-    "kanon_user_signatures",
-    # embedding distribution-shift monitor (NEW r10): the per-dim
-    # integer-sum reduce of in-prefix sibling sim_label_centroid_norms
-    # (r10 head backlog, r5 external row) plus a 64-row broadcast global
-    # centroid; exact integer division verified portable for negatives;
-    # mirror-green at 3 SFs; queued in the declared r11 head.
-    "emb_label_centroid_drift",
-    # eval-split decontamination audit (NEW r10): the banded cross-split
-    # leakage probe — exact arm is dedup_exact's hash exchange
-    # (externally green), near arm is the band-collision + agreement
-    # verify of in-prefix siblings stream_corpus_ingest_two_phase (r10
-    # head slot 11) and minhash_jaccard_calibration (slot 47 backlog);
-    # split rule shared with corpus_train_test_split (externally green);
-    # mirror-green at 3 SFs; queued in the declared r11 head.
-    "train_eval_leakage_pairs",
-    # raw-crawl WARC/HTTP read path (NEW r10): the response-record
-    # companion to in-prefix sibling mm_warc_wet_ingest_stats (r10 head
-    # slot 21) — same stored-block gzip + WARC framing with a per-class
-    # HTTP layer on top; parse_http_response pinned against real
-    # GNU-Wget-captured messages; mirror-green at 3 SFs; queued in the
-    # declared r11 head.
-    "mm_warc_http_response_stats",
-    # compressed WebDataset shard read (NEW r10): the .tar.gz
-    # composition of in-prefix-family siblings mm_tar_member_index (r6
-    # external row; same in-plan ustar generator + walker) and
-    # mm_gzip_decode_stats (r10 head slot 19; same stored-block gzip
-    # wrapper + crc handshake); additionally opened end-to-end by stdlib
-    # tarfile in 'r:gz' mode in tests; mirror-green at 3 SFs; queued in
-    # the declared r11 head.
-    "mm_webdataset_tgz_index",
-    # corpus-diversity dashboard (NEW r10): per-source bigram Shannon
-    # entropy at floor-log2 resolution — the (source, term) partial
-    # shape of in-prefix sibling source_token_divergence (r10 head slot
-    # 6) with the surprisal family's integer log surrogate
-    # (text_unigram_surprisal, externally green); mirror-green at 3 SFs;
-    # queued in the declared r11 head.
-    "source_bigram_entropy",
-}
+deferred_past_prefix: set[str] = set()
 
 
 def test_queries_past_gate_prefix_have_prior_driver_rows():
