@@ -2561,7 +2561,22 @@ def index_tgz_members_arrow(
                 raw = bytes(p)
                 (archive,) = parse_gzip(raw)
                 members = parse_tar(archive)
-                sizes = {name.rsplit(".", 1)[-1]: size for name, size, _ in members}
+                # WebDataset contract: one member PER EXTENSION per sample
+                # (".txt", ".cls", ...; the extension is the modality key).
+                # A duplicate key would silently shadow an earlier member's
+                # size, so reject the shard instead (ADVICE r10). A name
+                # with no dot keys by its full name — also unique-checked.
+                sizes: dict[str, int] = {}
+                for name, size, _ in members:
+                    key = name.rsplit(".", 1)[-1]
+                    if key in sizes:
+                        raise ValueError(
+                            f"webdataset shard has {len(members)} members "
+                            f"with duplicate extension key {key!r} "
+                            f"(member {name!r}); one member per extension "
+                            "per sample is the WebDataset contract"
+                        )
+                    sizes[key] = size
                 nm.append(len(members))
                 tb.append(sizes.get("txt"))
                 cb.append(sizes.get("cls"))
@@ -2655,8 +2670,17 @@ def decode_warc_http_stats_arrow(
             st, nh, bl, bs = [], [], [], []
             for p in payloads:
                 recs = parse_warc(b"".join(parse_gzip(bytes(p))))
-                (content,) = [c for t, _, c in recs if t == "response"]
-                status, headers, body = parse_http_response(content)
+                responses = [c for t, _, c in recs if t == "response"]
+                # Typed, count-bearing rejection instead of a bare tuple-
+                # unpack ValueError (ADVICE r10): the per-doc generator's
+                # contract is exactly one response record per shard.
+                if len(responses) != 1:
+                    raise HttpResponseError(
+                        f"warc/http: expected exactly 1 response record "
+                        f"per shard, found {len(responses)} among "
+                        f"{len(recs)} records"
+                    )
+                status, headers, body = parse_http_response(responses[0])
                 st.append(status)
                 nh.append(len(headers))
                 bl.append(len(body))

@@ -2195,6 +2195,43 @@ def _le_hex(expr: str, digits: int) -> str:
     return f"concat({pairs})"
 
 
+def _stored_gzip_wrap(df: DataFrame) -> DataFrame:
+    """Wrap a ``(doc_id, member: binary)`` frame in a genuine one-block
+    stored-mode gzip member (RFC 1952 header + 01/LEN/NLEN framing + CRC32
+    and ISIZE trailers, all JVM expressions). Stored-mode frames ONE block
+    whose LEN field is 16 bits, so members over 65535 bytes are rejected
+    with an explanatory in-plan ``raise_error`` — without the guard the
+    ``_le_hex`` lpad would silently truncate the hex (and ``65535 - mlen``
+    would go negative), surfacing as an opaque NLEN/inflate error deep in
+    ``parse_gzip`` (ADVICE r10)."""
+    return (
+        df.select(
+            "doc_id", "member",
+            F.expr(
+                "CASE WHEN length(member) <= 65535 THEN length(member) "
+                "ELSE raise_error(concat('webdataset tgz generator: "
+                "stored-mode deflate caps one block at 65535 bytes; doc "
+                "archive is ', CAST(length(member) AS STRING), ' bytes — "
+                "use multi-block or dynamic deflate for bigger shards')) "
+                "END"
+            ).alias("mlen"),
+            F.expr("lpad(hex(crc32(member)), 8, '0')").alias("ch"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "concat(unhex('1f8b08000000000000ff01'), "
+                f"unhex({_le_hex('mlen', 4)}), "
+                f"unhex({_le_hex('65535 - mlen', 4)}), "
+                "member, "
+                "unhex(concat(substr(ch, 7, 2), substr(ch, 5, 2), "
+                "substr(ch, 3, 2), substr(ch, 1, 2))), "
+                f"unhex({_le_hex('mlen', 8)}))"
+            ).alias("payload"),
+        )
+    )
+
+
 @register(
     "mm_webdataset_tgz_index",
     oracle="""
@@ -2230,26 +2267,9 @@ def mm_webdataset_tgz_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles."""
     from ..operators.multimodal import index_tgz_members_arrow
 
-    docs = (
+    docs = _stored_gzip_wrap(
         catalog(spark, sf_dir).documents.select("doc_id", "text", "lang")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", _tar_payload_col().alias("member"))
-        .select(
-            "doc_id", "member",
-            F.length("member").alias("mlen"),
-            F.expr("lpad(hex(crc32(member)), 8, '0')").alias("ch"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                "concat(unhex('1f8b08000000000000ff01'), "
-                f"unhex({_le_hex('mlen', 4)}), "
-                f"unhex({_le_hex('65535 - mlen', 4)}), "
-                "member, "
-                "unhex(concat(substr(ch, 7, 2), substr(ch, 5, 2), "
-                "substr(ch, 3, 2), substr(ch, 1, 2))), "
-                f"unhex({_le_hex('mlen', 8)}))"
-            ).alias("payload"),
-        )
     )
     return index_tgz_members_arrow(docs)

@@ -2444,27 +2444,9 @@ def test_tgz_plan_generator_opens_with_stdlib_tarfile(spark):
         .orderBy("doc_id")
         .limit(8)
     )
-    payloads = (
+    payloads = MQ._stored_gzip_wrap(
         docs.select("doc_id", MQ._tar_payload_col().alias("member"))
-        .select(
-            "doc_id", "member",
-            F.length("member").alias("mlen"),
-            F.expr("lpad(hex(crc32(member)), 8, '0')").alias("ch"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                "concat(unhex('1f8b08000000000000ff01'), "
-                f"unhex({MQ._le_hex('mlen', 4)}), "
-                f"unhex({MQ._le_hex('65535 - mlen', 4)}), "
-                "member, "
-                "unhex(concat(substr(ch, 7, 2), substr(ch, 5, 2), "
-                "substr(ch, 3, 2), substr(ch, 1, 2))), "
-                f"unhex({MQ._le_hex('mlen', 8)}))"
-            ).alias("payload"),
-        )
-        .collect()
-    )
+    ).collect()
     rows = {r.doc_id: r for r in docs.collect()}
     assert len(payloads) == 8
     for r in payloads:
@@ -2476,6 +2458,125 @@ def test_tgz_plan_generator_opens_with_stdlib_tarfile(spark):
             src = rows[r.doc_id]
             assert t.extractfile(members[0]).read() == src.text.encode()
             assert t.extractfile(members[1]).read() == src.lang.encode()
+
+
+def test_tgz_wrap_rejects_oversized_member(spark):
+    """Stored-mode deflate frames one 16-bit-LEN block; the generator must
+    fail an over-65535-byte member with an explanatory raise_error, not a
+    silently-truncated LEN that dies later as an opaque NLEN/inflate
+    error (ADVICE r10)."""
+    import pytest
+
+    from stream_processing_pipeline_spark.plans import multimodalq as MQ
+
+    big = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.expr("CAST(repeat('x', 70000) AS BINARY)").alias("member"),
+    )
+    with pytest.raises(Exception, match="stored-mode deflate caps"):
+        MQ._stored_gzip_wrap(big).collect()
+    # boundary: exactly 65535 bytes still frames and round-trips
+    edge = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.expr("CAST(repeat('y', 65535) AS BINARY)").alias("member"),
+    )
+    import gzip
+
+    (row,) = MQ._stored_gzip_wrap(edge).collect()
+    assert gzip.decompress(bytes(row.payload)) == b"y" * 65535
+
+
+def test_tgz_index_rejects_duplicate_extension_key(spark):
+    """WebDataset keys sample modalities BY EXTENSION; two members sharing
+    one extension would silently shadow each other's sizes, so the
+    indexer rejects the shard with a counting message (ADVICE r10)."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        index_tgz_members_arrow,
+    )
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as t:
+        for name, data in [("1.txt", b"alpha"), ("2.txt", b"beta")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            t.addfile(info, io.BytesIO(data))
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="duplicate extension key"):
+        index_tgz_members_arrow(df).collect()
+
+
+def test_tgz_index_reads_stdlib_written_shard(spark):
+    """REAL-BYTES pin for the WebDataset read path (VERDICT r10 #7): the
+    shard is written by an INDEPENDENT producer — stdlib ``tarfile`` in
+    'w:gz' mode (PAX headers, 512-byte padding, real dynamic-deflate
+    gzip) — and indexed by the repo decoders. Catches framing conventions
+    a writer/reader twin would share. Covers both tar dialects stdlib
+    emits: PAX (default) and GNU."""
+    import io
+    import tarfile
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        index_tgz_members_arrow,
+    )
+
+    text = ("the quick brown fox " * 40).encode()  # compressible: real deflate
+    lang = b"en"
+    shards = []
+    for fmt in (tarfile.PAX_FORMAT, tarfile.GNU_FORMAT):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:gz", format=fmt) as t:
+            for name, data in [("7.txt", text), ("7.cls", lang)]:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                t.addfile(info, io.BytesIO(data))
+        shards.append(buf.getvalue())
+    df = spark.createDataFrame(
+        [(i, bytearray(s)) for i, s in enumerate(shards)],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in index_tgz_members_arrow(df).collect()}
+    assert set(rows) == {0, 1}
+    for i, shard in enumerate(shards):
+        r = rows[i]
+        # PAX adds an 'x' metadata record per member: walked over, not
+        # indexed — n_members counts regular files only.
+        assert r.n_members == 2
+        assert r.txt_bytes == len(text)
+        assert r.cls_bytes == len(lang)
+        assert r.gz_bytes == len(shard)
+
+
+def test_warc_http_stats_rejects_wrong_response_count(spark):
+    """A shard with zero (or many) WARC response records must die with a
+    typed, count-bearing HttpResponseError, not a bare tuple-unpack
+    ValueError (ADVICE r10)."""
+    import gzip as _gzip
+
+    import pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        decode_warc_http_stats_arrow,
+    )
+
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Record-ID: urn:doc:1\r\n"
+        b"Content-Length: 2\r\n"
+        b"\r\n"
+        b"ok"
+        b"\r\n\r\n"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(_gzip.compress(rec)))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="expected exactly 1 response record"):
+        decode_warc_http_stats_arrow(df).collect()
 
 
 def test_http_response_parses_real_wget_payloads():

@@ -61,16 +61,14 @@ def test_queries_past_gate_prefix_have_prior_driver_rows():
 
 
 def test_oracle_coverage_is_total_minus_documented_exceptions():
-    """Exactly two queries are rows-only by design: the HLL-sketch pair
-    (sketch binaries/estimates are engine-specific). The trained-IVF pair
-    left this set in round 3 — integer-exact k-means made the training loop
-    SQL-replayable. Anything else missing an oracle is a verification
-    regression."""
+    """EVERY registered query now carries a DuckDB value-hash oracle. The
+    trained-IVF pair left the exception set in round 3 (integer-exact
+    k-means made the training loop SQL-replayable); the HLL pair left in
+    round 11 (explicit h60-derived registers replaced the engine-private
+    Datasketches binaries — VERDICT r10 #2). Anything missing an oracle is
+    a verification regression."""
     no_oracle = set(all_queries()) - set(all_oracles())
-    assert no_oracle == {
-        "approx_distinct_users",
-        "hll_sketch_rollup",
-    }
+    assert no_oracle == set()
 
 
 def test_all_queries_have_descriptions():

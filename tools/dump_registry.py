@@ -38,11 +38,11 @@ def main() -> None:
         "(the external gate's evaluation order). Oracle column: `value-hash`",
         "= full DuckDB value-hash comparison at sf0.01; `rows-only` = result",
         "shape checked, semantics pinned by the named invariant tests.",
-        "The two `rows-only` sketch queries are DELIBERATELY excluded from",
-        "the ~50-slot gate prefix forever: a slot spent on them can never",
-        "turn hash-green (the driver records `no_oracle`), so `rows-only`",
-        "here means locally-pinned invariants, NOT an external driver row",
-        "(VERDICT r7 #8). Vintage column: the newest round whose external",
+        "The `rows-only` class is EMPTY as of round 11: the HLL pair's",
+        "engine-private Datasketches sketches were replaced with explicit",
+        "h60-derived registers (VERDICT r10 #2), so every registered query",
+        "now carries a full value-hash oracle and is gate-eligible.",
+        "Vintage column: the newest round whose external",
         "driver gate recorded this query (`CORRECTNESS_r{N}.json`); `—` =",
         "registered after the last recorded gate, mirror-verified at 3 SFs",
         "and queued in the declared next-round head",

@@ -246,8 +246,8 @@ COVERED_BY = {
     "kmv_distinct_users_daily": ("lc_distinct_users_daily", "bounded k-minimum-values register rows per (day, task)"),
     "kmv_set_algebra": ("lc_distinct_users_daily", "same bounded register exchange; theta set algebra on sketch rows"),
     "lc_register_set_algebra": ("lc_distinct_users_daily", "same bounded register exchange; set algebra on registers"),
-    "approx_distinct_users": ("lc_distinct_users_daily", "bounded sketch state per group; no user-grain exchange"),
-    "hll_sketch_rollup": ("lc_distinct_users_daily", "reaggregatable register rows at bounded width"),
+    "approx_distinct_users": ("lc_distinct_users_daily", "explicit h60 HLL registers: <=64 (day, bucket) max-merged rows per day move; exact companion is the same distinct exchange as the sibling"),
+    "hll_sketch_rollup": ("lc_distinct_users_daily", "reaggregatable explicit registers: <=256 rows per (type, day) partial, max-merged per type; bounded width"),
     "bloom_semijoin_nation_suppliers": ("bloom_source_membership_audit", "bitmap build <= n_bits rows; probe side filtered in-scan"),
     # ---- skew / layout
     "salted_join_type_stats": ("join_key_skew_audit", "salted-key exchange spreads the hot key; partials combine map-side (SCALING salt-vs-AQE)"),
