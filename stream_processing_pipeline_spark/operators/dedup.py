@@ -40,6 +40,14 @@ __all__ = [
     "shingles",
     "shingles_of_tokens",
     "shingles_sql",
+    "token_hashes",
+    "spread_small_scan",
+    "shingle_key_of_token_hashes",
+    "shingle_key",
+    "shingle_key_of_tokens_sql",
+    "shingle_key_sql",
+    "poly_window_key_sql",
+    "poly_fold_key_sql",
     "cdc_chunks",
     "minhash_table",
     "minhash_sql_exprs",
@@ -114,6 +122,102 @@ def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(toks), _grams), 1)
 
 
+def token_hashes(toks: Column) -> Column:
+    """h60 of each token — the ONE md5 pass the polynomial shingle fast
+    path performs (each token hashed once, vs the legacy path's md5 over a
+    freshly-concatenated n-token string PER WINDOW OFFSET)."""
+    return F.transform(toks, h60)
+
+
+def spread_small_scan(df: DataFrame, *cols: str) -> DataFrame:
+    """Fan a narrow-split scan out to full parallelism BEFORE CPU-heavy
+    per-row synthesis (tokenize / hash / window build).
+
+    mapInArrow parallelism follows input file splits, and so does plain
+    expression evaluation: the fixture corpus is ONE parquet file, so the
+    tokenize+window stage of the substring/Jaccard family ran on 1-2 of 32
+    cores (visible as ``(0 + 1) / 1`` stages; measured 4.8 -> 3.2 s median
+    at sf0.1 for the substring query from this alone). The repartition
+    moves the text once — but ONLY when the scan is actually starved: at
+    the 100 TB design point the input has thousands of splits, the guard
+    sees enough partitions, and this is a no-op, so production plans pay
+    no extra text shuffle."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, *cols) if cols else df.repartition(sc.defaultParallelism)
+    return df
+
+
+# Dual 31-bit polynomial window keys (round 11, VERDICT r10 #5): combine
+# the n token h60s of a window into one 62-bit key with two independent
+# modular polynomial folds — acc' = (acc * B + th) % P, key = a * 2^31 + b.
+# Every intermediate stays under 2^62 (acc < 2^31, B < 2^30, th < 2^60),
+# so the arithmetic is plain int64 multiply/add/mod — exact and IDENTICAL
+# in Spark and DuckDB by construction, fast in both (whole-stage codegen /
+# vectorized BIGINT ops). The xxhash64 route was built first and its
+# DuckDB twin proven bit-equal (functions.hashing.xxh64_longs_sql), but
+# the UHUGEINT wraparound emulation measured ~100x slower ORACLE-side
+# (269 s vs ~2 s at sf0.01 for the substring query) — the engine must not
+# outrun its own verifier, so the family ships the polynomial key.
+_POLY_P1 = 2147483647  # 2^31 - 1 (prime)
+_POLY_P2 = 2147483629  # largest prime < P1
+_POLY_B1 = 1000003
+_POLY_B2 = 998244353
+
+
+def _poly_key_cols(elems: list[Column]) -> Column:
+    a = F.lit(0).cast("long")
+    b = F.lit(0).cast("long")
+    for e in elems:
+        a = (a * _POLY_B1 + e) % _POLY_P1
+        b = (b * _POLY_B2 + e) % _POLY_P2
+    return a * F.lit(2147483648) + b
+
+
+def shingle_key_of_token_hashes(ths: Column, n: int) -> Column:
+    """All-offset n-token window keys over a token-HASH array: window i is
+    the dual polynomial fold of ``ths[i..i+n-1]`` — a handful of int64
+    mults inside whole-stage codegen, no string concat, no digest (the
+    round-11 fast path for the exact-substring/Jaccard family; the DuckDB
+    twin :func:`shingle_key_of_tokens_sql` is the same arithmetic). Short
+    arrays (< n tokens) fall back to ONE whole-array fold — the hash-space
+    analogue of the whole-text fallback shingle (empty array -> key 0).
+
+    Same lambda-binding discipline as :func:`shingles_of_tokens`: ``ths``
+    is bound once as a lambda variable so codegen never re-evaluates the
+    producing subtree per element."""
+
+    def _win(h: Column) -> Column:
+        windows = F.transform(
+            F.sequence(F.lit(1), F.size(h) - (n - 1)),
+            lambda i: _poly_key_cols(
+                [F.element_at(h, i + F.lit(j)) for j in range(n)]
+            ),
+        )
+        fallback = F.array(_poly_fold_col(h))
+        return F.when(F.size(h) >= n, windows).otherwise(fallback)
+
+    return F.element_at(F.transform(F.array(ths), _win), 1)
+
+
+def _poly_fold_col(h: Column) -> Column:
+    """Whole-array dual polynomial fold (variable length) — the short-doc
+    fallback key."""
+    a = F.aggregate(
+        h, F.lit(0).cast("long"), lambda acc, x: (acc * _POLY_B1 + x) % _POLY_P1
+    )
+    b = F.aggregate(
+        h, F.lit(0).cast("long"), lambda acc, x: (acc * _POLY_B2 + x) % _POLY_P2
+    )
+    return a * F.lit(2147483648) + b
+
+
+def shingle_key(col: Column | str, n: int = 3) -> Column:
+    """:func:`shingle_key_of_token_hashes` from raw text: normalize,
+    tokenize, hash each token once, window-combine."""
+    return shingle_key_of_token_hashes(token_hashes(tokens(normalize_text(col))), n)
+
+
 def shingles_sql(expr: str, n: int = 3) -> str:
     from .text import normalize_text_sql, tokens_sql
 
@@ -127,6 +231,55 @@ def shingles_sql(expr: str, n: int = 3) -> str:
         f"(SELECT CASE WHEN len(__t) >= {n} THEN {grams} ELSE [{norm}] END "
         f"FROM (SELECT {toks} AS __t))"
     )
+
+
+def poly_window_key_sql(h_expr: str, i_expr: str, n: int) -> str:
+    """DuckDB twin of the fixed-width window key: dual polynomial fold of
+    ``{h_expr}[{i_expr} .. {i_expr}+n-1]``, unrolled (plain BIGINT ops).
+    Accumulators anchor as BIGINT so an INT32-typed input list cannot pull
+    the arithmetic into 32-bit overflow (property-test finding)."""
+    a, b = "CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)"
+    for j in range(n):
+        e = f"{h_expr}[{i_expr} + {j}]" if j else f"{h_expr}[{i_expr}]"
+        a = f"(({a} * {_POLY_B1} + {e}) % {_POLY_P1})"
+        b = f"(({b} * {_POLY_B2} + {e}) % {_POLY_P2})"
+    return f"({a} * 2147483648 + {b})"
+
+
+def poly_fold_key_sql(h_expr: str) -> str:
+    """DuckDB twin of the variable-length fallback fold (empty -> 0)."""
+    a = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {h_expr}), "
+        f"(acc, x) -> (acc * {_POLY_B1} + x) % {_POLY_P1})"
+    )
+    b = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {h_expr}), "
+        f"(acc, x) -> (acc * {_POLY_B2} + x) % {_POLY_P2})"
+    )
+    return f"({a} * 2147483648 + {b})"
+
+
+def shingle_key_of_tokens_sql(toks_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingle_key_of_token_hashes` over an
+    already-split token-list expression (h60 per token inside)."""
+    ths = f"list_transform({toks_expr}, __w -> {h60_sql('__w')})"
+    windows = (
+        f"list_transform(range(1, len(__h) - {n - 2}), "
+        f"i -> {poly_window_key_sql('__h', 'i', n)})"
+    )
+    fallback = f"[{poly_fold_key_sql('__h')}]"
+    return (
+        f"(SELECT CASE WHEN len(__h) >= {n} THEN {windows} ELSE {fallback} END "
+        f"FROM (SELECT {ths} AS __h))"
+    )
+
+
+def shingle_key_sql(expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingle_key`: h60 per token, dual polynomial
+    fold per n-token window, whole-array fold fallback for short docs."""
+    from .text import normalize_text_sql, tokens_sql
+
+    return shingle_key_of_tokens_sql(tokens_sql(normalize_text_sql(expr)), n)
 
 
 # ----------------------------------------------- content-defined chunks
@@ -479,17 +632,22 @@ def jaccard_pairs(
     sharing zero shingles never materialize — exactly the rows an all-pairs
     join wastes ~100% of its time on. At 100 TB, drop stop-shingles (df cap)
     to bound bucket fan-out; the fixture corpus needs no cap.
+
+    Round 11 (VERDICT r10 #5): shingle identity is the dual polynomial
+    window key over per-token h60s (:func:`shingle_key`) — one md5 per
+    TOKEN instead of one md5 over a freshly-concatenated 3-token string
+    per OFFSET, and no per-shingle string allocation at all.
     """
     from ..functions.rounding import pround
 
-    base = df.select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col))).alias("sh")
+    base = spread_small_scan(df, id_col).select(
+        F.col(id_col), F.array_distinct(shingle_key(F.col(text_col))).alias("sh")
     )
     # One materialized posting list feeds both the size lookup and the
     # self-join; without the persist Spark recomputes the (regex-heavy)
     # shingle pass once per consumer.
     posting = base.select(
-        F.col(id_col), F.explode(F.transform(F.col("sh"), h60)).alias("sh_hash")
+        F.col(id_col), F.explode(F.col("sh")).alias("sh_hash")
     ).persist()
     sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = posting.alias("a"), posting.alias("b")

@@ -626,3 +626,96 @@ def test_ivm_retract_update_telescopes_across_any_batching(ops, cuts):
         assert live == {_ivm_band(cur): 1}
         assert net_c[_ivm_band(cur)] == cur
         assert state.exists and state.get == (cur,)
+
+
+# ------------------------------------------- round-11 hash-kernel twins
+
+_XXM = (1 << 64) - 1
+_XXP1, _XXP2 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F
+_XXP3, _XXP4, _XXP5 = 0x165667B19E3779F9, 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+
+def _py_xxh64_long(l: int, seed: int) -> int:
+    """Reference XXH64.hashLong (the per-field primitive Spark's xxhash64
+    chains), straight from the xxHash spec."""
+    rotl = lambda x, r: ((x << r) | (x >> (64 - r))) & _XXM  # noqa: E731
+    l &= _XXM
+    h = (seed + _XXP5 + 8) & _XXM
+    k1 = (rotl((l * _XXP2) & _XXM, 31) * _XXP1) & _XXM
+    h = (rotl(h ^ k1, 27) * _XXP1 + _XXP4) & _XXM
+    h ^= h >> 33
+    h = (h * _XXP2) & _XXM
+    h ^= h >> 29
+    h = (h * _XXP3) & _XXM
+    return h ^ (h >> 32)
+
+
+def _signed(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+                min_size=1, max_size=8))
+def test_xxh64_longs_sql_matches_reference(vals):
+    """The DuckDB xxhash64 twin (generated UHUGEINT chain) equals the
+    reference XXH64-per-long chain with seed 42 — the exact semantics of
+    Spark's multi-column xxhash64 over BIGINTs (the Spark side itself is
+    pinned in tests/test_dedup_fastpath.py on a live session)."""
+    from stream_processing_pipeline_spark.functions.hashing import xxh64_longs_sql
+
+    h = 42
+    for v in vals:
+        h = _py_xxh64_long(v, h)
+    duck = _CON.execute(f"SELECT {xxh64_longs_sql('$l')}", {"l": vals}).fetchone()[0]
+    assert duck == _signed(h)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+                max_size=8))
+def test_xxh64_fold_sql_matches_reference(vals):
+    """The variable-length fold twin: acc' = hashLong(x, hashLong(acc, 42)),
+    matching F.aggregate(lst, lit(42), (acc, x) -> xxhash64(acc, x));
+    empty list returns the 42 seed."""
+    from stream_processing_pipeline_spark.functions.hashing import xxh64_fold_sql
+
+    acc = 42
+    for v in vals:
+        acc = _py_xxh64_long(v & _XXM, _py_xxh64_long(acc, 42))
+    duck = _CON.execute(f"SELECT {xxh64_fold_sql('$l')}", {"l": vals}).fetchone()[0]
+    assert duck == _signed(acc)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+                min_size=1, max_size=20),
+       st.integers(min_value=2, max_value=6))
+def test_poly_window_key_sql_matches_reference(ths, n):
+    """The dual 31-bit polynomial window key (the shipped shingle-identity
+    kernel): DuckDB twin equals the plain-integer reference for every
+    window, and the fallback fold covers the short-array branch."""
+    from stream_processing_pipeline_spark.operators.dedup import (
+        _POLY_B1, _POLY_B2, _POLY_P1, _POLY_P2,
+        poly_fold_key_sql, poly_window_key_sql,
+    )
+
+    def key(vals):
+        a = b = 0
+        for v in vals:
+            a = (a * _POLY_B1 + v) % _POLY_P1
+            b = (b * _POLY_B2 + v) % _POLY_P2
+        return a * 2147483648 + b
+
+    if len(ths) >= n:
+        want = [key(ths[i:i + n]) for i in range(len(ths) - n + 1)]
+        got = _CON.execute(
+            "SELECT list_transform(range(1, len($l) - " + str(n - 2) + "), "
+            f"i -> {poly_window_key_sql('$l', 'i', n)})",
+            {"l": ths},
+        ).fetchone()[0]
+        assert got == want
+    duck_fold = _CON.execute(
+        f"SELECT {poly_fold_key_sql('$l')}", {"l": ths}
+    ).fetchone()[0]
+    assert duck_fold == key(ths)

@@ -230,6 +230,23 @@ def main() -> None:
         raw = make_zip(1, kb)  # reuse the LCG payload builder's bytes
         zs = _zl.compress(raw, 6)
         rows.append(bench(f"zlib_{kb}KiB", zs, parse_zlib, len(raw)))
+    # Native-decoder seam (VERDICT r10 #3): when Pillow is importable the
+    # same payloads run through pil_decoder() so the committed ledger
+    # carries the measured native rate BESIDE the ~5 MB/s pure-Python rows
+    # (the number that makes decoder= injection mandatory at image-corpus
+    # scale). Env-gated like tests/test_live_pil.py — the sandbox has no
+    # media libraries, so the row records the gate instead of a rate.
+    try:
+        from stream_processing_pipeline_spark.operators.multimodal import (
+            pil_decoder,
+        )
+
+        _pil = pil_decoder()
+        for w, h in ((64, 64), (256, 256)):
+            rows.append(bench(f"pil_png_{w}x{h}", make_png(w, h), _pil, w * h))
+            rows.append(bench(f"pil_jpeg_{w}x{h}", make_jpeg(w, h), _pil, w * h))
+    except ImportError:
+        rows.append({"case": "pil_seam", "skipped": "Pillow not installed (env-gated; see tests/test_live_pil.py)"})
     for r in rows:
         print(json.dumps(r))
 

@@ -110,7 +110,7 @@ AUDITED = {
     "order_gap_survival": "one customer exchange for the gap window, week-grain partials after, the KM fold runs on one collected array row (r6)",
     "markov_removal_attribution": "one user exchange for the journey window; everything after runs on the 7x7 matrix row (r6)",
     "ks_doclen_source_drift": "value-grain (v, ca, cb) partials after map-side combine; the CDF window sees the bounded length domain only (r6)",
-    "dedup_exact_substring_pairs": "16 B (hash, doc) postings, distinct per doc, df-capped — text never joins; pair volume tracks true shared spans (r6)",
+    "dedup_exact_substring_pairs": "16 B (hash, doc) postings into df-capped posting ARRAYS (<=64 ids -> <=512 B rows): ONE exchange replaces the r6 distinct+window+self-join chain; poly window keys, text never joins (r11)",
     "mm_tar_member_index": "one repartition of (doc_id, text, lang) sets walker parallelism; archives never shuffle after synthesis (r6)",
     "revenue_attribution_ushaped": "bucketized range join: touch intervals explode to bounded epoch buckets, purchases probe 1 row each; the U-shaped credit split is ONE window at join grain over integer cents — journeys never assemble as arrays (r10)",
     "sim_recall_ivfpq_rerank_at_k": "both ANN arms are the probed broadcast-LUT IVFPQ shape; the rerank semi-join moves only R*Q shortlist rows + their fetched vectors; brute-force GT is literal-bounded (5 query rows) (r10)",
@@ -268,8 +268,8 @@ COVERED_BY = {
     "dedup_embedding_cosine": ("dedup_minhash_lsh", "blocked candidate join (SCALING 'Embedding-dedup blocking'); vectors move only for co-blocked pairs"),
     "dedup_embedding_cosine_lsh": ("dedup_minhash_lsh", "random-hyperplane bands; same band-bucket join of compact keys"),
     "minhash_jaccard_calibration": ("dedup_minhash_lsh", "same signature exchange; calibration joins at candidate-pair grain"),
-    "dedup_ngram_jaccard": ("contamination_bench_overlap", "per-distinct-gram postings; pair scores from compact posting joins"),
-    "dedup_containment_pairs": ("contamination_bench_overlap", "asymmetric posting-list join; containment from compact posting counts"),
+    "dedup_ngram_jaccard": ("contamination_bench_overlap", "per-distinct-gram 8-byte poly-key postings (r11 fast path); pair scores from compact posting joins"),
+    "dedup_containment_pairs": ("contamination_bench_overlap", "asymmetric posting-list join on 8-byte poly keys (r11: strings no longer shuffle); containment from compact posting counts"),
     "dedup_incremental": ("stream_corpus_ingest", "anti-join against the seen table + band probe, batch form"),
     # ---- text / token-stats family
     "text_tfidf_top_terms": ("source_token_divergence", "(doc, term, count) partials after map-side combine; idf joins at term grain"),
