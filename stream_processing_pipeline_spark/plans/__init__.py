@@ -155,6 +155,11 @@ _GATE_PRIORITY = [
     "dedup_components",
     "text_token_stats",
     "text_lang_id",
+    # -- NEW in round 11 (mirror-green at 3 SFs; external rows queued in
+    #    the declared r12 head after the 26 r6 deferrals and the two
+    #    newly-oracle-fied sketches above)
+    "text_winnow_fingerprints",        # MOSS winnowing fingerprint profile
+    "dedup_winnow_pairs",              # winnowed-index substring screen
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

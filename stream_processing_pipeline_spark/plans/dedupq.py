@@ -1205,6 +1205,171 @@ def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- winnowing fingerprints
+#
+# MOSS-style document fingerprinting (Schleimer, Wilkerson, Aiken,
+# "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03):
+# hash every K-gram, slide a W-hash window, keep each window's MINIMUM
+# hash. Guarantee: any shared run of >= W + K - 1 tokens shares at least
+# one fingerprint, at ~2/(W+1) the posting volume of the all-offset index
+# (dedup_exact_substring_pairs) — THE scalable exact-substring screen.
+# K-gram identity is the round-11 dual polynomial window key; min-of-
+# window selects the same fingerprint SET in both engines regardless of
+# positional tie-breaks because the fingerprint IS the hash value.
+
+_WN_K = 5   # k-gram length in tokens
+_WN_W = 8   # winnowing window in k-grams; guarantee length = W + K - 1 = 12
+_WN_DF_CAP = 64  # same boilerplate bound as the all-offset index
+
+
+def _winnow_cte() -> str:
+    """doc_id -> winnowed fingerprint list (``fps``), mirroring the Spark
+    kernel: token h60s -> K-gram poly keys -> per-window min -> distinct."""
+    from ..operators.dedup import poly_window_key_sql
+
+    h_tok = h60_sql("__w")
+    gram = poly_window_key_sql("__h", "i", _WN_K)
+    return f"""
+    WITH tokw AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    th AS (
+      SELECT doc_id, list_transform(t, __w -> {h_tok}) AS __h
+      FROM tokw WHERE len(t) >= {_WN_K}
+    ),
+    gr AS (
+      SELECT doc_id,
+             list_transform(range(1, len(__h) - {_WN_K - 2}), i -> {gram}) AS gs
+      FROM th
+    ),
+    wn AS (
+      SELECT doc_id,
+             CASE WHEN len(gs) >= {_WN_W}
+                  THEN list_distinct(list_transform(
+                         range(1, len(gs) - {_WN_W - 2}),
+                         i -> list_min(gs[i:i+{_WN_W - 1}])))
+                  ELSE [list_min(gs)] END AS fps,
+             len(gs) AS n_grams
+      FROM gr
+    )"""
+
+
+def _winnow_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of :func:`_winnow_cte`: (doc_id, n_grams, fps)."""
+    from ..operators.dedup import (
+        shingle_key_of_token_hashes,
+        spread_small_scan,
+        token_hashes,
+    )
+
+    docs = spread_small_scan(catalog(spark, sf_dir).documents, "doc_id")
+    toked = docs.select(
+        "doc_id", token_hashes(T.tokens(T.normalize_text("text"))).alias("ths")
+    ).filter(F.size("ths") >= _WN_K)
+    grams = toked.select(
+        "doc_id", shingle_key_of_token_hashes(F.col("ths"), _WN_K).alias("gs")
+    )
+
+    def _winnow(gs: F.Column) -> F.Column:
+        windows = F.transform(
+            F.sequence(F.lit(1), F.size(gs) - (_WN_W - 1)),
+            lambda i: F.array_min(F.slice(gs, i, _WN_W)),
+        )
+        return F.when(
+            F.size(gs) >= _WN_W, F.array_distinct(windows)
+        ).otherwise(F.array(F.array_min(gs)))
+
+    return grams.select(
+        "doc_id",
+        F.size("gs").alias("n_grams"),
+        F.element_at(F.transform(F.array(F.col("gs")), _winnow), 1).alias("fps"),
+    )
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""{_winnow_cte()}
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           CAST((1000 * len(fps)) // n_grams AS BIGINT) AS density_permille
+    FROM wn
+    """,
+    tags=("text", "fingerprint", "winnowing", "dedup"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document WINNOWING fingerprint profile (NEW round 11): k=5-gram
+    poly keys, w=8 winnowing window, per-window min, distinct — the MOSS
+    fingerprinting construction whose selected set is position-independent
+    (the fingerprint is the hash value itself, so engines need no
+    tie-break agreement). Emits the fingerprint DENSITY against the
+    theoretical 2/(w+1) ≈ 222 permille — the number that says how much
+    cheaper the winnowed index is than the all-offset one at equal
+    guarantee (any shared run of >= w+k-1 = 12 tokens is caught).
+
+    Scale shape: identical per-doc array pipeline to the substring query
+    (scan spread, zero shuffle until the per-doc stats rows); the
+    fingerprint build never leaves its scan task."""
+    w = _winnow_frame(spark, sf_dir)
+    return w.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.size("fps").cast("long").alias("n_fps"),
+        F.expr("(1000 * size(fps)) div n_grams").alias("density_permille"),
+    )
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""{_winnow_cte()},
+    p0 AS (SELECT DISTINCT doc_id, unnest(fps) AS h FROM wn),
+    p AS (
+      SELECT doc_id, h FROM p0
+      QUALIFY count(*) OVER (PARTITION BY h) <= {_WN_DF_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fps
+    FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY 1, 2
+    """,
+    tags=("dedup", "fingerprint", "winnowing", "inverted-index"),
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= 2 winnowed fingerprints (NEW round 11) —
+    the SCALABLE exact-substring screen: same guarantee class as the
+    all-offset inverted index (any shared run of >= 12 tokens shares a
+    fingerprint) at ~2/(w+1) ≈ 22% of the posting volume, which is why
+    winnowing is the production method for plagiarism/memorization
+    screens over web-scale corpora. Same df-cap discipline as
+    dedup_exact_substring_pairs; candidates this screen surfaces are what
+    the exact verify pass (n-gram Jaccard / containment) then scores.
+
+    Shape: postings are 16-byte (fingerprint, doc) rows, distinct per
+    doc, df-capped at 64; the pair join runs at fingerprint grain and
+    text never shuffles."""
+    w = _winnow_frame(spark, sf_dir)
+    p0 = w.select("doc_id", F.explode("fps").alias("h")).distinct()
+    from pyspark.sql import Window
+
+    wdf = Window.partitionBy("h")
+    p = (
+        p0.withColumn("df_", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("df_") <= _WN_DF_CAP)
+        .drop("df_")
+    )
+    a = p.select(F.col("doc_id").alias("doc_a"), "h")
+    b = p.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    return (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @register(
     "corpus_remove_dup_spans",
     oracle=f"""

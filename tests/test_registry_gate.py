@@ -34,7 +34,21 @@ def test_gate_priority_is_registry_prefix():
 #: rows, so the data-driven check below covers them; queries NEW in
 #: round 11 must either take a head slot (they can't — the rotation is
 #: zero-slack) or be listed here with their in-prefix sibling named.
-deferred_past_prefix: set[str] = set()
+deferred_past_prefix: set[str] = {
+    # MOSS winnowing fingerprint profile (NEW r11): k-gram identity is the
+    # round-11 dual polynomial window key of in-prefix sibling
+    # dedup_exact_substring_pairs (r11 head slot 33, same token-hash ->
+    # window-key kernel and scan-spread shape); the min-of-window
+    # selection is position-independent by construction so both engines
+    # pick the same fingerprint set; mirror-green at 3 SFs; queued in the
+    # declared r12 head (plans/__init__.py slots-51+).
+    "text_winnow_fingerprints",
+    # winnowed-index substring screen (NEW r11): the posting/df-cap/pair
+    # join is EXACTLY the in-prefix sibling dedup_exact_substring_pairs'
+    # shape (r11 head slot 33) over the ~2/(w+1)-sparser fingerprint set;
+    # mirror-green at 3 SFs; queued in the declared r12 head.
+    "dedup_winnow_pairs",
+}
 
 
 def test_queries_past_gate_prefix_have_prior_driver_rows():
