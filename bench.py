@@ -59,6 +59,33 @@ def main() -> None:
         "doc_id long, text string",
     )
     lsh_candidate_pairs(tiny_docs).count()
+    # r11 polynomial shingle/window kernels + posting-array pair expansion
+    # + winnowing min-of-window: one toy pass compiles the transform/
+    # aggregate codegen the substring/Jaccard/winnow family reuses.
+    from stream_processing_pipeline_spark.operators import text as _T
+    from stream_processing_pipeline_spark.operators.dedup import (
+        shingle_key_of_token_hashes,
+        token_hashes,
+    )
+    from pyspark.sql import functions as _Fw
+
+    _ths = tiny_docs.select(
+        "doc_id", token_hashes(_T.tokens(_T.normalize_text("text"))).alias("ths")
+    )
+    _gs = _ths.select(
+        "doc_id", shingle_key_of_token_hashes(_Fw.col("ths"), 5).alias("gs")
+    )
+    _gs.select(
+        "doc_id",
+        _Fw.expr(
+            "flatten(transform(gs, (x, i) -> transform(slice(gs, i + 2, "
+            "size(gs) - i - 1), y -> struct(x AS a, y AS b))))"
+        ).alias("p"),
+        _Fw.transform(
+            _Fw.sequence(_Fw.lit(1), _Fw.greatest(_Fw.size("gs") - 7, _Fw.lit(1))),
+            lambda i: _Fw.array_min(_Fw.slice(_Fw.col("gs"), i, 8)),
+        ).alias("w"),
+    ).count()
     tiny_emb = spark.createDataFrame(
         [(i, [float(i + 1)] * 4) for i in range(4)],
         "vec_id long, embedding array<float>",

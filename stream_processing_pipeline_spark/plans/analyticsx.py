@@ -1503,10 +1503,16 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured isolated at sf0.1: 8.4 s -> see COVERAGE.md for the after
     number."""
     from ..functions.hashing import h60
-    from ..operators.dedup import lsh_candidate_pairs, shingles_of_tokens
+    from ..operators.dedup import (
+        lsh_candidate_pairs,
+        shingles_of_tokens,
+        spread_small_scan,
+    )
     from ..operators.text import normalize_text, tokens
 
-    docs = catalog(spark, sf_dir).documents
+    # r11: the one-file fixture scan starved the regex tokenizer to 1-2 of
+    # 32 cores; guarded no-op at real split counts (spread_small_scan).
+    docs = spread_small_scan(catalog(spark, sf_dir).documents, "doc_id")
     pre = docs.select(
         "doc_id", "source", tokens(normalize_text("text")).alias("toks")
     ).persist()
