@@ -160,6 +160,7 @@ _GATE_PRIORITY = [
     #    newly-oracle-fied sketches above)
     "text_winnow_fingerprints",        # MOSS winnowing fingerprint profile
     "dedup_winnow_pairs",              # winnowed-index substring screen
+    "winnow_recall_audit",             # screen-vs-truth catch-rate audit
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

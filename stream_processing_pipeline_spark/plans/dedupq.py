@@ -1370,6 +1370,157 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_recall_oracle() -> str:
+    """Composite oracle: the all-offset substring truth and the winnowed
+    screen at >=1 / >=2 shared fingerprints, reduced to one audit row
+    (CTE names prefixed — both kernels tokenize the same base)."""
+    from ..operators.dedup import poly_window_key_sql
+
+    h_tok = h60_sql("__w")
+    es_gram = poly_window_key_sql("h", "i", _ES_N)
+    wn_gram = poly_window_key_sql("__h", "i", _WN_K)
+    return f"""
+    WITH tokb AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    es_th AS (
+      SELECT doc_id, list_transform(t, __w -> {h_tok}) AS h
+      FROM tokb WHERE len(t) >= {_ES_N}
+    ),
+    es_g AS (
+      SELECT doc_id, list_transform(range(1, len(h) - {_ES_N - 2}),
+                                    i -> {es_gram}) AS hs
+      FROM es_th
+    ),
+    es_p0 AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM es_g),
+    es_p AS (
+      SELECT doc_id, h FROM es_p0
+      QUALIFY count(*) OVER (PARTITION BY h) <= {_ES_DF_CAP}
+    ),
+    truth AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM es_p a JOIN es_p b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    wn_th AS (
+      SELECT doc_id, list_transform(t, __w -> {h_tok}) AS __h
+      FROM tokb WHERE len(t) >= {_WN_K}
+    ),
+    wn_gr AS (
+      SELECT doc_id, list_transform(range(1, len(__h) - {_WN_K - 2}),
+                                    i -> {wn_gram}) AS gs
+      FROM wn_th
+    ),
+    wn AS (
+      SELECT doc_id,
+             CASE WHEN len(gs) >= {_WN_W}
+                  THEN list_distinct(list_transform(
+                         range(1, len(gs) - {_WN_W - 2}),
+                         i -> list_min(gs[i:i+{_WN_W - 1}])))
+                  ELSE [list_min(gs)] END AS fps
+      FROM wn_gr
+    ),
+    w_p0 AS (SELECT DISTINCT doc_id, unnest(fps) AS h FROM wn),
+    w_p AS (
+      SELECT doc_id, h FROM w_p0
+      QUALIFY count(*) OVER (PARTITION BY h) <= {_WN_DF_CAP}
+    ),
+    wpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS c
+      FROM w_p a JOIN w_p b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+    s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_screen1 FROM wpairs),
+    s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_screen2 FROM wpairs
+           WHERE c >= 2),
+    g1 AS (SELECT CAST(count(*) AS BIGINT) AS caught1 FROM truth t
+           JOIN wpairs w ON w.doc_a = t.doc_a AND w.doc_b = t.doc_b),
+    g2 AS (SELECT CAST(count(*) AS BIGINT) AS caught2 FROM truth t
+           JOIN wpairs w ON w.doc_a = t.doc_a AND w.doc_b = t.doc_b
+           WHERE w.c >= 2)
+    SELECT n.n_true, s1.n_screen1, s2.n_screen2, g1.caught1, g2.caught2,
+           CASE WHEN n.n_true = 0 THEN NULL
+                ELSE CAST((1000 * g1.caught1) // n.n_true AS BIGINT)
+           END AS recall1_permille,
+           CASE WHEN n.n_true = 0 THEN NULL
+                ELSE CAST((1000 * g2.caught2) // n.n_true AS BIGINT)
+           END AS recall2_permille
+    FROM n CROSS JOIN s1 CROSS JOIN s2 CROSS JOIN g1 CROSS JOIN g2
+    """
+
+
+@register(
+    "winnow_recall_audit",
+    oracle=_winnow_recall_oracle(),
+    tags=("dedup", "winnowing", "recall-audit"),
+)
+def winnow_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the winnowed screen actually catches (NEW round 11) — the
+    recall-audit discipline (lsh_cap_recall_audit, sim_recall_*_at_k)
+    applied to the new fingerprint index: against the all-offset
+    substring truth (pairs sharing any df-capped 16-token window), report
+    the winnow screen's pair volume and catch rate at >= 1 and >= 2
+    shared fingerprints. The winnowing GUARANTEE says any shared run of
+    >= w+k-1 = 12 tokens shares >= 1 fingerprint, so recall@1 must be
+    1000 permille unless the df-cap drops a hot fingerprint — publishing
+    the audit keeps that cap trade honest; recall@2 prices the
+    registered screen's stricter threshold. Shape: two bounded pair
+    tables from df-capped posting joins, five 1-row counts assembled by
+    broadcast cross joins (1-row sides)."""
+    truth = dedup_exact_substring_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).persist()
+    w = _winnow_frame(spark, sf_dir)
+    p0 = w.select("doc_id", F.explode("fps").alias("h")).distinct()
+    from pyspark.sql import Window
+
+    wdf = Window.partitionBy("h")
+    p = (
+        p0.withColumn("df_", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("df_") <= _WN_DF_CAP)
+        .drop("df_")
+    )
+    a = p.select(F.col("doc_id").alias("doc_a"), "h")
+    b = p.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    wpairs = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    n = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    s1 = wpairs.agg(F.count(F.lit(1)).alias("n_screen1"))
+    s2 = wpairs.filter(F.col("c") >= 2).agg(F.count(F.lit(1)).alias("n_screen2"))
+    g1 = truth.join(wpairs, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("caught1")
+    )
+    g2 = truth.join(
+        wpairs.filter(F.col("c") >= 2), ["doc_a", "doc_b"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("caught2"))
+    return (
+        n.crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(g1))
+        .crossJoin(F.broadcast(g2))
+        .select(
+            "n_true",
+            "n_screen1",
+            "n_screen2",
+            "caught1",
+            "caught2",
+            F.expr(
+                "CASE WHEN n_true = 0 THEN NULL"
+                " ELSE (1000 * caught1) div n_true END"
+            ).alias("recall1_permille"),
+            F.expr(
+                "CASE WHEN n_true = 0 THEN NULL"
+                " ELSE (1000 * caught2) div n_true END"
+            ).alias("recall2_permille"),
+        )
+    )
+
+
 @register(
     "corpus_remove_dup_spans",
     oracle=f"""

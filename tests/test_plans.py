@@ -328,6 +328,8 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
                                         # constants into the scoring join
         "emb_label_centroid_drift",     # broadcast 1-row vector total
                                         # into the 64-row global centroid
+        "winnow_recall_audit",          # broadcast 1-row count frames x4
+                                        # (the lsh_cap_recall_audit shape)
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():

@@ -48,6 +48,13 @@ deferred_past_prefix: set[str] = {
     # shape (r11 head slot 33) over the ~2/(w+1)-sparser fingerprint set;
     # mirror-green at 3 SFs; queued in the declared r12 head.
     "dedup_winnow_pairs",
+    # winnow screen recall audit (NEW r11): the five-1-row-counts
+    # broadcast assembly of in-prefix-family sibling lsh_cap_recall_audit
+    # (r6 external row; identical shape, allowlisted BNLJ) over the truth
+    # pair table of in-prefix sibling dedup_exact_substring_pairs (r11
+    # head slot 33); mirror-green at 3 SFs; queued in the declared r12
+    # head.
+    "winnow_recall_audit",
 }
 
 

@@ -271,6 +271,7 @@ COVERED_BY = {
     "dedup_ngram_jaccard": ("contamination_bench_overlap", "per-distinct-gram 8-byte poly-key postings (r11 fast path); pair scores from compact posting joins"),
     "text_winnow_fingerprints": ("mm_ppm_decode_stats", "zero-exchange per-doc array pipeline: winnowed fingerprints reduce to stats inside the scan stage (r11)"),
     "dedup_winnow_pairs": ("dedup_exact_substring_pairs", "identical df-capped (fingerprint, doc) posting join at ~2/(w+1) the posting volume (r11)"),
+    "winnow_recall_audit": ("lsh_cap_recall_audit", "two df-capped pair tables reduce to five 1-row counts; broadcast assembly (r11)"),
     "dedup_containment_pairs": ("contamination_bench_overlap", "asymmetric posting-list join on 8-byte poly keys (r11: strings no longer shuffle); containment from compact posting counts"),
     "dedup_incremental": ("stream_corpus_ingest", "anti-join against the seen table + band probe, batch form"),
     # ---- text / token-stats family
