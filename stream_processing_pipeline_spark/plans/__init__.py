@@ -161,6 +161,7 @@ _GATE_PRIORITY = [
     "text_winnow_fingerprints",        # MOSS winnowing fingerprint profile
     "dedup_winnow_pairs",              # winnowed-index substring screen
     "winnow_recall_audit",             # screen-vs-truth catch-rate audit
+    "hash_xxh64_twin_audit",           # xxhash64 DuckDB twin under the gate
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -1405,6 +1405,69 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _xxh64_audit_oracle() -> str:
+    from ..functions.hashing import h60_sql, xxh64_fold_sql, xxh64_longs_sql
+
+    h_name = h60_sql("n_name")
+    tok_hashes = (
+        f"list_transform(string_split(lower(n_name), ' '), "
+        f"__w -> {h60_sql('__w')})"
+    )
+    return f"""
+    SELECT n_nationkey,
+           {xxh64_longs_sql('[n_nationkey, n_regionkey]')} AS xx_keys,
+           {xxh64_longs_sql(f'[n_nationkey, n_regionkey, {h_name}]')} AS xx_keyed_name,
+           {xxh64_fold_sql(tok_hashes)} AS xx_name_fold
+    FROM nation
+    ORDER BY n_nationkey
+    """
+
+
+@register(
+    "hash_xxh64_twin_audit",
+    oracle=_xxh64_audit_oracle(),
+    tags=("batch", "hashing", "cross-engine-audit"),
+)
+def hash_xxh64_twin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``xxhash64`` certified against the repo's DuckDB
+    twin UNDER THE EXTERNAL GATE (NEW round 11): per nation row (25 — the
+    bounded input keeps the UHUGEINT-emulated oracle instant), the
+    2-field and 3-field xxhash64 chains and the variable-length
+    ``F.aggregate``/xxhash64 fold over the name's token h60s, value-hash
+    compared against ``functions.hashing.xxh64_longs_sql`` /
+    ``xxh64_fold_sql``. The twins are already property-tested and
+    live-session pinned (tests/test_properties.py,
+    tests/test_dedup_fastpath.py); this row makes the driver itself
+    re-prove them every gate, so any engine upgrade that changes
+    xxhash64 semantics (seed, field chaining, null handling) trips a
+    hash mismatch, not a silent drift. The shipped shingle kernels use
+    the polynomial keys (the xxh twin measured ~100x slower oracle-side
+    at corpus scale) — this audit is why the utility stays trustworthy
+    for spot-verification jobs."""
+    from ..functions.hashing import h60
+
+    nation = catalog(spark, sf_dir).nation
+    toks = F.split(F.lower(F.col("n_name")), " ")
+    tok_hs = F.transform(toks, h60)
+    # BIGINT casts matter: xxhash64 over an INT column takes Spark's
+    # 4-byte hash path, which is NOT the hashLong chain the twin
+    # replays (caught by this query's first mirror run).
+    nk = F.col("n_nationkey").cast("long")
+    rk = F.col("n_regionkey").cast("long")
+    return (
+        nation.select(
+            "n_nationkey",
+            F.xxhash64(nk, rk).alias("xx_keys"),
+            F.xxhash64(nk, rk, h60(F.col("n_name"))).alias("xx_keyed_name"),
+            F.aggregate(
+                tok_hs, F.lit(42).cast("long"), lambda acc, x: F.xxhash64(acc, x)
+            ).alias("xx_name_fold"),
+        )
+        # no orderBy: the gate's value-hash is order-insensitive and the
+        # bare projection keeps the plan exchange-free (ZERO_EXCHANGE)
+    )
+
+
 @register(
     "string_functions_showcase",
     oracle="""

@@ -55,6 +55,14 @@ deferred_past_prefix: set[str] = {
     # head slot 33); mirror-green at 3 SFs; queued in the declared r12
     # head.
     "winnow_recall_audit",
+    # xxhash64-twin gate audit (NEW r11): a 25-row bounded scalar
+    # projection — the shape of in-prefix sibling
+    # string_functions_showcase (r11 head slot 20) — whose values are the
+    # Spark builtin xxhash64 chains vs the generated DuckDB UHUGEINT
+    # twins (property-tested + live-session pinned in
+    # tests/test_properties.py / tests/test_dedup_fastpath.py);
+    # mirror-green at 3 SFs; queued in the declared r12 head.
+    "hash_xxh64_twin_audit",
 }
 
 

@@ -152,6 +152,7 @@ ZERO_EXCHANGE = {
     "string_functions_showcase": "scalar string expressions, in-scan",
     "datetime_functions_showcase": "scalar datetime expressions, in-scan",
     "array_functions_showcase": "higher-order array expressions, in-scan",
+    "hash_xxh64_twin_audit": "25-row scalar hash projection, in-scan (r11)",
 }
 
 # Each remaining query names the AUDITED sibling whose measured shuffle
