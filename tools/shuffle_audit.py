@@ -412,11 +412,14 @@ def main() -> None:
         "ids, partial aggregates), not raw rows, so single-digit bytes/row",
         "means the network cost stays negligible next to the scan as data",
         "grows 1000x. (Parquet input is measured in records — the vectorized",
-        "reader's byte counter is not meaningful.) Run-to-run caveat: under",
-        "memory pressure AQE can flip a borderline broadcast to a shuffle",
-        "join for one run — observed once on tpch_q21 (1.0 MB -> 10.9 MB,",
-        "next run restored); re-measure before reading such a jump as a",
-        "plan regression.",
+        "reader's byte counter is not meaningful.) Run-to-run caveat: AQE",
+        "decides borderline broadcasts from runtime stats, so tpch_q21's",
+        "lineitem self-join sits on a knife edge: r10 measured it broadcast",
+        "(1.0 MB, 0.52 B/row), both r11 runs measured it as the SortMergeJoin",
+        "(10.9 MB, 5.61 B/row — still compact (orderkey, suppkey) pairs, and",
+        "the isolated-session plan is 9 BroadcastHashJoin + that 1 SMJ).",
+        "Both shapes honor the claim; re-measure before reading the jump as",
+        "a plan regression.",
         "",
         "| query | input rows | shuffle write | shuffle rows | shuffle B/input row | expected shuffle contents |",
         "|---|---|---|---|---|---|",
