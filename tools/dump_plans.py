@@ -62,6 +62,10 @@ HEADLINERS = {
     "train_eval_leakage_pairs": "cross-split leakage: hash-exchange exact arm + banded near arm with agreement verify at candidate grain (r10)",
     "mm_zlib_decode_stats": "zero-shuffle RFC 1950 decode; the Adler-32 trailer is an in-plan integer fold (zip_with position weights) (r10)",
     "kanon_user_signatures": "k-anonymity: per-(user, type) partials -> one user-grain signature assembly -> bounded-domain rollup (r10)",
+    "dedup_exact_substring_pairs": "all-offset 16-token windows as polynomial folds of per-token h60s; ONE (key, doc) exchange into df-capped posting arrays, pairs by array comprehension (r11)",
+    "dedup_winnow_pairs": "MOSS winnowing: per-window min over poly k-gram keys selected in-scan; df-capped fingerprint posting join at ~2/(w+1) the all-offset volume (r11)",
+    "approx_distinct_users": "explicit h60 HLL registers: map-side max per (day, bucket), <=64 register rows/day shuffle; LC-LUT/raw estimate branches as integer CASE (r11)",
+    "hash_xxh64_twin_audit": "25-row exchange-free projection: builtin xxhash64 chains value-hashed against the generated DuckDB UHUGEINT twin (r11)",
     "emb_label_centroid_drift": "centroid drift: one posexplode to (label, dim) integer partials; 64-row broadcast global centroid (r10)",
     "dedup_edit_distance": "levenshtein refine behind a 16-char-prefix blocker self-join — 1000x candidate pruning vs length buckets",
     "value_mad_outliers": "exact median/MAD as distributed order statistics: sort-window central-rank picks, no per-group arrays",
@@ -122,7 +126,6 @@ HEADLINERS = {
     "stream_ivm_retract_deltas": "retract-channel stateful operator: per-key value state, emitted delta rows aggregate to the maintained view (r6)",
     "chisq_type_hour_independence": "(type, hour) bounded contingency grain; staged-division exact cell terms (r6)",
     "ks_doclen_source_drift": "value-grain CDF gap, cross-multiplied integer max; bounded length domain (r6)",
-    "dedup_exact_substring_pairs": "all-offset 16-token window hashes via the zip_with shingle kernel; df-capped posting join on 16 B rows (r6)",
     "ts_sax_similar_users": "PAA collapse -> rank breakpoints off a bounded value walk -> SAX-word-blocked pair join, capped buckets (r6)",
     "mm_tar_member_index": "JVM-built ustar archives (checksums in-plan) -> zero-copy mapInArrow walker; one content repartition (r6)",
 }
