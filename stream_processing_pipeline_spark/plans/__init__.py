@@ -37,98 +37,37 @@ __all__ = ["REGISTRY", "Query", "register", "all_queries", "all_oracles"]
 # each round records exactly the first 50 registrations, so the gate
 # effectively checks a prefix. Registration order is therefore part of the
 # verification contract: queries whose driver-side evidence is newest-needed
-# come first. Round-11 ordering (VERDICT.md r10 "Next round" #1, executing
-# the r10-declared head to the slot):
-#   1. the 22 r5-vintage deferrals from the zero-slack r10 rotation
-#      (tpch_q3_shipping_priority .. grouping_sets_revenue, r05 slot
-#      order), verbatim in their declared order — the oldest external
-#      evidence left in the registry. 22 slots.
-#   2. the 10 queries NEW in round 10, in their declared
-#      plans/__init__.py slots-51+ order (mirror-green at 3 SFs all of
-#      r10, no external row yet by the zero-slack rotation). 10 slots.
-#   3. 18 of the 44 oracle-bearing queries whose newest external row is
-#      r6-vintage, oldest evidence first (CORRECTNESS_r06.json slot
-#      order within the equal-vintage set): dedup_exact_substring_pairs
-#      through stream_scd2_temporal_join. 22 + 10 + 18 = EXACTLY 50,
-#      zero slack. The 26 r6-vintage queries that do not fit
-#      (emb_jl_distance_fidelity .. text_lang_id, r06 slot order) are
-#      deferred to slots 51+ and form the FIRST entries of the r12 gate
-#      head; every one keeps its r6 driver row and stays mirror-verified
-#      at 3 SFs per commit. After the r11 gate, every registered query's
-#      newest external row is r6+ with r6 itself down to those 26
-#      documented deferrals (plus any query first registered in r11).
+# come first. Round-12 ordering (VERDICT.md r11 "Next round" #1, executing
+# the r11-declared head to the slot):
+#   1. the 26 r6-vintage deferrals from the zero-slack r11 rotation
+#      (emb_jl_distance_fidelity .. text_lang_id, r06 slot order),
+#      verbatim in their declared order — the oldest external evidence
+#      left in the registry. 26 slots.
+#   2. approx_distinct_users + hll_sketch_rollup — newly oracle-fied in
+#      round 11 (explicit h60-derived HLL registers, VERDICT r10 #2);
+#      these are their FIRST hash-verifiable external rows. 2 slots.
+#   3. the 4 queries NEW in round 11, declared order
+#      (text_winnow_fingerprints, dedup_winnow_pairs,
+#      winnow_recall_audit, hash_xxh64_twin_audit). 4 slots.
+#   4. 18 of the 50 queries whose newest external row is r7-vintage,
+#      oldest evidence first (CORRECTNESS_r07.json slot order within the
+#      equal-vintage set): mm_png_corrupt_quarantine through
+#      dedup_keep_best_quality. 26 + 2 + 4 + 18 = EXACTLY 50, zero
+#      slack. The 32 r7-vintage queries that do not fit
+#      (text_bpe_token_stats .. tpch_q22_dormant_accounts, r07 slot
+#      order) are deferred to slots 51+ and form the FIRST entries of
+#      the r13 gate head; every one keeps its r7 driver row and stays
+#      mirror-verified at 3 SFs per commit. After the r12 gate, every
+#      registered query's newest external row is r7+ with r7 itself
+#      down to those 32 documented deferrals (plus any query first
+#      registered in r12).
 # Count the prefix with
 #   python -c "from stream_processing_pipeline_spark.plans import
 #              REGISTRY; print(list(REGISTRY)[:50])"
 # rather than trusting arithmetic in this comment.
-# NOTE: hll_sketch_rollup / approx_distinct_users gained register-exact
-# DuckDB oracles in round 11 (VERDICT r10 #2) and are queued for their
-# first hash-verifiable external rows in the r12 head.
 _GATE_PRIORITY = [
-    # -- slots 1-22: the r5-vintage deferrals (r10 zero-slack overflow),
-    #    declared r11-head-first in r10; oldest evidence in the registry
-    "tpch_q3_shipping_priority",
-    "revenue_by_nation",
-    "top_events_per_user",
-    "user_running_value",
-    "engaged_users_set_ops",
-    "daily_distinct_users",
-    "rollup_revenue",
-    "customers_without_orders",
-    "parts_with_lineitems",
-    "user_value_deltas",
-    "tpch_q6_forecast_revenue",
-    "value_percentiles_by_type",
-    "daily_counts_pivoted",
-    "user_event_type_signature",
-    "sql_api_revenue_summary",
-    "tpch_q4_order_priority",
-    "tpch_q14_promo_revenue",
-    "dq_lineitem_report",
-    "dq_referential_integrity",
-    "string_functions_showcase",
-    "datetime_functions_showcase",
-    "grouping_sets_revenue",
-    # -- slots 23-32: the 10 queries NEW in round 10, declared order
-    "mm_zlib_decode_stats",            # ninth real format: zlib/RFC 1950
-    "mm_zlib_corrupt_quarantine",      # zlib error-path value-hash gate
-    "stream_corpus_ingest_inbatch",    # in-batch near-dup admission gate
-    "bm25_topk_docs",                  # integer BM25 phrase retrieval
-    "kanon_user_signatures",           # k-anonymity governance audit
-    "emb_label_centroid_drift",        # embedding distribution-shift monitor
-    "train_eval_leakage_pairs",        # eval-split decontamination audit
-    "mm_warc_http_response_stats",     # raw-crawl WARC/HTTP read path
-    "mm_webdataset_tgz_index",         # compressed .tar.gz shard read
-    "source_bigram_entropy",           # corpus-diversity dashboard
-    # -- slots 33-50: the r6-vintage evidence backlog, oldest first
-    #    (CORRECTNESS_r06.json slot order; 18 of 44 — the remaining 26
-    #    are the slots-51+ deferrals documented above)
-    "dedup_exact_substring_pairs",
-    "ks_doclen_source_drift",
-    "chisq_type_hour_independence",
-    "stream_ivm_retract_deltas",
-    "markov_removal_attribution",
-    "dq_benford_first_digit",
-    "daily_revenue_trailing_range",
-    "order_gap_survival",
-    "revenue_theil_sen",
-    "user_event_trigrams",
-    "pareto_frontier_parts",
-    "hilbert_layout_audit",
-    "ivm_retractable_rollup",
-    "table_stats_profile",
-    "bitmap_user_type_index",
-    "range_partition_plan",
-    "token_zipf_curve",
-    "stream_scd2_temporal_join",
-    # -- slots 51+: work that must NOT displace the rotation above.
-    #    The 26 r6-vintage deferrals (oldest evidence in the registry
-    #    after the r11 gate; they open the r12 head, r06 slot order).
-    #    DECLARED r12 HEAD: the 26 r6 deferrals below, then the two
-    #    sketch queries newly oracle-fied in r11 (approx_distinct_users,
-    #    hll_sketch_rollup — first hash rows ever), then any queries NEW
-    #    in round 11 in their declared order, then the oldest r7-vintage
-    #    rows to fill 50.
+    # -- slots 1-26: the r6-vintage deferrals (r11 zero-slack overflow),
+    #    declared r12-head-first in r11; oldest evidence in the registry
     "emb_jl_distance_fidelity",
     "kcore_part_affinity",
     "stream_rate_limited_users",
@@ -155,13 +94,74 @@ _GATE_PRIORITY = [
     "dedup_components",
     "text_token_stats",
     "text_lang_id",
-    # -- NEW in round 11 (mirror-green at 3 SFs; external rows queued in
-    #    the declared r12 head after the 26 r6 deferrals and the two
-    #    newly-oracle-fied sketches above)
+    # -- slots 27-28: first hash-verifiable external rows for the HLL
+    #    pair rebuilt on explicit h60 registers in round 11
+    "approx_distinct_users",
+    "hll_sketch_rollup",
+    # -- slots 29-32: the 4 queries NEW in round 11, declared order
     "text_winnow_fingerprints",        # MOSS winnowing fingerprint profile
     "dedup_winnow_pairs",              # winnowed-index substring screen
     "winnow_recall_audit",             # screen-vs-truth catch-rate audit
     "hash_xxh64_twin_audit",           # xxhash64 DuckDB twin under the gate
+    # -- slots 33-50: the r7-vintage evidence backlog, oldest first
+    #    (CORRECTNESS_r07.json slot order; 18 of 50 — the remaining 32
+    #    are the slots-51+ deferrals documented above)
+    "mm_png_corrupt_quarantine",
+    "retrieval_rrf_fusion",
+    "customer_inflight_order_overlaps",
+    "mm_png_decode_stats",
+    "ts_sax_similar_users",
+    "mm_wav_pcm_stats",
+    "mm_tar_member_index",
+    "supplier_part_transit_overlaps",
+    "window_funnel_depth",
+    "text_quality",
+    "text_fingerprints",
+    "quality_by_source",
+    "user_value_trailing_hour",
+    "user_value_minmax_scaled",
+    "event_props_extract",
+    "dedup_embedding_cosine_lsh",
+    "dedup_incremental",
+    "dedup_keep_best_quality",
+    # -- slots 51+: work that must NOT displace the rotation above.
+    #    The 32 r7-vintage deferrals (oldest evidence in the registry
+    #    after the r12 gate; they open the r13 head, r07 slot order).
+    #    DECLARED r13 HEAD: the 32 r7 deferrals below, then any queries
+    #    NEW in round 12 in their declared order, then the oldest
+    #    r8-vintage rows (CORRECTNESS_r08.json slot order) to fill 50.
+    "text_bpe_token_stats",
+    "top_tokens",
+    "token_stats_by_lang",
+    "corpus_train_test_split",
+    "mixture_downsample",
+    "corpus_clean_train_sample",
+    "stratified_sample_exact",
+    "text_repetition_stats",
+    "contamination_bench_overlap",
+    "sim_topk_bruteforce",
+    "sim_lsh_buckets",
+    "sim_topk_lsh",
+    "sim_topk_lsh_multiprobe",
+    "sim_label_centroid_norms",
+    "sim_ivf_static_assignments",
+    "sim_topk_ivf_static",
+    "emb_int8_quantize",
+    "sim_topk_int8",
+    "retrieval_quality_topk",
+    "sim_pq_codes",
+    "sim_topk_pq",
+    "mm_metadata",
+    "mm_frame_offsets",
+    "mm_decode",
+    "mm_resize",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_dormant_accounts",
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

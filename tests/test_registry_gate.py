@@ -25,45 +25,17 @@ def test_gate_priority_is_registry_prefix():
 
 
 #: Queries registered past the current gate prefix without a prior driver
-#: row (each entry must name its verified in-prefix sibling). Round 11's
-#: prefix is the r10-declared head executed to the slot: the 22 r5-vintage
-#: deferrals, the 10 queries NEW in round 10, then 18 of the 44 r6-vintage
-#: backlog queries in CORRECTNESS_r06 slot order — exactly 50, zero
-#: slack. The 26 r6-vintage queries that did not fit
-#: (emb_jl_distance_fidelity .. text_lang_id) all keep their r6 driver
-#: rows, so the data-driven check below covers them; queries NEW in
-#: round 11 must either take a head slot (they can't — the rotation is
-#: zero-slack) or be listed here with their in-prefix sibling named.
-deferred_past_prefix: set[str] = {
-    # MOSS winnowing fingerprint profile (NEW r11): k-gram identity is the
-    # round-11 dual polynomial window key of in-prefix sibling
-    # dedup_exact_substring_pairs (r11 head slot 33, same token-hash ->
-    # window-key kernel and scan-spread shape); the min-of-window
-    # selection is position-independent by construction so both engines
-    # pick the same fingerprint set; mirror-green at 3 SFs; queued in the
-    # declared r12 head (plans/__init__.py slots-51+).
-    "text_winnow_fingerprints",
-    # winnowed-index substring screen (NEW r11): the posting/df-cap/pair
-    # join is EXACTLY the in-prefix sibling dedup_exact_substring_pairs'
-    # shape (r11 head slot 33) over the ~2/(w+1)-sparser fingerprint set;
-    # mirror-green at 3 SFs; queued in the declared r12 head.
-    "dedup_winnow_pairs",
-    # winnow screen recall audit (NEW r11): the five-1-row-counts
-    # broadcast assembly of in-prefix-family sibling lsh_cap_recall_audit
-    # (r6 external row; identical shape, allowlisted BNLJ) over the truth
-    # pair table of in-prefix sibling dedup_exact_substring_pairs (r11
-    # head slot 33); mirror-green at 3 SFs; queued in the declared r12
-    # head.
-    "winnow_recall_audit",
-    # xxhash64-twin gate audit (NEW r11): a 25-row bounded scalar
-    # projection — the shape of in-prefix sibling
-    # string_functions_showcase (r11 head slot 20) — whose values are the
-    # Spark builtin xxhash64 chains vs the generated DuckDB UHUGEINT
-    # twins (property-tested + live-session pinned in
-    # tests/test_properties.py / tests/test_dedup_fastpath.py);
-    # mirror-green at 3 SFs; queued in the declared r12 head.
-    "hash_xxh64_twin_audit",
-}
+#: row (each entry must name its verified in-prefix sibling). Round 12's
+#: prefix is the r11-declared head executed to the slot: the 26 r6-vintage
+#: deferrals, the HLL pair's first hash-verifiable rows, the 4 queries NEW
+#: in round 11, then 18 of the 50 r7-vintage backlog queries in
+#: CORRECTNESS_r07 slot order — exactly 50, zero slack. The 32 r7-vintage
+#: queries that did not fit (text_bpe_token_stats ..
+#: tpch_q22_dormant_accounts) all keep their r7 driver rows, so the
+#: data-driven check below covers them; queries NEW in round 12 must
+#: either take a head slot (they can't — the rotation is zero-slack) or
+#: be listed here with their in-prefix sibling named.
+deferred_past_prefix: set[str] = set()
 
 
 def test_queries_past_gate_prefix_have_prior_driver_rows():
