@@ -119,9 +119,16 @@ def _xx_signed(folded: str) -> str:
 
 
 def _xx_fold(list_expr: str, step_body: str, seed: int) -> str:
+    # Reinterpret each BIGINT's two's-complement bits as UBIGINT (what
+    # Spark's xxhash64 sees); a bare CAST(v AS UBIGINT) would raise a
+    # ConversionException on negative inputs instead (ADVICE r11).
+    as_bits = (
+        "CAST(CASE WHEN v < 0 THEN CAST(v AS HUGEINT) + "
+        "18446744073709551616 ELSE CAST(v AS HUGEINT) END AS UBIGINT)"
+    )
     return (
         f"list_reduce(list_prepend(CAST({seed} AS UBIGINT), "
-        f"list_transform({list_expr}, v -> CAST(v AS UBIGINT))), "
+        f"list_transform({list_expr}, v -> {as_bits})), "
         f"(acc, x) -> {step_body})"
     )
 

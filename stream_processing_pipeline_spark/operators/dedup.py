@@ -141,9 +141,26 @@ def spread_small_scan(df: DataFrame, *cols: str) -> DataFrame:
     moves the text once — but ONLY when the scan is actually starved: at
     the 100 TB design point the input has thousands of splits, the guard
     sees enough partitions, and this is a no-op, so production plans pay
-    no extra text shuffle."""
+    no extra text shuffle.
+
+    The split estimate comes from ``df.inputFiles()`` (a catalog lookup on
+    the analyzed plan), NOT ``df.rdd.getNumPartitions()`` — the RDD
+    conversion forced a full physical-plan build per call and read the
+    pre-AQE partition count (ADVICE r11). File count under-estimates
+    splits for few-but-huge files (maxPartitionBytes would split them),
+    which at worst repartitions a scan that was already parallel — the
+    same one-off shuffle the guard exists to permit. Frames with no file
+    lineage (in-plan synthesis) fall back to the RDD probe. Streaming
+    frames are refused: a blocking repartition guard is meaningless there
+    and ``inputFiles`` would throw deep in the plan instead of here."""
+    if df.isStreaming:
+        raise ValueError("spread_small_scan is a batch-scan guard; got a streaming DataFrame")
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        splits = len(df.inputFiles()) or df.rdd.getNumPartitions()
+    except Exception:
+        splits = df.rdd.getNumPartitions()
+    if splits < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism, *cols) if cols else df.repartition(sc.defaultParallelism)
     return df
 

@@ -1222,27 +1222,28 @@ _WN_W = 8   # winnowing window in k-grams; guarantee length = W + K - 1 = 12
 _WN_DF_CAP = 64  # same boilerplate bound as the all-offset index
 
 
-def _winnow_cte() -> str:
-    """doc_id -> winnowed fingerprint list (``fps``), mirroring the Spark
-    kernel: token h60s -> K-gram poly keys -> per-window min -> distinct."""
+def _winnow_chain(tok_cte: str, p: str = "") -> str:
+    """The winnow kernel's th -> gr -> wn CTE chain over a token CTE named
+    ``tok_cte``, every CTE name prefixed with ``p``. ONE builder feeds both
+    the registered queries' oracles (:func:`_winnow_cte`) and the recall
+    audit's (:func:`_winnow_recall_oracle`) — a hand-copied variant could
+    drift the audit oracle away from the registered kernel without any
+    test tripping (ADVICE r11). ``{p}wn`` exposes (doc_id, fps, n_grams)."""
     from ..operators.dedup import poly_window_key_sql
 
     h_tok = h60_sql("__w")
     gram = poly_window_key_sql("__h", "i", _WN_K)
     return f"""
-    WITH tokw AS (
-      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
-    ),
-    th AS (
+    {p}th AS (
       SELECT doc_id, list_transform(t, __w -> {h_tok}) AS __h
-      FROM tokw WHERE len(t) >= {_WN_K}
+      FROM {tok_cte} WHERE len(t) >= {_WN_K}
     ),
-    gr AS (
+    {p}gr AS (
       SELECT doc_id,
              list_transform(range(1, len(__h) - {_WN_K - 2}), i -> {gram}) AS gs
-      FROM th
+      FROM {p}th
     ),
-    wn AS (
+    {p}wn AS (
       SELECT doc_id,
              CASE WHEN len(gs) >= {_WN_W}
                   THEN list_distinct(list_transform(
@@ -1250,8 +1251,17 @@ def _winnow_cte() -> str:
                          i -> list_min(gs[i:i+{_WN_W - 1}])))
                   ELSE [list_min(gs)] END AS fps,
              len(gs) AS n_grams
-      FROM gr
+      FROM {p}gr
     )"""
+
+
+def _winnow_cte() -> str:
+    """doc_id -> winnowed fingerprint list (``fps``), mirroring the Spark
+    kernel: token h60s -> K-gram poly keys -> per-window min -> distinct."""
+    return f"""
+    WITH tokw AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),{_winnow_chain("tokw")}"""
 
 
 def _winnow_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1372,13 +1382,15 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _winnow_recall_oracle() -> str:
     """Composite oracle: the all-offset substring truth and the winnowed
-    screen at >=1 / >=2 shared fingerprints, reduced to one audit row
-    (CTE names prefixed — both kernels tokenize the same base)."""
+    screen at >=1 / >=2 shared fingerprints, reduced to one audit row.
+    The winnow chain comes from the SAME builder as the registered
+    queries' oracles (:func:`_winnow_chain`, prefixed ``wn_``) so the
+    audit cannot drift from the kernel it scores (ADVICE r11); both
+    kernels tokenize the shared ``tokb`` base."""
     from ..operators.dedup import poly_window_key_sql
 
     h_tok = h60_sql("__w")
     es_gram = poly_window_key_sql("h", "i", _ES_N)
-    wn_gram = poly_window_key_sql("__h", "i", _WN_K)
     return f"""
     WITH tokb AS (
       SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
@@ -1400,26 +1412,8 @@ def _winnow_recall_oracle() -> str:
     truth AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM es_p a JOIN es_p b ON a.h = b.h AND a.doc_id < b.doc_id
-    ),
-    wn_th AS (
-      SELECT doc_id, list_transform(t, __w -> {h_tok}) AS __h
-      FROM tokb WHERE len(t) >= {_WN_K}
-    ),
-    wn_gr AS (
-      SELECT doc_id, list_transform(range(1, len(__h) - {_WN_K - 2}),
-                                    i -> {wn_gram}) AS gs
-      FROM wn_th
-    ),
-    wn AS (
-      SELECT doc_id,
-             CASE WHEN len(gs) >= {_WN_W}
-                  THEN list_distinct(list_transform(
-                         range(1, len(gs) - {_WN_W - 2}),
-                         i -> list_min(gs[i:i+{_WN_W - 1}])))
-                  ELSE [list_min(gs)] END AS fps
-      FROM wn_gr
-    ),
-    w_p0 AS (SELECT DISTINCT doc_id, unnest(fps) AS h FROM wn),
+    ),{_winnow_chain("tokb", "wn_")},
+    w_p0 AS (SELECT DISTINCT doc_id, unnest(fps) AS h FROM wn_wn),
     w_p AS (
       SELECT doc_id, h FROM w_p0
       QUALIFY count(*) OVER (PARTITION BY h) <= {_WN_DF_CAP}

@@ -136,3 +136,39 @@ def test_substring_posting_array_equals_self_join(spark):
         for r in REGISTRY["dedup_exact_substring_pairs"].fn(spark, SF).collect()
     }
     assert got == want
+
+
+def test_spread_small_scan_guard(spark, tmp_path):
+    """The scan-fanout guard (ADVICE r11): repartitions a one-file scan to
+    defaultParallelism, leaves an already-wide frame untouched (identity —
+    no hidden shuffle at production split counts), and refuses streaming
+    frames instead of failing deep in the plan."""
+    from stream_processing_pipeline_spark.operators.dedup import spread_small_scan
+
+    par = spark.sparkContext.defaultParallelism
+
+    # one-file scan -> fanned out
+    src = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(src)
+    narrow = spark.read.parquet(src)
+    assert len(narrow.inputFiles()) == 1
+    spread = spread_small_scan(narrow, "id")
+    assert spread.rdd.getNumPartitions() == par
+    assert spread.count() == 100
+
+    # already-wide frame -> identity (same object, no repartition node)
+    wide = spark.range(1000).repartition(par)
+    assert spread_small_scan(wide) is wide
+
+    # fileless narrow frame -> RDD fallback still fans out
+    synth = spark.range(50).coalesce(1)
+    assert spread_small_scan(synth).rdd.getNumPartitions() == par
+
+    # streaming frames are refused
+    stream = spark.readStream.format("rate").load()
+    try:
+        spread_small_scan(stream)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised

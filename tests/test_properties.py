@@ -655,7 +655,7 @@ def _signed(v: int) -> int:
 
 
 @settings(max_examples=150, deadline=None)
-@given(st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+@given(st.lists(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
                 min_size=1, max_size=8))
 def test_xxh64_longs_sql_matches_reference(vals):
     """The DuckDB xxhash64 twin (generated UHUGEINT chain) equals the
@@ -672,7 +672,7 @@ def test_xxh64_longs_sql_matches_reference(vals):
 
 
 @settings(max_examples=150, deadline=None)
-@given(st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+@given(st.lists(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
                 max_size=8))
 def test_xxh64_fold_sql_matches_reference(vals):
     """The variable-length fold twin: acc' = hashLong(x, hashLong(acc, 42)),
