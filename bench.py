@@ -178,9 +178,25 @@ def main() -> None:
     for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         spark.read.parquet(p).limit(1).collect()
 
+    # Subset mode (r12): SPARK_GRAFT_BENCH_ONLY=name1,name2 times just
+    # those queries under the IDENTICAL session/warm-up/noop-sink regime
+    # and skips the streaming benches — the per-query A/B tool for plan
+    # rewrites and regression adjudication (median-of-N wrappers call this
+    # repeatedly). The driver's full run never sets it, so the committed
+    # artifact is unaffected.
+    only = {
+        n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n
+    }
+    items = sorted(REGISTRY.items())
+    if only:
+        unknown = only - {n for n, _ in items}
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown: {sorted(unknown)}")
+        items = [(n, q) for n, q in items if n in only]
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name, q in sorted(REGISTRY.items()):
+    for name, q in items:
         # stderr progress (stdout stays ONE parseable JSON line): after an
         # executor-death failure the last-started name is otherwise
         # unattributable because timings only print at the end (r8).
@@ -202,6 +218,27 @@ def main() -> None:
             # skewing every later timing.
             spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    if only:
+        line = json.dumps(
+            {
+                "metric": "subset_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_queries": len(timings),
+                "failures": failures,
+            }
+        )
+        print(line)
+        out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+        if out_path:
+            with open(out_path, "w") as fh:
+                fh.write(line + "\n")
+        spark.stop()
+        return
 
     # Streaming-topology throughput: the reference's actual workload shape
     # (six concurrent queries over an event stream). Chunk prep is outside

@@ -1264,18 +1264,23 @@ def _winnow_cte() -> str:
     ),{_winnow_chain("tokw")}"""
 
 
-def _winnow_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark side of :func:`_winnow_cte`: (doc_id, n_grams, fps)."""
-    from ..operators.dedup import (
-        shingle_key_of_token_hashes,
-        spread_small_scan,
-        token_hashes,
-    )
+def _tokhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ths): per-token h60 arrays over the spread corpus scan —
+    the ONE tokenize+hash pass shared by the winnow kernel and (inside
+    :func:`winnow_recall_audit`) the all-offset truth rebuild."""
+    from ..operators.dedup import spread_small_scan, token_hashes
 
     docs = spread_small_scan(catalog(spark, sf_dir).documents, "doc_id")
-    toked = docs.select(
+    return docs.select(
         "doc_id", token_hashes(T.tokens(T.normalize_text("text"))).alias("ths")
-    ).filter(F.size("ths") >= _WN_K)
+    )
+
+
+def _winnow_frame_from(toked: DataFrame) -> DataFrame:
+    """Winnow kernel over a prebuilt (doc_id, ths) frame."""
+    from ..operators.dedup import shingle_key_of_token_hashes
+
+    toked = toked.filter(F.size("ths") >= _WN_K)
     grams = toked.select(
         "doc_id", shingle_key_of_token_hashes(F.col("ths"), _WN_K).alias("gs")
     )
@@ -1294,6 +1299,36 @@ def _winnow_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("gs").alias("n_grams"),
         F.element_at(F.transform(F.array(F.col("gs")), _winnow), 1).alias("fps"),
     )
+
+
+def _winnow_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of :func:`_winnow_cte`: (doc_id, n_grams, fps)."""
+    return _winnow_frame_from(_tokhash_frame(spark, sf_dir))
+
+
+def _posting_pairs(p0: DataFrame, cap: int) -> DataFrame:
+    """(doc_id, h) postings -> (doc_a, doc_b, c) co-occurrence pairs via
+    the round-11 posting-array form: ONE shuffle of postings into sorted
+    per-hash doc sets (df-capped, so <= ``cap`` entries each), pairs
+    enumerated by an array comprehension — replaces the distinct +
+    df-count window + self-join chain (three exchanges over the same
+    rows; proven row-identical for the substring family, same proof
+    replayed for the winnow screen in tests/test_dedup_fastpath.py)."""
+    posting = (
+        p0.groupBy("h")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= cap))
+    )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("c"))
 
 
 @register(
@@ -1357,24 +1392,14 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact verify pass (n-gram Jaccard / containment) then scores.
 
     Shape: postings are 16-byte (fingerprint, doc) rows, distinct per
-    doc, df-capped at 64; the pair join runs at fingerprint grain and
-    text never shuffles."""
+    doc, df-capped at 64; the pair join runs at fingerprint grain in
+    posting-array form (ONE exchange — :func:`_posting_pairs`) and text
+    never shuffles."""
     w = _winnow_frame(spark, sf_dir)
-    p0 = w.select("doc_id", F.explode("fps").alias("h")).distinct()
-    from pyspark.sql import Window
-
-    wdf = Window.partitionBy("h")
-    p = (
-        p0.withColumn("df_", F.count(F.lit(1)).over(wdf))
-        .filter(F.col("df_") <= _WN_DF_CAP)
-        .drop("df_")
-    )
-    a = p.select(F.col("doc_id").alias("doc_a"), "h")
-    b = p.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    p0 = w.select("doc_id", F.explode("fps").alias("h"))
     return (
-        a.join(b, (F.col("h") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        _posting_pairs(p0, _WN_DF_CAP)
+        .withColumnRenamed("c", "n_shared_fps")
         .filter(F.col("n_shared_fps") >= 2)
         .orderBy("doc_a", "doc_b")
     )
@@ -1461,28 +1486,31 @@ def winnow_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit keeps that cap trade honest; recall@2 prices the
     registered screen's stricter threshold. Shape: two bounded pair
     tables from df-capped posting joins, five 1-row counts assembled by
-    broadcast cross joins (1-row sides)."""
-    truth = dedup_exact_substring_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b"
-    ).persist()
-    w = _winnow_frame(spark, sf_dir)
-    p0 = w.select("doc_id", F.explode("fps").alias("h")).distinct()
-    from pyspark.sql import Window
+    broadcast cross joins (1-row sides).
 
-    wdf = Window.partitionBy("h")
-    p = (
-        p0.withColumn("df_", F.count(F.lit(1)).over(wdf))
-        .filter(F.col("df_") <= _WN_DF_CAP)
-        .drop("df_")
+    Cost (VERDICT r11 #3): the audit MUST recompute the all-offset truth
+    — scoring the screen against it is its entire point — but it now
+    shares ONE tokenize+hash pass between the truth and the screen
+    (``toked`` persisted; the r11 form re-tokenized the corpus once per
+    kernel) and enumerates both pair tables in posting-array form
+    (:func:`_posting_pairs`, one exchange each instead of three)."""
+    from ..operators.dedup import shingle_key_of_token_hashes
+
+    toked = _tokhash_frame(spark, sf_dir).filter(
+        F.size("ths") >= _WN_K
+    ).persist()
+
+    es_grams = toked.filter(F.size("ths") >= _ES_N).select(
+        "doc_id", shingle_key_of_token_hashes(F.col("ths"), _ES_N).alias("gs")
     )
-    a = p.select(F.col("doc_id").alias("doc_a"), "h")
-    b = p.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
-    wpairs = (
-        a.join(b, (F.col("h") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
+    truth = _posting_pairs(
+        es_grams.select("doc_id", F.explode("gs").alias("h")), _ES_DF_CAP
+    ).select("doc_a", "doc_b").persist()
+
+    w = _winnow_frame_from(toked)
+    wpairs = _posting_pairs(
+        w.select("doc_id", F.explode("fps").alias("h")), _WN_DF_CAP
+    ).persist()
     n = truth.agg(F.count(F.lit(1)).alias("n_true"))
     s1 = wpairs.agg(F.count(F.lit(1)).alias("n_screen1"))
     s2 = wpairs.filter(F.col("c") >= 2).agg(F.count(F.lit(1)).alias("n_screen2"))

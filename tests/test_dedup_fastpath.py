@@ -172,3 +172,40 @@ def test_spread_small_scan_guard(spark, tmp_path):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_winnow_posting_array_equals_self_join(spark):
+    """The winnow screen's posting-array pair enumeration (_posting_pairs,
+    round 12) is row-identical to the legacy distinct + df-window +
+    self-join chain it replaced — the same proof the substring family got
+    in round 11, replayed over the winnowed fingerprint postings."""
+    from pyspark.sql import Window as W
+
+    from stream_processing_pipeline_spark.plans import REGISTRY
+    from stream_processing_pipeline_spark.plans.dedupq import (
+        _WN_DF_CAP,
+        _winnow_frame,
+    )
+
+    w = _winnow_frame(spark, SF)
+    p0 = w.select("doc_id", F.explode("fps").alias("h")).distinct()
+    win = W.partitionBy("h")
+    p = (
+        p0.withColumn("df_", F.count(F.lit(1)).over(win))
+        .filter(F.col("df_") <= _WN_DF_CAP)
+        .drop("df_")
+    )
+    a = p.select(F.col("doc_id").alias("doc_a"), "h")
+    b = p.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    legacy = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 2)
+    )
+    want = {(r.doc_a, r.doc_b): r.n_shared_fps for r in legacy.collect()}
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared_fps
+        for r in REGISTRY["dedup_winnow_pairs"].fn(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
