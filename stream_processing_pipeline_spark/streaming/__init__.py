@@ -28,6 +28,13 @@ from .stateful import (
     RunningStatsProcessor,
     user_stats_transform_with_state,
 )
+from .spec import (
+    REFERENCE_EVENTS_SPEC_PATH,
+    compile_query,
+    compile_topology,
+    expand_macros,
+    load_spec,
+)
 from .sinks import (
     FanOutSink,
     ForeachBatchSink,
@@ -54,6 +61,11 @@ __all__ = [
     "StreamQuerySpec",
     "Topology",
     "run_available_now",
+    "load_spec",
+    "expand_macros",
+    "compile_query",
+    "compile_topology",
+    "REFERENCE_EVENTS_SPEC_PATH",
     "ROCKSDB_PROVIDER",
     "HAS_TWS_RUNTIME",
     "RunningStatsProcessor",
