@@ -2584,7 +2584,14 @@ def index_tgz_members_arrow(
             nm, tb, cb, ab, gb = [], [], [], [], []
             for p in payloads:
                 raw = bytes(p)
-                (archive,) = parse_gzip(raw)
+                # A .tar.gz shard is a gzip STREAM: parallel compressors
+                # (pigz, bgzip) emit MANY members whose concatenated
+                # inflate is the one tar — RFC 1952 §2.2 ("a gzip file
+                # is a series of members"); joining matches stdlib
+                # gzip.decompress. (r12: was a one-member unpack, which
+                # rejected pigz-style shards; pinned against foreign
+                # /usr/bin/gzip member bytes in test_operators.py.)
+                archive = b"".join(parse_gzip(raw))
                 members = parse_tar(archive)
                 # WebDataset contract: one member PER EXTENSION per sample
                 # (".txt", ".cls", ...; the extension is the modality key).
