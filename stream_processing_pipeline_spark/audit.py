@@ -91,6 +91,10 @@ BROADCAST_HINT_ALLOWED = {
     # role, and streaming plans can't rely on AQE (no per-micro-batch
     # re-optimization), so the explicit hint IS the faithful re-expression.
     "q6_counts_by_segment",
+    # the SAME plan compiled from the JSON pipeline spec (r12): the spec's
+    # dim_join op maps onto operators.joins.dim_join, so the compiled twin
+    # carries the identical J1-parity hint for the identical reason.
+    "spec_q6_counts_by_segment",
 }
 
 

@@ -162,6 +162,11 @@ _GATE_PRIORITY = [
     "tpch_q19_discounted_revenue",
     "tpch_q21_suppliers_kept_waiting",
     "tpch_q22_dormant_accounts",
+    # -- NEW in round 12 (mirror-green at 3 SFs; external rows queued in
+    #    the declared r13 head after the 32 r7 deferrals above)
+    "spec_q2_abnormal_minutes",        # spec compiler: stateless chain
+    "spec_q6_counts_by_segment",       # spec compiler: join+agg chain
+    "mm_tgz_multimember_index",        # pigz-style multi-member shards
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

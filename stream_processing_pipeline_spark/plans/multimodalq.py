@@ -2195,40 +2195,80 @@ def _le_hex(expr: str, digits: int) -> str:
     return f"concat({pairs})"
 
 
-def _stored_gzip_wrap(df: DataFrame) -> DataFrame:
-    """Wrap a ``(doc_id, member: binary)`` frame in a genuine one-block
-    stored-mode gzip member (RFC 1952 header + 01/LEN/NLEN framing + CRC32
-    and ISIZE trailers, all JVM expressions). Stored-mode frames ONE block
-    whose LEN field is 16 bits, so members over 65535 bytes are rejected
-    with an explanatory in-plan ``raise_error`` — without the guard the
+def _gzip_member_sql(m: str) -> str:
+    """One stored-mode gzip member framing a binary column ``m``: RFC 1952
+    header + 01/LEN/NLEN stored-block framing + CRC32 and ISIZE trailers,
+    all JVM expressions. ONE builder feeds the single-member wrap and the
+    multi-member (pigz-style) wrap — a hand-copied variant could drift the
+    two framings apart silently (the ADVICE r11 winnow-oracle lesson).
+    Callers must bound ``m`` at 65535 bytes (stored mode frames one block
+    whose LEN field is 16 bits) — see the raise_error guard in
+    :func:`_stored_gzip_guard`."""
+    mlen = f"length({m})"
+    ch = f"lpad(hex(crc32({m})), 8, '0')"
+    return (
+        "concat(unhex('1f8b08000000000000ff01'), "
+        f"unhex({_le_hex(mlen, 4)}), "
+        f"unhex({_le_hex(f'65535 - {mlen}', 4)}), "
+        f"{m}, "
+        f"unhex(concat(substr({ch}, 7, 2), substr({ch}, 5, 2), "
+        f"substr({ch}, 3, 2), substr({ch}, 1, 2))), "
+        f"unhex({_le_hex(mlen, 8)}))"
+    )
+
+
+def _stored_gzip_guard(df: DataFrame) -> DataFrame:
+    """Reject members over the stored-block 16-bit LEN cap with an
+    explanatory in-plan ``raise_error`` — without the guard the
     ``_le_hex`` lpad would silently truncate the hex (and ``65535 - mlen``
     would go negative), surfacing as an opaque NLEN/inflate error deep in
     ``parse_gzip`` (ADVICE r10)."""
-    return (
-        df.select(
-            "doc_id", "member",
-            F.expr(
-                "CASE WHEN length(member) <= 65535 THEN length(member) "
-                "ELSE raise_error(concat('webdataset tgz generator: "
-                "stored-mode deflate caps one block at 65535 bytes; doc "
-                "archive is ', CAST(length(member) AS STRING), ' bytes — "
-                "use multi-block or dynamic deflate for bigger shards')) "
-                "END"
-            ).alias("mlen"),
-            F.expr("lpad(hex(crc32(member)), 8, '0')").alias("ch"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                "concat(unhex('1f8b08000000000000ff01'), "
-                f"unhex({_le_hex('mlen', 4)}), "
-                f"unhex({_le_hex('65535 - mlen', 4)}), "
-                "member, "
-                "unhex(concat(substr(ch, 7, 2), substr(ch, 5, 2), "
-                "substr(ch, 3, 2), substr(ch, 1, 2))), "
-                f"unhex({_le_hex('mlen', 8)}))"
-            ).alias("payload"),
-        )
+    return df.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN length(member) <= 65535 THEN member "
+            "ELSE raise_error(concat('webdataset tgz generator: "
+            "stored-mode deflate caps one block at 65535 bytes; doc "
+            "archive is ', CAST(length(member) AS STRING), ' bytes — "
+            "use multi-block or dynamic deflate for bigger shards')) "
+            "END"
+        ).alias("member"),
+    )
+
+
+def _stored_gzip_wrap(df: DataFrame) -> DataFrame:
+    """Wrap a ``(doc_id, member: binary)`` frame in a genuine one-block
+    stored-mode gzip member."""
+    return _stored_gzip_guard(df).select(
+        "doc_id", F.expr(_gzip_member_sql("member")).alias("payload")
+    )
+
+
+#: Non-512-aligned split offset for the pigz-style two-member shard: the
+#: gzip member boundary must NOT coincide with a tar block boundary, or
+#: the test would pass with a reader that resets tar state per member.
+_TGZ_SPLIT_AT = 700
+
+
+def _stored_gzip_wrap_multimember(df: DataFrame, cut: int = _TGZ_SPLIT_AT) -> DataFrame:
+    """Wrap ``(doc_id, member)`` as a TWO-member gzip stream split at a
+    non-block-aligned byte offset — the layout parallel compressors
+    (pigz, bgzip) emit, where the concatenated inflate is the one
+    archive. Every archive is >= 3072 bytes (2 headers + 2 padded bodies
+    + the 1024-byte end-of-archive trailer), so both halves are
+    non-empty; the single-member 65535-byte guard bounds each half."""
+    halves = _stored_gzip_guard(df).select(
+        "doc_id",
+        F.expr(f"substring(member, 1, {cut})").alias("m1"),
+        F.expr(
+            f"substring(member, {cut + 1}, length(member) - {cut})"
+        ).alias("m2"),
+    )
+    return halves.select(
+        "doc_id",
+        F.expr(
+            f"concat({_gzip_member_sql('m1')}, {_gzip_member_sql('m2')})"
+        ).alias("payload"),
     )
 
 
@@ -2268,6 +2308,51 @@ def mm_webdataset_tgz_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import index_tgz_members_arrow
 
     docs = _stored_gzip_wrap(
+        catalog(spark, sf_dir).documents.select("doc_id", "text", "lang")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _tar_payload_col().alias("member"))
+    )
+    return index_tgz_members_arrow(docs)
+
+
+@register(
+    "mm_tgz_multimember_index",
+    oracle="""
+    SELECT doc_id, CAST(2 AS INTEGER) AS n_members,
+           CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
+           CAST(octet_length(encode(lang)) AS BIGINT) AS cls_bytes,
+           CAST(1024
+                + 512 * ((octet_length(encode(text)) + 511) // 512)
+                + 512 * ((octet_length(encode(lang)) + 511) // 512)
+                + 1024 AS BIGINT) AS archive_bytes,
+           CAST(1024
+                + 512 * ((octet_length(encode(text)) + 511) // 512)
+                + 512 * ((octet_length(encode(lang)) + 511) // 512)
+                + 1024 + 46 AS BIGINT) AS gz_bytes
+    FROM documents
+    """,
+    tags=("multimodal", "webdataset", "tar", "gzip", "multi-member",
+          "pigz", "shard-packing", "arrow-udf", "real-codec"),
+)
+def mm_tgz_multimember_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIGZ-STYLE multi-member shard indexing (NEW round 12): the same
+    per-doc ustar archive split across TWO stored-mode gzip members at a
+    non-block-aligned byte offset — the framing parallel compressors
+    (pigz, bgzip) emit, where a gzip file is RFC 1952's "series of
+    members" and the concatenated inflate is the one tar.
+    ``index_tgz_members_arrow`` joins the member list before the tar walk
+    (r12 fix — the one-member unpack it replaced rejected such shards);
+    this registration keeps that convention under the external gate.
+    The oracle rederives every size in closed form: two gzip wrappers add
+    exactly 46 bytes (2 x (10-byte header + 5-byte stored framing +
+    8-byte trailer)); member stats are split-invariant. Foreign-bytes pin
+    for the same convention: system /usr/bin/gzip members in
+    tests/test_operators.py. Scale shape: identical to
+    mm_webdataset_tgz_index — content moves once in the parallelism
+    repartition, decode never shuffles."""
+    from ..operators.multimodal import index_tgz_members_arrow
+
+    docs = _stored_gzip_wrap_multimember(
         catalog(spark, sf_dir).documents.select("doc_id", "text", "lang")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", _tar_payload_col().alias("member"))

@@ -146,3 +146,72 @@ def q6_counts_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — only for the aggregation — which is the 100 TB-safe plan."""
     cat = catalog(spark, sf_dir)
     return transforms.counts_by_segment(cat.events, cat.customer)
+
+
+# ----------------- declarative spec compiler under the gate (round 12)
+#
+# The §7.1 pipeline-spec layer (streaming/spec.py) compiles the checked-in
+# reference_events.json into the same plans the code-first transforms
+# build. These two registrations put the COMPILER ITSELF under the
+# external value-hash gate: each runs its query compiled FROM THE SPEC
+# (batch mode) against the code-built twin's oracle VERBATIM — a compiler
+# bug (op wiring, macro arithmetic, watermark handling) hash-mismatches
+# here even if every hand-built query stays green. One stateless chain
+# (derive/filter/select + @pround/@minutes_since_midnight/@outside
+# macros) and the full join+agg chain (prune/dim_join/windowed_agg/rename
+# + window flattening) cover the vocabulary's two shapes.
+
+def _spec_sources(spark: SparkSession, sf_dir: str) -> dict:
+    cat = catalog(spark, sf_dir)
+    return {"events": cat.events, "customer": cat.customer}
+
+
+def _spec_compiled(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..streaming.spec import (
+        REFERENCE_EVENTS_SPEC_PATH,
+        compile_query,
+        load_spec,
+    )
+
+    spec = load_spec(REFERENCE_EVENTS_SPEC_PATH)
+    return compile_query(spec, name, _spec_sources(spark, sf_dir))
+
+
+@register(
+    "spec_q2_abnormal_minutes",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, ts, user_id, event_type, {_MINS} AS mins FROM events
+    )
+    SELECT event_id, ts, user_id, event_type,
+           {pround_sql('mins', 2)} AS minutes_since_midnight
+    FROM base WHERE mins < 60 OR mins > 1380
+    """,
+    tags=("parity", "spec-compiler", "declarative", "P6", "P7", "P11"),
+)
+def spec_q2_abnormal_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 compiled FROM the JSON pipeline spec (derive -> filter -> select
+    with @minutes_since_midnight/@outside/@pround macro expansion); the
+    oracle is q2_abnormal_minutes' verbatim, so the gate hash-verifies the
+    spec compiler's stateless chain end-to-end. Same plan class as the
+    code-built twin: one Project/Filter tree inside whole-stage codegen."""
+    return _spec_compiled(spark, sf_dir, "abnormal_minutes")
+
+
+@register(
+    "spec_q6_counts_by_segment",
+    oracle=f"""
+    SELECT {WINDOW_FLATTEN_SQL},
+           c_mktsegment AS segment,
+           count(user_id) AS total_events
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    GROUP BY {HOUR}, c_mktsegment
+    """,
+    tags=("parity", "spec-compiler", "declarative", "J1", "A3"),
+)
+def spec_q6_counts_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 compiled FROM the JSON pipeline spec (prune -> dim_join ->
+    windowed_agg -> rename); oracle is q6_counts_by_segment's verbatim.
+    The compiled plan keeps the code twin's scale shape — broadcast dim
+    join (fact side unshuffled), one aggregation exchange."""
+    return _spec_compiled(spark, sf_dir, "counts_by_segment")

