@@ -654,19 +654,29 @@ def jaccard_pairs(
     window key over per-token h60s (:func:`shingle_key`) — one md5 per
     TOKEN instead of one md5 over a freshly-concatenated 3-token string
     per OFFSET, and no per-shingle string allocation at all.
+
+    Round 12 (VERDICT r11 #6): per-doc set sizes RIDE THE POSTINGS
+    (``n = size(sh)`` is known at explode time) and reduce with the pair
+    counts (``max`` over a per-doc-constant), replacing the separate
+    sizes aggregation plus TWO doc-grain joins — three exchanges gone
+    from every consumer (the bm25 dl-rides-the-postings move). The
+    candidate join stays a hash self-join rather than posting arrays:
+    this operator is the EXACT (uncapped) kernel, and an uncapped
+    collect_set on a hot shingle concentrates a quadratic bucket in one
+    task, where the self-join spreads it and AQE can split skew.
     """
     from ..functions.rounding import pround
 
     base = spread_small_scan(df, id_col).select(
         F.col(id_col), F.array_distinct(shingle_key(F.col(text_col))).alias("sh")
     )
-    # One materialized posting list feeds both the size lookup and the
-    # self-join; without the persist Spark recomputes the (regex-heavy)
-    # shingle pass once per consumer.
+    # One materialized posting list feeds the self-join twice; without the
+    # persist Spark recomputes the (regex-heavy) shingle pass per use.
     posting = base.select(
-        F.col(id_col), F.explode(F.col("sh")).alias("sh_hash")
+        F.col(id_col),
+        F.size("sh").cast("long").alias("n"),
+        F.explode(F.col("sh")).alias("sh_hash"),
     ).persist()
-    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = posting.alias("a"), posting.alias("b")
     common = (
         a.join(
@@ -677,14 +687,13 @@ def jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.max("a.n").alias("na"),
+            F.max("b.n").alias("nb"),
+        )
     )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     jac = pround(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4)
-    return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return common.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
