@@ -166,6 +166,7 @@ _GATE_PRIORITY = [
     #    the declared r13 head after the 32 r7 deferrals above)
     "spec_q2_abnormal_minutes",        # spec compiler: stateless chain
     "spec_q6_counts_by_segment",       # spec compiler: join+agg chain
+    "spec_q4_avg_value_per_hour",      # spec compiler: money-macro aggs
     "mm_tgz_multimember_index",        # pigz-style multi-member shards
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after

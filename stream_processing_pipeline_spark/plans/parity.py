@@ -215,3 +215,25 @@ def spec_q6_counts_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     The compiled plan keeps the code twin's scale shape — broadcast dim
     join (fact side unshuffled), one aggregation exchange."""
     return _spec_compiled(spark, sf_dir, "counts_by_segment")
+
+
+@register(
+    "spec_q4_avg_value_per_hour",
+    oracle=f"""
+    SELECT {WINDOW_FLATTEN_SQL},
+           {avg_money_sql('value')} AS avg_value,
+           {avg_money_sql(_PURCHASE)} AS purchase_avg,
+           {avg_money_sql(_CLICK)} AS click_avg
+    FROM events WHERE value IS NOT NULL
+    GROUP BY {HOUR}
+    """,
+    tags=("parity", "spec-compiler", "declarative", "A1", "W2", "P13"),
+)
+def spec_q4_avg_value_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 compiled FROM the JSON pipeline spec (not_null -> windowed_agg
+    with @avg_money macro aggs); oracle is q4_avg_value_per_hour's
+    verbatim. This is the gate row for the MONEY-MACRO arithmetic — the
+    one macro family the other two spec registrations don't reach: a
+    drifted cents/rounding expansion (e.g. the DECIMAL-literal trap the
+    batch-equivalence test caught in development) hash-mismatches here."""
+    return _spec_compiled(spark, sf_dir, "avg_value_per_hour")

@@ -49,6 +49,12 @@ deferred_past_prefix: set[str] = {
     # code-built pinned by the same batch-equivalence test; mirror-green
     # at 3 SFs; queued in the declared r13 head.
     "spec_q6_counts_by_segment",
+    # Q4 compiled from the spec (NEW r12): oracle verbatim from sibling
+    # q4_avg_value_per_hour (r10 external row); the @avg_money macro
+    # expansion is pinned value-identical to functions.money by
+    # test_pipeline_spec's batch-equivalence sweep; mirror-green at
+    # 3 SFs; queued in the declared r13 head.
+    "spec_q4_avg_value_per_hour",
     # pigz-style multi-member .tar.gz indexing (NEW r12): the gzip-member
     # walk and tar walk are sibling mm_webdataset_tgz_index's (r11
     # external row); the single-member twin shares the identical

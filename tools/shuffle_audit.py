@@ -354,6 +354,7 @@ COVERED_BY = {
     "mm_webdataset_tgz_index": ("mm_tar_member_index", "same one-time content repartition; the gzip wrapper decodes in the same scan stage, nothing new shuffles"),
     "mm_tgz_multimember_index": ("mm_tar_member_index", "identical shape to the single-member tgz twin: the two-member split/frame is in-scan expression work; nothing new shuffles (r12)"),
     "spec_q6_counts_by_segment": ("q6_counts_by_segment", "spec-compiled twin: identical broadcast-dim-join plan (value-identity pinned in test_pipeline_spec); shuffle = windowed partial counts (r12)"),
+    "spec_q4_avg_value_per_hour": ("q6_counts_by_segment", "spec-compiled twin of q4: windowed partial aggregates only, exact-cents macro arithmetic (r12)"),
     "source_bigram_entropy": ("source_token_divergence", "same (source, term-grain) partials after map-side combine; per-source totals join at the bounded source domain"),
 }
 
