@@ -418,10 +418,10 @@ def main() -> None:
         "grows 1000x. (Parquet input is measured in records — the vectorized",
         "reader's byte counter is not meaningful.) Run-to-run caveat: AQE",
         "decides borderline broadcasts from runtime stats, so tpch_q21's",
-        "lineitem self-join sits on a knife edge: r10 measured it broadcast",
-        "(1.0 MB, 0.52 B/row), both r11 runs measured it as the SortMergeJoin",
-        "(10.9 MB, 5.61 B/row — still compact (orderkey, suppkey) pairs, and",
-        "the isolated-session plan is 9 BroadcastHashJoin + that 1 SMJ).",
+        "lineitem self-join sits on a knife edge: r10 and r12 measured it",
+        "broadcast (1.0 MB, 0.52 B/row), both r11 runs measured the",
+        "SortMergeJoin (10.9 MB, 5.61 B/row — still compact (orderkey,",
+        "suppkey) pairs; the isolated-session plan is 9 BHJ + that 1 SMJ).",
         "Both shapes honor the claim; re-measure before reading the jump as",
         "a plan regression.",
         "",
