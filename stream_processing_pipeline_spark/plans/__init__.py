@@ -168,6 +168,9 @@ _GATE_PRIORITY = [
     "spec_q6_counts_by_segment",       # spec compiler: join+agg chain
     "spec_q4_avg_value_per_hour",      # spec compiler: money-macro aggs
     "mm_tgz_multimember_index",        # pigz-style multi-member shards
+    "spec_q1_typed_events",            # spec compiler: parse_json op
+    "spec_q3_value_discrepancy",       # spec compiler: discrepancy_filter
+    "spec_q5_event_counts_per_hour",   # spec compiler: count_if macros
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

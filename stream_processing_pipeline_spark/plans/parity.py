@@ -237,3 +237,67 @@ def spec_q4_avg_value_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     drifted cents/rounding expansion (e.g. the DECIMAL-literal trap the
     batch-equivalence test caught in development) hash-mismatches here."""
     return _spec_compiled(spark, sf_dir, "avg_value_per_hour")
+
+
+@register(
+    "spec_q1_typed_events",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value, {_K_SQL} AS prop_k
+    FROM events
+    """,
+    tags=("parity", "spec-compiler", "declarative", "P1", "P2", "P3"),
+)
+def spec_q1_typed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 compiled FROM the JSON pipeline spec (parse_json -> select);
+    oracle is q1_typed_events' verbatim. This is the gate row for the
+    compiler's ``parse_json`` op — the schema-applying JSON flatten (P2/P3
+    contract wiring) that the other spec rows exercise only indirectly
+    through ``derive``. With the other five, the full reference topology
+    now runs from the checked-in spec with EVERY query externally
+    hash-gated in both its code-built and spec-compiled form."""
+    return _spec_compiled(spark, sf_dir, "typed_events")
+
+
+@register(
+    "spec_q3_value_discrepancy",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, ts, user_id, value,
+             abs(value - {_K_SQL}) AS d
+      FROM events
+    )
+    SELECT event_id, ts, user_id, value, {pround_sql('d', 2)} AS amount_discrepancy
+    FROM base WHERE d > 50 OR value IS NULL
+    """,
+    tags=("parity", "spec-compiler", "declarative", "P8", "P9"),
+)
+def spec_q3_value_discrepancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 compiled FROM the JSON pipeline spec (parse_json ->
+    discrepancy_filter -> select); oracle is q3_value_discrepancy's
+    verbatim. Gate row for the compiler's ``discrepancy_filter`` op — the
+    NULL-propagating |observed - expected| predicate (P8/P9) whose
+    OR-isNull branch is the easiest thing for a spec wiring bug to drop
+    silently (the row count barely moves; the hash does not lie)."""
+    return _spec_compiled(spark, sf_dir, "value_discrepancy")
+
+
+@register(
+    "spec_q5_event_counts_per_hour",
+    oracle=f"""
+    SELECT {WINDOW_FLATTEN_SQL},
+           count(*) AS total_events,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_events,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click_events
+    FROM events
+    GROUP BY {HOUR}
+    """,
+    tags=("parity", "spec-compiler", "declarative", "A2", "W1", "W2"),
+)
+def spec_q5_event_counts_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 compiled FROM the JSON pipeline spec (bare windowed_agg with
+    @count_if conditional-count macros); oracle is
+    q5_event_counts_per_hour's verbatim. Gate row for the count(CASE)
+    vs count(*) distinction surviving macro expansion — a compiler that
+    expands conditional counts to count(*) over a filter matches on
+    total_events and mismatches on the conditional columns."""
+    return _spec_compiled(spark, sf_dir, "event_counts_per_hour")

@@ -64,6 +64,23 @@ deferred_past_prefix: set[str] = {
     # tests/test_operators.py; mirror-green at 3 SFs; queued in the
     # declared r13 head.
     "mm_tgz_multimember_index",
+    # Q1 compiled from the spec (NEW r12, completes the reference six as
+    # compiled specs): oracle verbatim from sibling q1_typed_events (r10
+    # external row, parity-rotated), compiled == code-built pinned by
+    # test_pipeline_spec's batch-equivalence sweep; mirror-green at 3 SFs;
+    # queued in the declared r13 head.
+    "spec_q1_typed_events",
+    # Q3 compiled from the spec (NEW r12): oracle verbatim from sibling
+    # q3_value_discrepancy (r10 external row); the discrepancy_filter op's
+    # NULL-propagating predicate is pinned value-identical to the code
+    # twin by the same equivalence sweep; mirror-green at 3 SFs; queued in
+    # the declared r13 head.
+    "spec_q3_value_discrepancy",
+    # Q5 compiled from the spec (NEW r12): oracle verbatim from sibling
+    # q5_event_counts_per_hour (r10 external row); the @count_if /
+    # @count_star macro expansion is pinned by the equivalence sweep;
+    # mirror-green at 3 SFs; queued in the declared r13 head.
+    "spec_q5_event_counts_per_hour",
 }
 
 
