@@ -4230,11 +4230,49 @@ def customer_inflight_order_overlaps(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 _TRI_MIN_SUPPORT = 2  # co-purchase edge := parts co-ordered at least twice
-_TRI_BASKET_CAP = 32  # per-order basket cap before the pair self-join: the
+_TRI_BASKET_CAP = 32  # per-order basket cap before pair enumeration: the
                       # |basket|^2/2 edge-gen explosion guard (a 10k-item bot
                       # cart would emit 50M pairs from ONE order); TPC-H
                       # baskets are <= 7 items, so the cap is a no-op on the
                       # fixtures and the capped plan hashes identically
+
+
+def _basket_edges(li: DataFrame, cap: int, support: int) -> DataFrame:
+    """(o, p) rows -> support-filtered co-purchase edges (x < y) via the
+    round-11/12 posting-array form: ONE aggregation shuffles the raw
+    (order, part) projection into sorted distinct per-order baskets
+    (``collect_set`` dedups in its partial buffers, so the standalone
+    DISTINCT exchange disappears), ``slice(..., 1, cap)`` keeps the cap
+    partkey-SMALLEST items — exactly the legacy
+    ``row_number() OVER (PARTITION BY o ORDER BY p) <= cap`` truncation —
+    and the x < y pairs are enumerated inside the row by an array
+    comprehension instead of the order-keyed self-join. Two exchanges
+    total (baskets, edge support count) where the legacy chain paid four
+    (distinct, window, self-join re-shuffle, support count); proven
+    row-identical to the legacy chain incl. the cap truncation by
+    tests/test_graph_fastpath.py. Same pattern as
+    :func:`plans.dedupq._posting_pairs`, kept separate because the cap
+    semantics differ (truncate the basket vs drop the whole bucket)."""
+    baskets = (
+        li.groupBy("o")
+        .agg(F.slice(F.array_sort(F.collect_set("p")), 1, cap).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> struct(x AS x, y AS y))))"
+            )
+        ).alias("e")
+    ).select("e.x", "e.y")
+    return (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= support)
+        .select("x", "y")
+    )
 
 
 @register(
@@ -4308,30 +4346,17 @@ def part_affinity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     loses a supporting order only when an endpoint ranks past 32 in that
     order's partkey order — a no-op on TPC-H (baskets <= 7, hash
     unchanged at every SF) and deterministic everywhere, so the oracle
-    replays the identical truncation."""
-    from pyspark.sql import Window
-
+    replays the identical truncation. Edge generation runs the
+    posting-array form (:func:`_basket_edges`, round 12): two exchanges
+    instead of the legacy distinct/window/self-join four."""
     cat = catalog(spark, sf_dir)
-    wb = Window.partitionBy("o").orderBy("p")
-    op = (
+    edges = _basket_edges(
         cat.lineitem.select(
             F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-        .withColumn("rn_", F.row_number().over(wb))
-        .filter(F.col("rn_") <= _TRI_BASKET_CAP)
-        .drop("rn_")
-    )
-    a = op.select("o", F.col("p").alias("x"))
-    b = op.select(F.col("o").alias("o2"), F.col("p").alias("y"))
-    edges = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y")))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= _TRI_MIN_SUPPORT)
-        .select("x", "y")
-        .persist()
-    )
+        ),
+        _TRI_BASKET_CAP,
+        _TRI_MIN_SUPPORT,
+    ).persist()
     deg = (
         edges.select(F.col("x").alias("n"))
         .unionAll(edges.select(F.col("y").alias("n")))
@@ -4462,30 +4487,20 @@ def kcore_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compact survivor set, with ``localCheckpoint`` cutting lineage so
     plan size stays flat per round — each round's cost is O(|current
     edges|), monotonically SHRINKING, the property that makes peeling
-    viable on billion-edge graphs."""
-    from pyspark.sql import Window
-
+    viable on billion-edge graphs. Round 12: edge generation runs the
+    posting-array form (:func:`_basket_edges`, two exchanges instead of
+    four), and the per-round survivor set is lazily ``persist``-ed
+    instead of eagerly checkpointed — its lineage is one degree count
+    over the round's CHECKPOINTED edges (already flat), so the eager
+    materialization job per round bought nothing."""
     cat = catalog(spark, sf_dir)
-    wb = Window.partitionBy("o").orderBy("p")
-    op = (
+    edges = _basket_edges(
         cat.lineitem.select(
             F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-        .withColumn("rn_", F.row_number().over(wb))
-        .filter(F.col("rn_") <= _TRI_BASKET_CAP)
-        .drop("rn_")
-    )
-    a = op.select("o", F.col("p").alias("x"))
-    b = op.select(F.col("o").alias("o2"), F.col("p").alias("y"))
-    edges = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y")))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= _TRI_MIN_SUPPORT)
-        .select("x", "y")
-        .localCheckpoint()
-    )
+        ),
+        _TRI_BASKET_CAP,
+        _TRI_MIN_SUPPORT,
+    ).localCheckpoint()
 
     def stats(r: int, e: DataFrame, nodes: DataFrame) -> DataFrame:
         return nodes.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
@@ -4510,7 +4525,7 @@ def kcore_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             degrees(edges)
             .filter(F.col("d") >= _KCORE_K)
             .select("n")
-            .localCheckpoint()
+            .persist()
         )
         edges = (
             edges.join(keep.withColumnRenamed("n", "x"), "x", "left_semi")

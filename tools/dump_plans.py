@@ -83,7 +83,7 @@ HEADLINERS = {
     "bpe_train_merges": "six-round BPE training as one DAG: vocab-bounded word table, TakeOrdered(1) argmax, broadcast-winner replace, localCheckpoint lineage cuts",
     "text_bigram_coverage": "one corpus scan -> gram-hash posting agg (collect_set dedups in-aggregate) -> per-doc coverage roll-up",
     "user_rfm_segments": "RFM grid from three fixed-width histograms + broadcast 1-row threshold frame — quintiles without a user-grain sort (the missing r5 snapshot)",
-    "part_affinity_triangles": "basket-capped edge gen -> degree-ordered orientation -> wedge + closing joins on 16 B edges; 1-row broadcast assembly (r6: cap added)",
+    "part_affinity_triangles": "r12 posting-array edge gen (collect_set baskets + in-array pairs, 2 exchanges) -> degree-ordered orientation -> wedge + closing joins on 16 B edges; 1-row broadcast assembly",
     "dedup_minhash_lsh_capped": "band self-join behind a posting-list row_number cap — deterministic hot-band guard, oracle-replayable (r6)",
     "llm_corpus_stage_report": "five-stage funnel over one persisted meta/signature base; near-dup stage now the CAPPED band join (r6)",
     "mm_ppm_decode_stats": "JVM-generated binary PPM -> zero-copy mapInArrow decode -> per-channel integer sums; no exchange in the plan (r6)",
@@ -107,7 +107,7 @@ HEADLINERS = {
     "seq_match_signup_then_quick_buy": "mixed-separator sequenceMatch: min-predecessor unbounded hop + 6h bucketized hop (r8)",
     "mm_gif_decode_stats": "REAL GIF87a decode (variable-width LZW machine) over in-plan byte-aligned literal streams; Clear-count pinned by the oracle (r8)",
     "mm_gif_corrupt_quarantine": "GIF error path under the value hash: in-plan Clear-byte and length-byte poison, per-class quarantine, untouched docs exact (r8)",
-    "kcore_part_affinity": "iterative peeling: per-round degree agg + two semi-joins on shrinking checkpointed edges (r6)",
+    "kcore_part_affinity": "r12 posting-array edge gen + lazily persisted survivors; iterative peeling: per-round degree agg + two semi-joins on shrinking checkpointed edges",
     "hilbert_layout_audit": "one DISTINCT to the bounded 8-bit cell grid, then 8 chained CASE projections and three rollups on cells (r6)",
     "emb_jl_distance_fidelity": "16 fused dot-folds per row (the projection map), bounded vec_id<64 pair audit via broadcast BNLJ (r6)",
     "bitmap_user_type_index": "bit_or word build at (type, word) grain, word-aligned AND+popcount joins — set ops at |users|/32 cost (r6)",

@@ -71,7 +71,7 @@ AUDITED = {
     "zorder_layout_audit": "ONE fact exchange to (z-file, linear-file) pair grain (<=1024 partial rows after map-side combine); both layout rollups re-aggregate the bounded pair table",
     "bpe_encode_fertility": "corpus collapses once to (source, pretoken-seq, count) partials; all 12 merge/encode steps run at vocab grain, raw text never re-shuffles",
     "dedup_cdc_chunk_pairs": "chunk assembly is in-scan array algebra; shuffle carries (chunk_hash, doc_id) 16 B rows into the df-capped inverted-index join — chunk text never moves",
-    "part_affinity_triangles": "basket-capped (order, part) pairs, then 16-24 B oriented-edge rows (u, v, dv) through the wedge/closing joins — per-order pair fan-out bounded at C(32,2), wedge volume O(m^1.5) by orientation (r6)",
+    "part_affinity_triangles": "r12 posting-array edge gen: ONE baskets agg (sorted <=32-part arrays) + in-array pair enumeration replaces the distinct/window/self-join chain (two exchanges, was four); then 16-24 B oriented-edge rows (u, v, dv) through the wedge/closing joins, wedge volume O(m^1.5) by orientation",
     "user_rfm_segments": "one purchase agg to user grain, then ONLY bounded-bin histogram partials shuffle (days/counts/dollar bins) — no user-grain sort anywhere (r6, the missing r5 row)",
     "dedup_minhash_lsh_capped": "identical 16 B (band_hash, id) rows as the uncapped join plus one posting-list window on the same key — the cap bounds per-bucket join OUTPUT at C(64,2) (r6)",
     "lsh_cap_recall_audit": "three pair tables (blocked/banded, never all-pairs) reduce to five 1-row counts; the shuffle is the pair tables' compact keys, the assembly is broadcast (r6)",
@@ -100,7 +100,7 @@ AUDITED = {
     "mm_gzip_decode_stats": "ZERO shuffle after the id-only parallelism repartition: multi-member assembly (stored-block + constant Huffman member) and parse_gzip decode stay in one scan stage (r9)",
     "stream_rate_limited_users": "stateful stream: one (user_id, ts_us, event_id) exchange into the GroupState op; state is (win, count, totals) per live key, emissions 1 row/key/batch (r6)",
     "mm_wav_pcm_stats": "payload bytes never shuffle: generation+decode+stats inside one scan stage; the only exchange is the 8-byte id repartition that sets decode parallelism (r6)",
-    "kcore_part_affinity": "per-round shuffles carry (node, degree) pairs and shrinking 16 B edges — round cost tracks the SURVIVING edge set, monotonically down (r6)",
+    "kcore_part_affinity": "r12 posting-array edge gen (two exchanges, was four) + lazily persisted survivor sets (6 eager jobs dropped); per-round shuffles carry (node, degree) pairs and shrinking 16 B edges — round cost tracks the SURVIVING edge set, monotonically down",
     "hilbert_layout_audit": "corpus collapses to <= 65,536 (dq, pq) cells; all curve math and rollups shuffle only cell-grain rows (r6)",
     "bitmap_user_type_index": "8-byte words at (type, word_idx) grain — |user domain|/32 rows per type through every set-op join (r6)",
     "range_partition_plan": "cents-grain histogram partials, a 1-row boundary broadcast back, and a 16-group final agg — no sort, no sample pass (r6)",
@@ -418,8 +418,8 @@ def main() -> None:
         "grows 1000x. (Parquet input is measured in records — the vectorized",
         "reader's byte counter is not meaningful.) Run-to-run caveat: AQE",
         "decides borderline broadcasts from runtime stats, so tpch_q21's",
-        "lineitem self-join sits on a knife edge: r10 and r12 measured it",
-        "broadcast (1.0 MB, 0.52 B/row), both r11 runs measured the",
+        "lineitem self-join sits on a knife edge: r10 and r12 measured BOTH",
+        "shapes across runs — broadcast (1.0 MB, 0.52 B/row) and the",
         "SortMergeJoin (10.9 MB, 5.61 B/row — still compact (orderkey,",
         "suppkey) pairs; the isolated-session plan is 9 BHJ + that 1 SMJ).",
         "Both shapes honor the claim; re-measure before reading the jump as",
