@@ -2593,22 +2593,7 @@ def index_tgz_members_arrow(
                 # /usr/bin/gzip member bytes in test_operators.py.)
                 archive = b"".join(parse_gzip(raw))
                 members = parse_tar(archive)
-                # WebDataset contract: one member PER EXTENSION per sample
-                # (".txt", ".cls", ...; the extension is the modality key).
-                # A duplicate key would silently shadow an earlier member's
-                # size, so reject the shard instead (ADVICE r10). A name
-                # with no dot keys by its full name — also unique-checked.
-                sizes: dict[str, int] = {}
-                for name, size, _ in members:
-                    key = name.rsplit(".", 1)[-1]
-                    if key in sizes:
-                        raise ValueError(
-                            f"webdataset shard has {len(members)} members "
-                            f"with duplicate extension key {key!r} "
-                            f"(member {name!r}); one member per extension "
-                            "per sample is the WebDataset contract"
-                        )
-                    sizes[key] = size
+                sizes = _webdataset_member_sizes(members)
                 nm.append(len(members))
                 tb.append(sizes.get("txt"))
                 cb.append(sizes.get("cls"))
@@ -2627,6 +2612,162 @@ def index_tgz_members_arrow(
             )
 
     return narrow.mapInArrow(batches, TGZ_INDEX_SCHEMA)
+
+
+_BZ2_MAX_TOTAL_UNCOMPRESSED = 1 << 26  # same bomb posture as gzip/PNG/ZIP
+
+
+class Bz2StructureError(ValueError):
+    """Malformed bzip2 framing: bad stream magic/version/level digit,
+    truncated stream, or inter-stream bytes that do not start a stream."""
+
+
+class Bz2DataError(ValueError):
+    """bzip2 payload decode failure (corrupt Huffman/BWT data, block CRC
+    mismatch — surfaced by the decoder) or the uncompressed bomb cap."""
+
+
+def parse_bz2(
+    payload: bytes,
+    max_total_uncompressed: int = _BZ2_MAX_TOTAL_UNCOMPRESSED,
+) -> list[bytes]:
+    """Decode a bzip2 payload as a SERIES OF STREAMS — the framing
+    parallel compressors emit (pbzip2/lbzip2 write one ``BZh`` stream per
+    worker chunk) and what ``cat a.bz2 b.bz2`` produces; the reference
+    ``bzip2`` binary and stdlib ``bz2.decompress`` both decode the
+    concatenation, so shard readers must too. Returns one ``bytes`` per
+    stream, in order.
+
+    Each stream's 4-byte head is structure-checked explicitly
+    (``BZ`` magic, ``h`` version — the only deployed format; the ancient
+    ``0`` RLE-only format is rejected — and a ``1``-``9`` block-size
+    digit), then handed to the stdlib decoder, whose per-block and
+    stream-combined CRCs make corrupt data a hard error.
+
+    Reject-don't-misread: :class:`Bz2StructureError` on bad framing, a
+    truncated stream, or trailing bytes that do not start a new stream;
+    :class:`Bz2DataError` on decoder failure or on the total
+    uncompressed size exceeding ``max_total_uncompressed`` (enforced
+    DURING decode via ``max_length`` — bzip2 carries no size field at
+    all, so a bomb is stopped by the cap, never pre-trusted)."""
+    import bz2 as _bz2
+
+    if not payload:
+        raise Bz2StructureError("bz2: empty payload")
+    out: list[bytes] = []
+    total = 0
+    rest = payload
+    while rest:
+        if len(rest) < 4 or rest[:2] != b"BZ":
+            raise Bz2StructureError(
+                "bz2: bad stream magic (expected 'BZ' at stream start)"
+            )
+        if rest[2:3] != b"h":
+            raise Bz2StructureError(
+                "bz2: unsupported stream version (only 'h', the Huffman "
+                "format bzip2 >= 0.9 writes)"
+            )
+        if not (0x31 <= rest[3] <= 0x39):
+            raise Bz2StructureError(
+                "bz2: stream block-size digit must be '1'..'9'"
+            )
+        dec = _bz2.BZ2Decompressor()
+        budget = max_total_uncompressed - total
+        try:
+            data = dec.decompress(rest, max_length=budget + 1)
+        except OSError as e:
+            raise Bz2DataError(f"bz2: stream decode failed: {e}") from e
+        total += len(data)
+        if total > max_total_uncompressed:
+            raise Bz2DataError(
+                f"bz2: uncompressed size exceeds the "
+                f"{max_total_uncompressed} byte cap (decompression bomb "
+                "posture: bzip2 has no size field to pre-check)"
+            )
+        if not dec.eof:
+            raise Bz2StructureError("bz2: truncated stream")
+        out.append(data)
+        rest = dec.unused_data
+    return out
+
+
+def _webdataset_member_sizes(members: list) -> dict:
+    """WebDataset contract: one member PER EXTENSION per sample (".txt",
+    ".cls", ...; the extension is the modality key). A duplicate key
+    would silently shadow an earlier member's size, so reject the shard
+    instead (ADVICE r10). A name with no dot keys by its full name —
+    also unique-checked. Shared by the .tar.gz and .tar.bz2 indexers."""
+    sizes: dict[str, int] = {}
+    for name, size, _ in members:
+        key = name.rsplit(".", 1)[-1]
+        if key in sizes:
+            raise ValueError(
+                f"webdataset shard has {len(members)} members "
+                f"with duplicate extension key {key!r} "
+                f"(member {name!r}); one member per extension "
+                "per sample is the WebDataset contract"
+            )
+        sizes[key] = size
+    return sizes
+
+
+TBZ2_INDEX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_members", IntegerType()),
+        StructField("n_streams", IntegerType()),
+        StructField("txt_bytes", LongType()),
+        StructField("cls_bytes", LongType()),
+        StructField("archive_bytes", LongType()),
+    ]
+)
+
+
+def index_tbz2_members_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """WebDataset ``.tar.bz2`` shard indexing: the multi-stream bzip2
+    walk (:func:`parse_bz2` — pbzip2/lbzip2 emit one stream per worker
+    chunk; the concatenated decode is the one tar) then the inner ustar
+    walk (:func:`parse_tar`, per-header checksums verified). Unlike the
+    gzip twin there is no compressed-size column in the output: bzip2
+    has no stored mode, so compressed size is not closed-form derivable
+    — the indexer reports stream count and exact UNCOMPRESSED geometry,
+    which is what a shard loader provisions by. One scan stage, zero
+    shuffle of shard bytes."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def batches(it: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            nm, ns, tb, cb, ab = [], [], [], [], []
+            for p in payloads:
+                raw = bytes(p)
+                streams = parse_bz2(raw)
+                archive = b"".join(streams)
+                members = parse_tar(archive)
+                sizes = _webdataset_member_sizes(members)
+                nm.append(len(members))
+                ns.append(len(streams))
+                tb.append(sizes.get("txt"))
+                cb.append(sizes.get("cls"))
+                ab.append(len(archive))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(nm, pa.int32()),
+                    pa.array(ns, pa.int32()),
+                    pa.array(tb, pa.int64()),
+                    pa.array(cb, pa.int64()),
+                    pa.array(ab, pa.int64()),
+                ],
+                names=[f.name for f in TBZ2_INDEX_SCHEMA.fields],
+            )
+
+    return narrow.mapInArrow(batches, TBZ2_INDEX_SCHEMA)
 
 
 class HttpResponseError(ValueError):

@@ -171,6 +171,7 @@ _GATE_PRIORITY = [
     "spec_q1_typed_events",            # spec compiler: parse_json op
     "spec_q3_value_discrepancy",       # spec compiler: discrepancy_filter
     "spec_q5_event_counts_per_hour",   # spec compiler: count_if macros
+    "mm_tbz2_multistream_index",       # pbzip2-style .tar.bz2 shards
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -2781,3 +2781,109 @@ def test_gzip_foreign_bytes_multimember_and_pigz_style_tgz(spark):
         ), f"doc {doc_id}"
     assert rows[1].gz_bytes == len(split_shard)
     assert rows[2].gz_bytes == len(single_shard)
+
+
+def test_bz2_foreign_bytes_multistream_and_pbzip2_style_tbz2(spark):
+    """(round 12) The bzip2 series-of-streams framing pinned against
+    FOREIGN bytes: streams produced by the system ``bzip2`` binary — a
+    second independent producer (pipe mode, block sizes -1 and -9) —
+    never by the stdlib codec the walker was developed against; and the
+    pbzip2 shard convention end to end: a ``.tar.bz2`` whose tar bytes
+    are split across bzip2 streams at a non-block-aligned offset must
+    index identically to a single-stream shard (modulo n_streams)."""
+    import bz2 as _bz2
+    import io
+    import shutil
+    import subprocess
+    import tarfile
+
+    import pytest as _pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        index_tbz2_members_arrow,
+        parse_bz2,
+    )
+
+    bz = shutil.which("bzip2")
+    if bz is None:
+        _pytest.skip("no system bzip2 binary")
+
+    def foreign(data: bytes, *flags: str) -> bytes:
+        return subprocess.run(
+            [bz, "-c", *flags], input=data, capture_output=True, check=True
+        ).stdout
+
+    parts = [
+        b"alpha body, short",
+        bytes(range(256)) * 64,  # 16 KiB
+        b"tail stream via -9",
+    ]
+    cat = foreign(parts[0], "-1") + foreign(parts[1]) + foreign(parts[2], "-9")
+    assert parse_bz2(cat) == parts
+    assert b"".join(parse_bz2(cat)) == _bz2.decompress(cat)
+
+    buf = io.BytesIO()
+    t = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
+    for name, data in (("5.txt", b"x" * 777), ("5.cls", b"en")):
+        info = tarfile.TarInfo(name)
+        info.size = len(data)
+        t.addfile(info, io.BytesIO(data))
+    t.close()
+    tar_bytes = buf.getvalue()
+    cut = 700
+    split_shard = foreign(tar_bytes[:cut]) + foreign(tar_bytes[cut:], "-9")
+    single_shard = _bz2.compress(tar_bytes)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(split_shard)), (2, bytearray(single_shard))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in index_tbz2_members_arrow(df).collect()}
+    for doc_id, want_streams in ((1, 2), (2, 1)):
+        r = rows[doc_id]
+        assert (
+            r.n_members, r.n_streams, r.txt_bytes, r.cls_bytes,
+            r.archive_bytes,
+        ) == (2, want_streams, 777, 2, len(tar_bytes)), f"doc {doc_id}"
+
+
+def test_parse_bz2_reject_paths():
+    """parse_bz2 error taxonomy: structure errors for bad magic/version/
+    level digit, truncation, and inter-stream garbage; data errors for
+    corrupt payload and for the decode-time bomb cap (bzip2 carries no
+    size field, so the cap must bind DURING decode)."""
+    import bz2 as _bz2
+
+    import pytest as _pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        Bz2DataError,
+        Bz2StructureError,
+        parse_bz2,
+    )
+
+    good = _bz2.compress(b"payload bytes", 1)
+
+    with _pytest.raises(Bz2StructureError, match="empty"):
+        parse_bz2(b"")
+    with _pytest.raises(Bz2StructureError, match="magic"):
+        parse_bz2(b"GZ" + good[2:])
+    with _pytest.raises(Bz2StructureError, match="version"):
+        parse_bz2(good[:2] + b"0" + good[3:])
+    with _pytest.raises(Bz2StructureError, match="block-size"):
+        parse_bz2(good[:3] + b"0" + good[4:])
+    with _pytest.raises(Bz2StructureError, match="truncated"):
+        parse_bz2(good[:-4])
+    with _pytest.raises(Bz2StructureError, match="magic"):
+        parse_bz2(good + b"JUNKJUNK")  # trailing non-stream bytes
+    corrupt = bytearray(good)
+    corrupt[12] ^= 0xFF  # flip bits inside the compressed body
+    with _pytest.raises(Bz2DataError, match="decode failed"):
+        parse_bz2(bytes(corrupt))
+    bomb = _bz2.compress(b"\x00" * 100_000, 1)  # ~70 B compressed
+    with _pytest.raises(Bz2DataError, match="cap"):
+        parse_bz2(bomb, max_total_uncompressed=50_000)
+    # cap is TOTAL across streams, not per stream
+    with _pytest.raises(Bz2DataError, match="cap"):
+        parse_bz2(bomb + bomb, max_total_uncompressed=150_000)
+    assert parse_bz2(bomb, max_total_uncompressed=100_000) == [b"\x00" * 100_000]

@@ -81,6 +81,15 @@ deferred_past_prefix: set[str] = {
     # @count_star macro expansion is pinned by the equivalence sweep;
     # mirror-green at 3 SFs; queued in the declared r13 head.
     "spec_q5_event_counts_per_hour",
+    # pbzip2-style .tar.bz2 shard indexing (NEW r12): the tar walk and
+    # WebDataset stats are sibling mm_tgz_multimember_index's (same
+    # shared helpers; that sibling is itself r12-new but its OWN siblings
+    # carry r11 rows and the whole family is mirror-green); the bzip2
+    # stream walk is foreign-bytes-pinned against the system bzip2
+    # binary in tests/test_operators.py; the oracle is closed-form
+    # uncompressed geometry only (bzip2 has no stored mode). Mirror-green
+    # at 3 SFs; queued in the declared r13 head.
+    "mm_tbz2_multistream_index",
 }
 
 
