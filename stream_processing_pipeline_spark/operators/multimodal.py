@@ -2691,6 +2691,88 @@ def parse_bz2(
     return out
 
 
+_XZ_MAGIC = b"\xfd7zXZ\x00"  # .xz stream header magic (xz spec §2.1.1.1)
+_XZ_MAX_TOTAL_UNCOMPRESSED = 1 << 26  # same bomb posture as gzip/bz2/PNG/ZIP
+
+
+class XzStructureError(ValueError):
+    """Malformed .xz framing: bad stream magic, truncated stream, or
+    stream padding that is not a multiple of 4 null bytes."""
+
+
+class XzDataError(ValueError):
+    """xz payload decode failure (corrupt LZMA2 data, integrity-check
+    mismatch — surfaced by the decoder) or the uncompressed bomb cap."""
+
+
+def parse_xz(
+    payload: bytes,
+    max_total_uncompressed: int = _XZ_MAX_TOTAL_UNCOMPRESSED,
+) -> list[bytes]:
+    """Decode a ``.xz`` payload as a SERIES OF STREAMS with optional
+    4-byte-aligned null STREAM PADDING between them (xz file format spec
+    §2.2) — the layout ``cat a.xz b.xz`` and parallel compressors (pixz;
+    ``xz`` itself pads streams to 4-byte alignment) produce and the
+    reference ``xz`` binary decodes. Returns one ``bytes`` per stream,
+    in order.
+
+    The walk exists because the OBVIOUS API is a silent-data-loss trap:
+    stdlib ``lzma.decompress`` stops at the first stream-padding word
+    and returns only the streams before it — measured here: the xz
+    binary decodes 2 streams + padding to 1200 bytes, the one-shot
+    stdlib call "succeeds" with 600 — so a shard reader built on it
+    would silently drop every sample after the first worker chunk.
+    Reject-don't-misread, and don't lose members either.
+
+    :class:`XzStructureError` on bad framing, a truncated stream, or
+    misaligned padding; :class:`XzDataError` on decoder failure
+    (FORMAT_XZ verifies each block's integrity check) or on total
+    uncompressed size exceeding ``max_total_uncompressed`` (enforced
+    DURING decode via ``max_length`` — the size fields in the xz index
+    are attacker-controlled, so they are never pre-trusted)."""
+    import lzma as _lzma
+
+    if not payload:
+        raise XzStructureError("xz: empty payload")
+    out: list[bytes] = []
+    total = 0
+    rest = payload
+    while rest:
+        if rest[:1] == b"\x00":
+            stripped = rest.lstrip(b"\x00")
+            n_pad = len(rest) - len(stripped)
+            if n_pad % 4:
+                raise XzStructureError(
+                    "xz: stream padding must be a multiple of 4 null "
+                    f"bytes (got {n_pad})"
+                )
+            rest = stripped
+            continue
+        if len(rest) < 6 or rest[:6] != _XZ_MAGIC:
+            raise XzStructureError(
+                "xz: bad stream magic (expected fd377a585a00 at stream "
+                "start)"
+            )
+        dec = _lzma.LZMADecompressor(_lzma.FORMAT_XZ)
+        budget = max_total_uncompressed - total
+        try:
+            data = dec.decompress(rest, max_length=budget + 1)
+        except _lzma.LZMAError as e:
+            raise XzDataError(f"xz: stream decode failed: {e}") from e
+        total += len(data)
+        if total > max_total_uncompressed:
+            raise XzDataError(
+                f"xz: uncompressed size exceeds the "
+                f"{max_total_uncompressed} byte cap (decompression bomb "
+                "posture: xz index size fields are never pre-trusted)"
+            )
+        if not dec.eof:
+            raise XzStructureError("xz: truncated stream")
+        out.append(data)
+        rest = dec.unused_data
+    return out
+
+
 def _webdataset_member_sizes(members: list) -> dict:
     """WebDataset contract: one member PER EXTENSION per sample (".txt",
     ".cls", ...; the extension is the modality key). A duplicate key
@@ -2723,15 +2805,18 @@ TBZ2_INDEX_SCHEMA = StructType(
 )
 
 
-def index_tbz2_members_arrow(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+TXZ_INDEX_SCHEMA = TBZ2_INDEX_SCHEMA
+
+
+def _index_multistream_tar_arrow(
+    df: DataFrame, parse_fn, id_col: str, payload_col: str
 ) -> DataFrame:
-    """WebDataset ``.tar.bz2`` shard indexing: the multi-stream bzip2
-    walk (:func:`parse_bz2` — pbzip2/lbzip2 emit one stream per worker
-    chunk; the concatenated decode is the one tar) then the inner ustar
-    walk (:func:`parse_tar`, per-header checksums verified). Unlike the
-    gzip twin there is no compressed-size column in the output: bzip2
-    has no stored mode, so compressed size is not closed-form derivable
+    """Shared two-layer read for entropy-coded multi-stream tar shards
+    (``.tar.bz2`` / ``.tar.xz``): ``parse_fn`` walks the compressor's
+    series-of-streams framing, the concatenated decode goes through
+    :func:`parse_tar` (per-header checksums verified). Unlike the gzip
+    twin there is no compressed-size column in the output: these codecs
+    have no stored mode, so compressed size is not closed-form derivable
     — the indexer reports stream count and exact UNCOMPRESSED geometry,
     which is what a shard loader provisions by. One scan stage, zero
     shuffle of shard bytes."""
@@ -2746,7 +2831,7 @@ def index_tbz2_members_arrow(
             nm, ns, tb, cb, ab = [], [], [], [], []
             for p in payloads:
                 raw = bytes(p)
-                streams = parse_bz2(raw)
+                streams = parse_fn(raw)
                 archive = b"".join(streams)
                 members = parse_tar(archive)
                 sizes = _webdataset_member_sizes(members)
@@ -2768,6 +2853,25 @@ def index_tbz2_members_arrow(
             )
 
     return narrow.mapInArrow(batches, TBZ2_INDEX_SCHEMA)
+
+
+def index_tbz2_members_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """``.tar.bz2`` shard indexing: :func:`parse_bz2` multi-stream walk
+    (pbzip2/lbzip2 emit one stream per worker chunk) composed with the
+    ustar walk — see :func:`_index_multistream_tar_arrow`."""
+    return _index_multistream_tar_arrow(df, parse_bz2, id_col, payload_col)
+
+
+def index_txz_members_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """``.tar.xz`` shard indexing: :func:`parse_xz` multi-stream +
+    stream-padding walk (the framing stdlib one-shot decompress silently
+    truncates at) composed with the ustar walk — see
+    :func:`_index_multistream_tar_arrow`."""
+    return _index_multistream_tar_arrow(df, parse_xz, id_col, payload_col)
 
 
 class HttpResponseError(ValueError):

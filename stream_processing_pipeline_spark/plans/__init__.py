@@ -172,6 +172,7 @@ _GATE_PRIORITY = [
     "spec_q3_value_discrepancy",       # spec compiler: discrepancy_filter
     "spec_q5_event_counts_per_hour",   # spec compiler: count_if macros
     "mm_tbz2_multistream_index",       # pbzip2-style .tar.bz2 shards
+    "mm_txz_multistream_index",        # padded multi-stream .tar.xz
 ]
 # Queries not named above (r3/r4/r5-green) keep registration order after
 # the list — every one has a prior driver row, and every one is still

@@ -2887,3 +2887,116 @@ def test_parse_bz2_reject_paths():
     with _pytest.raises(Bz2DataError, match="cap"):
         parse_bz2(bomb + bomb, max_total_uncompressed=150_000)
     assert parse_bz2(bomb, max_total_uncompressed=100_000) == [b"\x00" * 100_000]
+
+
+def test_xz_foreign_bytes_multistream_padding(spark):
+    """(round 12) The xz series-of-streams + stream-padding framing
+    pinned against FOREIGN bytes (system ``xz`` binary, presets -0/-9e),
+    including the trap that motivates the walker: stdlib one-shot
+    ``lzma.decompress`` silently TRUNCATES at inter-stream padding —
+    this test asserts the truncation is real (guarding against a stdlib
+    behavior change making the docstring stale) and that ``parse_xz``
+    decodes what the reference binary decodes. Then the shard path:
+    a padded two-stream ``.tar.xz`` must index identically to a
+    single-stream one (modulo n_streams)."""
+    import io
+    import lzma as _lzma
+    import shutil
+    import subprocess
+    import tarfile
+
+    import pytest as _pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        index_txz_members_arrow,
+        parse_xz,
+    )
+
+    xz = shutil.which("xz")
+    if xz is None:
+        _pytest.skip("no system xz binary")
+
+    def foreign(data: bytes, *flags: str) -> bytes:
+        return subprocess.run(
+            [xz, "-c", *flags], input=data, capture_output=True, check=True
+        ).stdout
+
+    parts = [b"alpha body, short", bytes(range(256)) * 64, b"tail via -9e"]
+    pad = b"\x00" * 8
+    cat = foreign(parts[0], "-0") + pad + foreign(parts[1]) + foreign(
+        parts[2], "-9e"
+    ) + pad
+    assert parse_xz(cat) == parts
+    # the reference binary agrees with the walk...
+    ref = subprocess.run(
+        [xz, "-dc"], input=cat, capture_output=True, check=True
+    ).stdout
+    assert b"".join(parse_xz(cat)) == ref
+    # ...and the stdlib one-shot call really does truncate at padding
+    assert _lzma.decompress(cat) == parts[0]
+
+    buf = io.BytesIO()
+    t = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
+    for name, data in (("5.txt", b"x" * 777), ("5.cls", b"en")):
+        info = tarfile.TarInfo(name)
+        info.size = len(data)
+        t.addfile(info, io.BytesIO(data))
+    t.close()
+    tar_bytes = buf.getvalue()
+    cut = 700
+    split_shard = foreign(tar_bytes[:cut]) + pad + foreign(tar_bytes[cut:])
+    single_shard = _lzma.compress(tar_bytes)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(split_shard)), (2, bytearray(single_shard))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in index_txz_members_arrow(df).collect()}
+    for doc_id, want_streams in ((1, 2), (2, 1)):
+        r = rows[doc_id]
+        assert (
+            r.n_members, r.n_streams, r.txt_bytes, r.cls_bytes,
+            r.archive_bytes,
+        ) == (2, want_streams, 777, 2, len(tar_bytes)), f"doc {doc_id}"
+
+
+def test_parse_xz_reject_paths():
+    """parse_xz error taxonomy: structure errors for bad magic,
+    misaligned padding, truncation; data errors for corrupt payload
+    (FORMAT_XZ integrity checks) and the decode-time bomb cap."""
+    import lzma as _lzma
+
+    import pytest as _pytest
+
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        XzDataError,
+        XzStructureError,
+        parse_xz,
+    )
+
+    good = _lzma.compress(b"payload bytes")
+
+    with _pytest.raises(XzStructureError, match="empty"):
+        parse_xz(b"")
+    with _pytest.raises(XzStructureError, match="magic"):
+        parse_xz(b"NOTXZ!" + good[6:])
+    with _pytest.raises(XzStructureError, match="padding"):
+        parse_xz(good + b"\x00" * 6 + good)  # 6 is not a multiple of 4
+    with _pytest.raises(XzStructureError, match="padding"):
+        parse_xz(good + b"\x00" * 3)  # trailing misaligned padding
+    with _pytest.raises(XzStructureError, match="truncated"):
+        parse_xz(good[:-6])
+    with _pytest.raises(XzStructureError, match="magic"):
+        parse_xz(good + b"\x00" * 4 + b"JUNKJUNK")
+    corrupt = bytearray(good)
+    corrupt[20] ^= 0xFF
+    with _pytest.raises(XzDataError, match="decode failed"):
+        parse_xz(bytes(corrupt))
+    bomb = _lzma.compress(b"\x00" * 100_000)
+    with _pytest.raises(XzDataError, match="cap"):
+        parse_xz(bomb, max_total_uncompressed=50_000)
+    with _pytest.raises(XzDataError, match="cap"):
+        parse_xz(bomb + bomb, max_total_uncompressed=150_000)
+    assert parse_xz(bomb + b"\x00" * 4, max_total_uncompressed=100_000) == [
+        b"\x00" * 100_000
+    ]

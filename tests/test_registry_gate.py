@@ -90,6 +90,13 @@ deferred_past_prefix: set[str] = {
     # uncompressed geometry only (bzip2 has no stored mode). Mirror-green
     # at 3 SFs; queued in the declared r13 head.
     "mm_tbz2_multistream_index",
+    # padded multi-stream .tar.xz indexing (NEW r12): same sibling
+    # argument as the bz2 twin (shared _index_multistream_tar_arrow /
+    # tar / WebDataset helpers); the xz stream+padding walk is
+    # foreign-bytes-pinned against the system xz binary, including the
+    # stdlib-truncation trap assertion, in tests/test_operators.py.
+    # Mirror-green at 3 SFs; queued in the declared r13 head.
+    "mm_txz_multistream_index",
 }
 
 

@@ -136,6 +136,8 @@ ZERO_EXCHANGE = {
     "q1_typed_events": "typed projection + JSON flatten, in-scan",
     "q2_abnormal_minutes": "derived duration + disjunctive range filter, in-scan",
     "spec_q2_abnormal_minutes": "the spec-compiled twin of q2: same derive/filter/select tree, in-scan (r12)",
+    "spec_q1_typed_events": "the spec-compiled twin of q1: same parse_json + typed projection, in-scan (r12)",
+    "spec_q3_value_discrepancy": "the spec-compiled twin of q3: same NULL-propagating component sum + filter, in-scan (r12)",
     "q3_value_discrepancy": "NULL-propagating component sum + filter, in-scan",
     "text_token_stats": "per-row tokenize stats, in-scan",
     "text_lang_id": "per-row n-gram language id, in-scan",
@@ -355,6 +357,9 @@ COVERED_BY = {
     "mm_tgz_multimember_index": ("mm_tar_member_index", "identical shape to the single-member tgz twin: the two-member split/frame is in-scan expression work; nothing new shuffles (r12)"),
     "spec_q6_counts_by_segment": ("q6_counts_by_segment", "spec-compiled twin: identical broadcast-dim-join plan (value-identity pinned in test_pipeline_spec); shuffle = windowed partial counts (r12)"),
     "spec_q4_avg_value_per_hour": ("q6_counts_by_segment", "spec-compiled twin of q4: windowed partial aggregates only, exact-cents macro arithmetic (r12)"),
+    "spec_q5_event_counts_per_hour": ("q6_counts_by_segment", "spec-compiled twin of q5: windowed partial counts only, @count_if macro expansion (r12)"),
+    "mm_tbz2_multistream_index": ("mm_tar_member_index", "same one-time content repartition; bzip2 multi-stream decode + tar walk stay in the scan stage; nothing new shuffles (r12)"),
+    "mm_txz_multistream_index": ("mm_tar_member_index", "same one-time content repartition; xz stream+padding walk + tar walk stay in the scan stage; nothing new shuffles (r12)"),
     "source_bigram_entropy": ("source_token_divergence", "same (source, term-grain) partials after map-side combine; per-source totals join at the bounded source domain"),
 }
 
