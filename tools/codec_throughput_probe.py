@@ -230,6 +230,29 @@ def main() -> None:
         raw = make_zip(1, kb)  # reuse the LCG payload builder's bytes
         zs = _zl.compress(raw, 6)
         rows.append(bench(f"zlib_{kb}KiB", zs, parse_zlib, len(raw)))
+    # r12 multi-stream shard walks: bz2 and xz decode through the native
+    # stdlib codecs (unlike the interpreted-Python image decoders), so
+    # these rows locate the *framing walk's* overhead, not a Python
+    # cliff — expected within epsilon of raw bz2/lzma.decompress.
+    from stream_processing_pipeline_spark.operators.multimodal import (
+        parse_bz2,
+        parse_xz,
+    )
+
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    for kb in (16, 256):
+        raw = make_zip(1, kb)
+        cut = len(raw) // 2
+        tb = _bz2.compress(raw[:cut], 9) + _bz2.compress(raw[cut:], 9)
+        rows.append(bench(f"bz2_2stream_{kb}KiB", tb, parse_bz2, len(raw)))
+        tx = (
+            _lzma.compress(raw[:cut])
+            + b"\x00" * 8
+            + _lzma.compress(raw[cut:])
+        )
+        rows.append(bench(f"xz_2stream_pad_{kb}KiB", tx, parse_xz, len(raw)))
     # Native-decoder seam (VERDICT r10 #3): when Pillow is importable the
     # same payloads run through pil_decoder() so the committed ledger
     # carries the measured native rate BESIDE the ~5 MB/s pure-Python rows
