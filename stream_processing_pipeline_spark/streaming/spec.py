@@ -137,13 +137,19 @@ _MACROS: dict[str, Callable[..., str]] = {
 
 
 def _split_args(s: str) -> list[str]:
-    args, depth, cur = [], 0, []
+    # top-level commas only: nesting AND single-quoted SQL string
+    # literals respected ('' is the SQL escape for a quote inside one,
+    # which this state machine handles for free — each quote toggles)
+    args, depth, in_str, cur = [], 0, False, []
     for ch in s:
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_str:
             args.append("".join(cur).strip())
             cur = []
         else:
@@ -166,16 +172,19 @@ def expand_macros(expr: str) -> str:
     name = expr[i + 1 : j]
     if name not in _MACROS or j >= len(expr) or expr[j] != "(":
         raise ValueError(f"unknown or malformed macro @{name} in {expr!r}")
-    depth, k = 0, j
+    depth, k, in_str = 0, j, False
     while k < len(expr):
-        if expr[k] == "(":
-            depth += 1
-        elif expr[k] == ")":
-            depth -= 1
-            if depth == 0:
-                break
+        if expr[k] == "'":
+            in_str = not in_str
+        elif not in_str:
+            if expr[k] == "(":
+                depth += 1
+            elif expr[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
         k += 1
-    if depth != 0:
+    if depth != 0 or in_str:
         raise ValueError(f"unbalanced parens in macro call: {expr!r}")
     raw_args = _split_args(expr[j + 1 : k])
     args = [expand_macros(a) for a in raw_args]

@@ -60,6 +60,23 @@ def test_macro_expansion_units():
         expand_macros("@nope(x)")
     with pytest.raises(ValueError):
         expand_macros("@pround(x")
+    # ...and single-quoted SQL string literals: a comma, paren, or
+    # doubled-quote escape inside one is content, not syntax (r12 fix —
+    # the splitter previously treated quoted text as structure)
+    assert (
+        expand_macros("@count_if(t = 'a,b')")
+        == "(count(CASE WHEN t = 'a,b' THEN 1 END))"
+    )
+    assert (
+        expand_macros("@count_if(t = ')(')")
+        == "(count(CASE WHEN t = ')(' THEN 1 END))"
+    )
+    assert (
+        expand_macros("@outside(instr(s, 'x,y'), 1, 2)")
+        == "(((instr(s, 'x,y')) < 1 OR (instr(s, 'x,y')) > 2))"
+    )
+    with pytest.raises(ValueError):
+        expand_macros("@count_if(t = 'unterminated)")
 
 
 def test_spec_validation_errors():
