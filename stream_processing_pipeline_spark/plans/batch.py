@@ -3126,7 +3126,19 @@ def butterfly_pairs(e: DataFrame, max_degree: int = _BUTTERFLY_MAX_DEGREE) -> Da
     ``e(s, c)`` (distinct rows), with the celebrity-degree cap applied
     BEFORE the wedge join. Degree count, semi-join, and wedge join all key
     on ``c``, so the three stages reuse one hash partitioning of the edge
-    table — the cap costs no extra shuffle."""
+    table — the cap costs no extra shuffle.
+
+    Deliberately NOT the posting-array form (r12, measured): rewriting
+    this as collect_set baskets + in-array pair enumeration — the shape
+    that won 1.3-2x for the <=32-item co-purchase baskets
+    (:func:`_basket_edges`) — measured 4.4 -> ~7 s at sf0.1 three runs
+    straight. Per-customer degree here reaches ~102 (vs <=7 for TPC-H
+    baskets), so one array comprehension materializes up to C(102,2) ≈
+    5k structs inside a single row before explode, where the wedge JOIN
+    emits the same rows vectorized under whole-stage codegen across the
+    already-partitioned edge table. The array form pays off when basket
+    bounds are small; past ~Ø100 the join wins — same measure-don't-
+    assume outcome as the unrolled-element_at dot products."""
     deg = e.groupBy(F.col("c").alias("dc")).agg(F.count(F.lit(1)).alias("deg"))
     keep = deg.filter(F.col("deg") <= max_degree).select("dc")
     ek = e.join(keep, e["c"] == keep["dc"], "left_semi")
