@@ -3532,24 +3532,44 @@ def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with LIFT in integer permille — ``lift = P(a,b) / (P(a) P(b))``
     computed as ``(1000 * support * n_orders) div (n_a * n_b)``, > 1000
     meaning the pair co-occurs more than independence predicts (the
-    recommender / cross-sell primitive). Shape: distinct (order, part)
-    pairs once, then the same wedge self-join as
-    :func:`trade_graph_butterflies` keyed on the order — pair volume is
-    sum over orders of C(parts_per_order, 2), bounded here by ~4-line
-    orders and at scale by the same celebrity-basket degree cap; the part
-    marginals (one row per part — sf-proportional, so NOT broadcast)
-    shuffle-join back onto the pair table on its grouping keys. TakeOrdered
-    emits the head with a total tie-break."""
+    recommender / cross-sell primitive). Shape (r12 posting-array form,
+    the :func:`_basket_edges` pattern inlined because the marginals need
+    the UNFILTERED baskets): one ``collect_set`` aggregation collapses
+    the raw (order, part) projection to sorted distinct per-order basket
+    arrays (the standalone DISTINCT exchange disappears); the order
+    count and the per-part marginals both read off the basket frame
+    (count of rows / explode -> part grain), and the support pairs
+    enumerate in-array instead of the order-keyed wedge self-join —
+    pair volume is sum over orders of C(parts_per_order, 2), bounded
+    here by ~4-line orders and at scale by the same celebrity-basket
+    degree cap; the part marginals (one row per part —
+    sf-proportional, so NOT broadcast) shuffle-join back onto the pair
+    table on its grouping keys. TakeOrdered emits the head with a total
+    tie-break."""
     cat = catalog(spark, sf_dir)
-    op = cat.lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    n_orders = op.select("o").distinct().count()  # scalar: one count action
-    pc = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
-    a = op.select(F.col("o"), F.col("p").alias("p1"))
-    b = op.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    baskets = (
+        cat.lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    )
+    n_orders = baskets.count()  # scalar: one count action (order grain)
+    pc = baskets.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     pp = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("p1") < F.col("p2")))
+        baskets.filter(F.size("ps") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("e")
+        )
+        .select("e.p1", "e.p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("support"))
     )

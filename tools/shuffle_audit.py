@@ -263,7 +263,7 @@ COVERED_BY = {
     "pagerank_trade_network": ("kcore_part_affinity", "iterative compact edge/rank rows; per-round localCheckpoint keeps lineage flat"),
     "dedup_components": ("kcore_part_affinity", "label propagation over compact pair edges; rounds track surviving edges"),
     "sql_recursive_click_streak": ("kcore_part_affinity", "per-round shuffles carry a shrinking compact frontier"),
-    "part_affinity_pairs": ("part_affinity_triangles", "the same basket-capped (order, part) pair generation, one join fewer"),
+    "part_affinity_pairs": ("part_affinity_triangles", "the same r12 posting-array basket generation (marginals read off the unfiltered basket frame), one join fewer (r12)"),
     # ---- dedup family (dedup_exact / dedup_minhash_lsh measured rows)
     "dedup_rate_by_source": ("dedup_exact", "same 16 B (h60, id) exchange; dashboard adds source-grain partials"),
     "dedup_minhash_bands": ("dedup_minhash_lsh", "the signature/band build half of the audited join"),
