@@ -4092,8 +4092,12 @@ def supplier_part_transit_overlaps(spark: SparkSession, sf_dir: str) -> DataFram
     interval's start lies INSIDE the earlier one (b0 in [a0, a1] when
     a0 <= b0), so its start bucket is among the cover buckets of the
     other — the exact date predicate then discards bucket-resolution
-    false candidates and DISTINCT collapses the equal-start double
-    capture. One-sided explode keeps the shuffle at |cover buckets| +
+    false candidates, and an orientation filter (r12: strictly-earlier
+    cover start, tuple tie-break at equal starts — see inline comment)
+    selects each unordered pair exactly once where the candidates are
+    born, replacing the former pair-output-grain DISTINCT exchange
+    (wall-neutral at fixture pair volumes, structural at celebrity-key
+    ones). One-sided explode keeps the shuffle at |cover buckets| +
     |rows| instead of 2x all-bucket rows (the symmetric form OOM'd a
     1 GiB plain session at sf0.1 — measured, not theoretical). The naive
     (s, p)-block range filter is quadratic in block size the moment one
@@ -4140,24 +4144,32 @@ def supplier_part_transit_overlaps(spark: SparkSession, sf_dir: str) -> DataFram
         cover_interval=("a0", "a1"),
         probe_interval=("b0", "b1"),
         bucket_days=_IVL_BUCKET_DAYS,
-    ).filter(
-        # exclude the self-pair (kept by the operator: equal starts)
-        ~(
-            (F.col("okey_a") == F.col("okey_b"))
-            & (F.col("line_a") == F.col("line_b"))
-        )
     )
-    # normalize the unordered pair to (smaller id, larger id) so the
-    # equal-start double capture collapses under DISTINCT (shared helper:
-    # operators.joins.normalized_pair_cols)
     from ..operators.joins import interval_overlap_days, normalized_pair_cols
 
     a_first = (F.col("okey_a") < F.col("okey_b")) | (
         (F.col("okey_a") == F.col("okey_b"))
         & (F.col("line_a") < F.col("line_b"))
     )
+    # Exactly-once without DISTINCT (r12): the operator emits each
+    # ORDERED (cover, probe) pair at most once with cover.start <=
+    # probe.start, so an unordered pair appears twice ONLY at equal
+    # starts (both orientations qualify). Keeping strictly-earlier
+    # covers plus the tuple-smaller orientation of equal-start pairs
+    # selects each unordered pair exactly once — and drops the
+    # self-pair for free (equal start, equal tuple). Measured wall-
+    # NEUTRAL at sf0.1 (pair output is only ~1.6k rows; the plan's big
+    # exchange is the bucket join itself, SHUFFLE.md) — kept for the
+    # SCALE shape: DISTINCT is an exchange at pair-output grain, and a
+    # celebrity (supplier, part) would make that grain quadratic-sized
+    # precisely when it is most expensive; the filter costs O(1)/row
+    # where the candidates are born, whatever the pair volume.
+    keep_one = (F.col("a0") < F.col("b0")) | (
+        (F.col("a0") == F.col("b0")) & a_first
+    )
     return (
-        cand.select(
+        cand.filter(keep_one)
+        .select(
             F.col("s").alias("suppkey"),
             F.col("p").alias("partkey"),
             *normalized_pair_cols(
@@ -4169,7 +4181,6 @@ def supplier_part_transit_overlaps(spark: SparkSession, sf_dir: str) -> DataFram
             "suppkey", "partkey", "okey_a", "line_a", "okey_b", "line_b",
             "overlap_days",
         )
-        .distinct()
     )
 
 

@@ -77,7 +77,7 @@ AUDITED = {
     "lsh_cap_recall_audit": "three pair tables (blocked/banded, never all-pairs) reduce to five 1-row counts; the shuffle is the pair tables' compact keys, the assembly is broadcast (r6)",
     "mm_ppm_decode_stats": "ZERO shuffle: payloads are generated, decoded, and reduced to per-doc stats inside one scan stage — the binary bytes never leave their task (r6)",
     "text_unigram_surprisal": "(doc, term) count partials after map-side combine; the LM join moves compact (term, count) rows, never token instances; doc rollup re-shuffles the tf grain (r6)",
-    "supplier_part_transit_overlaps": "asymmetric band join: cover side ~span/28 bucket rows, probe side 1 row each — (s, p, bucket) keys + two dates, raw rows never replicate both-sided (r6)",
+    "supplier_part_transit_overlaps": "asymmetric band join: cover side ~span/28 bucket rows, probe side 1 row each — (s, p, bucket) keys + two dates, raw rows never replicate both-sided; exactly-once via orientation filter, no pair-grain DISTINCT exchange (r12)",
     "customer_inflight_order_overlaps": "order-grain intervals (one lineitem max-reduce) explode to ~span/28 bucket rows on (custkey, bucket); the probe side is 1 row per order and the report re-aggregates compact pair keys (r7)",
     "retrieval_rrf_fusion": "corpus scans never shuffle (both channels broadcast the query side); the only exchanges are two (n_queries x k) rank frames into the full-outer fusion (r7)",
     "mm_png_decode_stats": "ZERO shuffle after the id-only parallelism repartition: generate, inflate, unfilter, and reduce within one scan stage (r7)",
