@@ -4248,19 +4248,28 @@ def customer_inflight_order_overlaps(spark: SparkSession, sf_dir: str) -> DataFr
     from ..operators.joins import interval_overlap_days, normalized_pair_cols
 
     a_first = F.col("okey_a") < F.col("okey_b")
+    # exactly-once by orientation filter, same argument as the
+    # supplier/part twin (r12): dual capture exists only at equal
+    # starts; strictly-earlier cover + okey tie-break keeps one
+    # orientation and drops the self-pair for free — no pair-grain
+    # DISTINCT exchange before the customer-grain rollup (structural:
+    # a hot customer's pair set is exactly where that exchange would
+    # have been quadratic-sized)
+    keep_one = (F.col("a0") < F.col("b0")) | (
+        (F.col("a0") == F.col("b0")) & a_first
+    )
     pairs = (
         range_join(
             cover, probe, on=["c"],
             cover_interval=("a0", "a1"), probe_interval=("b0", "b1"),
             bucket_days=_IVL_BUCKET_DAYS,
         )
-        .filter(F.col("okey_a") != F.col("okey_b"))
+        .filter(keep_one)
         .select(
             "c",
             *normalized_pair_cols(a_first, [("okey_a", "okey_b", "o")]),
             interval_overlap_days("a0", "a1", "b0", "b1").alias("overlap_days"),
         )
-        .distinct()
     )
     return (
         pairs.groupBy(F.col("c").alias("custkey"))
