@@ -1999,17 +1999,27 @@ def lm_bigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash verifiable. Documents under two tokens have no bigrams and
     drop out on both engines.
 
-    Shape at 100 TB: one tokenize pass shared by training and scoring
-    (persisted at (doc, bigram) grain); the LM lives at BIGRAM GRAIN and
-    joins by key — it is sf-proportional, so it is NEVER broadcast (the
-    registry-wide guard enforces this); context counts roll up from the
-    bigram table (no second pass over text); vocab size and the
-    reference-mean gate ride 1-row broadcast frames."""
+    Shape at 100 TB: ONE tokenize pass shared by training and scoring
+    (persisted at (doc, bigram) grain; r12 — the quality gate reads raw
+    text and the vocabulary derives from the persisted bigram LM, so
+    the former second and third tokenize passes are gone); the LM lives
+    at BIGRAM GRAIN and joins by key — it is sf-proportional, so it is
+    NEVER broadcast (the registry-wide guard enforces this); context
+    counts roll up from the bigram table (no second pass over text);
+    vocab size and the reference-mean gate ride 1-row broadcast
+    frames."""
     d = catalog(spark, sf_dir).documents
+    # r12: one tokenize pass, not three. `base` carries tokens only (the
+    # quality gate reads raw text, so refdoc below never tokenizes), and
+    # the reference VOCABULARY derives from the persisted bigram LM
+    # instead of a third corpus pass: every token of a >= 2-token doc
+    # appears as some bigram's w1 or w2 (consecutive pairs cover all
+    # positions), so distinct(w1) UNION distinct(w2) over ref_big IS the
+    # reference token set — a vocab-grain derivation off rows already in
+    # cache. refdoc also drops the >= 2-token filter: tf only contains
+    # docs with at least one bigram, so the join enforces it.
     base = d.select(
-        "doc_id",
-        T.tokens(T.normalize_text("text")).alias("t"),
-        T.quality_metrics(F.col("text"))["quality"].alias("q"),
+        "doc_id", T.tokens(T.normalize_text("text")).alias("t")
     ).filter(F.size("t") >= 2)
     tf = (
         base.select(
@@ -2020,7 +2030,13 @@ def lm_bigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
-    refdoc = base.filter(F.col("q") >= _LM_REF_QUALITY_MIN).select("doc_id")
+    refdoc = (
+        d.select(
+            "doc_id", T.quality_metrics(F.col("text"))["quality"].alias("q")
+        )
+        .filter(F.col("q") >= _LM_REF_QUALITY_MIN)
+        .select("doc_id")
+    )
     ref_big = (
         tf.join(refdoc, "doc_id")
         .groupBy("big")
@@ -2031,8 +2047,10 @@ def lm_bigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring_index("big", " ", 1).alias("w1")
     ).agg(F.sum("c_big").alias("c_ctx"))
     vocab = (
-        base.join(refdoc, "doc_id")
-        .select(F.explode("t").alias("tok"))
+        ref_big.select(F.substring_index("big", " ", 1).alias("tok"))
+        .unionAll(
+            ref_big.select(F.substring_index("big", " ", -1).alias("tok"))
+        )
         .agg((F.count_distinct("tok") + 1).cast("long").alias("v"))
     )
     scored = (
