@@ -1545,33 +1545,46 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache footprint ~3x the corpus text, the wrong trade at 100 TB)
     shx = pre.select("doc_id", shingles_of_tokens(F.col("toks")).alias("sh"))
     cands = lsh_candidate_pairs(shx, shingle_col="sh")
-    shd = shx.select(
-        "doc_id", F.explode("sh").alias("g")
-    ).distinct().persist()
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cands.join(shd.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(shd.select(F.col("doc_id").alias("doc_b"), "g"), ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # r12: the (doc, gram) postings dedup IN-ROW (array_distinct) instead of
+    # a posting-grain DISTINCT exchange, and the per-doc set size rides the
+    # postings (known at explode time) to reduce with the pair counts — the
+    # jaccard_pairs move. The old `cands LEFT JOIN inter` + two sizes joins
+    # were dead weight at this threshold: a candidate pair sharing zero
+    # shingles has containment 0 < 90 and can never survive the filter, so
+    # the inner `inter` already holds every surviving pair. Removes the
+    # sizes aggregation and three pair-grain joins (Exchange 29 -> 18).
+    shd = (
+        shx.select("doc_id", F.array_distinct("sh").alias("shs"))
+        .select(
+            "doc_id",
+            F.size("shs").cast("long").alias("n"),
+            F.explode("shs").alias("g"),
+        )
+        .persist()
     )
-    subset_pairs = (
-        cands.join(inter, ["doc_a", "doc_b"], "left")
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+    inter = (
+        cands.join(
+            shd.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "g"
+            ),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
+            shd.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "g"
+            ),
+            ["doc_b", "g"],
         )
-        .filter(
-            F.greatest(
-                F.expr("(100 * coalesce(i, 0)) div na"),
-                F.expr("(100 * coalesce(i, 0)) div nb"),
-            )
-            >= 90
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
         )
+    )
+    subset_pairs = inter.filter(
+        F.greatest(F.expr("(100 * i) div na"), F.expr("(100 * i) div nb"))
+        >= 90
     )
     sub_docs = (
         subset_pairs.select(F.col("doc_a").alias("doc_id"))

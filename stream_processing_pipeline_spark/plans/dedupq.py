@@ -836,14 +836,25 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-cardinality-bounded, no hot key can exceed a boilerplate
     prefix's population (df-cap the blocker like the shingle df-cap if a
     corpus plants one)."""
+    from ..operators.dedup import spread_small_scan
+
     docs = catalog(spark, sf_dir).documents
     norm = T.normalize_text("text")
-    b = docs.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.substring(norm, 1, 16).alias("blk"),
-        F.substring(norm, 1, 256).alias("p"),
+    # r12: spread the (one-file at fixture SF) scan before the regex-heavy
+    # normalize, and PERSIST the normalized base — the self-join otherwise
+    # evaluates normalize_text over the whole corpus twice, once per
+    # alias. The cached rows are ~280 B (key + 256-char prefix), far
+    # cheaper to hold than to recompute.
+    b = (
+        spread_small_scan(docs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.substring(norm, 1, 16).alias("blk"),
+            F.substring(norm, 1, 256).alias("p"),
+        )
+        .persist()
     )
     a, c = b.alias("a"), b.alias("c")
     dist = F.levenshtein(F.col("a.p"), F.col("c.p"))

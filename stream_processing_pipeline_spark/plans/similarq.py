@@ -1724,25 +1724,33 @@ def _int_sqdist(qv: str, nv: str):
 
 
 def _ivfpq_rerank_frame(
-    spark: SparkSession, sf_dir: str, k: int = _K, r: int = _RERANK_R
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _K,
+    r: int = _RERANK_R,
+    short: DataFrame | None = None,
 ) -> DataFrame:
     """The two-stage frame behind ``sim_topk_ivfpq_rerank`` (also reused
     by the rerank recall audit): ADC shortlist of ``r``, exact-L2 rerank
-    to ``k``."""
+    to ``k``. ``short`` lets a caller that already ran the ADC probe hand
+    in its shortlist (``topk_ivfpq_adc`` output at ``k=r``) instead of
+    paying a second coded-corpus probe (r12, the recall audit)."""
     from pyspark.sql import Window
 
     from ..operators.similarity import quantize_int, topk_ivfpq_adc
 
     emb = catalog(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    short = topk_ivfpq_adc(
-        emb,
-        queries,
-        _static_cent(spark, sf_dir),
-        _ivfpq_books(spark, sf_dir),
-        k=r,
-        n_probe=2,
-    ).select("query_id", "neighbor_id")
+    if short is None:
+        short = topk_ivfpq_adc(
+            emb,
+            queries,
+            _static_cent(spark, sf_dir),
+            _ivfpq_books(spark, sf_dir),
+            k=r,
+            n_probe=2,
+        )
+    short = short.select("query_id", "neighbor_id")
     vi = emb.select("vec_id", quantize_int("embedding").alias("vi"))
     scored = (
         short.join(
@@ -1830,15 +1838,25 @@ def sim_recall_ivfpq_rerank_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _K)
         .select("query_id", "neighbor_id")
     )
-    adc = topk_ivfpq_adc(
+    # r12: ONE ADC probe serves both arms. The raw-ADC top-K is by
+    # definition the rank<=K prefix of the rank<=R rerank shortlist (same
+    # window: adc_dist asc, neighbor_id tiebreak), so running the coded-
+    # corpus probe twice (k=K standalone + k=R inside the rerank frame)
+    # computed the same scan twice. Persist the R-shortlist; the adc arm
+    # filters it, the rerank frame reranks it.
+    assert _RERANK_R >= _K
+    short_full = topk_ivfpq_adc(
         emb,
         queries,
         _static_cent(spark, sf_dir),
         _ivfpq_books(spark, sf_dir),
-        k=_K,
+        k=_RERANK_R,
         n_probe=2,
-    ).select("query_id", "neighbor_id", F.lit(1).alias("hit_adc"))
-    rr = _ivfpq_rerank_frame(spark, sf_dir).select(
+    ).persist()
+    adc = short_full.filter(F.col("rank") <= _K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_adc")
+    )
+    rr = _ivfpq_rerank_frame(spark, sf_dir, short=short_full).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit_rr")
     )
     return (
