@@ -773,10 +773,24 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup import spread_small_scan
 
-    shd = spread_small_scan(docs, "doc_id").select(
-        "doc_id", F.explode(shingle_key(F.col("text"))).alias("g")
-    ).distinct()
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # r12: ONE persisted doc-grain array of DISTINCT shingle keys replaces
+    # the exploded (doc, g) DISTINCT posting table — the dedup happens
+    # in-row (array_distinct), so the posting-grain DISTINCT exchange
+    # disappears; sizes read off the array (size()) instead of a second
+    # aggregation exchange over the postings; and the regex-heavy shingle
+    # pass provably runs once (the un-persisted shd fed inter TWICE). The
+    # left join + sizes joins stay: zero-common candidate pairs are part
+    # of this query's output (a calibration table row per candidate).
+    sha = (
+        spread_small_scan(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(shingle_key(F.col("text"))).alias("shs"),
+        )
+        .persist()
+    )
+    shd = sha.select("doc_id", F.explode("shs").alias("g"))
+    sizes = sha.select("doc_id", F.size("shs").cast("long").alias("n"))
     inter = (
         cands.join(shd.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
@@ -928,10 +942,22 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = catalog(spark, sf_dir).documents
     cands = lsh_candidate_pairs(docs)
-    shd = spread_small_scan(docs, "doc_id").select(
-        "doc_id", F.explode(shingle_key(F.col("text"))).alias("g")
-    ).distinct().persist()
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # r12: same move as minhash_jaccard_calibration — persist the doc-grain
+    # DISTINCT shingle ARRAY (in-row array_distinct) instead of the exploded
+    # (doc, g) posting table; the posting-grain DISTINCT exchange and the
+    # sizes aggregation exchange both disappear, and the cached arrays are
+    # strictly smaller than the postings they replace. Zero-common pairs
+    # stay in the output, so the left join + sizes joins remain.
+    sha = (
+        spread_small_scan(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(shingle_key(F.col("text"))).alias("shs"),
+        )
+        .persist()
+    )
+    shd = sha.select("doc_id", F.explode("shs").alias("g"))
+    sizes = sha.select("doc_id", F.size("shs").cast("long").alias("n"))
     inter = (
         cands.join(shd.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(shd.select(F.col("doc_id").alias("doc_b"), "g"), ["doc_b", "g"])
