@@ -1081,36 +1081,49 @@ def dedup_cdc_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at emission."""
     from pyspark.sql import Window
 
-    from ..operators.dedup import cdc_chunks
+    from ..operators.dedup import cdc_chunks, spread_small_scan
 
     docs = catalog(spark, sf_dir).documents
+    # r12: per-doc chunk-hash dedup happens IN-ROW (array_distinct over the
+    # transformed chunk array) instead of a (doc, h)-grain DISTINCT
+    # exchange, and the per-doc distinct-chunk count RIDES the postings to
+    # reduce with the pair counts (max over a per-doc constant) — the
+    # jaccard_pairs move; valid here because a zero-shared pair can never
+    # reach the 50% containment floor, so the inner pair join already
+    # holds every survivor. Removes the DISTINCT exchange, the sizes
+    # aggregation, and two pair-grain joins. spread_small_scan unstarves
+    # the chunk-build regex at fixture split counts.
     ch = (
-        docs.select("doc_id", F.explode(cdc_chunks("text", _CDC_D)).alias("c"))
-        .select("doc_id", h60("c").alias("h"))
-        .distinct()
+        spread_small_scan(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(cdc_chunks("text", _CDC_D), h60)
+            ).alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.size("hs").cast("long").alias("n"),
+            F.explode("hs").alias("h"),
+        )
     ).persist()
     kept = ch.withColumn(
         "df_", F.count(F.lit(1)).over(Window.partitionBy("h"))
     ).filter(F.col("df_") <= _CDC_DF_CAP).drop("df_")
-    sizes = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = kept.select(F.col("doc_id").alias("doc_a"), "h")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "h")
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "h")
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "h")
     pairs = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
     )
     return (
-        pairs.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
-            "doc_b",
-        )
-        .filter(
+        pairs.filter(
             F.expr(f"(100 * shared) div least(n_a, n_b) >= {_CDC_MIN_PCT}")
         )
         .select(
