@@ -4051,7 +4051,7 @@ def sql_groupby_all_daily_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVL_BUCKET_DAYS = 28  # bucket width for the interval-overlap band join
+_IVL_BUCKET_DAYS = 14  # bucket width for the interval-overlap band join
 
 
 @register(
