@@ -970,6 +970,7 @@ def with_ivfpq_codes(
     codebooks: list[list[tuple[int, list[int]]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """IVF-PQ encoding: assign each vector its coarse cell (exact integer
     distances, centroids as plan literals), subtract the cell centroid, and
@@ -983,7 +984,13 @@ def with_ivfpq_codes(
     The quantized vector and residual are staged through named columns;
     Catalyst's CollapseProject keeps multiply-referenced non-trivial
     expressions at a projection boundary, so the coarse argmin runs once,
-    not once per codeword fold."""
+    not once per codeword fold.
+
+    ``pre_quantized=True`` declares that ``vec_col`` ALREADY holds the
+    micro-unit long array (a caller sharing one persisted quantized corpus
+    across probe/truth/rerank arms, r13); the encoding arithmetic is
+    bit-identical either way — quantize_int is exact and applied exactly
+    once on some path."""
     cids = [c for c, _ in centroids_int]
     if cids != list(range(len(cids))):
         raise ValueError("coarse centroid ids must be dense 0..k-1")
@@ -996,7 +1003,9 @@ def with_ivfpq_codes(
         )
         + ")"
     )
-    staged = corpus.withColumn("_v_int", quantize_int(vec_col))
+    staged = corpus.withColumn(
+        "_v_int", F.col(vec_col) if pre_quantized else quantize_int(vec_col)
+    )
     best = F.array_min(
         centroid_dist_structs_int("_v_int", centroids_int, quantized=True)
     )
@@ -1025,6 +1034,7 @@ def topk_ivfpq_adc(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """IVFADC serving: coarse-probe then asymmetric distance over residual
     PQ codes — the full billion-scale ANN index shape (IVF prunes the scan
@@ -1041,11 +1051,17 @@ def topk_ivfpq_adc(
     m = len(codebooks)
     d_sub = len(codebooks[0][0][1])
     spark = corpus.sparkSession
-    coded = with_ivfpq_codes(corpus, centroids_int, codebooks, vec_col, id_col).select(
+    coded = with_ivfpq_codes(
+        corpus, centroids_int, codebooks, vec_col, id_col,
+        pre_quantized=pre_quantized,
+    ).select(
         F.col(id_col).alias("neighbor_id"), "cluster", *[f"code_{j}" for j in range(m)]
     )
     cents = dict(centroids_int)
-    q_rows = queries.select(id_col, quantize_int(vec_col).alias("v")).collect()
+    q_vec = (
+        F.col(vec_col) if pre_quantized else quantize_int(vec_col)
+    )
+    q_rows = queries.select(id_col, q_vec.alias("v")).collect()
     lut_rows = []
     for r in q_rows:
         qv = [int(x) for x in r.v]

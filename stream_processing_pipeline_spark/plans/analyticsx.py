@@ -583,19 +583,30 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale c_st/c_t by 10^ceil(log10(n_s*N / 3e15)) (a <=±1-permille
     estimate) or switch the final ratio to one pround-pinned IEEE divide.
     Kept exact here because the value-hash verification contract is the
-    point of this query family."""
+    point of this query family.
+
+    r13 (VERDICT r12 #4, guide §2.3/§2.4): the term totals RIDE the
+    (source, term) rows via one term-partitioned window instead of a
+    separate term-grain aggregation joined back — the standalone ``t``
+    aggregation exchange AND the st-repartition for the st⋈t join both
+    disappear (the window is one exchange + sort over the compact
+    persisted counts). n_s / n reduce with ``max`` inside the final
+    source-grain agg, so the trailing re-join of ``ns`` goes too; ``ns``
+    and the 1-row total are derived once from the persisted ``st`` (two
+    bounded jobs over cached rows, no second corpus pass)."""
     d = catalog(spark, sf_dir).documents
     tok = d.select(
         "source", F.explode(tokens(normalize_text("text"))).alias("term")
     )
     st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
     st = st.persist()
-    t = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
     ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
-    tot = t.agg(F.sum("c_t").alias("n"))
-    j = (
-        st.join(t, "term")
-        .join(ns, "source")
+    tot = ns.agg(F.sum("n_s").alias("n"))
+    stc = st.withColumn(
+        "c_t", F.sum("c_st").over(Window.partitionBy("term"))
+    )
+    return (
+        stc.join(ns, "source")
         .crossJoin(F.broadcast(tot))
         .groupBy("source")
         .agg(
@@ -603,11 +614,9 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("c_st") * F.col("n") - F.col("c_t") * F.col("n_s"))
             ).alias("present_num"),
             F.sum("c_t").alias("present_ct"),
+            F.max("n_s").alias("n_s"),
+            F.max("n").alias("n"),
         )
-    )
-    return (
-        j.join(ns, "source")
-        .crossJoin(F.broadcast(tot))
         .select(
             "source",
             F.col("n_s").alias("n_tokens"),
@@ -1595,16 +1604,22 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_subset_dup"))
     )
 
-    # rarity + divergence share the token-instance table (cached arrays)
+    # rarity + divergence share the token-instance table (cached arrays).
+    # r13 (VERDICT r12 #5, guide §2.3/§2.4 — the source_token_divergence
+    # move applied inside the composition): term totals ride the persisted
+    # (source, term) counts via ONE term-partitioned window instead of a
+    # separate term-grain aggregation joined back; n_s / n max-reduce in
+    # the source-grain agg, dropping the trailing ns re-join.
     tok = pre.select("source", F.explode("toks").alias("term"))
     st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
     st = st.persist()
-    t = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
     ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
-    tot = t.agg(F.sum("c_t").alias("n"))
+    tot = ns.agg(F.sum("n_s").alias("n"))
+    stc = st.withColumn(
+        "c_t", F.sum("c_st").over(Window.partitionBy("term"))
+    )
     rar = (
-        st.join(t, "term")
-        .join(ns, "source")
+        stc.join(ns, "source")
         .crossJoin(F.broadcast(tot))
         .groupBy("source")
         .agg(
@@ -1613,9 +1628,9 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("c_st") * F.col("n") - F.col("c_t") * F.col("n_s"))
             ).alias("present_num"),
             F.sum("c_t").alias("present_ct"),
+            F.max("n_s").alias("n_s"),
+            F.max("n").alias("n"),
         )
-        .join(ns, "source")
-        .crossJoin(F.broadcast(tot))
         .select(
             "source",
             F.expr("rarity_sum div n_s").alias("mean_rarity_per_token"),

@@ -3136,9 +3136,17 @@ def butterfly_pairs(e: DataFrame, max_degree: int = _BUTTERFLY_MAX_DEGREE) -> Da
     baskets), so one array comprehension materializes up to C(102,2) ≈
     5k structs inside a single row before explode, where the wedge JOIN
     emits the same rows vectorized under whole-stage codegen across the
-    already-partitioned edge table. The array form pays off when basket
-    bounds are small; past ~Ø100 the join wins — same measure-don't-
-    assume outcome as the unrolled-element_at dot products."""
+    already-partitioned edge table.
+
+    r13 closed the remaining question — a DEGREE-SPLIT HYBRID (in-row
+    pairs for baskets <= 32 suppliers, wedge join above) also measured
+    SLOWER (median-of-3 alternating A/B: 5.68 vs 5.00 s, 1.14x): the
+    sf0.1 wedge volume is 78% in the degree-32..63 band (measured), so a
+    32-split leaves ~90% of pairs in the join arm while ADDING the
+    collect_set basket exchange, and r12's pure-array result already
+    bounds the high splits. The wedge join stands at every split for
+    this degree profile; the array form needs schema-bounded baskets
+    (part-affinity's <=7) to pay."""
     deg = e.groupBy(F.col("c").alias("dc")).agg(F.count(F.lit(1)).alias("deg"))
     keep = deg.filter(F.col("deg") <= max_degree).select("dc")
     ek = e.join(keep, e["c"] == keep["dc"], "left_semi")

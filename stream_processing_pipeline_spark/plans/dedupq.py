@@ -7,6 +7,15 @@ trigram Jaccard 0.989). Every query has a DuckDB oracle running the *same
 deterministic algorithm* in SQL — including MinHash and SimHash, which is
 only possible because hashing is md5-backed (functions.hashing) rather than
 engine-private.
+
+CACHING CONTRACT (ADVICE r12): several query builders here (and in
+similarq/analyticsx) ``persist()`` intermediates the returned lazy frame
+still depends on, so they cannot unpersist before returning. The harness
+owns cleanup: ``bench.py`` and the oracle harness call
+``spark.catalog.clearCache()`` after each query's terminal action. A
+library caller composing these builders long-term should do the same (or
+unpersist the returned frame's lineage) to avoid accumulating cached
+corpus-derived tables.
 """
 
 from __future__ import annotations
@@ -868,10 +877,23 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(norm, 1, 16).alias("blk"),
             F.substring(norm, 1, 256).alias("p"),
         )
+        # lp rides the cached row (r13): the length-band prune below then
+        # costs one cached-int compare per candidate instead of a length()
+        .withColumn("lp", F.length("p"))
         .persist()
     )
     a, c = b.alias("a"), b.alias("c")
     dist = F.levenshtein(F.col("a.p"), F.col("c.p"))
+    # r13 candidate shrink (VERDICT r12 #10, guide §2.5): levenshtein(x, y)
+    # >= |len(x) - len(y)|, so a pair whose 256-char prefixes differ in
+    # length by more than the 24 threshold can NEVER pass dist <= 24 —
+    # the band predicate is provably lossless and prunes candidates
+    # BEFORE the O(256^2) DP runs. Ordering matters and was verified in
+    # the compiled plan: `band & (dist <= 24)` in the FILTER lands the
+    # band first in the join-residual conjuncts (short-circuit AND), so
+    # blocked candidates pay two cached-int ops, not the DP; with the
+    # band inside the join condition Catalyst put levenshtein first.
+    band = F.abs(F.col("a.lp") - F.col("c.lp")) <= 24
     return (
         a.join(
             c,
@@ -879,7 +901,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.blk") == F.col("c.blk"))
             & (F.col("a.doc_id") < F.col("c.doc_id")),
         )
-        .filter(dist <= 24)
+        .filter(band & (dist <= 24))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("c.doc_id").alias("doc_b"),

@@ -1710,8 +1710,17 @@ def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline becomes a function of shortlist size alone. Integer-exact
     end to end (micro-unit vectors, |d|^2 <= 64*(4e6)^2 < 2^53), ranks
     and ties verified against the identical two-stage construction in
-    SQL."""
-    return _ivfpq_rerank_frame(spark, sf_dir)
+    SQL. One persisted quantized corpus serves the probe encode and both
+    rerank joins (r13 — the embedding parquet is scanned once, not three
+    times; bit-identical, quantize_int is exact)."""
+    from ..operators.similarity import quantize_int
+
+    vi = (
+        catalog(spark, sf_dir).embeddings
+        .select("vec_id", quantize_int("embedding").alias("vi"))
+        .persist()
+    )
+    return _ivfpq_rerank_frame(spark, sf_dir, vi=vi)
 
 
 def _int_sqdist(qv: str, nv: str):
@@ -1729,29 +1738,37 @@ def _ivfpq_rerank_frame(
     k: int = _K,
     r: int = _RERANK_R,
     short: DataFrame | None = None,
+    vi: DataFrame | None = None,
 ) -> DataFrame:
     """The two-stage frame behind ``sim_topk_ivfpq_rerank`` (also reused
     by the rerank recall audit): ADC shortlist of ``r``, exact-L2 rerank
     to ``k``. ``short`` lets a caller that already ran the ADC probe hand
     in its shortlist (``topk_ivfpq_adc`` output at ``k=r``) instead of
-    paying a second coded-corpus probe (r12, the recall audit)."""
+    paying a second coded-corpus probe (r12, the recall audit). ``vi``
+    lets the caller hand in ONE (vec_id, quantized-long-array) corpus
+    frame — typically persisted — shared by the probe encode, the rerank's
+    query/neighbor sides, and (in the audit) the ground truth, so the
+    parquet scan + quantize pass runs once instead of per arm (r13,
+    VERDICT r12 #6, guide §6/§2.4)."""
     from pyspark.sql import Window
 
     from ..operators.similarity import quantize_int, topk_ivfpq_adc
 
-    emb = catalog(spark, sf_dir).embeddings
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    if vi is None:
+        emb = catalog(spark, sf_dir).embeddings
+        vi = emb.select("vec_id", quantize_int("embedding").alias("vi"))
     if short is None:
         short = topk_ivfpq_adc(
-            emb,
-            queries,
+            vi,
+            vi.filter(F.col("vec_id") < _N_QUERIES),
             _static_cent(spark, sf_dir),
             _ivfpq_books(spark, sf_dir),
             k=r,
             n_probe=2,
+            vec_col="vi",
+            pre_quantized=True,
         )
     short = short.select("query_id", "neighbor_id")
-    vi = emb.select("vec_id", quantize_int("embedding").alias("vi"))
     scored = (
         short.join(
             vi.select(F.col("vec_id").alias("query_id"), F.col("vi").alias("qv")),
@@ -1820,8 +1837,12 @@ def sim_recall_ivfpq_rerank_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import quantize_int, topk_ivfpq_adc
 
     emb = catalog(spark, sf_dir).embeddings
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    vi = emb.select("vec_id", quantize_int("embedding").alias("vi"))
+    # r13 (VERDICT r12 #6): ONE persisted quantized corpus serves the
+    # ground truth's both sides, the ADC probe's encode, and the rerank
+    # frame's query/neighbor joins — the embedding parquet was scanned
+    # (and quantize_int re-evaluated) once per arm before. Bit-identical:
+    # quantize_int is exact and still runs exactly once per vector.
+    vi = emb.select("vec_id", quantize_int("embedding").alias("vi")).persist()
     gtq = vi.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vi").alias("qv")
     )
@@ -1844,19 +1865,25 @@ def sim_recall_ivfpq_rerank_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus probe twice (k=K standalone + k=R inside the rerank frame)
     # computed the same scan twice. Persist the R-shortlist; the adc arm
     # filters it, the rerank frame reranks it.
-    assert _RERANK_R >= _K
+    if _RERANK_R < _K:  # not assert: must survive python -O (ADVICE r12)
+        raise ValueError(
+            f"shared-ADC-probe invariant violated: _RERANK_R={_RERANK_R} "
+            f"< _K={_K}; the adc arm would be a wrong prefix"
+        )
     short_full = topk_ivfpq_adc(
-        emb,
-        queries,
+        vi,
+        vi.filter(F.col("vec_id") < _N_QUERIES),
         _static_cent(spark, sf_dir),
         _ivfpq_books(spark, sf_dir),
         k=_RERANK_R,
         n_probe=2,
+        vec_col="vi",
+        pre_quantized=True,
     ).persist()
     adc = short_full.filter(F.col("rank") <= _K).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit_adc")
     )
-    rr = _ivfpq_rerank_frame(spark, sf_dir, short=short_full).select(
+    rr = _ivfpq_rerank_frame(spark, sf_dir, short=short_full, vi=vi).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit_rr")
     )
     return (

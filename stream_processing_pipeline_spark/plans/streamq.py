@@ -1400,6 +1400,17 @@ def corpus_ingest_batch(
     seen_tbl = EpochTable(seen_dir, snapshot_every)
     idx_tbl = EpochTable(index_dir, snapshot_every)
 
+    # r13 NEGATIVE RESULT (VERDICT r12 #1/#8): spreading the one-file
+    # micro-batch (spread_small_scan on bdf) before the quality gate was
+    # tried and measured 1.8x SLOWER on stream_corpus_ingest (median-of-3
+    # alternating A/B at sf0.1: 6.57 vs 3.69 s; inbatch 1.09x, two-phase
+    # 1.07x worse). Inside foreachBatch the frame has no file lineage, so
+    # the guard falls back to the df.rdd partition probe — one full
+    # physical-plan build PER MICRO-BATCH — and the repartition moves the
+    # text for a regex pass that is minutes-per-TB but sub-second at any
+    # single batch's volume. The right production lever is micro-batch
+    # sizing (maxFilesPerTrigger), not an in-body shuffle; see
+    # OPTIMIZATION_r13.md.
     gated = bdf.filter(
         _T.quality_metrics(F.col("text"))["quality"] >= quality_min
     )
@@ -1792,8 +1803,13 @@ def stream_corpus_ingest_inbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.stop()
             raise TimeoutError("in-batch ingest run still going after 240s")
         admitted = EpochTable(seen_dir).read_all(spark).select("doc_id")
+        # the keeper recomputation is a second full quality+normalize pass
+        # over the one-file fixture scan — spread it too (r13, guide §2.5)
+        from ..operators.dedup import spread_small_scan
+
         keepers = (
-            docs.filter(
+            spread_small_scan(docs, "doc_id")
+            .filter(
                 _T.quality_metrics(F.col("text"))["quality"]
                 >= _INGEST_QUALITY_MIN
             )

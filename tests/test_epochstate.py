@@ -114,6 +114,9 @@ def test_snapshot_every_must_be_positive(tmp_path):
         EpochTable(str(tmp_path / "t"), snapshot_every=0)
 
 
+@pytest.mark.slow  # 54 s; the bounded-read invariant itself is pinned by
+# test_snapshot_bounds_read_cost (11 s) — this is the long-horizon replay
+# depth pass (r13 default-fast profile, VERDICT r12 #3)
 def test_ingest_read_cost_bounded_by_compaction(spark, tmp_path):
     """Drive the REAL ingest body over ten micro-batches with a
     snapshot cadence of 4: state reads stay <= 4 directories per table

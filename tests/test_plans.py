@@ -28,6 +28,33 @@ def plan_of(spark, name: str) -> str:
     return buf.getvalue()
 
 
+@pytest.fixture(scope="session")
+def all_plans(spark):
+    """One DataFrame build per registered query, shared by every
+    registry-wide plan audit in this module (r13, VERDICT r12 #3: the three
+    audits each rebuilt all ~291 queries — 75-90 s apiece — which alone
+    pushed the suite past the driver's verify window). Returns
+    ``{name: (formatted_plan, broadcast_hint_violations)}``; audits index
+    what they need. clearCache() between builds keeps one query's persisted
+    intermediates from skewing the next build, same as the bench harness."""
+    import contextlib
+    import io
+
+    from stream_processing_pipeline_spark.audit import (
+        broadcast_hint_violations,
+    )
+
+    out = {}
+    for name, q in REGISTRY.items():
+        df = q.fn(spark, SF_MED)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out[name] = (buf.getvalue(), broadcast_hint_violations(df))
+        spark.catalog.clearCache()
+    return out
+
+
 def read_schemas(plan: str) -> list[str]:
     return re.findall(r"ReadSchema: struct<([^>]*)", plan)
 
@@ -114,7 +141,7 @@ def test_tpch_q5_bounded_dims_still_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_no_broadcast_hint_on_fact_grain(spark):
+def test_no_broadcast_hint_on_fact_grain(spark, all_plans):
     """Registry-wide guard (VERDICT r3 "What's wrong" #1): a broadcast()
     hint is honored unconditionally — Spark skips AQE's size check — so a
     hint over any subtree that grows with scale factor (the catalog fact
@@ -122,18 +149,13 @@ def test_no_broadcast_hint_on_fact_grain(spark):
     executor OOM at the 100 TB design point regardless of test-SF speed.
     Boundedness rules live in stream_processing_pipeline_spark.audit; the
     single allowed exception (reference-J1 parity) is documented there."""
-    from stream_processing_pipeline_spark.audit import (
-        BROADCAST_HINT_ALLOWED,
-        broadcast_hint_violations,
-    )
+    from stream_processing_pipeline_spark.audit import BROADCAST_HINT_ALLOWED
 
     offenders = {}
-    for name, q in REGISTRY.items():
+    for name in REGISTRY:
         if name in BROADCAST_HINT_ALLOWED:
             continue
-        df = q.fn(spark, SF_MED)
-        bad = broadcast_hint_violations(df)
-        spark.catalog.clearCache()
+        bad = all_plans[name][1]
         if bad:
             offenders[name] = bad[0][:120]
     assert not offenders, f"forced broadcast of sf-proportional sides: {offenders}"
@@ -158,7 +180,7 @@ def test_trailing_hour_single_window_pass(spark):
         assert "event_type" not in s and "props" not in s
 
 
-def test_python_nodes_only_in_declared_python_queries(spark):
+def test_python_nodes_only_in_declared_python_queries(spark, all_plans):
     """Registry-wide guard: EvalPython / pandas / Arrow nodes may appear ONLY
     in queries explicitly tagged as Python paths. A stray Python hop in a
     scan query is the single worst 100 TB regression (10-100x slowdown), so
@@ -166,7 +188,7 @@ def test_python_nodes_only_in_declared_python_queries(spark):
     python_tags = {"pandas-udf", "arrow-udf", "stateful", "cogrouped-map", "udtf"}
     offenders, missing_tag = [], []
     for name, q in REGISTRY.items():
-        plan = plan_of(spark, name)
+        plan = all_plans[name][0]
         has_python = (
             "EvalPython" in plan or "MapInPandas" in plan or "MapInArrow" in plan
             or "FlatMapGroupsInPandas" in plan or "FlatMapCoGroupsInPandas" in plan
@@ -262,7 +284,7 @@ def test_dpp_promo_day_scan_has_dynamic_partition_filter(spark):
     assert "PartitionFilters" in plan
 
 
-def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
+def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark, all_plans):
     """Registry-wide guard: a CartesianProduct node anywhere is an
     unconditional failure (the one plan shape with no 100 TB story).
     BroadcastNestedLoopJoin is allowed ONLY where the broadcast side is
@@ -333,7 +355,7 @@ def test_no_cartesian_products_and_bnlj_only_with_tiny_broadcast(spark):
     }
     offenders, undocumented = [], []
     for name, q in REGISTRY.items():
-        plan = plan_of(spark, name)
+        plan = all_plans[name][0]
         if "CartesianProduct" in plan:
             offenders.append(name)
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_tiny_side:

@@ -671,7 +671,13 @@ def test_xxh64_longs_sql_matches_reference(vals):
     assert duck == _signed(h)
 
 
-@settings(max_examples=150, deadline=None)
+# max_examples=30 (was 150, r13): each example pays ~1.5 s of DuckDB parse
+# time on the fully-expanded fold macro — 220 s of the suite's 25 min for
+# ONE test (VERDICT r12 #3: the suite must finish inside the driver's
+# verify window). The fold only varies structurally by list LENGTH (0..8);
+# per-element value coverage is already carried by the 150-example
+# test_xxh64_longs_sql_matches_reference twin above.
+@settings(max_examples=30, deadline=None)
 @given(st.lists(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
                 max_size=8))
 def test_xxh64_fold_sql_matches_reference(vals):

@@ -1,14 +1,14 @@
-"""Dump full ``.explain('formatted')`` output for round-12-touched queries.
+"""Dump full ``.explain('formatted')`` output for round-13-touched queries.
 
-Writes ``plans/r12/<query>_<suffix>.txt`` at the repo root for each query
+Writes ``plans/r13/<query>_<suffix>.txt`` at the repo root for each query
 named on the command line (default: every query whose plan changed in the
-r12 optimization round). Run once with ``after`` on the optimized tree and
-once with ``before`` from a worktree checked out at the round-11 commit
-(copy this script there; the import path decides which code version plans).
+r13 optimization round — keep R13_TOUCHED in sync with OPTIMIZATION_r13.md).
+Run once with ``before`` BEFORE editing a query (or from a worktree of the
+pre-change commit) and once with ``after`` on the optimized tree.
 
 Usage:
-    python tools/dump_r12_plans.py after [outdir] [name1,name2,...]
-    python tools/dump_r12_plans.py before /root/repo/plans/r12   # from r11 worktree
+    python tools/dump_r13_plans.py after [outdir] [name1,name2,...]
+    python tools/dump_r13_plans.py before /root/repo/plans/r13 name1,name2
 """
 
 from __future__ import annotations
@@ -25,26 +25,14 @@ from stream_processing_pipeline_spark.session import build_session  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
 
-# Queries whose physical plan changed in the r12 optimization round
+# Queries whose physical plan changed in the r13 optimization round
 # (either the query function itself or a shared operator it calls).
-R12_TOUCHED = [
-    "bm25_topk_docs",
-    "customer_inflight_order_overlaps",
-    "dedup_cdc_chunk_pairs",
-    "dedup_containment_pairs",
-    "dedup_edit_distance",
-    "dedup_ngram_jaccard",
-    "dedup_winnow_pairs",
-    "kcore_part_affinity",
-    "lm_bigram_perplexity_filter",
-    "lsh_cap_recall_audit",
-    "minhash_jaccard_calibration",
-    "part_affinity_pairs",
-    "part_affinity_triangles",
-    "sim_recall_ivfpq_rerank_at_k",
+R13_TOUCHED = [
+    "source_token_divergence",
     "source_curation_report",
-    "supplier_part_transit_overlaps",
-    "winnow_recall_audit",
+    "sim_recall_ivfpq_rerank_at_k",
+    "sim_topk_ivfpq_rerank",
+    "dedup_edit_distance",
 ]
 
 
@@ -56,13 +44,13 @@ def main() -> None:
         else os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "plans",
-            "r12",
+            "r13",
         )
     )
-    names = sys.argv[3].split(",") if len(sys.argv) > 3 else R12_TOUCHED
+    names = sys.argv[3].split(",") if len(sys.argv) > 3 else R13_TOUCHED
     os.makedirs(outdir, exist_ok=True)
 
-    spark = build_session(app_name=f"dump_r12_plans_{suffix}")
+    spark = build_session(app_name=f"dump_r13_plans_{suffix}")
     spark.sparkContext.setLogLevel("FATAL")
     for name in names:
         if name not in REGISTRY:
