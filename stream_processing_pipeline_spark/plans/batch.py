@@ -3075,7 +3075,18 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage cut per round (``localCheckpoint``, like
     :func:`...operators.graph.connected_components`). Top-20 emits via
     TakeOrdered. The hub structure shows immediately: supplier nodes
-    (~500 edges each) dominate the head over ~30-edge customers."""
+    (~500 edges each) dominate the head over ~30-edge customers.
+
+    Past the broadcast threshold (r13 probe,
+    ``tools/r13_pagerank_partition_probe.py``, SCALING.md): once |nodes|
+    outgrows the auto-broadcast limit the per-iteration join re-shuffles
+    the edge list every round; pre-hash-partitioning the persisted edge
+    table by ``u`` (``ed.repartition(P, "u")`` before the persist, or a
+    bucketed table) measured 21.7 -> 5.2 s (4.1x) at 10x edges with
+    broadcast disabled, identical output. Kept OUT of this fixture-scale
+    plan because in the broadcast regime the extra build exchange is pure
+    cost (r12 measurement) — it is the one-line layout change for the
+    100 TB deployment."""
     cat = catalog(spark, sf_dir)
     e0 = (
         cat.lineitem.join(

@@ -63,6 +63,16 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at Spark's default TRUE (r13 measured the
+        # alternative): `parallelismFirst=false` + 64m advisory — the guide
+        # §2.2 "partitions sized by bytes" move that fixes the sub-second
+        # anti-scaling cluster (spec_*/sql_* gained 5-10%) — coalesces
+        # SMALL-BYTES/HIGH-CPU post-shuffle stages to ~1 partition and
+        # serializes them: full-bench A/B showed text_fingerprints 5.8x,
+        # text_lang_id 3.9x, text_quality 3.5x SLOWER (normalized). This
+        # corpus's shuffles are KB-sized with regex-heavy reducers, so
+        # partition-by-bytes starves compute exactly where partition-by-
+        # cores pays; see OPTIMIZATION_r13.md for the full table.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
