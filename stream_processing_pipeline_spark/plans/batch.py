@@ -4070,7 +4070,32 @@ def sql_groupby_all_daily_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVL_BUCKET_DAYS = 14  # bucket width for the interval-overlap band join
+_IVL_BUCKET_DAYS = 14  # FLOOR for the derived interval-join bucket width
+
+
+def _derived_bucket_days(iv: DataFrame, d0: str = "d0", d1: str = "d1") -> int:
+    """Data-adaptive bucket width for the asymmetric interval join (r13,
+    guide §2 "derive partitioning from the input, don't hard-code it"):
+    half the AVERAGE interval length, floored at ``_IVL_BUCKET_DAYS``.
+
+    Why: the cover side explodes each interval into ``len/W + 1`` bucket
+    rows, while a candidate is false (discarded by the exact predicate)
+    with probability ~``W/(len + W)`` — so W ≈ len/2 keeps the explode
+    factor at ~2-3 rows per cover AND the false fraction under ~40%,
+    wherever the corpus's interval scale sits. The r12 constant (14 d,
+    sized for month-scale intervals) exploded this fixture's ~833-day
+    average intervals into ~60 bucket rows each: measured 8.3 s →
+    1.3-1.9 s at sf0.1 for the supplier/part query across the derived
+    width (sweep in OPTIMIZATION_r13.md; output row-identical at every
+    width probed, 1613 rows). One extra bounded aggregation job derives
+    the scalar (exact integer avg — deterministic); the celebrity-key
+    behavior is unchanged (the orientation filter works per candidate
+    row, and per-key false volume stays proportional to true overlap
+    volume at W ~ len/2)."""
+    avg_len = iv.agg(
+        F.floor(F.avg(F.datediff(d1, d0))).cast("long").alias("al")
+    ).first()[0]
+    return max(_IVL_BUCKET_DAYS, int(avg_len or 0) // 2)
 
 
 @register(
@@ -4104,7 +4129,9 @@ def supplier_part_transit_overlaps(spark: SparkSession, sf_dir: str) -> DataFram
     strategy Spark lacks natively, factored into the operator library per
     VERDICT r6 #5). Candidate
     generation is ASYMMETRIC — the standard memory-lean form: the COVER
-    side explodes its interval into 28-day bucket keys, the PROBE side
+    side explodes its interval into bucket keys (width DERIVED from the
+    data: ~half the average interval length, floored at 14 days — see
+    :func:`_derived_bucket_days`, r13), the PROBE side
     contributes only its START bucket (one row, no explode), and the
     equi-join runs on (supplier, part, bucket). Complete by the overlap
     ordering argument: of any overlapping pair, the later-starting
@@ -4162,7 +4189,7 @@ def supplier_part_transit_overlaps(spark: SparkSession, sf_dir: str) -> DataFram
         on=["s", "p"],
         cover_interval=("a0", "a1"),
         probe_interval=("b0", "b1"),
-        bucket_days=_IVL_BUCKET_DAYS,
+        bucket_days=_derived_bucket_days(li),
     )
     from ..operators.joins import interval_overlap_days, normalized_pair_cols
 
@@ -4281,7 +4308,7 @@ def customer_inflight_order_overlaps(spark: SparkSession, sf_dir: str) -> DataFr
         range_join(
             cover, probe, on=["c"],
             cover_interval=("a0", "a1"), probe_interval=("b0", "b1"),
-            bucket_days=_IVL_BUCKET_DAYS,
+            bucket_days=_derived_bucket_days(iv),
         )
         .filter(keep_one)
         .select(
