@@ -28,11 +28,13 @@ SF = "/root/testdata/sf0.01"
 # Queries whose physical plan changed in the r13 optimization round
 # (either the query function itself or a shared operator it calls).
 R13_TOUCHED = [
-    "source_token_divergence",
-    "source_curation_report",
+    "customer_inflight_order_overlaps",
+    "dedup_edit_distance",
     "sim_recall_ivfpq_rerank_at_k",
     "sim_topk_ivfpq_rerank",
-    "dedup_edit_distance",
+    "source_curation_report",
+    "source_token_divergence",
+    "supplier_part_transit_overlaps",
 ]
 
 

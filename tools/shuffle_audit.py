@@ -64,7 +64,7 @@ AUDITED = {
     "bloom_source_membership_audit": "bitmap build shuffles <= n_bits position rows; probes shuffle (source, h, hit) triples, text never moves",
     "mm_shard_manifest": "one per-writer running-sum window over (doc_id, byte_len) pairs — payload bytes never shuffle",
     "sim_margin_mined_pairs": "broadcast query side x corpus partition; shuffle = top-2 (query, cos) rows into the window",
-    "source_token_divergence": "(source, term, count) partials after map-side combine; term-grain join of compact counts — raw text never moves",
+    "source_token_divergence": "(source, term, count) partials after map-side combine; term totals ride ONE term-partitioned window over the persisted counts (r13 — the separate term-grain agg + join exchanges are gone); raw text never moves",
     "orders_reorder_interval": "per-customer lag window on (custkey, date, orderkey) rows; quantile walk shuffles only the <=2,400-row gap histogram",
     "trade_graph_butterflies": "deg-count, cap semi-join and wedge join all hash on the customer key — one edge-table exchange serves all three (r4)",
     "emb_matryoshka_fidelity": "zero shuffle: per-row energy ratios computed in the scan stage",
@@ -77,8 +77,8 @@ AUDITED = {
     "lsh_cap_recall_audit": "three pair tables (blocked/banded, never all-pairs) reduce to five 1-row counts; the shuffle is the pair tables' compact keys, the assembly is broadcast (r6)",
     "mm_ppm_decode_stats": "ZERO shuffle: payloads are generated, decoded, and reduced to per-doc stats inside one scan stage — the binary bytes never leave their task (r6)",
     "text_unigram_surprisal": "(doc, term) count partials after map-side combine; the LM join moves compact (term, count) rows, never token instances; doc rollup re-shuffles the tf grain (r6)",
-    "supplier_part_transit_overlaps": "asymmetric band join: cover side ~span/28 bucket rows, probe side 1 row each — (s, p, bucket) keys + two dates, raw rows never replicate both-sided; exactly-once via orientation filter, no pair-grain DISTINCT exchange (r12)",
-    "customer_inflight_order_overlaps": "order-grain intervals (one lineitem max-reduce) explode to ~span/28 bucket rows on (custkey, bucket); the probe side is 1 row per order and the report re-aggregates compact pair keys (r7)",
+    "supplier_part_transit_overlaps": "asymmetric band join at DATA-DERIVED width (r13: ~avg-interval/2, was a 14-day constant): cover side ~2-3 bucket rows each, probe side 1 row — (s, p, bucket) keys + two dates; exactly-once via orientation filter, no pair-grain DISTINCT exchange (r12)",
+    "customer_inflight_order_overlaps": "order-grain intervals (one lineitem max-reduce) explode to ~2-3 bucket rows each at the data-derived width (r13) on (custkey, bucket); the probe side is 1 row per order and the report re-aggregates compact pair keys (r7)",
     "retrieval_rrf_fusion": "corpus scans never shuffle (both channels broadcast the query side); the only exchanges are two (n_queries x k) rank frames into the full-outer fusion (r7)",
     "mm_png_decode_stats": "ZERO shuffle after the id-only parallelism repartition: generate, inflate, unfilter, and reduce within one scan stage (r7)",
     "mm_jpeg_decode_stats": "ZERO shuffle after the id-only parallelism repartition: header + LUT-selected entropy bytes assemble and decode within one scan stage (r7)",
